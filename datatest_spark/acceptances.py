@@ -53,6 +53,23 @@ def _stable_order_cols():
     ]
 
 
+def _stable_sort_key(diff, key):
+    """Driver-side mirror of ``_stable_order_cols`` (nulls last)."""
+    kind, value, expected, deviation = _sig_cols_of(diff)
+    return (
+        kind,
+        (key is None, str(key) if key is not None else ""),
+        (value is None, value if value is not None else ""),
+        (expected is None, expected if expected is not None else ""),
+        (
+            deviation is None,
+            0.0
+            if deviation is None or (isinstance(deviation, float) and math.isnan(deviation))
+            else deviation,
+        ),
+    )
+
+
 def _diff_sig(diff):
     """Hashable identity of a difference: (class, repr-args)."""
     return (type(diff).__name__, tuple(repr(a) for a in diff.args))
@@ -75,18 +92,30 @@ class BaseAcceptance(object):
         pass
 
     def filter_differences(self, differences):
+        """Filter absorbed differences; budget consumption happens in the
+        engine's stable order (C5) so the driver-side result is identical
+        to the distributed one at any partitioning. Output order preserves
+        the input."""
         state = self.start()
         if isinstance(differences, dict):
+            pairs = [(k, d) for k, diffs in differences.items() for d in diffs]
+        else:
+            pairs = [(None, d) for d in differences]
+        order = sorted(
+            range(len(pairs)), key=lambda i: _stable_sort_key(pairs[i][1], pairs[i][0])
+        )
+        absorbed = set()
+        for i in order:
+            k, d = pairs[i]
+            if self._absorb_one(d, k, state):
+                absorbed.add(i)
+        if isinstance(differences, dict):
             out = {}
-            for k, diffs in differences.items():
-                kept = [
-                    d for d in diffs
-                    if not self._absorb_one(d, k, state)
-                ]
-                if kept:
-                    out[k] = kept
+            for i, (k, d) in enumerate(pairs):
+                if i not in absorbed:
+                    out.setdefault(k, []).append(d)
             return out
-        return [d for d in differences if not self._absorb_one(d, None, state)]
+        return [d for i, (_, d) in enumerate(pairs) if i not in absorbed]
 
     def _absorb_one(self, diff, key, state):
         if self.peek(diff, key, state):
@@ -206,27 +235,19 @@ class AcceptedList(BaseAcceptance):
 
     def _apply_budgeted(self, violations_df, mask):
         spark = violations_df.sparkSession
-        budget = Counter(_diff_sig(d) for d in self.diffs)
-        rows = [
-            (kind_name.lower(), args_repr[0] if args_repr else None, n)
-            for (kind_name, args_repr), n in budget.items()
-        ]
-        # distributed form keys on (kind, stringified first arg); Deviation
-        # instances key on (deviation, expected) via their repr'd args.
-        b_rows = []
-        for d in self.diffs:
-            sig = _sig_cols_of(d)
-            b_rows.append(sig)
-        bcounter = Counter(b_rows)
+        # distributed form keys on (kind, value, expected, deviation)
+        # signatures; Deviation instances key on (deviation, expected).
+        bcounter = Counter(_sig_cols_of(d) for d in self.diffs)
         bdf = spark.createDataFrame(
             [(k[0], k[1], k[2], float(k[3]) if k[3] is not None else None, n)
              for k, n in bcounter.items()],
             "kind string, value string, expected string, deviation double, _budget long",
         )
-        w = Window.partitionBy("kind", "value", "expected", "deviation").orderBy(
+        vdf = violations_df.withColumn("_mask", mask)
+        w = Window.partitionBy("_mask", "kind", "value", "expected", "deviation").orderBy(
             *_stable_order_cols()
         )
-        vdf = violations_df.withColumn("_rn", F.row_number().over(w))
+        vdf = vdf.withColumn("_rn", F.row_number().over(w))
         joined = vdf.join(
             F.broadcast(bdf),
             on=[
@@ -238,9 +259,11 @@ class AcceptedList(BaseAcceptance):
             how="left",
         ).select(vdf["*"], bdf["_budget"])
         kept = joined.filter(
-            F.col("_budget").isNull() | (F.col("_rn") > F.col("_budget")) | ~mask
+            F.col("_budget").isNull()
+            | (F.col("_rn") > F.col("_budget"))
+            | ~F.col("_mask")
         )
-        return kept.drop("_rn", "_budget")
+        return kept.drop("_rn", "_budget", "_mask")
 
 
 def _sig_cols_of(d):
@@ -287,19 +310,15 @@ class AcceptedMapping(BaseAcceptance):
             for sig, n in Counter(_sig_cols_of(d) for d in diffs).items():
                 rows.append((str(k),) + sig + (n,))
         bdf = spark.createDataFrame(
-            [(r[0], r[1], r[2], r[3], r[4]) for r in rows],
-            "group_key string, kind string, value string, expected string, "
-            "deviation double",
-        ).withColumn("_budget", F.lit(1))
-        bdf = spark.createDataFrame(
             rows,
             "group_key string, kind string, value string, expected string, "
             "deviation double, _budget long",
         )
+        vdf = violations_df.withColumn("_mask", mask)
         w = Window.partitionBy(
-            "group_key", "kind", "value", "expected", "deviation"
+            "_mask", "group_key", "kind", "value", "expected", "deviation"
         ).orderBy(*_stable_order_cols())
-        vdf = violations_df.withColumn("_rn", F.row_number().over(w))
+        vdf = vdf.withColumn("_rn", F.row_number().over(w))
         joined = vdf.join(
             F.broadcast(bdf),
             on=[
@@ -312,9 +331,11 @@ class AcceptedMapping(BaseAcceptance):
             how="left",
         ).select(vdf["*"], bdf["_budget"])
         kept = joined.filter(
-            F.col("_budget").isNull() | (F.col("_rn") > F.col("_budget")) | ~mask
+            F.col("_budget").isNull()
+            | (F.col("_rn") > F.col("_budget"))
+            | ~F.col("_mask")
         )
-        return kept.drop("_rn", "_budget")
+        return kept.drop("_rn", "_budget", "_mask")
 
 
 class AcceptedKeys(BaseAcceptance):
@@ -463,11 +484,12 @@ class AcceptedCount(BaseAcceptance):
         state[0] -= 1
 
     def _apply_budgeted(self, violations_df, mask):
-        w = Window.orderBy(*_stable_order_cols())
-        vdf = violations_df.withColumn(
-            "_rn", F.row_number().over(w)
-        )
-        return vdf.filter((F.col("_rn") > self.number) | ~mask).drop("_rn")
+        vdf = violations_df.withColumn("_mask", mask)
+        w = Window.partitionBy("_mask").orderBy(*_stable_order_cols())
+        vdf = vdf.withColumn("_rn", F.row_number().over(w))
+        return vdf.filter(
+            (F.col("_rn") > self.number) | ~F.col("_mask")
+        ).drop("_rn", "_mask")
 
 
 class AcceptedCombined(BaseAcceptance):
