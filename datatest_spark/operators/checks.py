@@ -1,0 +1,340 @@
+"""Suite check operators over the tokenized-sequence table (SURVEY §7.0).
+
+Each check is a named object with
+    ``check_id``                      — stable identifier;
+    ``violations(df, pk)``            — core-violations plan (row-level), or
+    ``stats_violations(stats_rows)``  — violations derived from the collected
+                                        wide-agg stats (partition-level).
+``pk`` is the partition_key Column already attached to ``df``. All plans
+stay JVM-side; the only pandas UDFs are the documented slow paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..schema import VIOLATION_SCHEMA
+
+_CORE_WITH_PK = [
+    "check_id", "kind", "partition_key", "group_key", "doc_id",
+    "value", "expected", "deviation", "detail",
+]
+
+
+def _sel(df, check_id, kind, value, expected=None, deviation=None, doc_id=None,
+         group_key=None, detail=None):
+    return df.select(
+        F.lit(check_id).alias("check_id"),
+        (kind if isinstance(kind, F.Column) else F.lit(kind)).alias("kind"),
+        F.col("partition_key").cast("string").alias("partition_key"),
+        (group_key if group_key is not None else F.lit(None).cast("string")).alias("group_key"),
+        (doc_id if doc_id is not None else F.lit(None).cast("string")).alias("doc_id"),
+        value.cast("string").alias("value"),
+        (expected.cast("string") if expected is not None else F.lit(None).cast("string")).alias("expected"),
+        (deviation.cast("double") if deviation is not None else F.lit(None).cast("double")).alias("deviation"),
+        (detail if detail is not None else F.lit(None).cast(T.MapType(T.StringType(), T.StringType()))).alias("detail"),
+    )
+
+
+class BaseCheck(object):
+    check_id = "base"
+    uses_stats = False
+
+    def violations(self, df: DataFrame) -> DataFrame | None:
+        return None
+
+    def stats_violations(self, spark, stats_rows) -> list:
+        """Return violation row dicts derived from collected stats."""
+        return []
+
+
+class SchemaConformanceCheck(BaseCheck):
+    """Declared-StructType conformance (north_star 'schema conformance').
+
+    Driver-side structural compare (names/types/order) — zero data cost;
+    a mismatch yields one partition-independent violation per bad field.
+    """
+
+    check_id = "schema_conformance"
+
+    def __init__(self, expected_schema):
+        self.expected = expected_schema
+
+    def schema_violations(self, df) -> list:
+        actual = {f.name: f.dataType.simpleString() for f in df.schema.fields
+                  if f.name != "partition_key"}
+        expect = {f.name: f.dataType.simpleString() for f in self.expected.fields}
+        out = []
+        for name, dt in expect.items():
+            if name not in actual:
+                out.append(dict(kind="missing", value=name, expected=dt,
+                                detail={"reason": "column absent"}))
+            elif actual[name] != dt:
+                out.append(dict(kind="invalid", value="{0}:{1}".format(name, actual[name]),
+                                expected="{0}:{1}".format(name, dt),
+                                detail={"reason": "type mismatch"}))
+        for name in actual:
+            if name not in expect:
+                out.append(dict(kind="extra", value=name,
+                                detail={"reason": "undeclared column"}))
+        return out
+
+
+class NullRateCheck(BaseCheck):
+    """Per-partition null-rate thresholds, derived from the wide agg (A10)."""
+
+    check_id = "null_rate"
+    uses_stats = True
+
+    def __init__(self, max_null_rate: dict):
+        # {column: max allowed null fraction}
+        self.max_null_rate = dict(max_null_rate)
+
+    def stats_violations(self, spark, stats_rows):
+        out = []
+        for row in stats_rows:
+            n = row["n_rows"] or 0
+            if not n:
+                continue
+            for col, limit in self.max_null_rate.items():
+                nulls = row.get(col + "__nulls")
+                if nulls is None:
+                    continue
+                rate = nulls / n
+                if rate > limit:
+                    out.append(
+                        dict(
+                            check_id=self.check_id,
+                            kind="deviation",
+                            partition_key=row["partition_key"],
+                            group_key=col,
+                            value=str(rate),
+                            expected=str(limit),
+                            deviation=rate - limit,
+                            detail={"n_nulls": str(nulls), "n_rows": str(n)},
+                        )
+                    )
+        return out
+
+
+class StatIntervalCheck(BaseCheck):
+    """Partition-level bounds on any stat the wide agg produced,
+    e.g. n_tok__min >= 1, n_tok__max <= 4096 (A10 consumers)."""
+
+    check_id = "stat_interval"
+    uses_stats = True
+
+    def __init__(self, bounds: dict):
+        # {stat_name: (lower|None, upper|None)}
+        self.bounds = dict(bounds)
+
+    def stats_violations(self, spark, stats_rows):
+        out = []
+        for row in stats_rows:
+            for stat, (lo, hi) in self.bounds.items():
+                v = row.get(stat)
+                if v is None:
+                    continue
+                bad_lo = lo is not None and v < lo
+                bad_hi = hi is not None and v > hi
+                if bad_lo or bad_hi:
+                    bound = lo if bad_lo else hi
+                    out.append(
+                        dict(
+                            check_id=self.check_id,
+                            kind="deviation",
+                            partition_key=row["partition_key"],
+                            group_key=stat,
+                            value=str(float(v)),
+                            expected=str(float(bound)),
+                            deviation=float(v) - float(bound),
+                        )
+                    )
+        return out
+
+
+class UniquenessCheck(BaseCheck):
+    """doc_id uniqueness (A8/O3) with the C1 HLL screen.
+
+    ``screen_partitions(stats_rows)`` flags partitions whose
+    ``count - approx_distinct`` exceeds the HLL error margin; the exact
+    groupBy runs only over those partitions (SURVEY §7.3.3). At 10^12 rows
+    this turns a full 10^12-key shuffle into a shuffle over offending
+    partitions only; with Iceberg bucket(doc_id) layout the exact pass is
+    shuffle-free in prod.
+    """
+
+    check_id = "uniqueness"
+    uses_stats = True
+
+    def __init__(self, column="doc_id", hll_rsd_margin=0.05, exact="auto"):
+        self.column = column
+        self.margin = hll_rsd_margin
+        self.exact = exact  # True | False | "auto"
+
+    def screen_partitions(self, stats_rows):
+        suspects = []
+        for row in stats_rows:
+            n = (row["n_rows"] or 0) - (row.get(self.column + "__nulls") or 0)
+            approx = row.get(self.column + "__approx_distinct")
+            if approx is None or n == 0:
+                continue
+            if n - approx > self.margin * n or n - approx > 0 and n < 10_000:
+                suspects.append(row["partition_key"])
+            elif approx < n * (1 - self.margin):
+                suspects.append(row["partition_key"])
+        return suspects
+
+    def violations(self, df, only_partitions=None):
+        scoped = df
+        if only_partitions is not None:
+            if not only_partitions:
+                return None
+            scoped = df.filter(F.col("partition_key").isin(list(only_partitions)))
+        c = self.column
+        counts = (
+            scoped.filter(F.col(c).isNotNull())
+            .groupBy("partition_key", c)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > 1)
+        )
+        surplus = counts.withColumn(
+            "_dup", F.explode(F.sequence(F.lit(1), F.col("_n") - 1))
+        )
+        return _sel(
+            surplus, self.check_id, "extra", F.col(c), doc_id=F.col(c),
+            detail=F.create_map(F.lit("multiplicity"), F.col("_n").cast("string")),
+        )
+
+
+class ReferentialCheck(BaseCheck):
+    """Membership of a column in an allowed set (J1–J3): broadcast
+    left_anti join; one Extra row per offending data row (attributable),
+    plus optional Missing rows for required-but-absent members (J2)."""
+
+    check_id = "referential"
+
+    def __init__(self, column="source", allowed=None, require_all_present=False,
+                 id_col="doc_id"):
+        self.column = column
+        self.allowed = allowed  # list | DataFrame
+        self.require_all = require_all_present
+        self.id_col = id_col
+
+    def _allowed_df(self, spark, template_field):
+        if isinstance(self.allowed, DataFrame):
+            return self.allowed.select(F.col(self.allowed.columns[0]).alias(self.column))
+        return spark.createDataFrame(
+            [(v,) for v in self.allowed], T.StructType([template_field])
+        )
+
+    def violations(self, df):
+        spark = df.sparkSession
+        field = [f for f in df.schema.fields if f.name == self.column][0]
+        allowed = self._allowed_df(spark, field)
+        bad = df.join(F.broadcast(allowed), self.column, "left_anti")
+        plan = _sel(
+            bad, self.check_id, "extra", F.col(self.column),
+            doc_id=F.col(self.id_col) if self.id_col in df.columns else None,
+        )
+        if self.require_all:
+            present = df.select(self.column).distinct()
+            absent = allowed.join(present, self.column, "left_anti").withColumn(
+                "partition_key", F.lit(None).cast("string")
+            )
+            plan = plan.unionByName(
+                _sel(absent, self.check_id, "missing", F.col(self.column))
+            )
+        return plan
+
+
+class ConsistencyCheck(BaseCheck):
+    """Row-level invariant n_tok == size(tokens): mismatches are
+    Deviations (actual - declared); null-array rows with non-null n_tok
+    are Invalid."""
+
+    check_id = "n_tok_consistency"
+
+    def __init__(self, length_col="n_tok", array_col="tokens", id_col="doc_id"):
+        self.length_col = length_col
+        self.array_col = array_col
+        self.id_col = id_col
+
+    def violations(self, df):
+        lc, ac = F.col(self.length_col), F.col(self.array_col)
+        both = df.filter(lc.isNotNull() & ac.isNotNull()).filter(
+            F.size(ac) != lc
+        )
+        dev = _sel(
+            both, self.check_id, "deviation",
+            F.size(ac), expected=lc,
+            deviation=F.size(ac).cast("double") - lc.cast("double"),
+            doc_id=F.col(self.id_col),
+        )
+        half_null = df.filter(lc.isNotNull() & ac.isNull())
+        inv = _sel(
+            half_null, self.check_id, "invalid", ac, expected=lc,
+            doc_id=F.col(self.id_col),
+            detail=F.create_map(F.lit("reason"), F.lit("tokens null, n_tok set")),
+        )
+        return dev.unionByName(inv)
+
+
+class TokenRangeCheck(BaseCheck):
+    """Every token id within [0, vocab): native forall over the array —
+    no UDF, stays in codegen."""
+
+    check_id = "token_range"
+
+    def __init__(self, array_col="tokens", vocab_size=50257, id_col="doc_id"):
+        self.array_col = array_col
+        self.vocab = vocab_size
+        self.id_col = id_col
+
+    def violations(self, df):
+        ac = F.col(self.array_col)
+        in_range = F.forall(
+            ac, lambda t: t.isNotNull() & (t >= 0) & (t < self.vocab)
+        )
+        bad = df.filter(ac.isNotNull() & ~in_range)
+        first_bad = F.filter(
+            ac, lambda t: t.isNull() | (t < 0) | (t >= self.vocab)
+        )[0]
+        return _sel(
+            bad, self.check_id, "invalid", first_bad,
+            expected=F.lit("[0,{0})".format(self.vocab)),
+            doc_id=F.col(self.id_col),
+        )
+
+
+class TokenEqualityCheck(BaseCheck):
+    """Per-row token-array equality vs the reference copy (J5/U3)."""
+
+    check_id = "token_equality"
+
+    def __init__(self, reference_df, id_col="doc_id", tokens_col="tokens",
+                 use_udf=False):
+        self.reference = reference_df
+        self.id_col = id_col
+        self.tokens_col = tokens_col
+        self.use_udf = use_udf
+
+    def violations(self, df):
+        from .rowpred import token_equality_violations
+
+        # carry partition_key through the join for attribution
+        data = df.select("partition_key", self.id_col, self.tokens_col)
+        core = token_equality_violations(
+            data.drop("partition_key"), self.reference,
+            id_col=self.id_col, tokens_col=self.tokens_col, use_udf=self.use_udf,
+        )
+        pk_map = data.select(
+            F.col(self.id_col).cast("string").alias("doc_id"),
+            "partition_key",
+        ).dropDuplicates(["doc_id"])
+        out = core.join(pk_map, "doc_id", "left").withColumn(
+            "check_id", F.lit(self.check_id)
+        )
+        return out.select(*_CORE_WITH_PK)

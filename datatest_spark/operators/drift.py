@@ -1,0 +1,162 @@
+"""Distribution-drift check (SURVEY A11): per-source n_tok histograms
+compared against a baseline by KL divergence / PSI.
+
+The histogram is one ``groupBy(source, bucket)`` aggregation
+(``width_bucket`` bucketing — JVM-side, map-side combined); the
+(sources × bins) matrix is tiny and the KL/PSI arithmetic runs on the
+driver. Baselines are plain rows ``(source, bucket, p)`` (FIXTURES.md §4),
+generatable from an uncorrupted reference draw via ``histogram()``.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .checks import BaseCheck
+
+_EPS = 1e-9
+
+
+def histogram(
+    df: DataFrame,
+    value_col: str = "n_tok",
+    group_col: str = "source",
+    lo: float = 0.0,
+    hi: float = 4096.0,
+    nbins: int = 32,
+) -> DataFrame:
+    """Per-group normalized histogram: (group, bucket, n, p).
+
+    ``width_bucket`` assigns 1..nbins plus 0 / nbins+1 for underflow and
+    overflow, so no value is silently dropped.
+    """
+    v = F.col(value_col).cast("double")
+    bucketed = df.filter(v.isNotNull()).select(
+        F.col(group_col).alias("group"),
+        F.width_bucket(v, F.lit(lo), F.lit(hi), F.lit(nbins)).alias("bucket"),
+    )
+    counts = bucketed.groupBy("group", "bucket").agg(F.count(F.lit(1)).alias("n"))
+    totals = counts.groupBy("group").agg(F.sum("n").alias("_total"))
+    return counts.join(totals, "group").select(
+        "group", "bucket", "n", (F.col("n") / F.col("_total")).alias("p")
+    )
+
+
+def kl_divergence(p: dict, q: dict) -> float:
+    """KL(p || q) over bucket dicts; epsilon-smoothed for empty buckets."""
+    buckets = set(p) | set(q)
+    total = 0.0
+    for b in buckets:
+        pb = max(p.get(b, 0.0), _EPS)
+        qb = max(q.get(b, 0.0), _EPS)
+        total += pb * math.log(pb / qb)
+    return total
+
+
+def psi(p: dict, q: dict) -> float:
+    """Population Stability Index between bucket dicts (symmetric-ish)."""
+    buckets = set(p) | set(q)
+    total = 0.0
+    for b in buckets:
+        pb = max(p.get(b, 0.0), _EPS)
+        qb = max(q.get(b, 0.0), _EPS)
+        total += (pb - qb) * math.log(pb / qb)
+    return total
+
+
+class DriftCheck(BaseCheck):
+    """Per-source histogram drift vs a baseline (north_star drift check).
+
+    Baseline: DataFrame or rows with (group, bucket, p). A group whose
+    KL/PSI exceeds the threshold yields one Deviation violation carrying
+    the metric value; groups present in data but absent from the baseline
+    are Extra, and vice versa Missing.
+    """
+
+    check_id = "distribution_drift"
+
+    def __init__(
+        self,
+        baseline,
+        value_col="n_tok",
+        group_col="source",
+        lo=0.0,
+        hi=4096.0,
+        nbins=32,
+        metric="psi",
+        threshold=0.2,
+    ):
+        self.baseline = baseline
+        self.value_col = value_col
+        self.group_col = group_col
+        self.lo, self.hi, self.nbins = lo, hi, nbins
+        self.metric = metric
+        self.threshold = threshold
+
+    def _baseline_map(self):
+        if isinstance(self.baseline, DataFrame):
+            rows = self.baseline.collect()
+            it = ((r["group"], r["bucket"], r["p"]) for r in rows)
+        else:
+            it = ((r[0], r[1], r[2]) for r in self.baseline)
+        out = {}
+        for g, b, p in it:
+            out.setdefault(g, {})[b] = float(p)
+        return out
+
+    def compute(self, df: DataFrame) -> dict:
+        """{group: metric_value} for the current data vs baseline."""
+        hist = histogram(df, self.value_col, self.group_col, self.lo, self.hi, self.nbins)
+        cur = {}
+        for r in hist.collect():
+            cur.setdefault(r["group"], {})[r["bucket"]] = float(r["p"])
+        base = self._baseline_map()
+        fn = psi if self.metric == "psi" else kl_divergence
+        return (
+            {g: fn(cur[g], base[g]) for g in cur if g in base},
+            set(cur) - set(base),
+            set(base) - set(cur),
+        )
+
+    def stats_violations(self, spark, stats_rows):
+        return []
+
+    def drift_violations(self, df) -> list:
+        metrics, extra_groups, missing_groups = self.compute(df)
+        out = []
+        for g, m in sorted(metrics.items()):
+            if m > self.threshold:
+                out.append(
+                    dict(
+                        check_id=self.check_id,
+                        kind="deviation",
+                        partition_key="{0}={1}".format(self.group_col, g),
+                        group_key=str(g),
+                        value=str(m),
+                        expected=str(self.threshold),
+                        deviation=m - self.threshold,
+                        detail={"metric": self.metric},
+                    )
+                )
+        for g in sorted(extra_groups):
+            out.append(
+                dict(
+                    check_id=self.check_id, kind="extra",
+                    partition_key="{0}={1}".format(self.group_col, g),
+                    group_key=str(g), value=str(g),
+                    detail={"reason": "group absent from baseline"},
+                )
+            )
+        for g in sorted(missing_groups):
+            out.append(
+                dict(
+                    check_id=self.check_id, kind="missing",
+                    partition_key="{0}={1}".format(self.group_col, g),
+                    group_key=str(g), value=str(g),
+                    detail={"reason": "baseline group absent from data"},
+                )
+            )
+        return out

@@ -1,0 +1,135 @@
+"""Single wide aggregation pass — per-partition column statistics (SURVEY C1).
+
+The whole stats family (count, null-rate, distinct-via-HLL, min/max,
+quantiles — BASELINE.json north_star) is computed in ONE
+``groupBy(partition_key).agg(...)`` so the suite costs ~one shuffle at
+10^12 rows. Catalyst performs map-side partial aggregation for every
+expression here, so the 100x ``web`` skew is combined before the shuffle.
+
+An explicit **salted two-phase** variant (SURVEY C2) is provided for the
+mergeable subset (count / nulls / min / max / HLL union via
+``hll_sketch_agg`` + ``hll_union_agg``): phase 1 groups by
+``(partition_key, salt)``, phase 2 merges per partition_key. It exists for
+deployments where a single hot key saturates one reducer even after
+partial aggregation, and is property-tested to produce identical results
+to the unsalted pass (SURVEY §5.2.4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_NUMERIC = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.DecimalType,
+)
+
+DEFAULT_QUANTILES = [0.5, 0.95, 0.99]
+
+
+def partition_key_col(partition_cols):
+    """Human-readable partition identity, e.g. ``source=web`` (SURVEY C4).
+
+    Carried through every plan so violations and verdicts are attributable
+    to the same partition on parquet today and Iceberg in prod (§0).
+    """
+    parts = []
+    for c in partition_cols:
+        parts.append(F.concat(F.lit(c + "="), F.coalesce(F.col(c).cast("string"), F.lit("__null__"))))
+    if not parts:
+        return F.lit("__all__")
+    out = parts[0]
+    for p in parts[1:]:
+        out = F.concat(out, F.lit("/"), p)
+    return out
+
+
+def _stat_exprs(df: DataFrame, columns, quantiles):
+    exprs = [F.count(F.lit(1)).alias("n_rows")]
+    types = dict((f.name, f.dataType) for f in df.schema.fields)
+    for c in columns:
+        exprs.append(
+            F.sum(F.col(c).isNull().cast("long")).alias(c + "__nulls")
+        )
+        exprs.append(F.approx_count_distinct(c).alias(c + "__approx_distinct"))
+        if isinstance(types[c], _NUMERIC):
+            exprs.append(F.min(c).cast("double").alias(c + "__min"))
+            exprs.append(F.max(c).cast("double").alias(c + "__max"))
+            exprs.append(F.avg(F.col(c).cast("double")).alias(c + "__avg"))
+            if quantiles:
+                exprs.append(
+                    F.percentile_approx(F.col(c).cast("double"), quantiles).alias(
+                        c + "__quantiles"
+                    )
+                )
+    return exprs
+
+
+def column_stats(
+    df: DataFrame,
+    partition_cols=("source",),
+    columns=None,
+    quantiles=DEFAULT_QUANTILES,
+) -> DataFrame:
+    """One wide agg: per-partition stats for every requested column (C1)."""
+    columns = list(columns) if columns is not None else list(df.columns)
+    keyed = df.withColumn("partition_key", partition_key_col(partition_cols))
+    return keyed.groupBy("partition_key").agg(*_stat_exprs(df, columns, quantiles))
+
+
+def column_stats_salted(
+    df: DataFrame,
+    partition_cols=("source",),
+    columns=None,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase salted stats (C2) for the mergeable metric subset.
+
+    Salt is derived deterministically from a high-cardinality column hash
+    (never ``rand()`` — resume/determinism, SURVEY C3/C5). Quantiles are
+    excluded: percentile sketches aren't union-mergeable through the public
+    API; they stay in the single-pass form where Spark's own partial
+    aggregation handles skew.
+    """
+    columns = list(columns) if columns is not None else list(df.columns)
+    types = dict((f.name, f.dataType) for f in df.schema.fields)
+    keyed = df.withColumn("partition_key", partition_key_col(partition_cols))
+    salted = keyed.withColumn(
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in columns[:1]]), F.lit(n_salts))
+    )
+
+    phase1_exprs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in columns:
+        phase1_exprs.append(F.sum(F.col(c).isNull().cast("long")).alias(c + "__nulls"))
+        phase1_exprs.append(F.hll_sketch_agg(F.col(c).cast("string")).alias(c + "__hll"))
+        if isinstance(types[c], _NUMERIC):
+            phase1_exprs.append(F.min(c).cast("double").alias(c + "__min"))
+            phase1_exprs.append(F.max(c).cast("double").alias(c + "__max"))
+            phase1_exprs.append(
+                F.sum(F.col(c).cast("double")).alias(c + "__sum")
+            )
+    p1 = salted.groupBy("partition_key", "_salt").agg(*phase1_exprs)
+
+    phase2_exprs = [F.sum("n_rows").alias("n_rows")]
+    for c in columns:
+        phase2_exprs.append(F.sum(c + "__nulls").alias(c + "__nulls"))
+        phase2_exprs.append(
+            F.hll_sketch_estimate(F.hll_union_agg(F.col(c + "__hll"))).alias(
+                c + "__approx_distinct"
+            )
+        )
+        if isinstance(types[c], _NUMERIC):
+            phase2_exprs.append(F.min(c + "__min").alias(c + "__min"))
+            phase2_exprs.append(F.max(c + "__max").alias(c + "__max"))
+            phase2_exprs.append(F.sum(c + "__sum").alias(c + "__sum"))
+    p2 = p1.groupBy("partition_key").agg(*phase2_exprs)
+    # derive avg from mergeable sum/count
+    for c in columns:
+        if isinstance(types[c], _NUMERIC):
+            p2 = p2.withColumn(
+                c + "__avg",
+                F.col(c + "__sum") / (F.col("n_rows") - F.col(c + "__nulls")),
+            )
+    return p2

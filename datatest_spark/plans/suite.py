@@ -1,0 +1,330 @@
+"""Validation suite runner (SURVEY §3.1 engine pipeline, §7.0 runner.py).
+
+Plans one job per *shuffle family* (SURVEY §3.1): (a) the single wide
+stats aggregation (C1) feeding all partition-level checks, (b) the
+anti-join family, (c) per-row predicate scans — then unions the violation
+plans, applies distributed acceptances, computes per-partition verdicts
+(C4) and writes the checkpoint manifest (C3) so interrupted runs resume by
+anti-joining the partition list against completed manifest entries.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..differences import ValidationError
+from ..schema import MANIFEST_SCHEMA, VIOLATION_SCHEMA
+from ..validation import _rows_to_differences
+from ..operators.checks import SchemaConformanceCheck, UniquenessCheck
+from ..operators.drift import DriftCheck
+from ..operators.stats import _stat_exprs, partition_key_col, DEFAULT_QUANTILES
+
+
+class SuiteResult(object):
+    def __init__(self, run_id, violations, verdicts, stats_rows, wall_ms,
+                 n_rows_total):
+        self.run_id = run_id
+        self.violations = violations      # DataFrame (post-acceptance)
+        self.verdicts = verdicts          # DataFrame
+        self.stats_rows = stats_rows      # list[dict] collected wide-agg stats
+        self.wall_ms = wall_ms
+        self.n_rows_total = n_rows_total
+
+    @property
+    def failed(self):
+        return any(r["status"] == "fail" for r in self.verdicts.collect())
+
+    def raise_if_failed(self, limit=1000):
+        """The pytest adapter: ValidationError mirroring the reference."""
+        rows = [r.asDict() for r in self.violations.limit(limit).collect()]
+        if rows:
+            raise ValidationError(
+                _rows_to_differences(rows, stringy_value=True),
+                "validation suite {0} failed".format(self.run_id),
+            )
+
+
+class ValidationSuite(object):
+    """Composable check suite over a partitioned table.
+
+    ``checks`` are operators/checks.py objects; ``acceptances`` are
+    acceptance objects applied distributed (SURVEY §3.2) before verdicts.
+    """
+
+    def __init__(self, checks, partition_cols=("source",), acceptances=None,
+                 stats_columns=None, quantiles=DEFAULT_QUANTILES):
+        self.checks = list(checks)
+        self.partition_cols = list(partition_cols)
+        self.acceptances = list(acceptances or [])
+        self.stats_columns = stats_columns
+        self.quantiles = quantiles
+
+    # -- manifest / resume (C3) -------------------------------------------
+    @staticmethod
+    def _manifest_path(manifest_dir, run_id):
+        return os.path.join(manifest_dir, "run_id={0}".format(run_id))
+
+    def completed_partitions(self, spark, manifest_dir, run_id):
+        path = self._manifest_path(manifest_dir, run_id)
+        try:
+            mdf = spark.read.schema(MANIFEST_SCHEMA).parquet(path)
+        except Exception:
+            return set()
+        check_ids = set(c.check_id for c in self.checks)
+        rows = mdf.select("partition_key", "checks_done").collect()
+        return {
+            r["partition_key"]
+            for r in rows
+            if check_ids <= set(r["checks_done"] or [])
+        }
+
+    def _write_manifest(self, spark, manifest_dir, run_id, partition_rows,
+                        input_files_hash):
+        import datetime
+
+        path = self._manifest_path(manifest_dir, run_id)
+        now = datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None)
+        rows = [
+            (
+                run_id,
+                pk,
+                None,
+                input_files_hash,
+                [c.check_id for c in self.checks],
+                metrics,
+                now,
+            )
+            for pk, metrics in partition_rows
+        ]
+        mdf = spark.createDataFrame(rows, MANIFEST_SCHEMA)
+        mdf.coalesce(1).write.mode("append").parquet(path)
+
+    # -- main entry ---------------------------------------------------------
+    def run(self, df: DataFrame, run_id=None, manifest_dir=None, resume=True,
+            violations_sink=None) -> SuiteResult:
+        spark = df.sparkSession
+        t0 = time.time()
+        run_id = run_id or uuid.uuid4().hex[:12]
+
+        keyed = df.withColumn(
+            "partition_key", partition_key_col(self.partition_cols)
+        )
+
+        input_files_hash = None
+        try:
+            files = sorted(df.inputFiles())
+            if files:
+                import hashlib
+
+                input_files_hash = hashlib.sha256(
+                    "\n".join(files).encode()
+                ).hexdigest()[:16]
+        except Exception:
+            pass
+
+        skipped = set()
+        if resume and manifest_dir:
+            skipped = self.completed_partitions(spark, manifest_dir, run_id)
+            if skipped:
+                keyed = keyed.filter(~F.col("partition_key").isin(list(skipped)))
+
+        # (a) the single wide aggregation pass (C1)
+        stats_cols = self.stats_columns or [
+            c for c in df.columns if c != "partition_key"
+        ]
+        stats_rows = [
+            r.asDict()
+            for r in keyed.groupBy("partition_key")
+            .agg(*_stat_exprs(df, stats_cols, self.quantiles))
+            .collect()
+        ]
+        n_rows_total = sum(r["n_rows"] for r in stats_rows)
+        all_partitions = sorted(r["partition_key"] for r in stats_rows)
+
+        # (b)+(c) violation plans per check
+        driver_rows = []
+        plans = []
+        for check in self.checks:
+            if isinstance(check, SchemaConformanceCheck):
+                for d in check.schema_violations(keyed):
+                    d.setdefault("check_id", check.check_id)
+                    driver_rows.append(d)
+            elif isinstance(check, DriftCheck):
+                driver_rows.extend(check.drift_violations(keyed))
+            elif isinstance(check, UniquenessCheck):
+                if check.exact == "auto":
+                    suspects = check.screen_partitions(stats_rows)
+                    plan = check.violations(keyed, only_partitions=suspects)
+                elif check.exact:
+                    plan = check.violations(keyed)
+                else:
+                    plan = None
+                if plan is not None:
+                    plans.append(plan)
+            elif check.uses_stats:
+                driver_rows.extend(check.stats_violations(spark, stats_rows))
+            else:
+                plan = check.violations(keyed)
+                if plan is not None:
+                    plans.append(plan)
+
+        def _with_run_id(p):
+            return p.select(
+                F.lit(run_id).alias("run_id"), *[c for c in VIOLATION_SCHEMA.names if c != "run_id"]
+            )
+
+        violations = None
+        for p in plans:
+            p = _with_run_id(p)
+            violations = p if violations is None else violations.unionByName(p)
+        if driver_rows:
+            rows = [
+                (
+                    run_id,
+                    d.get("check_id"),
+                    d["kind"],
+                    d.get("partition_key"),
+                    d.get("group_key"),
+                    d.get("doc_id"),
+                    d.get("value"),
+                    d.get("expected"),
+                    d.get("deviation"),
+                    d.get("detail"),
+                )
+                for d in driver_rows
+            ]
+            ddf = spark.createDataFrame(rows, VIOLATION_SCHEMA)
+            violations = ddf if violations is None else violations.unionByName(ddf)
+        if violations is None:
+            violations = spark.createDataFrame([], VIOLATION_SCHEMA)
+
+        violations = violations.persist()
+        pre_counts = {
+            (r["partition_key"], r["check_id"]): r["n"]
+            for r in violations.groupBy("partition_key", "check_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+
+        accepted_df = violations
+        for acc in self.acceptances:
+            accepted_df = acc.apply(accepted_df)
+        if self.acceptances:
+            accepted_df = accepted_df.persist()
+        post_counts = (
+            {
+                (r["partition_key"], r["check_id"]): r["n"]
+                for r in accepted_df.groupBy("partition_key", "check_id")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            if self.acceptances
+            else dict(pre_counts)
+        )
+
+        if violations_sink:
+            out = os.path.join(violations_sink, "run_id={0}".format(run_id))
+            accepted_df.write.mode("overwrite").parquet(out)
+
+        # per-partition verdicts (C4)
+        wall_ms = int((time.time() - t0) * 1000)
+        n_rows_by_pk = {r["partition_key"]: r["n_rows"] for r in stats_rows}
+        verdict_rows = []
+        pk_domain = set(all_partitions) | {
+            pk for (pk, _c) in list(pre_counts) if pk is not None
+        }
+        for pk in sorted(pk_domain):
+            for check in self.checks:
+                pre = pre_counts.get((pk, check.check_id), 0)
+                post = post_counts.get((pk, check.check_id), 0)
+                status = "pass" if pre == 0 else ("accepted" if post == 0 else "fail")
+                verdict_rows.append(
+                    (
+                        run_id, pk, check.check_id, status, post,
+                        n_rows_by_pk.get(pk), wall_ms,
+                    )
+                )
+        from ..schema import VERDICT_SCHEMA
+
+        verdicts = spark.createDataFrame(verdict_rows, VERDICT_SCHEMA)
+
+        if manifest_dir:
+            partition_rows = [
+                (
+                    pk,
+                    {
+                        "n_rows": float(n_rows_by_pk.get(pk) or 0),
+                        "n_violations": float(
+                            sum(
+                                v
+                                for (p, _c), v in post_counts.items()
+                                if p == pk
+                            )
+                        ),
+                        "wall_ms": float(wall_ms),
+                    },
+                )
+                for pk in all_partitions
+            ]
+            self._write_manifest(
+                spark, manifest_dir, run_id, partition_rows, input_files_hash
+            )
+
+        return SuiteResult(
+            run_id, accepted_df, verdicts, stats_rows, wall_ms, n_rows_total
+        )
+
+
+def north_star_suite(
+    allowed_sources,
+    drift_baseline=None,
+    reference_tokens=None,
+    vocab_size=50257,
+    max_null_rate=0.01,
+    n_tok_bounds=(1.0, 4096.0),
+    acceptances=None,
+):
+    """The full constraint suite of the north star (BASELINE.json:6):
+    schema conformance, per-column stats thresholds, uniqueness (HLL
+    screen + exact), referential membership, n_tok consistency, token
+    range, optional drift and token-equality-vs-reference."""
+    from ..operators.checks import (
+        ConsistencyCheck,
+        NullRateCheck,
+        ReferentialCheck,
+        SchemaConformanceCheck,
+        StatIntervalCheck,
+        TokenEqualityCheck,
+        TokenRangeCheck,
+        UniquenessCheck,
+    )
+    from ..schema import INPUT_SCHEMA
+
+    checks = [
+        SchemaConformanceCheck(INPUT_SCHEMA),
+        NullRateCheck({c: max_null_rate for c in ("doc_id", "tokens", "n_tok", "source")}),
+        StatIntervalCheck({
+            "n_tok__min": (n_tok_bounds[0], None),
+            "n_tok__max": (None, n_tok_bounds[1]),
+        }),
+        UniquenessCheck("doc_id"),
+        ReferentialCheck("source", allowed=allowed_sources),
+        ConsistencyCheck(),
+        TokenRangeCheck(vocab_size=vocab_size),
+    ]
+    if drift_baseline is not None:
+        checks.append(DriftCheck(drift_baseline))
+    if reference_tokens is not None:
+        checks.append(TokenEqualityCheck(reference_tokens))
+    return ValidationSuite(
+        checks,
+        partition_cols=("source",),
+        acceptances=acceptances,
+        stats_columns=["doc_id", "tokens", "n_tok", "source"],
+    )

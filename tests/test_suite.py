@@ -1,0 +1,240 @@
+"""Suite runner end-to-end (SURVEY §7.1 step 1, §5.2.3-4): synth table →
+checks → violations → per-partition verdicts → manifest/resume →
+determinism, plus salted-stats parity."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datatest_spark import ValidationError, accepted
+from datatest_spark.operators.checks import (
+    ConsistencyCheck,
+    NullRateCheck,
+    ReferentialCheck,
+    TokenRangeCheck,
+    UniquenessCheck,
+)
+from datatest_spark.operators.drift import DriftCheck, histogram, kl_divergence, psi
+from datatest_spark.operators.stats import column_stats, column_stats_salted
+from datatest_spark.plans.suite import ValidationSuite, north_star_suite
+from datatest_spark.sources.synth import (
+    ALLOWED_SOURCES,
+    allowed_sources,
+    ref_tokens,
+    tokenized_sequences,
+)
+
+N = 5000
+
+
+@pytest.fixture(scope="module")
+def seqs(spark):
+    df = tokenized_sequences(spark, N, seed=7, dup_rate=0.002,
+                             len_mismatch_rate=0.002, bad_source_rate=0.002,
+                             null_rate=0.001)
+    df.persist().count()
+    return df
+
+
+class TestSynthDeterminism:
+    def test_same_seed_same_data(self, spark):
+        a = tokenized_sequences(spark, 500, seed=3).orderBy("doc_id").collect()
+        b = tokenized_sequences(spark, 500, seed=3).orderBy("doc_id").collect()
+        assert a == b
+
+    def test_partitioning_invariant(self, spark):
+        a = tokenized_sequences(spark, 500, seed=3, num_partitions=2)
+        b = tokenized_sequences(spark, 500, seed=3, num_partitions=7)
+        assert a.orderBy("doc_id").collect() == b.orderBy("doc_id").collect()
+
+    def test_skew_present(self, seqs):
+        counts = {r["source"]: r["n"] for r in
+                  seqs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+        assert counts["web"] > 20 * counts.get("forums", 1)
+
+
+class TestStats:
+    def test_wide_agg_shape(self, seqs):
+        stats = column_stats(seqs, ("source",), ["doc_id", "n_tok"]).collect()
+        pks = {r["partition_key"] for r in stats}
+        assert any(pk.startswith("source=web") for pk in pks)
+        row = stats[0]
+        assert "n_rows" in row and "n_tok__min" in row.asDict()
+
+    def test_salted_matches_unsalted(self, seqs):
+        plain = {
+            r["partition_key"]: r.asDict()
+            for r in column_stats(seqs, ("source",), ["n_tok"], quantiles=None).collect()
+        }
+        salted = {
+            r["partition_key"]: r.asDict()
+            for r in column_stats_salted(seqs, ("source",), ["n_tok"], n_salts=8).collect()
+        }
+        assert set(plain) == set(salted)
+        for pk in plain:
+            assert plain[pk]["n_rows"] == salted[pk]["n_rows"]
+            assert plain[pk]["n_tok__nulls"] == salted[pk]["n_tok__nulls"]
+            assert plain[pk]["n_tok__min"] == salted[pk]["n_tok__min"]
+            assert plain[pk]["n_tok__max"] == salted[pk]["n_tok__max"]
+
+
+class TestChecks:
+    def test_uniqueness_finds_injected_dups(self, spark, seqs):
+        keyed = seqs.withColumn("partition_key", F.lit("all"))
+        v = UniquenessCheck("doc_id").violations(keyed)
+        n = v.count()
+        assert n > 0
+        # surplus semantics: duplicates of k occurrences yield k-1 rows
+        dup_total = (
+            seqs.filter(F.col("doc_id").isNotNull())
+            .groupBy("doc_id").count().filter("count > 1")
+            .agg(F.sum(F.col("count") - 1)).collect()[0][0]
+        )
+        assert n == dup_total
+
+    def test_referential_finds_bad_sources(self, spark, seqs):
+        keyed = seqs.withColumn("partition_key", F.concat(F.lit("source="), "source"))
+        v = ReferentialCheck("source", allowed=ALLOWED_SOURCES).violations(keyed)
+        rows = v.collect()
+        assert rows and all(r["value"] == "spam" or r["value"] is None for r in rows)
+        bad_n = seqs.filter(~F.col("source").isin(ALLOWED_SOURCES)).count()
+        assert len(rows) == bad_n
+
+    def test_consistency_mismatches(self, spark, seqs):
+        keyed = seqs.withColumn("partition_key", F.lit("all"))
+        v = ConsistencyCheck().violations(keyed)
+        expected = seqs.filter(
+            F.col("tokens").isNotNull() & F.col("n_tok").isNotNull()
+            & (F.size("tokens") != F.col("n_tok"))
+        ).count()
+        assert v.filter("kind = 'deviation'").count() == expected
+
+    def test_token_range_clean(self, spark, seqs):
+        keyed = seqs.withColumn("partition_key", F.lit("all"))
+        assert TokenRangeCheck().violations(keyed).count() == 0
+
+    def test_token_range_detects(self, spark):
+        df = spark.createDataFrame(
+            [("a", [1, 2], 2, "web"), ("b", [1, 99999], 2, "web")],
+            "doc_id string, tokens array<int>, n_tok int, source string",
+        ).withColumn("partition_key", F.lit("all"))
+        rows = TokenRangeCheck().violations(df).collect()
+        assert len(rows) == 1 and rows[0]["doc_id"] == "b"
+
+
+class TestDrift:
+    def test_histogram_sums_to_one(self, spark, seqs):
+        h = histogram(seqs, "n_tok", "source", 0, 2048, 16)
+        sums = h.groupBy("group").agg(F.sum("p").alias("s")).collect()
+        for r in sums:
+            assert abs(r["s"] - 1.0) < 1e-6
+
+    def test_no_drift_against_self(self, spark, seqs):
+        base = histogram(seqs, "n_tok", "source", 0, 2048, 16)
+        chk = DriftCheck(base, lo=0, hi=2048, nbins=16, metric="psi", threshold=0.05)
+        assert chk.drift_violations(seqs) == []
+
+    def test_drift_detected_on_shift(self, spark, seqs):
+        base = histogram(seqs, "n_tok", "source", 0, 2048, 16)
+        shifted = seqs.withColumn(
+            "n_tok",
+            F.when(F.col("source") == "web", F.col("n_tok") + 300).otherwise(F.col("n_tok")),
+        )
+        chk = DriftCheck(base, lo=0, hi=2048, nbins=16, metric="psi", threshold=0.2)
+        viols = chk.drift_violations(shifted)
+        assert any(v["group_key"] == "web" and v["kind"] == "deviation" for v in viols)
+
+    def test_kl_psi_nonnegative(self):
+        p = {1: 0.5, 2: 0.5}
+        q = {1: 0.9, 2: 0.1}
+        assert kl_divergence(p, q) > 0 and psi(p, q) > 0
+        assert abs(kl_divergence(p, p)) < 1e-12
+
+
+class TestSuiteEndToEnd:
+    def test_full_run(self, spark, seqs, tmp_path):
+        suite = north_star_suite(ALLOWED_SOURCES)
+        res = suite.run(seqs, run_id="t1", manifest_dir=str(tmp_path / "m"),
+                        violations_sink=str(tmp_path / "v"))
+        assert res.n_rows_total == N
+        verdicts = {(r["partition_key"], r["check_id"]): r["status"]
+                    for r in res.verdicts.collect()}
+        # injected defects must fail their checks somewhere
+        assert any(s == "fail" for (pk, c), s in verdicts.items() if c == "referential")
+        assert any(s == "fail" for (pk, c), s in verdicts.items() if c == "uniqueness")
+        assert any(s == "fail" for (pk, c), s in verdicts.items() if c == "n_tok_consistency")
+        # clean checks pass
+        assert all(s == "pass" for (pk, c), s in verdicts.items() if c == "token_range")
+        with pytest.raises(ValidationError):
+            res.raise_if_failed()
+
+    def test_clean_data_passes(self, spark, tmp_path):
+        clean = tokenized_sequences(spark, 800, seed=11, dup_rate=0,
+                                    len_mismatch_rate=0, bad_source_rate=0,
+                                    null_rate=0)
+        suite = north_star_suite(ALLOWED_SOURCES)
+        res = suite.run(clean, run_id="t2")
+        assert not res.failed
+        res.raise_if_failed()  # no raise
+
+    def test_acceptance_flips_to_accepted(self, spark, seqs):
+        from datatest_spark.differences import Extra
+
+        suite = north_star_suite(
+            ALLOWED_SOURCES,
+            acceptances=[accepted(Extra("spam"))],
+        )
+        res = suite.run(seqs, run_id="t3")
+        statuses = {
+            (r["partition_key"], r["check_id"]): r["status"]
+            for r in res.verdicts.collect()
+        }
+        ref = {s for (pk, c), s in statuses.items() if c == "referential" and pk.startswith("source=spam")}
+        assert ref == {"accepted"}
+
+    def test_determinism(self, spark, seqs):
+        suite = north_star_suite(ALLOWED_SOURCES)
+        r1 = suite.run(seqs, run_id="d1")
+        r2 = suite.run(seqs, run_id="d1")
+        v1 = sorted(map(tuple, r1.violations.drop("run_id", "detail").collect()))
+        v2 = sorted(map(tuple, r2.violations.drop("run_id", "detail").collect()))
+        assert v1 == v2
+
+    def test_resume_skips_completed(self, spark, seqs, tmp_path):
+        mdir = str(tmp_path / "manifest")
+        suite = north_star_suite(ALLOWED_SOURCES)
+        res1 = suite.run(seqs, run_id="r1", manifest_dir=mdir)
+        done = suite.completed_partitions(spark, mdir, "r1")
+        assert done  # all partitions recorded
+        # resumed run validates nothing new
+        res2 = suite.run(seqs, run_id="r1", manifest_dir=mdir, resume=True)
+        assert res2.n_rows_total == 0
+
+    def test_token_equality_check(self, spark):
+        data = tokenized_sequences(spark, 600, seed=21, dup_rate=0,
+                                   len_mismatch_rate=0, bad_source_rate=0,
+                                   null_rate=0)
+        ref = ref_tokens(spark, 600, seed=21, corrupt_rate=0.02, missing_rate=0.01)
+        from datatest_spark.operators.checks import TokenEqualityCheck
+
+        keyed = data.withColumn("partition_key", F.concat(F.lit("source="), "source"))
+        v = TokenEqualityCheck(ref).violations(keyed)
+        kinds = {r["kind"] for r in v.collect()}
+        assert "invalid" in kinds
+        n_corrupt = v.filter("kind = 'invalid'").count()
+        assert n_corrupt > 0
+
+    def test_token_equality_native_vs_udf_parity(self, spark):
+        data = tokenized_sequences(spark, 400, seed=31, dup_rate=0,
+                                   len_mismatch_rate=0, bad_source_rate=0, null_rate=0)
+        ref = ref_tokens(spark, 400, seed=31, corrupt_rate=0.05, missing_rate=0.0)
+        from datatest_spark.operators.rowpred import token_equality_violations
+
+        native = sorted(
+            r["doc_id"]
+            for r in token_equality_violations(data, ref, use_udf=False).collect()
+        )
+        via_udf = sorted(
+            r["doc_id"]
+            for r in token_equality_violations(data, ref, use_udf=True).collect()
+        )
+        assert native == via_udf and len(native) > 0
