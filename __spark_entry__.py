@@ -3,8 +3,13 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+Every query is an operator of the engine (SURVEY.md §2 / the
+training-data pipeline ops); Spark-side column aliases match the oracle
+SQL exactly. Queries without an oracle entry are genuinely
+approximate/non-SQL ops (LSH candidates, IVF ANN, SimHash) and get the
+rows-only check.
 """
 
 from __future__ import annotations
@@ -12,27 +17,664 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
+from datatest_spark.operators import dedup, similarity, text
+
+
+def _t(spark, sf_dir, name):
+    return spark.read.parquet("{0}/{1}.parquet".format(sf_dir, name))
+
+
+# ---------------------------------------------------------------------------
+# Validation-engine operators over the driver tables
+# ---------------------------------------------------------------------------
+
+def q_wide_stats_documents(spark, sf_dir):
+    """A10/C1: per-partition wide stats (exact forms for oracle parity)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("lang").isNull().cast("long")).alias("n_null_lang"),
+        F.countDistinct("lang").alias("n_distinct_lang"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+    )
+
+
+def q_tpch_q1_pricing(spark, sf_dir):
+    """A1-A7 composite: the classic grouped-agg shape (TPC-H Q1)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_uniqueness_surplus(spark, sf_dir):
+    """A8/V10: duplicate keys with surplus multiplicity."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy(F.col("l_orderkey").alias("dup_key"))
+        .agg((F.count(F.lit(1)) - 1).alias("surplus"))
+        .filter(F.col("surplus") > 0)
+    )
+
+
+def q_referential_orphans(spark, sf_dir):
+    """J1/J3: orders whose customer is absent (broadcast left_anti)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return o.join(
+        F.broadcast(c), o["o_custkey"] == c["c_custkey"], "left_anti"
+    ).select("o_orderkey")
+
+
+def q_set_extra_values(spark, sf_dir):
+    """V8 subset direction: distinct data values outside the allowed set."""
+    c = _t(spark, sf_dir, "customer")
+    allowed = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD"]
+    return (
+        c.select(F.col("c_mktsegment").alias("value"))
+        .distinct()
+        .filter(~F.col("value").isin(allowed))
+    )
+
+
+def q_set_missing_required(spark, sf_dir):
+    """V9 superset direction: required values absent from the data (J2)."""
+    c = _t(spark, sf_dir, "customer")
+    required = spark.createDataFrame(
+        [("AUTOMOBILE",), ("MACHINERY",), ("AEROSPACE",)], "value string"
+    )
+    present = c.select(F.col("c_mktsegment").alias("value")).distinct()
+    return required.join(present, "value", "left_anti")
+
+
+def q_interval_deviations(spark, sf_dir):
+    """V6: out-of-interval rows with Deviation vs the nearest bound."""
+    l = _t(spark, sf_dir, "lineitem")
+    lo, hi = 2.0, 49.0
+    bad = l.filter((F.col("l_quantity") < lo) | (F.col("l_quantity") > hi))
+    return bad.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").alias("value"),
+        F.when(F.col("l_quantity") < lo, F.col("l_quantity") - lo)
+        .otherwise(F.col("l_quantity") - hi)
+        .alias("deviation"),
+    )
+
+
+def q_negative_balance_deviation(spark, sf_dir):
+    """P1 numeric Deviation: negative balances deviating from 0."""
+    c = _t(spark, sf_dir, "customer")
+    return c.filter(F.col("c_acctbal") < 0).select(
+        "c_custkey",
+        F.col("c_acctbal").alias("value"),
+        F.col("c_acctbal").alias("deviation"),
+    )
+
+
+def q_regex_invalid(spark, sf_dir):
+    """V3/P3: rows failing a regex requirement."""
+    e = _t(spark, sf_dir, "events")
+    return e.filter(~F.col("props").rlike('"k": \\d+')).select("event_id")
+
+
+def q_json_extract_stats(spark, sf_dir):
+    """F4-ish projection + group stats over an extracted JSON field."""
+    e = _t(spark, sf_dir, "events")
+    k = F.regexp_extract(F.col("props"), '"k": (\\d+)', 1).cast("int")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("k"), 2).alias("avg_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+def q_topk_per_group(spark, sf_dir):
+    """O2/O3: deterministic top-k per group via ranking window."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+def q_histogram_n_chars(spark, sf_dir):
+    """A11 input: per-source bucketed histogram (portable arithmetic)."""
+    d = _t(spark, sf_dir, "documents")
+    bucket = F.least(
+        F.greatest(F.floor(F.col("n_chars") / 100.0), F.lit(0)), F.lit(9)
+    ).cast("int")
+    return (
+        d.groupBy("source", bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_consistency_verdicts(spark, sf_dir):
+    """C4-style per-partition verdict: n_chars == length(text)."""
+    d = _t(spark, sf_dir, "documents")
+    viol = (F.col("n_chars") != F.length("text")).cast("long")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(viol).alias("n_violations"),
+    ).select(
+        "source",
+        "n_rows",
+        "n_violations",
+        F.when(F.col("n_violations") > 0, "fail").otherwise("pass").alias("status"),
+    )
+
+
+def q_freshness_events(spark, sf_dir):
+    """Temporal min/max stats (datetime support, §1.2)."""
+    e = _t(spark, sf_dir, "events")
+    # parquet ts is TIMESTAMP_NTZ; NTZ-to-NTZ millisecond difference from
+    # the epoch is session-timezone-free and matches DuckDB's epoch_ms
+    ms = F.timestamp_diff(
+        "MILLISECOND",
+        F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+        F.col("ts"),
+    )
+    return e.groupBy("event_type").agg(
+        F.min(ms).alias("min_ts_ms"),
+        F.max(ms).alias("max_ts_ms"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def q_join_revenue(spark, sf_dir):
+    """J-family: broadcast/SMJ equi-join + grouped aggregation."""
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+def q_suite_verdicts(spark, sf_dir):
+    """The engine's suite runner end-to-end: per-partition verdicts for
+    uniqueness + referential checks on documents (north-star shape)."""
+    from datatest_spark.operators.checks import ReferentialCheck, UniquenessCheck
+    from datatest_spark.plans.suite import ValidationSuite
+
+    d = _t(spark, sf_dir, "documents")
+    suite = ValidationSuite(
+        checks=[
+            UniquenessCheck("doc_id"),
+            ReferentialCheck("lang", allowed=["en", "es", "de", "fr", "zh"],
+                             id_col="doc_id"),
+        ],
+        partition_cols=("source",),
+        stats_columns=["doc_id", "lang"],
+    )
+    res = suite.run(d, run_id="driver")
+    return res.verdicts.select(
+        "partition_key", "check_id", "status", "n_violations"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline operators (documents / embeddings)
+# ---------------------------------------------------------------------------
+
+def q_token_counts(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", text.token_count().alias("n_words"))
+
+
+def q_regex_token_counts(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", text.regex_token_count().cast("long").alias("n_tokens"))
+
+
+def q_quality_profile(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return text.text_profile(d)
+
+
+def q_langid_confusion(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("lang", text.lang_id().alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_exact_dup_groups(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedup.exact_duplicates(d).select("content_hash", "n_docs")
+
+
+def q_fingerprints(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.filter(F.col("doc_id") < 100).select(
+        "doc_id", text.fingerprint().alias("fp")
+    )
+
+
+def q_minhash_signatures(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return dedup.minhash_signatures(d, num_hashes=4)
+
+
+def q_jaccard_pairs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(d, k=5, threshold=0.5)
+
+
+def q_embedding_norms(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    v = similarity.as_double(F.col("embedding"))
+    return e.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(similarity.l2_norm(v)), 3).alias("avg_norm"),
+    )
+
+
+def q_cosine_threshold_pairs(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.threshold_pairs(e, threshold=0.35, max_ids=200)
+
+
+def q_cosine_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return similarity.brute_force_topk(e, q, k=3)
+
+
+# -- approximate / non-SQL ops: rows-only driver check ----------------------
+
+def q_lsh_candidate_pairs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(d, num_hashes=8, bands=4, verify_threshold=0.5)
+
+
+def q_simhash_pairs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(d, k_shingle=3, max_hamming=8)
+
+
+def q_ivf_ann_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return similarity.ivf_topk(e, q, k=3, n_centroids=8, nprobe=4)
+
+
+def q_multimodal_features(spark, sf_dir):
+    from datatest_spark.operators import multimodal
+
+    media = multimodal.synth_media(spark, 200)
+    return multimodal.extract_features(media, out_dim=8)
+
+
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the wide per-partition stats pass on sf0.001 documents."""
+    return q_wide_stats_documents(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "wide_stats_documents": q_wide_stats_documents,
+        "tpch_q1_pricing": q_tpch_q1_pricing,
+        "uniqueness_surplus": q_uniqueness_surplus,
+        "referential_orphans": q_referential_orphans,
+        "set_extra_values": q_set_extra_values,
+        "set_missing_required": q_set_missing_required,
+        "interval_deviations": q_interval_deviations,
+        "negative_balance_deviation": q_negative_balance_deviation,
+        "regex_invalid": q_regex_invalid,
+        "json_extract_stats": q_json_extract_stats,
+        "topk_per_group": q_topk_per_group,
+        "histogram_n_chars": q_histogram_n_chars,
+        "consistency_verdicts": q_consistency_verdicts,
+        "freshness_events": q_freshness_events,
+        "join_revenue": q_join_revenue,
+        "suite_verdicts": q_suite_verdicts,
+        "token_counts": q_token_counts,
+        "regex_token_counts": q_regex_token_counts,
+        "quality_profile": q_quality_profile,
+        "langid_confusion": q_langid_confusion,
+        "exact_dup_groups": q_exact_dup_groups,
+        "fingerprints": q_fingerprints,
+        "minhash_signatures": q_minhash_signatures,
+        "jaccard_pairs": q_jaccard_pairs,
+        "embedding_norms": q_embedding_norms,
+        "cosine_threshold_pairs": q_cosine_threshold_pairs,
+        "cosine_topk": q_cosine_topk,
+        "lsh_candidate_pairs": q_lsh_candidate_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "ivf_ann_topk": q_ivf_ann_topk,
+        "multimodal_features": q_multimodal_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_SHINGLE_CTE = """
+W AS (
+    SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+S AS (
+    SELECT DISTINCT doc_id,
+           array_to_string(w[i : i + 4], ' ') AS shingle
+    FROM W, UNNEST(range(1, GREATEST(len(w) - 3, 2))) AS t(i)
+)
+"""
+
+_LANGID_SQL = """
+H AS (
+    SELECT lang, text, ' ' || text || ' ' AS p FROM documents
+),
+SCORES AS (
+    SELECT lang,
+        (CASE WHEN p LIKE '% the %' THEN 1 ELSE 0 END
+       + CASE WHEN p LIKE '% a %' THEN 1 ELSE 0 END
+       + CASE WHEN p LIKE '% and %' THEN 1 ELSE 0 END
+       + CASE WHEN p LIKE '% of %' THEN 1 ELSE 0 END
+       + CASE WHEN p LIKE '% to %' THEN 1 ELSE 0 END) AS h_en,
+        (CASE WHEN p LIKE '% el %' THEN 1 ELSE 0 END
+       + CASE WHEN p LIKE '% la %' THEN 1 ELSE 0 END
+       + CASE WHEN p LIKE '% de %' THEN 1 ELSE 0 END
+       + CASE WHEN p LIKE '% que %' THEN 1 ELSE 0 END
+       + CASE WHEN p LIKE '% y %' THEN 1 ELSE 0 END) AS h_es,
+        (CASE WHEN p LIKE '% der %' THEN 1 ELSE 0 END
+       + CASE WHEN p LIKE '% die %' THEN 1 ELSE 0 END
+       + CASE WHEN p LIKE '% das %' THEN 1 ELSE 0 END
+       + CASE WHEN p LIKE '% und %' THEN 1 ELSE 0 END
+       + CASE WHEN p LIKE '% ist %' THEN 1 ELSE 0 END) AS h_de,
+        (CASE WHEN p LIKE '% le %' THEN 1 ELSE 0 END
+       + CASE WHEN p LIKE '% la %' THEN 1 ELSE 0 END
+       + CASE WHEN p LIKE '% les %' THEN 1 ELSE 0 END
+       + CASE WHEN p LIKE '% et %' THEN 1 ELSE 0 END
+       + CASE WHEN p LIKE '% des %' THEN 1 ELSE 0 END) AS h_fr,
+        (CASE WHEN p LIKE '% 的 %' THEN 1 ELSE 0 END
+       + CASE WHEN p LIKE '% 是 %' THEN 1 ELSE 0 END
+       + CASE WHEN p LIKE '% 了 %' THEN 1 ELSE 0 END
+       + CASE WHEN p LIKE '% 在 %' THEN 1 ELSE 0 END
+       + CASE WHEN p LIKE '% 和 %' THEN 1 ELSE 0 END) AS h_zh
+    FROM H
+),
+PRED AS (
+    SELECT lang,
+        CASE
+            WHEN h_de > 0 AND h_de = GREATEST(h_en, h_es, h_de, h_fr, h_zh) THEN 'de'
+            WHEN h_en > 0 AND h_en = GREATEST(h_en, h_es, h_de, h_fr, h_zh) THEN 'en'
+            WHEN h_es > 0 AND h_es = GREATEST(h_en, h_es, h_de, h_fr, h_zh) THEN 'es'
+            WHEN h_fr > 0 AND h_fr = GREATEST(h_en, h_es, h_de, h_fr, h_zh) THEN 'fr'
+            WHEN h_zh > 0 AND h_zh = GREATEST(h_en, h_es, h_de, h_fr, h_zh) THEN 'zh'
+            ELSE 'und'
+        END AS predicted
+    FROM SCORES
+)
+"""
+
+_QUALITY_EXPR = """
+ROUND((
+    (CASE WHEN (LENGTH(text) * 1.0 / GREATEST(LEN(string_split(text, ' ')), 1))
+               BETWEEN 3 AND 12 THEN 1.0
+          ELSE 1.0 / (1.0 + ABS(LENGTH(text) * 1.0
+               / GREATEST(LEN(string_split(text, ' ')), 1) - 7.5)) END)
+  + (LEN(regexp_extract_all(text, '[A-Za-z ]')) * 1.0
+     / GREATEST(LENGTH(text), 1))
+) / 2.0, 4)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "wide_stats_documents": """
+            SELECT source,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_lang,
+                   COUNT(DISTINCT lang) AS n_distinct_lang,
+                   MIN(n_chars) AS min_chars,
+                   MAX(n_chars) AS max_chars,
+                   ROUND(AVG(n_chars), 2) AS avg_chars
+            FROM documents GROUP BY source
+        """,
+        "tpch_q1_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   ROUND(AVG(l_quantity), 4) AS avg_qty,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "uniqueness_surplus": """
+            SELECT l_orderkey AS dup_key, CAST(COUNT(*) - 1 AS BIGINT) AS surplus
+            FROM lineitem GROUP BY l_orderkey HAVING COUNT(*) > 1
+        """,
+        "referential_orphans": """
+            SELECT o_orderkey FROM orders
+            WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+        """,
+        "set_extra_values": """
+            SELECT DISTINCT c_mktsegment AS value FROM customer
+            WHERE c_mktsegment NOT IN
+                  ('AUTOMOBILE', 'BUILDING', 'FURNITURE', 'HOUSEHOLD')
+        """,
+        "set_missing_required": """
+            SELECT v.value FROM (VALUES ('AUTOMOBILE'), ('MACHINERY'),
+                                        ('AEROSPACE')) AS v(value)
+            WHERE v.value NOT IN (SELECT DISTINCT c_mktsegment FROM customer)
+        """,
+        "interval_deviations": """
+            SELECT l_orderkey, l_linenumber, l_quantity AS value,
+                   CASE WHEN l_quantity < 2 THEN l_quantity - 2
+                        ELSE l_quantity - 49 END AS deviation
+            FROM lineitem WHERE l_quantity < 2 OR l_quantity > 49
+        """,
+        "negative_balance_deviation": """
+            SELECT c_custkey, c_acctbal AS value, c_acctbal AS deviation
+            FROM customer WHERE c_acctbal < 0
+        """,
+        "regex_invalid": """
+            SELECT event_id FROM events
+            WHERE NOT regexp_matches(props, '"k": \\d+')
+        """,
+        "json_extract_stats": """
+            SELECT event_type, COUNT(*) AS n,
+                   ROUND(AVG(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INT)), 2) AS avg_k,
+                   MIN(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INT)) AS min_k,
+                   MAX(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INT)) AS max_k
+            FROM events GROUP BY event_type
+        """,
+        "topk_per_group": """
+            SELECT o_orderpriority, o_orderkey, o_totalprice, rn FROM (
+                SELECT o_orderpriority, o_orderkey, o_totalprice,
+                       CAST(ROW_NUMBER() OVER (
+                           PARTITION BY o_orderpriority
+                           ORDER BY o_totalprice DESC, o_orderkey ASC
+                       ) AS INT) AS rn
+                FROM orders
+            ) WHERE rn <= 3
+        """,
+        "histogram_n_chars": """
+            SELECT source,
+                   CAST(LEAST(GREATEST(FLOOR(n_chars / 100.0), 0), 9) AS INT) AS bucket,
+                   COUNT(*) AS n
+            FROM documents GROUP BY 1, 2
+        """,
+        "consistency_verdicts": """
+            SELECT source, n_rows, n_violations,
+                   CASE WHEN n_violations > 0 THEN 'fail' ELSE 'pass' END AS status
+            FROM (
+                SELECT source, COUNT(*) AS n_rows,
+                       CAST(SUM(CASE WHEN n_chars <> LENGTH(text) THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+                FROM documents GROUP BY source
+            )
+        """,
+        "freshness_events": """
+            SELECT event_type,
+                   MIN(epoch_ms(ts)) AS min_ts_ms,
+                   MAX(epoch_ms(ts)) AS max_ts_ms,
+                   COUNT(*) AS n
+            FROM events GROUP BY event_type
+        """,
+        "join_revenue": """
+            SELECT o_orderpriority,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   COUNT(DISTINCT o_orderkey) AS n_orders
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority
+        """,
+        "suite_verdicts": """
+            WITH pk AS (
+                SELECT DISTINCT 'source=' || source AS partition_key FROM documents
+            ),
+            uniq AS (
+                SELECT 'source=' || source AS partition_key,
+                       CAST(SUM(c - 1) AS BIGINT) AS n_violations
+                FROM (SELECT source, doc_id, COUNT(*) AS c FROM documents
+                      GROUP BY source, doc_id HAVING COUNT(*) > 1)
+                GROUP BY source
+            ),
+            refv AS (
+                SELECT 'source=' || source AS partition_key,
+                       CAST(COUNT(*) AS BIGINT) AS n_violations
+                FROM documents
+                WHERE lang NOT IN ('en', 'es', 'de', 'fr', 'zh')
+                GROUP BY source
+            )
+            SELECT p.partition_key, 'uniqueness' AS check_id,
+                   CASE WHEN COALESCE(u.n_violations, 0) > 0
+                        THEN 'fail' ELSE 'pass' END AS status,
+                   CAST(COALESCE(u.n_violations, 0) AS BIGINT) AS n_violations
+            FROM pk p LEFT JOIN uniq u USING (partition_key)
+            UNION ALL
+            SELECT p.partition_key, 'referential' AS check_id,
+                   CASE WHEN COALESCE(r.n_violations, 0) > 0
+                        THEN 'fail' ELSE 'pass' END AS status,
+                   CAST(COALESCE(r.n_violations, 0) AS BIGINT) AS n_violations
+            FROM pk p LEFT JOIN refv r USING (partition_key)
+        """,
+        "token_counts": """
+            SELECT doc_id, CAST(LEN(string_split(text, ' ')) AS INT) AS n_words
+            FROM documents
+        """,
+        "regex_token_counts": """
+            SELECT doc_id,
+                   CAST(LEN(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens
+            FROM documents
+        """,
+        "quality_profile": """
+            SELECT source, COUNT(*) AS n_docs,
+                   ROUND(AVG(LEN(string_split(text, ' '))), 4) AS avg_words,
+                   ROUND(AVG(LENGTH(text)), 4) AS avg_chars,
+                   ROUND(AVG({q}), 4) AS avg_quality
+            FROM documents GROUP BY source
+        """.format(q=_QUALITY_EXPR),
+        "langid_confusion": """
+            WITH {cte}
+            SELECT lang, predicted, COUNT(*) AS n FROM PRED GROUP BY lang, predicted
+        """.format(cte=_LANGID_SQL),
+        "exact_dup_groups": """
+            SELECT md5(text) AS content_hash, COUNT(*) AS n_docs
+            FROM documents GROUP BY 1 HAVING COUNT(*) > 1
+        """,
+        "fingerprints": """
+            SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id < 100
+        """,
+        "minhash_signatures": """
+            WITH {cte}
+            SELECT doc_id,
+                   MIN(md5(shingle || '#0')) AS mh0,
+                   MIN(md5(shingle || '#1')) AS mh1,
+                   MIN(md5(shingle || '#2')) AS mh2,
+                   MIN(md5(shingle || '#3')) AS mh3
+            FROM S WHERE doc_id < 50 GROUP BY doc_id
+        """.format(cte=_SHINGLE_CTE),
+        "jaccard_pairs": """
+            WITH {cte},
+            SZ AS (SELECT doc_id, COUNT(*) AS n_sh FROM S GROUP BY doc_id),
+            INTER AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+                FROM S a JOIN S b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+                   ROUND(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+            FROM INTER
+            JOIN SZ sa ON sa.doc_id = doc_a
+            JOIN SZ sb ON sb.doc_id = doc_b
+            WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+        """.format(cte=_SHINGLE_CTE),
+        "embedding_norms": """
+            SELECT label, COUNT(*) AS n,
+                   ROUND(AVG(SQRT(list_sum(list_transform(
+                       CAST(embedding AS DOUBLE[]), x -> x * x)))), 3) AS avg_norm
+            FROM embeddings GROUP BY label
+        """,
+        "cosine_threshold_pairs": """
+            WITH V AS (
+                SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings WHERE vec_id < 200
+            )
+            SELECT a.id AS id_a, b.id AS id_b,
+                   ROUND(list_dot_product(a.v, b.v)
+                       / (SQRT(list_sum(list_transform(a.v, x -> x * x)))
+                        * SQRT(list_sum(list_transform(b.v, x -> x * x)))), 4) AS cosine
+            FROM V a JOIN V b ON a.id < b.id
+            WHERE list_dot_product(a.v, b.v)
+                  / (SQRT(list_sum(list_transform(a.v, x -> x * x)))
+                   * SQRT(list_sum(list_transform(b.v, x -> x * x)))) >= 0.35
+        """,
+        "cosine_topk": """
+            WITH V AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            ),
+            SCORED AS (
+                SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                       list_dot_product(q.v, n.v)
+                       / (SQRT(list_sum(list_transform(q.v, x -> x * x)))
+                        * SQRT(list_sum(list_transform(n.v, x -> x * x)))) AS cos_raw
+                FROM V q JOIN V n ON q.vec_id <> n.vec_id
+                WHERE q.vec_id < 10
+            )
+            SELECT query_id, neighbor_id, ROUND(cos_raw, 4) AS cosine, rank FROM (
+                SELECT query_id, neighbor_id, cos_raw,
+                       CAST(ROW_NUMBER() OVER (
+                           PARTITION BY query_id
+                           ORDER BY cos_raw DESC, neighbor_id ASC
+                       ) AS INT) AS rank
+                FROM SCORED
+            ) WHERE rank <= 3
+        """,
+        # lsh_candidate_pairs / simhash_pairs / ivf_ann_topk /
+        # multimodal_features: approximate or non-SQL operators — rows-only.
+    }

@@ -1,0 +1,107 @@
+"""Per-round benchmark (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric", "value", "unit": "sec", "queries": {...}, "sf": ...}.
+
+Workload = representative operators from __spark_entry__ (wide stats,
+TPC-H Q1 shape, join+agg, window top-k, shingle-join dedup, ANN top-k)
+plus the flagship: the full north-star constraint suite over a
+deterministic synthetic tokenized-sequence table (suite wall time and
+validated-sequences/sec are both reported). The two-parallelism scaling
+evidence lives in bench/scaling.py -> BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+SYNTH_ROWS = int(os.environ.get("BENCH_SYNTH_ROWS", 1_000_000))
+SYNTH_CACHE = os.environ.get(
+    "BENCH_SYNTH_DIR", "/tmp/datatest_spark_bench/synth_{0}".format(SYNTH_ROWS)
+)
+
+
+def _force(df):
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main():
+    import __spark_entry__ as entry
+    from datatest_spark.session import get_spark
+    from datatest_spark.sources.synth import ALLOWED_SOURCES, tokenized_sequences
+    from datatest_spark.plans.suite import north_star_suite
+
+    spark = get_spark(
+        app_name="datatest_spark-bench",
+        master="local[{0}]".format(CPUS),
+        shuffle_partitions=CPUS,
+    )
+
+    # deterministic synthetic input, written once and reused across rounds
+    if not os.path.exists(os.path.join(SYNTH_CACHE, "_SUCCESS")):
+        tokenized_sequences(
+            spark, SYNTH_ROWS, seed=42, num_partitions=max(CPUS * 2, 16)
+        ).write.mode("overwrite").parquet(SYNTH_CACHE)
+    synth = spark.read.parquet(SYNTH_CACHE)
+
+    qs = entry.queries()
+    headline = [
+        "wide_stats_documents",
+        "tpch_q1_pricing",
+        "join_revenue",
+        "topk_per_group",
+        "uniqueness_surplus",
+        "jaccard_pairs",
+        "cosine_topk",
+        "lsh_candidate_pairs",
+    ]
+
+    timings = {}
+    total = 0.0
+    for name in headline:
+        fn = qs[name]
+        fn(spark, SF_DIR).count()  # warm-up (plan + IO cache)
+        t0 = time.time()
+        _force(fn(spark, SF_DIR))
+        dt = time.time() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+
+    # flagship: full constraint suite over the synthetic tokenized table
+    suite = north_star_suite(ALLOWED_SOURCES)
+    t0 = time.time()
+    res = suite.run(synth, run_id="bench")
+    res.violations.count()
+    dt = time.time() - t0
+    timings["constraint_suite_{0}".format(SYNTH_ROWS)] = round(dt, 3)
+    total += dt
+    seq_per_sec = res.n_rows_total / dt if dt > 0 else 0.0
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf = float(sf)
+    except ValueError:
+        pass
+    out = {
+        "metric": "headline_suite_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "validated_sequences_per_sec": round(seq_per_sec, 1),
+        "synth_rows": SYNTH_ROWS,
+        "cpus": CPUS,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,133 @@
+"""Two-parallelism scaling evidence (BASELINE.md protocol).
+
+The north rule's hard criterion — throughput scaling efficiency >= 0.8
+from N to 4N executors — cannot use a real cluster in this sandbox, so
+the sanctioned evidence is the same job at local[8] vs local[32] on
+identical input (32 physical cores verified): fixed deterministic input
+written once, warm-up run discarded, >=3 timed runs per level, median
+rows/sec per level, efficiency = (thr_4N / thr_N) / 4. Results +
+Spark conf go to BENCH/BASELINE.md and BENCH/scaling.json.
+
+Usage: python bench/scaling.py [--rows N] [--runs K]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import subprocess
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORKER = os.path.join(REPO, "bench", "_scale_worker.py")
+
+
+def ensure_data(rows: int) -> str:
+    path = "/tmp/datatest_spark_scaling/synth_{0}".format(rows)
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    from datatest_spark.session import get_spark
+    from datatest_spark.sources.synth import tokenized_sequences
+
+    spark = get_spark(app_name="scaling-datagen", master="local[32]",
+                      shuffle_partitions=32)
+    tokenized_sequences(spark, rows, seed=42, num_partitions=64).write.mode(
+        "overwrite"
+    ).parquet(path)
+    spark.stop()
+    return path
+
+
+def run_level(threads: int, data: str, runs: int) -> dict:
+    out = subprocess.run(
+        [sys.executable, WORKER, str(threads), data, str(runs)],
+        capture_output=True, text=True, check=True,
+    )
+    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=2_000_000)
+    ap.add_argument("--runs", type=int, default=4)  # first run = warm-up
+    args = ap.parse_args()
+
+    data = ensure_data(args.rows)
+    levels = {}
+    for threads in (8, 32):
+        r = run_level(threads, data, args.runs)
+        timed = r["times_sec"][1:]  # discard warm-up
+        med = statistics.median(timed)
+        levels[threads] = {
+            "times_sec": r["times_sec"],
+            "median_sec": med,
+            "rows_per_sec": round(r["n_rows"] / med, 1),
+            "n_rows": r["n_rows"],
+        }
+        print("local[{0}]: median {1:.2f}s -> {2:.0f} rows/s".format(
+            threads, med, levels[threads]["rows_per_sec"]))
+
+    eff = (levels[32]["rows_per_sec"] / levels[8]["rows_per_sec"]) / 4.0
+    result = {
+        "workload": "full north-star constraint suite "
+                    "(schema+stats+uniqueness+referential+consistency+token_range)",
+        "input_rows": levels[32]["n_rows"],
+        "input_path": data,
+        "levels": {str(k): v for k, v in levels.items()},
+        "scaling_efficiency_8_to_32": round(eff, 3),
+        "criterion": ">= 0.8",
+        "conf": {
+            "spark.sql.adaptive.enabled": "true",
+            "spark.sql.shuffle.partitions": "= threads per level",
+            "spark.sql.execution.arrow.pyspark.enabled": "true",
+            "input_layout": "parquet, 64 files, seed 42",
+        },
+    }
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
+        json.dump(result, f, indent=2)
+
+    md = """# BENCH / BASELINE — scaling evidence
+
+North-rule criterion: throughput scaling efficiency >= 0.8 from N to 4N
+executors (BASELINE.json). Sandbox evidence (no real cluster): identical
+job + identical input at `local[8]` vs `local[32]` on a 32-core host.
+
+**Workload:** {workload}
+**Input:** {rows:,} synthetic tokenized sequences (seed 42, deterministic,
+parquet x64 files at `{path}`), schema `(doc_id string, tokens array<int>,
+n_tok int, source string)`, `web` source ~100x skewed.
+
+| level | runs (s, first = warm-up, discarded) | median (s) | rows/sec |
+|---|---|---|---|
+| local[8]  | {t8} | {m8:.2f} | {r8:,.0f} |
+| local[32] | {t32} | {m32:.2f} | {r32:,.0f} |
+
+**Scaling efficiency (thr_32 / thr_8) / 4 = {eff:.3f}** (criterion >= 0.8)
+
+Conf: AQE on (coalesce + skew join), shuffle partitions = thread count,
+Arrow enabled, UTC session, autoBroadcastJoinThreshold 32 MiB. Validated
+sequences/sec at each level is the BASELINE.md headline metric.
+""".format(
+        workload=result["workload"],
+        rows=result["input_rows"],
+        path=data,
+        t8=levels[8]["times_sec"], m8=levels[8]["median_sec"],
+        r8=levels[8]["rows_per_sec"],
+        t32=levels[32]["times_sec"], m32=levels[32]["median_sec"],
+        r32=levels[32]["rows_per_sec"],
+        eff=eff,
+    )
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(md)
+    print("efficiency (8->32)/4 = {0:.3f}".format(eff))
+    print("written BENCH/BASELINE.md and BENCH/scaling.json")
+
+
+if __name__ == "__main__":
+    main()

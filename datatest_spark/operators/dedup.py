@@ -1,0 +1,241 @@
+"""Deduplication operators (exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine near-dup) for training-data pipelines.
+
+Scale design:
+  * exact dedup           — hash groupBy (one shuffle, map-side combined);
+  * n-gram Jaccard        — exact pairwise set overlap via shingle
+                            explode + equi-join on shingle; quadratic in
+                            true near-dup clusters only (the join fans out
+                            on shared shingles, not on all pairs);
+  * MinHash + LSH         — the 100-TB path: signature = k min-hashes per
+                            doc (one pass), banding buckets candidates so
+                            the verify join touches candidate pairs only;
+  * SimHash               — 64-bit hyperplane sketch via xxhash64 bit
+                            arithmetic, hamming-distance candidates;
+  * embedding cosine      — see operators/similarity.py.
+
+MinHash hashes use md5 hex (lexicographic min), which is deterministic
+and available in both Spark and DuckDB — so the oracle can reproduce the
+exact signatures. All operators are pure Column expressions (no Python
+UDFs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def shingles_col(text="text", k: int = 5):
+    """Distinct k-word shingles of a whitespace-tokenized text."""
+    words = F.split(text, " ")
+    n = F.size(words)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(words, i, k), " "))
+    )
+
+
+def exact_duplicates(df: DataFrame, text_col="text", id_col="doc_id") -> DataFrame:
+    """Exact-duplicate groups by content hash: (content_hash, n_docs,
+    doc_ids). One groupBy on md5 — the cheapest dedup pass."""
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def doc_shingles(df: DataFrame, text_col="text", id_col="doc_id", k: int = 5) -> DataFrame:
+    """Exploded distinct shingles: (doc_id, shingle)."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles_col(F.col(text_col), k)).alias("shingle"),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col="text",
+    id_col="doc_id",
+    k: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs: (doc_a, doc_b, jaccard).
+
+    Cost model: the self-join fans out only on *shared* shingles, so for
+    corpora where near-dups are rare the intermediate is ~linear. For
+    100 TB use minhash_lsh_pairs to pre-filter candidates.
+    """
+    sh = doc_shingles(df, text_col, id_col, k)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, on="shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col="text",
+    id_col="doc_id",
+    k_shingle: int = 5,
+    num_hashes: int = 8,
+) -> DataFrame:
+    """MinHash signature per doc: mh_i = min(md5(shingle || '#i')).
+
+    md5-hex minima are engine-portable (same strings in DuckDB), so the
+    oracle reproduces signatures exactly. One pass over shingles; all
+    minima computed in a single aggregation.
+    """
+    sh = doc_shingles(df, text_col, id_col, k_shingle)
+    aggs = [
+        F.min(F.md5(F.concat(F.col("shingle"), F.lit("#{0}".format(i))))).alias(
+            "mh{0}".format(i)
+        )
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col="text",
+    id_col="doc_id",
+    k_shingle: int = 5,
+    num_hashes: int = 8,
+    bands: int = 4,
+    verify_threshold: float | None = 0.5,
+) -> DataFrame:
+    """MinHash + LSH banding near-dup candidates, optionally verified.
+
+    Signature split into ``bands`` bands of ``num_hashes // bands`` rows;
+    docs sharing any full band land in the same bucket (equi-join on the
+    band key — no all-pairs comparison). With verify_threshold set, the
+    candidates are verified with exact n-gram Jaccard (the scale pattern:
+    LSH prunes, exact verifies candidates only).
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, k_shingle, num_hashes)
+
+    band_keys = []
+    for b in range(bands):
+        cols = [
+            F.col("mh{0}".format(b * rows_per_band + r))
+            for r in range(rows_per_band)
+        ]
+        band_keys.append(
+            F.struct(F.lit(b).alias("band"), F.concat_ws("|", *cols).alias("key"))
+        )
+    buckets = sig.select(
+        "doc_id", F.explode(F.array(*band_keys)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cand = (
+        a.join(b, on=["band", "key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    if verify_threshold is None:
+        return cand
+    exact = ngram_jaccard_pairs(df, text_col, id_col, k_shingle, verify_threshold)
+    return cand.join(exact, ["doc_a", "doc_b"], "inner")
+
+
+def simhash64(text="text", k_shingle: int = 3):
+    """64-bit SimHash over word shingles — pure bit arithmetic on
+    xxhash64 (JVM-side): each feature votes ±1 per bit; the sign vector
+    is packed back into a BIGINT."""
+    sh = shingles_col(text, k_shingle)
+    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+    bit_votes = [
+        F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(h.bitwiseAND(F.lit(1 << i) if i < 63 else F.lit(-(2**63))) != 0, 1).otherwise(-1),
+        )
+        for i in range(64)
+    ]
+    out = F.lit(0).cast("long")
+    for i, v in enumerate(bit_votes):
+        bit = F.when(v > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        out = out + F.shiftleft(bit, i) if i < 63 else out.bitwiseOR(
+            F.when(v > 0, F.lit(-(2**63))).otherwise(F.lit(0)).cast("long")
+        )
+    return out
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col="text",
+    id_col="doc_id",
+    k_shingle: int = 3,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs: candidates via banded 16-bit chunks (docs
+    within hamming distance d share ≥1 identical chunk when d < chunks),
+    verified by exact hamming distance (bit_count of xor)."""
+    sim = df.select(
+        F.col(id_col).alias("doc_id"), simhash64(F.col(text_col), k_shingle).alias("sh")
+    )
+    chunks = sim.select(
+        "doc_id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftrightunsigned("sh", 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("key"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc_id", "sh", F.col("c.chunk").alias("chunk"), F.col("c.key").alias("key"))
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(b, on=["chunk", "key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -1,0 +1,124 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns.
+
+The engine treats media as ``binary`` payloads plus typed metadata
+(schema below). Decode / resize / frame-sample kernels are *stubbed*
+behind deterministic fakes (the image/audio libraries are not in this
+container — the task brief mandates stubbing the decode while keeping
+the Spark-side plumbing real): schemas, partitioning, mapInPandas batch
+iteration, and Arrow transfer are all exercised for real and tested.
+
+Swap ``_decode_image_stub`` for a PIL/libvips kernel in production; the
+operator signatures do not change.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("modality", T.StringType(), False),  # image|audio|video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = (
+    "media_id string, modality string, n_bytes long, payload_hash string, "
+    "features array<float>"
+)
+
+
+def synth_media(spark: SparkSession, n_rows: int, seed: int = 42) -> DataFrame:
+    """Deterministic fake media table: payload = seeded pseudo-random
+    bytes derived from xxhash64 (JVM-side, no Python loops)."""
+    df = spark.range(n_rows)
+    h = F.abs(F.xxhash64(F.lit(seed), F.col("id")))
+    payload = F.encode(
+        F.concat(F.lit("BLOB:"), F.conv(h.cast("string"), 10, 16)), "utf-8"
+    )
+    return df.select(
+        F.format_string("m%08d", F.col("id")).alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (h % 3 + 1).cast("int"),
+        ).alias("modality"),
+        payload.alias("payload"),
+        F.lit("application/octet-stream").alias("mime"),
+        (h % 1920 + 1).cast("int").alias("width"),
+        (h % 1080 + 1).cast("int").alias("height"),
+        (h % 60000).cast("long").alias("duration_ms"),
+    )
+
+
+def _decode_image_stub(payload: bytes, out_dim: int) -> np.ndarray:
+    """STUB decode/feature-extract: a real kernel would decode the image
+    and pool features. The fake derives a deterministic float vector from
+    the payload bytes so the pipeline is testable end-to-end.
+
+    Raises NotImplementedError for non-bytes payloads the real decoder
+    would reject."""
+    if payload is None:
+        raise NotImplementedError("real decoder required for streaming payloads")
+    arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
+    if len(arr) == 0:
+        return np.zeros(out_dim, dtype=np.float32)
+    reps = int(np.ceil(out_dim / len(arr)))
+    tiled = np.tile(arr, reps)[:out_dim]
+    return ((tiled / 255.0) * 2 - 1).astype(np.float32)
+
+
+def extract_features(
+    media: DataFrame, out_dim: int = 16, batch_hint: int = 1024
+) -> DataFrame:
+    """mapInPandas feature extraction over binary payloads.
+
+    Real plumbing: Arrow batch iteration, column pruning (only the
+    columns the kernel needs are scanned), output schema declared up
+    front. The decode kernel itself is the documented stub."""
+    import hashlib
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                _decode_image_stub(p, out_dim).tolist() if p is not None else None
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "modality": pdf["modality"],
+                    "n_bytes": [len(p) if p is not None else 0 for p in pdf["payload"]],
+                    "payload_hash": [
+                        hashlib.md5(p).hexdigest() if p is not None else None
+                        for p in pdf["payload"]
+                    ],
+                    "features": feats,
+                }
+            )
+
+    pruned = media.select("media_id", "modality", "payload")
+    return pruned.mapInPandas(kernel, schema=FEATURE_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling *plan*: one output row per sampled timestamp
+    (sequence/explode — JVM-side). The actual frame decode is the same
+    stubbed kernel boundary as extract_features."""
+    vids = media.filter(F.col("modality") == "video")
+    return vids.select(
+        "media_id",
+        F.explode(
+            F.sequence(F.lit(0), F.col("duration_ms"), F.lit(every_ms))
+        ).alias("frame_ts_ms"),
+    )

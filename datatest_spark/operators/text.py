@@ -1,0 +1,130 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All hot paths are native Column expressions (split / regexp / hashing in
+the JVM, whole-stage codegen) — no Python UDFs. Each operator has a
+DuckDB-expressible form used by the driver's oracle checks
+(__spark_entry__.py), so semantics are pinned cross-engine.
+
+Operators: token counting (whitespace + BPE-ish regex), quality scoring
+(length / punctuation / stopword ratios), language-ID (stopword-hit
+heuristic), document fingerprinting (content hash + positional sample).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword sets for the n-gram/stopword heuristic —
+# deterministic and cross-engine (plain LIKE/IN arithmetic, no model).
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to"],
+    "es": ["el", "la", "de", "que", "y"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le", "la", "les", "et", "des"],
+    "zh": ["的", "是", "了", "在", "和"],
+}
+
+WORD_RE = r"[A-Za-z0-9]+"  # BPE-ish word pieces: alnum runs
+
+
+def words_col(text="text"):
+    """Whitespace tokenization (split on single spaces)."""
+    return F.split(text, " ")
+
+
+def token_count(text="text"):
+    """Whitespace token count — JVM-side."""
+    return F.size(words_col(text))
+
+
+def regex_token_count(text="text"):
+    """BPE-ish token count: number of alnum runs (regexp_count)."""
+    return F.regexp_count(text, F.lit(WORD_RE))
+
+
+def quality_score(text="text", n_chars=None):
+    """Cheap quality heuristic in [0, 1]: mean word length band +
+    alpha-ratio. Deterministic arithmetic, expressible in ANSI SQL."""
+    n_chars = n_chars if n_chars is not None else F.length(text)
+    n_words = token_count(text)
+    mean_wl = n_chars.cast("double") / F.greatest(n_words, F.lit(1)).cast("double")
+    # words of typical natural-language length (3..12 chars) score high
+    band = F.when((mean_wl >= 3) & (mean_wl <= 12), F.lit(1.0)).otherwise(
+        F.lit(1.0) / (F.lit(1.0) + F.abs(mean_wl - 7.5))
+    )
+    alpha_ratio = (
+        F.regexp_count(text, F.lit(r"[A-Za-z ]")).cast("double")
+        / F.greatest(F.length(text), F.lit(1)).cast("double")
+    )
+    return F.round((band + alpha_ratio) / 2.0, 4)
+
+
+def stopword_hits(text, lang):
+    """Count of stopword occurrences for one language (word-boundary LIKE)."""
+    padded = F.concat(F.lit(" "), text, F.lit(" "))
+    out = F.lit(0)
+    for w in STOPWORDS[lang]:
+        out = out + F.when(padded.contains(" {0} ".format(w)), 1).otherwise(0)
+    return out
+
+
+def lang_id(text="text"):
+    """Heuristic language ID: language with the most distinct stopword
+    hits; ties and zero-hit rows resolve to 'und'. Pure CASE/LIKE
+    arithmetic — runs in codegen and ports to the SQL oracle."""
+    hit_cols = {lang: stopword_hits(text, lang) for lang in sorted(STOPWORDS)}
+    best = None
+    for lang, hits in hit_cols.items():
+        best = hits if best is None else F.greatest(best, hits)
+    expr = F.lit("und")
+    # first language (sorted) reaching the max wins — deterministic tie-break
+    for lang in sorted(STOPWORDS, reverse=True):
+        expr = F.when(
+            (hit_cols[lang] > 0) & (hit_cols[lang] == best), F.lit(lang)
+        ).otherwise(expr)
+    return expr
+
+
+def fingerprint(text="text"):
+    """Deterministic 128-bit content fingerprint (md5 hex).
+
+    A content-defined rolling hash would add chunk-level dedup; for
+    document identity the full-content hash is the cross-engine-portable
+    form (md5 available in Spark and DuckDB).
+    """
+    return F.md5(text)
+
+
+def winnow_fingerprints(text="text", k=5, window=4):
+    """Winnowing-style robust fingerprints: minimum shingle-hash per
+    sliding window over k-word shingles (Schleimer et al., SIGMOD 2003
+    style — public algorithm). Returns array<string> of selected hashes."""
+    from .dedup import shingles_col
+
+    sh = shingles_col(text, k)
+    hashes = F.transform(sh, lambda s: F.md5(s))
+    n = F.size(hashes)
+    idx = F.sequence(F.lit(1), F.greatest(n - window + 1, F.lit(1)))
+    return F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.array_min(F.slice(hashes, i, window)),
+        )
+    )
+
+
+def text_profile(df: DataFrame, text_col="text", group_col="source") -> DataFrame:
+    """Per-group text-quality profile in one aggregation pass."""
+    t = F.col(text_col)
+    return (
+        df.withColumn("_words", token_count(t))
+        .withColumn("_q", quality_score(t))
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("_words"), 4).alias("avg_words"),
+            F.round(F.avg(F.length(t)), 4).alias("avg_chars"),
+            F.round(F.avg("_q"), 4).alias("avg_quality"),
+        )
+    )

@@ -170,9 +170,23 @@ def compile_predicate(obj, col):
         raise TypeError(
             "callable predicates need the vectorized-UDF path (operators/rowpred)"
         )
-    # P1 scalar: NaN-safe equality.
+    # P1 scalar: NaN-safe equality. Only JVM-expressible literals are
+    # accepted — anything else gets a clear error instead of a py4j crash.
     if _is_nan(obj):
         return F.isnan(col)
+    if obj is not None and not isinstance(
+        obj, (str, bytes, bool, int, float, complex)
+    ):
+        import datetime
+        import decimal
+
+        if not isinstance(
+            obj, (datetime.date, datetime.datetime, decimal.Decimal)
+        ):
+            raise TypeError(
+                "unsupported requirement object: {0!r} (not a literal, type, "
+                "regex, set, mapping, list, or callable)".format(obj)
+            )
     return col.eqNullSafe(F.lit(obj))
 
 

@@ -1,0 +1,192 @@
+"""Training-data pipeline operators: text analysis, dedup family,
+similarity search, multimodal plumbing (task brief: first-class alongside
+SURVEY §2)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datatest_spark.operators import dedup, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df.persist().count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def embs(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    df.persist().count()
+    return df
+
+
+class TestText:
+    def test_token_count_matches_python(self, docs):
+        rows = docs.select("text", text.token_count().alias("n")).limit(50).collect()
+        for r in rows:
+            assert r["n"] == len(r["text"].split(" "))
+
+    def test_regex_token_count(self, docs):
+        rows = docs.select("text", text.regex_token_count().alias("n")).limit(20).collect()
+        import re
+
+        for r in rows:
+            assert r["n"] == len(re.findall(r"[A-Za-z0-9]+", r["text"]))
+
+    def test_quality_score_bounds(self, docs):
+        rows = docs.select(text.quality_score().alias("q")).collect()
+        assert all(0.0 <= r["q"] <= 1.0 for r in rows)
+
+    def test_lang_id_english_salad(self, docs):
+        # driver texts are English-ish word salad containing 'the'/'a'
+        preds = docs.select(text.lang_id().alias("l")).groupBy("l").count().collect()
+        top = max(preds, key=lambda r: r["count"])
+        assert top["l"] == "en"
+
+    def test_fingerprint_deterministic(self, docs):
+        a = docs.select("doc_id", text.fingerprint().alias("f")).collect()
+        b = docs.select("doc_id", text.fingerprint().alias("f")).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    def test_winnow_fingerprints_nonempty(self, docs):
+        rows = docs.select(text.winnow_fingerprints().alias("w")).limit(10).collect()
+        assert all(len(r["w"]) >= 1 for r in rows)
+
+    def test_text_profile(self, docs):
+        prof = text.text_profile(docs).collect()
+        assert len(prof) == docs.select("source").distinct().count()
+
+
+class TestDedup:
+    def test_exact_duplicates_detects_injected(self, spark, docs):
+        doubled = docs.unionByName(
+            docs.limit(3).withColumn("doc_id", F.col("doc_id") + 100000)
+        )
+        groups = dedup.exact_duplicates(doubled, id_col="doc_id").collect()
+        assert len(groups) == 3
+        assert all(g["n_docs"] == 2 for g in groups)
+
+    def test_exact_duplicates_clean(self, docs):
+        assert dedup.exact_duplicates(docs).count() == 0
+
+    def test_jaccard_self_pairs(self, spark, docs):
+        # a doc unioned with itself under a new id must appear at jaccard 1.0
+        clone = docs.limit(2).withColumn("doc_id", F.col("doc_id") + 100000)
+        df = docs.unionByName(clone)
+        pairs = dedup.ngram_jaccard_pairs(df, threshold=0.99).collect()
+        assert len(pairs) >= 2
+        assert all(p["jaccard"] == 1.0 for p in pairs[:2])
+
+    def test_minhash_signature_shape(self, docs):
+        sig = dedup.minhash_signatures(docs, num_hashes=8)
+        row = sig.limit(1).collect()[0]
+        assert all(len(row["mh{0}".format(i)]) == 32 for i in range(8))
+
+    def test_lsh_finds_clones_and_verifies(self, spark, docs):
+        clone = docs.limit(3).withColumn("doc_id", F.col("doc_id") + 100000)
+        df = docs.unionByName(clone)
+        pairs = dedup.minhash_lsh_pairs(df, verify_threshold=0.9).collect()
+        # exact clone pairs (doc, doc+100000) must all surface at jaccard 1.0
+        clone_pairs = [p for p in pairs if p["doc_b"] == p["doc_a"] + 100000]
+        assert len(clone_pairs) == 3  # identical docs always share all bands
+        assert all(p["jaccard"] == 1.0 for p in clone_pairs)
+
+    def test_lsh_candidates_subset_of_exact_threshold(self, docs):
+        # verified LSH output must be a subset of the exact pairs at the
+        # same threshold (LSH prunes, never invents)
+        exact = {
+            (p["doc_a"], p["doc_b"])
+            for p in dedup.ngram_jaccard_pairs(docs, threshold=0.4).collect()
+        }
+        lsh = {
+            (p["doc_a"], p["doc_b"])
+            for p in dedup.minhash_lsh_pairs(docs, verify_threshold=0.4).collect()
+        }
+        assert lsh <= exact
+
+    def test_simhash_clones_zero_hamming(self, spark, docs):
+        clone = docs.limit(2).withColumn("doc_id", F.col("doc_id") + 100000)
+        df = docs.unionByName(clone)
+        pairs = dedup.simhash_pairs(df, max_hamming=0).collect()
+        clone_pairs = [p for p in pairs if p["doc_b"] >= 100000]
+        assert len(clone_pairs) >= 2
+        assert all(p["hamming"] == 0 for p in clone_pairs)
+
+
+class TestSimilarity:
+    def test_brute_force_topk_shape(self, embs):
+        q = embs.filter("vec_id < 5")
+        res = similarity.brute_force_topk(embs, q, k=3)
+        rows = res.collect()
+        assert len(rows) == 15
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r["query_id"], []).append(r)
+        for qid, nbrs in by_q.items():
+            ranks = sorted(n["rank"] for n in nbrs)
+            assert ranks == [1, 2, 3]
+            sims = [n["cosine"] for n in sorted(nbrs, key=lambda n: n["rank"])]
+            assert sims == sorted(sims, reverse=True)
+
+    def test_self_similarity_is_top(self, embs):
+        # a clone of vector 0 under a new id must rank 1 for query 0
+        clone = embs.filter("vec_id = 0").withColumn("vec_id", F.lit(999999).cast("long"))
+        corpus = embs.unionByName(clone)
+        res = similarity.brute_force_topk(corpus, embs.filter("vec_id = 0"), k=1).collect()
+        assert res[0]["neighbor_id"] == 999999
+        assert res[0]["cosine"] == 1.0
+
+    def test_ivf_recall_against_brute_force(self, embs):
+        q = embs.filter("vec_id < 10")
+        exact = similarity.brute_force_topk(embs, q, k=5).collect()
+        approx = similarity.ivf_topk(embs, q, k=5, n_centroids=8, nprobe=4).collect()
+        exact_sets = {}
+        for r in exact:
+            exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        approx_sets = {}
+        for r in approx:
+            approx_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        recalls = [
+            len(exact_sets[qid] & approx_sets.get(qid, set())) / 5
+            for qid in exact_sets
+        ]
+        assert sum(recalls) / len(recalls) >= 0.5  # nprobe=4/8 buckets
+
+    def test_lsh_buckets_deterministic(self, embs):
+        a = similarity.lsh_buckets(embs).collect()
+        b = similarity.lsh_buckets(embs).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+        assert all(len(r["bucket"]) == 8 for r in a)
+
+
+class TestMultimodal:
+    def test_synth_media_deterministic(self, spark):
+        a = multimodal.synth_media(spark, 50).collect()
+        b = multimodal.synth_media(spark, 50).collect()
+        assert sorted(r["media_id"] for r in a) == sorted(r["media_id"] for r in b)
+
+    def test_extract_features_shapes(self, spark):
+        media = multimodal.synth_media(spark, 100)
+        feats = multimodal.extract_features(media, out_dim=16)
+        rows = feats.collect()
+        assert len(rows) == 100
+        assert all(len(r["features"]) == 16 for r in rows)
+        assert all(r["payload_hash"] is not None for r in rows)
+        # deterministic features
+        rows2 = multimodal.extract_features(media, out_dim=16).collect()
+        assert sorted(r["payload_hash"] for r in rows) == sorted(
+            r["payload_hash"] for r in rows2
+        )
+
+    def test_frame_sample_plan(self, spark):
+        media = multimodal.synth_media(spark, 60)
+        frames = multimodal.frame_sample_plan(media, every_ms=10000)
+        joined = frames.groupBy("media_id").count()
+        vids = media.filter("modality = 'video'").count()
+        assert joined.count() == vids
+
+    def test_stub_raises_on_none(self):
+        with pytest.raises(NotImplementedError):
+            multimodal._decode_image_stub(None, 4)
