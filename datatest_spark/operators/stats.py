@@ -47,14 +47,33 @@ def partition_key_col(partition_cols):
 
 
 def _stat_exprs(df: DataFrame, columns, quantiles):
+    """Stat expressions per column, typed:
+
+      * every column: null count;
+      * scalar columns: HLL distinct (approx_count_distinct);
+      * numeric columns: min/max/avg + approx quantiles.
+
+    Array/map/struct columns deliberately get NO HLL: hashing a ~300-int
+    token array per row for a distinct estimate is the single most
+    expensive expression in the pass and its value is marginal (distinct
+    *arrays* ~ distinct doc_ids); measured on 4M rows it flipped the agg
+    from CPU-bound to GC-bound and inverted thread scaling. Arrays get a
+    cheap avg-length stat instead.
+    """
     exprs = [F.count(F.lit(1)).alias("n_rows")]
     types = dict((f.name, f.dataType) for f in df.schema.fields)
     for c in columns:
         exprs.append(
             F.sum(F.col(c).isNull().cast("long")).alias(c + "__nulls")
         )
+        dt = types[c]
+        if isinstance(dt, (T.ArrayType,)):
+            exprs.append(F.avg(F.size(F.col(c))).alias(c + "__avg_size"))
+            continue
+        if isinstance(dt, (T.MapType, T.StructType)):
+            continue
         exprs.append(F.approx_count_distinct(c).alias(c + "__approx_distinct"))
-        if isinstance(types[c], _NUMERIC):
+        if isinstance(dt, _NUMERIC):
             exprs.append(F.min(c).cast("double").alias(c + "__min"))
             exprs.append(F.max(c).cast("double").alias(c + "__max"))
             exprs.append(F.avg(F.col(c).cast("double")).alias(c + "__avg"))

@@ -147,9 +147,14 @@ class ValidationSuite(object):
         n_rows_total = sum(r["n_rows"] for r in stats_rows)
         all_partitions = sorted(r["partition_key"] for r in stats_rows)
 
-        # (b)+(c) violation plans per check
+        # (b)+(c) violation plans per check. Row-level checks that expose
+        # row_conditions() are FUSED into one input scan (shuffle family
+        # (c) = exactly one job); join/agg checks keep dedicated plans.
+        from ..operators.checks import fuse_row_checks
+
         driver_rows = []
         plans = []
+        fusable = []
         for check in self.checks:
             if isinstance(check, SchemaConformanceCheck):
                 for d in check.schema_violations(keyed):
@@ -169,10 +174,16 @@ class ValidationSuite(object):
                     plans.append(plan)
             elif check.uses_stats:
                 driver_rows.extend(check.stats_violations(spark, stats_rows))
+            elif check.row_conditions(keyed) is not None:
+                fusable.append(check)
             else:
                 plan = check.violations(keyed)
                 if plan is not None:
                     plans.append(plan)
+        if fusable:
+            fused = fuse_row_checks(keyed, fusable)
+            if fused is not None:
+                plans.append(fused)
 
         def _with_run_id(p):
             return p.select(

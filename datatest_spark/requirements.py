@@ -335,6 +335,27 @@ class RequiredOrder(BaseRequirement):
         self.sequence = list(sequence)
         self.order_by = order_by
 
+    def differences_python(self, data):
+        """Driver-side exact reference semantics for in-memory sequences:
+        difflib.SequenceMatcher opcodes -> Extra/Missing((index, value))
+        (the reference aligns with difflib, not positionally; the Spark
+        plan below is the documented positional scale variant)."""
+        from difflib import SequenceMatcher
+
+        from .differences import Extra, Missing
+
+        data = list(data)
+        matcher = SequenceMatcher(None, data, self.sequence)
+        diffs = []
+        for tag, i1, i2, j1, j2 in matcher.get_opcodes():
+            if tag in ("delete", "replace"):
+                for i in range(i1, i2):
+                    diffs.append(Extra((i, data[i])))
+            if tag in ("insert", "replace"):
+                for j in range(j1, j2):
+                    diffs.append(Missing((i1, self.sequence[j])))
+        return diffs
+
     def violations(self, df, columns=None, id_col=None, group_col=None):
         cols = self._value_cols(df, columns)
         if group_col is not None and group_col in cols:

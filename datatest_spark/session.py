@@ -39,6 +39,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        # Token arrays decode into multi-MB child ColumnVectors; with G1's
+        # default region size those are humongous allocations and 16+
+        # concurrent tasks degenerate into full-GC storms (measured 12.7s
+        # -> 5.2s on a 4M-row scan at local[32] with 32m regions).
+        .config("spark.driver.extraJavaOptions", "-XX:G1HeapRegionSize=32m")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -159,6 +159,19 @@ def _rows_to_differences(rows, stringy_value, key_map=None):
 
 def _run(data, requirement, description=None, columns=None, id_col=None,
          group_col=None, limit=_COLLECT_CAP, _req_obj=None):
+    req_pre = _req_obj if _req_obj is not None else (
+        get_requirement(requirement) if not isinstance(requirement, DataFrame) else None
+    )
+    # In-memory sequences vs an order requirement use the reference's
+    # exact difflib alignment driver-side (SURVEY O1); the Spark plan is
+    # the positional at-scale variant for DataFrames.
+    if (
+        isinstance(req_pre, RequiredOrder)
+        and not isinstance(data, DataFrame)
+        and isinstance(data, (list, tuple))
+    ):
+        diffs = req_pre.differences_python(data)
+        return ValidationError(diffs, description) if diffs else None
     df, cols, inferred_group = _normalize(data)
     if columns is not None:
         cols = [columns] if isinstance(columns, str) else list(columns)

@@ -238,3 +238,44 @@ class TestSuiteEndToEnd:
             for r in token_equality_violations(data, ref, use_udf=True).collect()
         )
         assert native == via_udf and len(native) > 0
+
+
+class TestRowCheckFusion:
+    """Fused single-scan row checks produce exactly the violations the
+    dedicated per-check plans produce (SURVEY §3.1 family (c))."""
+
+    def test_fused_equals_dedicated(self, spark, seqs):
+        from datatest_spark.operators.checks import fuse_row_checks
+
+        keyed = seqs.withColumn(
+            "partition_key", F.concat(F.lit("source="), F.coalesce("source", F.lit("null")))
+        )
+        checks = [
+            ConsistencyCheck(),
+            TokenRangeCheck(),
+            ReferentialCheck("source", allowed=ALLOWED_SOURCES),
+        ]
+        fused = fuse_row_checks(keyed, checks)
+        assert fused is not None
+        fused_rows = sorted(
+            (r["check_id"], r["kind"], r["doc_id"], r["value"])
+            for r in fused.collect()
+        )
+        dedicated = []
+        for c in checks:
+            for r in c.violations(keyed).collect():
+                dedicated.append((c.check_id, r["kind"], r["doc_id"], r["value"]))
+        assert fused_rows == sorted(dedicated)
+
+    def test_fused_is_single_scan(self, spark, seqs):
+        from datatest_spark.operators.checks import fuse_row_checks
+
+        keyed = seqs.withColumn("partition_key", F.lit("all"))
+        fused = fuse_row_checks(
+            keyed, [ConsistencyCheck(), TokenRangeCheck(),
+                    ReferentialCheck("source", allowed=ALLOWED_SOURCES)]
+        )
+        plan = fused._jdf.queryExecution().executedPlan().toString()
+        # one scan, no join/exchange in the fused row-check family
+        assert "Exchange" not in plan
+        assert plan.count("Scan") <= 1

@@ -217,3 +217,32 @@ class TestFuzzyNativeApproximation:
         for r in rows:
             exact = fuzzy_ratio_py(r["a"], r["b"])
             assert abs(r["r"] - exact) < 0.35
+
+
+class TestOrderDifflibParity:
+    """Python-sequence order checks use the reference's difflib
+    alignment: (index, value) two-tuples from opcodes."""
+
+    def test_replace(self):
+        with pytest.raises(ValidationError) as exc:
+            validate.order(["a", "X", "c"], ["a", "b", "c"])
+        assert set(exc.value.differences) == {Extra((1, "X")), Missing((1, "b"))}
+
+    def test_delete_is_extra(self):
+        with pytest.raises(ValidationError) as exc:
+            validate.order(["a", "b", "c"], ["a", "c"])
+        assert exc.value.differences == [Extra((1, "b"))]
+
+    def test_insert_is_missing_at_data_index(self):
+        with pytest.raises(ValidationError) as exc:
+            validate.order(["a", "c"], ["a", "b", "c"])
+        assert exc.value.differences == [Missing((1, "b"))]
+
+    def test_alignment_not_positional(self):
+        # one missing element early must NOT cascade mismatches
+        with pytest.raises(ValidationError) as exc:
+            validate.order(["b", "c", "d"], ["a", "b", "c", "d"])
+        assert exc.value.differences == [Missing((0, "a"))]
+
+    def test_equal_sequences_pass(self):
+        validate.order(["a", "b"], ["a", "b"])
