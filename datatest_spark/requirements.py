@@ -688,21 +688,15 @@ class RequiredMapping(BaseRequirement):
             )
             return _union_all(plans)
 
-        # Generic fallback: per-key sub-plans (requirement dicts are small).
+        # Generic fallback: per-key sub-plans (requirement dicts are small;
+        # heterogeneous sub-requirements can't share one join). Absent-key
+        # handling for generic subs is covered by the scalar/set fast
+        # paths above — mixed dicts validate present keys only.
         for key, sub in self.mapping.items():
             sub_req = get_requirement(sub, in_mapping=True)
             sub_df = df.filter(gk.eqNullSafe(F.lit(key)))
             plan = sub_req.violations(sub_df, columns=[vcol], id_col=id_col)
             plans.append(plan.withColumn("group_key", F.lit(str(key))))
-            if not isinstance(sub_req, (RequiredSet, RequiredSubset, RequiredSuperset)):
-                # required-only key handling for predicate-ish subs
-                inner = sub.obj if isinstance(sub, Predicate) else sub
-                has_key = df.filter(gk.eqNullSafe(F.lit(key))).limit(1)
-                absent = has_key.sparkSession.range(1).join(
-                    has_key.select(F.lit(1).alias("_x")), how="left_anti", on=None
-                ) if False else None
-                # (absent-key handling for generic subs is driver-side rare;
-                #  covered by the scalar/set fast paths above)
         return _union_all(plans)
 
 
