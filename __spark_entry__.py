@@ -314,6 +314,56 @@ def q_cosine_topk(spark, sf_dir):
     return similarity.brute_force_topk(e, q, k=3)
 
 
+def q_sessionization(spark, sf_dir):
+    """Analytic-window sessionization: lag(ts) gap > 30 min per user
+    starts a session; output sessions-per-user (common OLAP pattern)."""
+    e = _t(spark, sf_dir, "events")
+    ms = F.timestamp_diff(
+        "MILLISECOND",
+        F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+        F.col("ts"),
+    )
+    w = Window.partitionBy("user_id").orderBy(ms, F.col("event_id"))
+    gaps = e.select(
+        "user_id",
+        ms.alias("ts_ms"),
+        F.lag(ms).over(w).alias("prev_ms"),
+    ).withColumn(
+        "new_session",
+        (F.col("prev_ms").isNull() | (F.col("ts_ms") - F.col("prev_ms") > 1_800_000))
+        .cast("long"),
+    )
+    return gaps.groupBy("user_id").agg(
+        F.sum("new_session").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def q_pivot_order_status(spark, sf_dir):
+    """Pivot (portable sum-case form): order counts by priority x status."""
+    o = _t(spark, sf_dir, "orders")
+    agg = [
+        F.sum((F.col("o_orderstatus") == s).cast("long")).alias("n_" + s.lower())
+        for s in ("O", "F", "P")
+    ]
+    return o.groupBy("o_orderpriority").agg(*agg)
+
+
+def q_rollup_revenue(spark, sf_dir):
+    """ROLLUP aggregation: revenue by (returnflag, linestatus) with
+    subtotals and grand total (grouping-set support)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
 # -- approximate / non-SQL ops: rows-only driver check ----------------------
 
 def q_lsh_candidate_pairs(spark, sf_dir):
@@ -375,6 +425,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norms": q_embedding_norms,
         "cosine_threshold_pairs": q_cosine_threshold_pairs,
         "cosine_topk": q_cosine_topk,
+        "sessionization": q_sessionization,
+        "pivot_order_status": q_pivot_order_status,
+        "rollup_revenue": q_rollup_revenue,
         "lsh_candidate_pairs": q_lsh_candidate_pairs,
         "simhash_pairs": q_simhash_pairs,
         "ivf_ann_topk": q_ivf_ann_topk,
@@ -674,6 +727,35 @@ def oracle_sql() -> dict[str, str]:
                        ) AS INT) AS rank
                 FROM SCORED
             ) WHERE rank <= 3
+        """,
+        "sessionization": """
+            WITH G AS (
+                SELECT user_id, epoch_ms(ts) AS ts_ms,
+                       LAG(epoch_ms(ts)) OVER (
+                           PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+                       ) AS prev_ms
+                FROM events
+            )
+            SELECT user_id,
+                   CAST(SUM(CASE WHEN prev_ms IS NULL
+                                 OR ts_ms - prev_ms > 1800000
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+                   COUNT(*) AS n_events
+            FROM G GROUP BY user_id
+        """,
+        "pivot_order_status": """
+            SELECT o_orderpriority,
+                   CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+                   CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+                   CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "rollup_revenue": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   COUNT(*) AS n
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
         """,
         # lsh_candidate_pairs / simhash_pairs / ivf_ann_topk /
         # multimodal_features: approximate or non-SQL operators — rows-only.

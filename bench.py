@@ -23,9 +23,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
-SYNTH_ROWS = int(os.environ.get("BENCH_SYNTH_ROWS", 1_000_000))
+SYNTH_ROWS = int(os.environ.get("BENCH_SYNTH_ROWS", 4_000_000))
+# shared cache with bench/scaling.py — same generator, seed, layout
 SYNTH_CACHE = os.environ.get(
-    "BENCH_SYNTH_DIR", "/tmp/datatest_spark_bench/synth_{0}".format(SYNTH_ROWS)
+    "BENCH_SYNTH_DIR", "/tmp/datatest_spark_scaling/synth_{0}".format(SYNTH_ROWS)
 )
 
 
