@@ -76,6 +76,22 @@ def main():
         timings[name] = round(dt, 3)
         total += dt
 
+    # J5 at scale: token-array equality vs the reference copy
+    from datatest_spark.operators.rowpred import token_equality_violations
+    from datatest_spark.sources.synth import ref_tokens
+
+    ref_cache = SYNTH_CACHE.replace("synth_", "ref_")
+    if not os.path.exists(os.path.join(ref_cache, "_SUCCESS")):
+        ref_tokens(spark, SYNTH_ROWS, seed=42).write.mode("overwrite").parquet(
+            ref_cache
+        )
+    ref = spark.read.parquet(ref_cache)
+    t0 = time.time()
+    token_equality_violations(synth, ref).count()
+    dt = time.time() - t0
+    timings["token_equality_{0}".format(SYNTH_ROWS)] = round(dt, 3)
+    total += dt
+
     # flagship: full constraint suite over the synthetic tokenized table
     suite = north_star_suite(ALLOWED_SOURCES)
     t0 = time.time()

@@ -120,9 +120,18 @@ def column_stats_salted(
     )
 
     phase1_exprs = [F.count(F.lit(1)).alias("n_rows")]
+    complex_cols = set()
     for c in columns:
         phase1_exprs.append(F.sum(F.col(c).isNull().cast("long")).alias(c + "__nulls"))
-        phase1_exprs.append(F.hll_sketch_agg(F.col(c).cast("string")).alias(c + "__hll"))
+        if isinstance(types[c], (T.ArrayType, T.MapType, T.StructType)):
+            # same typed-exprs discipline as the single-pass form: no HLL
+            # over complex columns (stringifying every token array is the
+            # most expensive expression in the pass for marginal value)
+            complex_cols.add(c)
+        else:
+            phase1_exprs.append(
+                F.hll_sketch_agg(F.col(c).cast("string")).alias(c + "__hll")
+            )
         if isinstance(types[c], _NUMERIC):
             phase1_exprs.append(F.min(c).cast("double").alias(c + "__min"))
             phase1_exprs.append(F.max(c).cast("double").alias(c + "__max"))
@@ -134,11 +143,12 @@ def column_stats_salted(
     phase2_exprs = [F.sum("n_rows").alias("n_rows")]
     for c in columns:
         phase2_exprs.append(F.sum(c + "__nulls").alias(c + "__nulls"))
-        phase2_exprs.append(
-            F.hll_sketch_estimate(F.hll_union_agg(F.col(c + "__hll"))).alias(
-                c + "__approx_distinct"
+        if c not in complex_cols:
+            phase2_exprs.append(
+                F.hll_sketch_estimate(F.hll_union_agg(F.col(c + "__hll"))).alias(
+                    c + "__approx_distinct"
+                )
             )
-        )
         if isinstance(types[c], _NUMERIC):
             phase2_exprs.append(F.min(c + "__min").alias(c + "__min"))
             phase2_exprs.append(F.max(c + "__max").alias(c + "__max"))

@@ -58,12 +58,19 @@ class ValidationSuite(object):
     """
 
     def __init__(self, checks, partition_cols=("source",), acceptances=None,
-                 stats_columns=None, quantiles=DEFAULT_QUANTILES):
+                 stats_columns=None, quantiles=DEFAULT_QUANTILES,
+                 salted_stats=False, n_salts=16):
         self.checks = list(checks)
         self.partition_cols = list(partition_cols)
         self.acceptances = list(acceptances or [])
         self.stats_columns = stats_columns
         self.quantiles = quantiles
+        # C2: explicit two-phase salted aggregation for deployments where
+        # one hot partition key saturates a reducer even after Spark's
+        # map-side partial aggregation. Mergeable metrics only (count/
+        # nulls/min/max/HLL-union); quantile sketches stay single-pass.
+        self.salted_stats = salted_stats
+        self.n_salts = n_salts
 
     # -- manifest / resume (C3) -------------------------------------------
     @staticmethod
@@ -134,16 +141,28 @@ class ValidationSuite(object):
             if skipped:
                 keyed = keyed.filter(~F.col("partition_key").isin(list(skipped)))
 
-        # (a) the single wide aggregation pass (C1)
+        # (a) the single wide aggregation pass (C1) — or the salted
+        # two-phase variant (C2) when configured.
         stats_cols = self.stats_columns or [
             c for c in df.columns if c != "partition_key"
         ]
-        stats_rows = [
-            r.asDict()
-            for r in keyed.groupBy("partition_key")
-            .agg(*_stat_exprs(df, stats_cols, self.quantiles))
-            .collect()
-        ]
+        if self.salted_stats:
+            from ..operators.stats import column_stats_salted
+
+            stats_rows = [
+                r.asDict()
+                for r in column_stats_salted(
+                    keyed.drop("partition_key"), self.partition_cols,
+                    stats_cols, n_salts=self.n_salts
+                ).collect()
+            ]
+        else:
+            stats_rows = [
+                r.asDict()
+                for r in keyed.groupBy("partition_key")
+                .agg(*_stat_exprs(df, stats_cols, self.quantiles))
+                .collect()
+            ]
         n_rows_total = sum(r["n_rows"] for r in stats_rows)
         all_partitions = sorted(r["partition_key"] for r in stats_rows)
 

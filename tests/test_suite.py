@@ -279,3 +279,25 @@ class TestRowCheckFusion:
         # one scan, no join/exchange in the fused row-check family
         assert "Exchange" not in plan
         assert plan.count("Scan") <= 1
+
+
+class TestSaltedSuite:
+    """C2 wiring: the salted two-phase stats path produces the same
+    verdicts as the single-pass suite."""
+
+    def test_salted_suite_same_verdicts(self, spark, seqs):
+        plain = north_star_suite(ALLOWED_SOURCES)
+        res_p = plain.run(seqs, run_id="sp")
+        salted = north_star_suite(ALLOWED_SOURCES)
+        salted.salted_stats = True
+        res_s = salted.run(seqs, run_id="ss")
+        vp = sorted(
+            (r["partition_key"], r["check_id"], r["status"], r["n_violations"])
+            for r in res_p.verdicts.collect()
+        )
+        vs = sorted(
+            (r["partition_key"], r["check_id"], r["status"], r["n_violations"])
+            for r in res_s.verdicts.collect()
+        )
+        assert vp == vs
+        assert res_p.n_rows_total == res_s.n_rows_total
