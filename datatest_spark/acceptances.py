@@ -354,7 +354,12 @@ class AcceptedKeys(BaseAcceptance):
 
 
 class AcceptedArgs(BaseAcceptance):
-    """accepted.args(predicate) — absorb diffs whose .args match (T6)."""
+    """accepted.args(predicate) — absorb diffs whose .args match (T6).
+
+    Distributed form: a vectorized pandas UDF applying the same Predicate
+    to reconstructed args — it runs over violation rows only (the small
+    side), which keeps the reference's arbitrary-callable power without a
+    hot-path UDF."""
 
     def __init__(self, predicate):
         self.predicate = Predicate(predicate)
@@ -366,6 +371,52 @@ class AcceptedArgs(BaseAcceptance):
         if len(args) == 1:
             return self.predicate(args[0])
         return self.predicate(tuple(args))
+
+    def column(self):
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        pred = self.predicate
+
+        @F.pandas_udf(T.BooleanType())
+        def _match(kind, value, expected, deviation):
+            out = []
+            for k, v, e, dv in zip(kind, value, expected, deviation):
+                # rebuild the difference's args the way the raise-adapter
+                # would: deviation rows -> (deviation, expected); others ->
+                # (value[, expected]), numerics re-parsed
+                def unstr(s):
+                    if s is None or not isinstance(s, str):
+                        return s
+                    try:
+                        return int(s)
+                    except ValueError:
+                        pass
+                    try:
+                        return float(s)
+                    except ValueError:
+                        return s
+
+                if k == "deviation":
+                    args = (dv, unstr(e))
+                elif e is not None:
+                    args = (unstr(v), unstr(e))
+                else:
+                    args = (unstr(v),)
+                try:
+                    if isinstance(pred.obj, tuple):
+                        out.append(bool(pred(tuple(args))))
+                    elif len(args) == 1:
+                        out.append(bool(pred(args[0])))
+                    else:
+                        out.append(bool(pred(tuple(args))))
+                except Exception:
+                    out.append(False)
+            return pd.Series(out, dtype="bool")
+
+        return _match(
+            F.col("kind"), F.col("value"), F.col("expected"), F.col("deviation")
+        )
 
 
 class AcceptedTolerance(BaseAcceptance):

@@ -256,3 +256,17 @@ class TestDistributedParity:
                 )
             )
         assert kept[0] == kept[1] == kept[2]
+
+
+class TestAcceptedArgsDistributed:
+    def test_args_predicate_distributed_parity(self, spark):
+        diffs = [Missing(3), Missing(9), Extra(1), Deviation(2, 10), Deviation(7, 10)]
+        acc = accepted.args(lambda v: isinstance(v, int) and v < 5)
+        rows = _viol_rows(diffs)
+        vdf = spark.createDataFrame(rows, VIOLATION_SCHEMA).repartition(3)
+        kept_dist = sorted(
+            (r["kind"], r["value"], r["deviation"]) for r in acc.apply(vdf).collect()
+        )
+        remaining = accepted.args(lambda v: isinstance(v, int) and v < 5).filter_differences(diffs)
+        kept_drv = sorted((r[2], r[6], r[8]) for r in _viol_rows(remaining))
+        assert kept_dist == kept_drv
