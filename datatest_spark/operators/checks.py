@@ -491,3 +491,54 @@ class TokenEqualityCheck(BaseCheck):
             "check_id", F.lit(self.check_id)
         )
         return out.select(*_CORE_WITH_PK)
+
+
+class FreshnessCheck(BaseCheck):
+    """Temporal freshness gate (engine extension; datetime support §1.2):
+    per partition, max(ts) must be no older than ``max_age`` relative to
+    ``as_of``, and optionally min(ts) no earlier than ``min_ts``.
+
+    Consumes the wide-agg stats when the timestamp column was included
+    (epoch-millis min/max land there via numeric casting); otherwise runs
+    its own tiny agg through ``violations()``.
+    """
+
+    check_id = "freshness"
+
+    def __init__(self, ts_col, as_of_ms, max_age_ms, min_ts_ms=None):
+        self.ts_col = ts_col
+        self.as_of_ms = int(as_of_ms)
+        self.max_age_ms = int(max_age_ms)
+        self.min_ts_ms = min_ts_ms
+
+    def violations(self, df):
+        ms = F.unix_millis(F.col(self.ts_col).cast("timestamp_ltz"))
+        agg = df.groupBy("partition_key").agg(
+            F.max(ms).alias("_max_ms"), F.min(ms).alias("_min_ms")
+        )
+        stale = agg.filter(
+            F.col("_max_ms").isNull()
+            | (F.col("_max_ms") < F.lit(self.as_of_ms - self.max_age_ms))
+        )
+        plan = _sel(
+            stale, self.check_id, "deviation",
+            F.col("_max_ms"),
+            expected=F.lit(self.as_of_ms - self.max_age_ms),
+            deviation=(F.coalesce(F.col("_max_ms"), F.lit(0))
+                       - F.lit(self.as_of_ms - self.max_age_ms)),
+            detail=F.create_map(F.lit("reason"), F.lit("stale partition")),
+        )
+        if self.min_ts_ms is not None:
+            early = agg.filter(F.col("_min_ms") < F.lit(int(self.min_ts_ms)))
+            plan = plan.unionByName(
+                _sel(
+                    early, self.check_id, "deviation",
+                    F.col("_min_ms"),
+                    expected=F.lit(int(self.min_ts_ms)),
+                    deviation=F.col("_min_ms") - F.lit(int(self.min_ts_ms)),
+                    detail=F.create_map(
+                        F.lit("reason"), F.lit("timestamps before floor")
+                    ),
+                )
+            )
+        return plan

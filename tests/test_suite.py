@@ -301,3 +301,22 @@ class TestSaltedSuite:
         )
         assert vp == vs
         assert res_p.n_rows_total == res_s.n_rows_total
+
+
+class TestFreshness:
+    def test_stale_partition_flagged(self, spark):
+        from datatest_spark.operators.checks import FreshnessCheck
+
+        df = spark.createDataFrame(
+            [("a", "2024-01-01 00:00:00", "web"),
+             ("b", "2024-01-10 00:00:00", "books")],
+            "doc_id string, ts string, source string",
+        ).withColumn("ts", F.col("ts").cast("timestamp")).withColumn(
+            "partition_key", F.concat(F.lit("source="), "source")
+        )
+        as_of = 1704931200000  # 2024-01-11 00:00:00 UTC
+        chk = FreshnessCheck("ts", as_of_ms=as_of, max_age_ms=2 * 86400_000)
+        rows = chk.violations(df).collect()
+        assert len(rows) == 1
+        assert rows[0]["partition_key"] == "source=web"
+        assert rows[0]["kind"] == "deviation" and rows[0]["deviation"] < 0
