@@ -10,7 +10,6 @@ anti-joining the partition list against completed manifest entries.
 
 from __future__ import annotations
 
-import json
 import os
 import time
 import uuid
