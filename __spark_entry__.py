@@ -314,6 +314,40 @@ def q_cosine_topk(spark, sf_dir):
     return similarity.brute_force_topk(e, q, k=3)
 
 
+def q_drift_psi(spark, sf_dir):
+    """A11 end-to-end: per-source PSI of the n_chars histogram against
+    the global distribution (epsilon-smoothed, fixed 10-bucket grid)."""
+    d = _t(spark, sf_dir, "documents")
+    bucket = F.least(
+        F.greatest(F.floor(F.col("n_chars") / 100.0), F.lit(0)), F.lit(9)
+    ).cast("int")
+    bucketed = d.select("source", bucket.alias("bucket"))
+    per_sb = bucketed.groupBy("source", "bucket").agg(F.count(F.lit(1)).alias("n_sb"))
+    per_s = bucketed.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    per_b = bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_b"))
+    n_total = bucketed.count()
+    grid = (
+        per_s.select("source")
+        .crossJoin(spark.range(0, 10).select(F.col("id").cast("int").alias("bucket")))
+    )
+    eps = 1e-9
+    joined = (
+        grid.join(per_sb, ["source", "bucket"], "left")
+        .join(per_s, "source")
+        .join(per_b, "bucket", "left")
+        .select(
+            "source",
+            "bucket",
+            (F.coalesce(F.col("n_sb"), F.lit(0)) / F.col("n_s")).alias("p"),
+            (F.coalesce(F.col("n_b"), F.lit(0)) / F.lit(float(n_total))).alias("q"),
+        )
+    )
+    term = (F.greatest(F.col("p"), F.lit(eps)) - F.greatest(F.col("q"), F.lit(eps))) * (
+        F.log(F.greatest(F.col("p"), F.lit(eps)) / F.greatest(F.col("q"), F.lit(eps)))
+    )
+    return joined.groupBy("source").agg(F.round(F.sum(term), 4).alias("psi"))
+
+
 def q_sessionization(spark, sf_dir):
     """Analytic-window sessionization: lag(ts) gap > 30 min per user
     starts a session; output sessions-per-user (common OLAP pattern)."""
@@ -425,6 +459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norms": q_embedding_norms,
         "cosine_threshold_pairs": q_cosine_threshold_pairs,
         "cosine_topk": q_cosine_topk,
+        "drift_psi": q_drift_psi,
         "sessionization": q_sessionization,
         "pivot_order_status": q_pivot_order_status,
         "rollup_revenue": q_rollup_revenue,
@@ -727,6 +762,35 @@ def oracle_sql() -> dict[str, str]:
                        ) AS INT) AS rank
                 FROM SCORED
             ) WHERE rank <= 3
+        """,
+        "drift_psi": """
+            WITH B AS (
+                SELECT source,
+                       CAST(LEAST(GREATEST(FLOOR(n_chars / 100.0), 0), 9) AS INT) AS bucket
+                FROM documents
+            ),
+            SB AS (SELECT source, bucket, COUNT(*) AS n_sb FROM B GROUP BY 1, 2),
+            S AS (SELECT source, COUNT(*) AS n_s FROM B GROUP BY 1),
+            GB AS (SELECT bucket, COUNT(*) AS n_b FROM B GROUP BY 1),
+            TOT AS (SELECT COUNT(*) AS n FROM B),
+            GRID AS (
+                SELECT s.source, t.bucket
+                FROM (SELECT DISTINCT source FROM B) s
+                CROSS JOIN (SELECT UNNEST(range(0, 10))::INT AS bucket) t
+            ),
+            PQ AS (
+                SELECT g.source, g.bucket,
+                       COALESCE(sb.n_sb, 0) * 1.0 / s.n_s AS p,
+                       COALESCE(gb.n_b, 0) * 1.0 / (SELECT n FROM TOT) AS q
+                FROM GRID g
+                LEFT JOIN SB sb ON sb.source = g.source AND sb.bucket = g.bucket
+                JOIN S s ON s.source = g.source
+                LEFT JOIN GB gb ON gb.bucket = g.bucket
+            )
+            SELECT source,
+                   ROUND(SUM((GREATEST(p, 1e-9) - GREATEST(q, 1e-9))
+                             * LN(GREATEST(p, 1e-9) / GREATEST(q, 1e-9))), 4) AS psi
+            FROM PQ GROUP BY source
         """,
         "sessionization": """
             WITH G AS (

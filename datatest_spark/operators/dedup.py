@@ -239,3 +239,75 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs -> (doc_id, cluster_id).
+
+    Iterative min-label propagation on the undirected pair graph (the
+    standard large-scale approach when true graph libraries aren't on the
+    classpath): each node adopts the smallest id reachable in one hop;
+    iterate to fixpoint. Near-dup clusters are tiny and shallow in
+    practice, so convergence is a handful of joins; every iteration is a
+    self-contained shuffle-join Catalyst can plan (AQE coalesces).
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["doc_id"])
+            .groupBy(F.col("src").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("_nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("_nbr_min"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "doc_id")
+            .filter(F.col("u.cluster_id") != F.col("l.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = updated.persist()
+        if changed == 0:
+            break
+    return labels
+
+
+def drop_near_duplicates(
+    df: DataFrame,
+    pairs: DataFrame = None,
+    text_col="text",
+    id_col="doc_id",
+    **lsh_kwargs,
+) -> DataFrame:
+    """Keep one representative (minimum id) per near-dup cluster.
+
+    ``pairs`` defaults to MinHash+LSH verified pairs. The returned frame
+    is the input minus non-representative cluster members — the terminal
+    op of the dedup pipeline.
+    """
+    if pairs is None:
+        pairs = minhash_lsh_pairs(df, text_col=text_col, id_col=id_col, **lsh_kwargs)
+    clusters = dedup_clusters(pairs.select("doc_a", "doc_b"))
+    drop = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return df.join(drop, id_col, "left_anti")

@@ -190,3 +190,33 @@ class TestMultimodal:
     def test_stub_raises_on_none(self):
         with pytest.raises(NotImplementedError):
             multimodal._decode_image_stub(None, 4)
+
+
+class TestDedupClusters:
+    def test_clusters_and_drop(self, spark, docs):
+        from pyspark.sql import functions as F2
+
+        clone1 = docs.limit(3).withColumn("doc_id", F2.col("doc_id") + 100000)
+        clone2 = docs.limit(2).withColumn("doc_id", F2.col("doc_id") + 200000)
+        df = docs.unionByName(clone1).unionByName(clone2)
+        deduped = dedup.drop_near_duplicates(df, verify_threshold=0.95)
+        n_before, n_after = df.count(), deduped.count()
+        assert n_after < n_before
+        # clones keep lower-id originals as representatives, so all drop
+        assert deduped.filter("doc_id >= 100000").count() == 0
+        # semantic postcondition: no near-dup pair survives the dedup
+        remaining_pairs = dedup.minhash_lsh_pairs(
+            deduped, verify_threshold=0.95
+        ).count()
+        assert remaining_pairs == 0
+
+    def test_transitive_cluster(self, spark):
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+        )
+        labels = {
+            r["doc_id"]: r["cluster_id"]
+            for r in dedup.dedup_clusters(pairs).collect()
+        }
+        assert labels[1] == labels[2] == labels[3] == 1
+        assert labels[10] == labels[11] == 10
