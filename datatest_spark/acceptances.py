@@ -185,8 +185,10 @@ class AcceptedInstance(BaseAcceptance):
             cond = cond & F.col("deviation").eqNullSafe(
                 F.lit(float(dev) if dev is not None else None)
             )
-            cond = cond & F.col("expected").eqNullSafe(
-                F.lit(str(exp)) if exp is not None else F.lit(None).cast("string")
+            # engine rows stringify expected from typed columns ('10' or
+            # '10.0'); normalize both sides through double
+            cond = cond & F.col("expected").try_cast("double").eqNullSafe(
+                F.lit(float(exp)) if exp is not None else F.lit(None).cast("double")
             )
         else:
             cond = cond & F.col("value").eqNullSafe(F.lit(str(d.args[0])))
@@ -243,8 +245,12 @@ class AcceptedList(BaseAcceptance):
              for k, n in bcounter.items()],
             "kind string, value string, expected string, deviation double, _budget long",
         )
-        vdf = violations_df.withColumn("_mask", mask)
-        w = Window.partitionBy("_mask", "kind", "value", "expected", "deviation").orderBy(
+        vdf = (
+            violations_df.withColumn("_mask", mask)
+            .withColumn("_sv", _sig_value_col())
+            .withColumn("_se", _sig_expected_col())
+        )
+        w = Window.partitionBy("_mask", "kind", "_sv", "_se", "deviation").orderBy(
             *_stable_order_cols()
         )
         vdf = vdf.withColumn("_rn", F.row_number().over(w))
@@ -252,8 +258,8 @@ class AcceptedList(BaseAcceptance):
             F.broadcast(bdf),
             on=[
                 vdf["kind"].eqNullSafe(bdf["kind"]),
-                vdf["value"].eqNullSafe(bdf["value"]),
-                vdf["expected"].eqNullSafe(bdf["expected"]),
+                vdf["_sv"].eqNullSafe(bdf["value"]),
+                vdf["_se"].eqNullSafe(bdf["expected"]),
                 vdf["deviation"].eqNullSafe(bdf["deviation"]),
             ],
             how="left",
@@ -263,21 +269,41 @@ class AcceptedList(BaseAcceptance):
             | (F.col("_rn") > F.col("_budget"))
             | ~F.col("_mask")
         )
-        return kept.drop("_rn", "_budget", "_mask")
+        return kept.drop("_rn", "_budget", "_mask", "_sv", "_se")
 
 
 def _sig_cols_of(d):
-    """(kind, value, expected, deviation) distributed signature of a diff."""
+    """(kind, value, expected, deviation) distributed signature of a diff.
+
+    Deviations sign on (deviation, expected) only — engine-produced
+    deviation rows carry the actual value in ``value``, so it is excluded
+    from the signature; expected is normalized through float so '10' and
+    '10.0' unify."""
     kind = _KIND_OF[type(d)]
     if isinstance(d, Deviation):
         dev, exp = d.args
-        return (kind, None, str(exp) if exp is not None else None,
+        return (kind, None, str(float(exp)) if exp is not None else None,
                 float(dev) if dev is not None else None)
     value = str(d.args[0])
     expected = (
         str(d.args[1]) if isinstance(d, Invalid) and len(d.args) > 1 else None
     )
     return (kind, value, expected, None)
+
+
+def _sig_value_col():
+    """Violation-row value normalized to the signature convention."""
+    return F.when(
+        F.col("kind") == "deviation", F.lit(None).cast("string")
+    ).otherwise(F.col("value"))
+
+
+def _sig_expected_col():
+    """Violation-row expected normalized: deviations through float."""
+    return F.when(
+        F.col("kind") == "deviation",
+        F.col("expected").try_cast("double").cast("string"),
+    ).otherwise(F.col("expected"))
 
 
 class AcceptedMapping(BaseAcceptance):
@@ -314,9 +340,13 @@ class AcceptedMapping(BaseAcceptance):
             "group_key string, kind string, value string, expected string, "
             "deviation double, _budget long",
         )
-        vdf = violations_df.withColumn("_mask", mask)
+        vdf = (
+            violations_df.withColumn("_mask", mask)
+            .withColumn("_sv", _sig_value_col())
+            .withColumn("_se", _sig_expected_col())
+        )
         w = Window.partitionBy(
-            "_mask", "group_key", "kind", "value", "expected", "deviation"
+            "_mask", "group_key", "kind", "_sv", "_se", "deviation"
         ).orderBy(*_stable_order_cols())
         vdf = vdf.withColumn("_rn", F.row_number().over(w))
         joined = vdf.join(
@@ -324,8 +354,8 @@ class AcceptedMapping(BaseAcceptance):
             on=[
                 vdf["group_key"].eqNullSafe(bdf["group_key"]),
                 vdf["kind"].eqNullSafe(bdf["kind"]),
-                vdf["value"].eqNullSafe(bdf["value"]),
-                vdf["expected"].eqNullSafe(bdf["expected"]),
+                vdf["_sv"].eqNullSafe(bdf["value"]),
+                vdf["_se"].eqNullSafe(bdf["expected"]),
                 vdf["deviation"].eqNullSafe(bdf["deviation"]),
             ],
             how="left",
@@ -335,7 +365,7 @@ class AcceptedMapping(BaseAcceptance):
             | (F.col("_rn") > F.col("_budget"))
             | ~F.col("_mask")
         )
-        return kept.drop("_rn", "_budget", "_mask")
+        return kept.drop("_rn", "_budget", "_mask", "_sv", "_se")
 
 
 class AcceptedKeys(BaseAcceptance):
@@ -348,8 +378,17 @@ class AcceptedKeys(BaseAcceptance):
         return self.predicate(key)
 
     def column(self):
-        from .predicates import compile_predicate
+        from .predicates import compile_callable, compile_predicate
 
+        inner = self.predicate.obj
+        if (
+            callable(inner)
+            and not isinstance(inner, type)
+            and not hasattr(inner, "pattern")
+        ):
+            # arbitrary callables get the vectorized-UDF path (runs over
+            # violation rows only, same as AcceptedArgs)
+            return compile_callable(self.predicate, F.col("group_key"))
         return compile_predicate(self.predicate, F.col("group_key"))
 
 

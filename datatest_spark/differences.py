@@ -210,52 +210,6 @@ class Deviation(BaseDifference):
         return "Deviation({0}, {1!r})".format(dev_repr, exp)
 
 
-_KIND_TO_CLASS = {
-    "missing": Missing,
-    "extra": Extra,
-    "invalid": Invalid,
-    "deviation": Deviation,
-}
-
-
-def difference_from_row(row):
-    """Build a difference object from a violation Row (SURVEY.md §1.3).
-
-    ``row`` needs attributes kind, value, expected, deviation. String-typed
-    ``value``/``expected`` are converted back to numbers when they parse
-    cleanly so the pytest adapter shows typed args.
-    """
-
-    def _unstr(s):
-        if s is None:
-            return None
-        if isinstance(s, str):
-            try:
-                i = int(s)
-                return i
-            except ValueError:
-                pass
-            try:
-                return float(s)
-            except ValueError:
-                return s
-        return s
-
-    kind = row.kind
-    if kind == "missing":
-        return Missing(_unstr(row.value))
-    if kind == "extra":
-        return Extra(_unstr(row.value))
-    if kind == "invalid":
-        exp = _unstr(row.expected)
-        if row.expected is None:
-            return Invalid(_unstr(row.value))
-        return Invalid(_unstr(row.value), exp)
-    if kind == "deviation":
-        return Deviation(row.deviation, _unstr(row.expected))
-    raise ValueError("unknown violation kind: {0!r}".format(kind))
-
-
 class ValidationError(AssertionError):
     """Raised when validation finds differences.
 

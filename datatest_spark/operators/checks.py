@@ -282,9 +282,7 @@ class UniquenessCheck(BaseCheck):
             approx = row.get(self.column + "__approx_distinct")
             if approx is None or n == 0:
                 continue
-            if n - approx > self.margin * n or n - approx > 0 and n < 10_000:
-                suspects.append(row["partition_key"])
-            elif approx < n * (1 - self.margin):
+            if n - approx > self.margin * n or (n - approx > 0 and n < 10_000):
                 suspects.append(row["partition_key"])
         return suspects
 

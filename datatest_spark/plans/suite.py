@@ -265,13 +265,17 @@ class ValidationSuite(object):
         wall_ms = int((time.time() - t0) * 1000)
         n_rows_by_pk = {r["partition_key"]: r["n_rows"] for r in stats_rows}
         verdict_rows = []
+        # None partition_key = table-global violations (schema check,
+        # require_all missing rows): they must appear in the verdict
+        # domain or the suite reports a silent false pass.
         pk_domain = set(all_partitions) | {
-            pk for (pk, _c) in list(pre_counts) if pk is not None
+            pk if pk is not None else "__global__" for (pk, _c) in list(pre_counts)
         }
         for pk in sorted(pk_domain):
+            lookup_pk = None if pk == "__global__" else pk
             for check in self.checks:
-                pre = pre_counts.get((pk, check.check_id), 0)
-                post = post_counts.get((pk, check.check_id), 0)
+                pre = pre_counts.get((lookup_pk, check.check_id), 0)
+                post = post_counts.get((lookup_pk, check.check_id), 0)
                 status = "pass" if pre == 0 else ("accepted" if post == 0 else "fail")
                 verdict_rows.append(
                     (

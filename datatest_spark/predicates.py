@@ -141,12 +141,12 @@ def compile_predicate(obj, col):
     if isinstance(obj, type):
         if obj not in _SPARK_TYPE_FOR_PY:
             raise TypeError("unsupported type predicate: {0!r}".format(obj))
-        # Cast-check (P2): value is "of type T" if it casts cleanly. For
-        # strongly-typed DataFrames the schema check (operators/schema_check)
-        # is the real type gate; this covers string-typed columns.
+        # Cast-check (P2): value is "of type T" if it casts cleanly. NULL
+        # fails, matching the python oracle (isinstance(None, T) is False).
+        # For strongly-typed DataFrames the schema check is the real gate;
+        # this covers string-typed columns.
         target = _SPARK_TYPE_FOR_PY[obj]
-        casted = col.try_cast(target)
-        return col.isNull() | casted.isNotNull()
+        return col.try_cast(target).isNotNull()
     if isinstance(obj, _regex_type):
         return col.rlike(obj.pattern)
     if isinstance(obj, (set, frozenset)):

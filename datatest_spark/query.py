@@ -171,18 +171,48 @@ class Query(object):
         keys, vals, container, key_is_tuple = _normalize_selection(self._columns)
         df = _compile_where(self._df, self._where)
 
+        # Honor chain order: ops BEFORE an aggregation apply to the plan
+        # (filter/distinct compile to DataFrame ops); ops after apply to
+        # the fetched result. map/apply before an agg have no relational
+        # form — rejected with a clear error rather than silently
+        # reordered.
         agg = None
         post = []
         distinct = False
-        for op, arg in self._ops:
+        for i, (op, arg) in enumerate(self._ops):
+            later_agg = any(o == "agg" for o, _ in self._ops[i + 1:])
             if op == "agg":
                 agg = arg
             elif op == "distinct":
+                if any(o == "agg" for o, _ in self._ops[:i]) :
+                    raise NotImplementedError("distinct() after an aggregation")
                 distinct = True
+            elif later_agg:
+                if op == "filter":
+                    if len(vals) != 1:
+                        raise NotImplementedError(
+                            "pre-aggregation filter needs a single value column"
+                        )
+                    pred = arg
+                    inner = pred.obj if isinstance(pred, Predicate) else pred
+                    if callable(inner) and not isinstance(inner, type) and not hasattr(inner, "pattern"):
+                        from .predicates import compile_callable
+
+                        df = df.filter(compile_callable(pred, F.col(vals[0])))
+                    else:
+                        df = df.filter(compile_predicate(pred, F.col(vals[0])))
+                else:
+                    raise NotImplementedError(
+                        "{0}() before an aggregation has no relational form; "
+                        "chain it after the aggregate".format(op)
+                    )
             else:
                 post.append((op, arg))
 
         if agg is not None:
+            if distinct and agg != "count":
+                # distinct-then-aggregate: reduce to distinct rows first
+                df = df.select(*(keys or []), *vals).distinct()
             if agg == "count":
                 exprs = [F.count(F.col(v)).alias(v) for v in vals]
             else:

@@ -186,13 +186,17 @@ class RequiredPredicate(BaseRequirement):
                 group_key=gk,
                 doc_id=did,
             ).unionByName(
-                # null actual vs numeric expected -> Deviation(-expected, expected)
+                # null actual vs numeric expected -> Deviation(-expected,
+                # expected); a zero expected has no expressible non-zero
+                # deviation, so those nulls surface as Invalid instead
                 _core_select(
                     bad.filter(c.isNull()),
-                    "deviation",
+                    "deviation" if float(inner) != 0 else "invalid",
                     c,
                     expected=F.lit(inner),
-                    deviation=F.lit(-float(inner)),
+                    deviation=(
+                        F.lit(-float(inner)) if float(inner) != 0 else None
+                    ),
                     group_key=gk,
                     doc_id=did,
                 )
@@ -492,10 +496,17 @@ class RequiredInterval(BaseRequirement):
             else F.lit(lo if lo is not None else hi)
         )
         dev = c.cast("double") - nearest
-        return _core_select(
-            bad, "deviation", c, expected=nearest, deviation=dev,
+        # null values fail the interval but have no numeric deviation —
+        # they surface as Invalid rows (Deviation(None, e) is unbuildable)
+        dev_rows = _core_select(
+            bad.filter(c.isNotNull()), "deviation", c, expected=nearest,
+            deviation=dev, group_key=gk, doc_id=did,
+        )
+        null_rows = _core_select(
+            bad.filter(c.isNull()), "invalid", c, expected=nearest,
             group_key=gk, doc_id=did,
         )
+        return dev_rows.unionByName(null_rows)
 
 
 class RequiredFuzzy(BaseRequirement):

@@ -11,6 +11,7 @@ difference objects (list for element data, dict for grouped data).
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterable, Mapping
 
 from pyspark.sql import DataFrame, SparkSession
@@ -141,7 +142,12 @@ def _rows_to_differences(rows, stringy_value, key_map=None):
                 except (TypeError, ValueError):
                     exp_n = None
         dev = row["deviation"]
-        if dev is not None and dev == int(dev) and (exp_n is None or isinstance(exp_n, int)):
+        if (
+            dev is not None
+            and math.isfinite(dev)
+            and dev == int(dev)
+            and (exp_n is None or isinstance(exp_n, int))
+        ):
             dev = int(dev)
         return Deviation(dev, exp_n)
 

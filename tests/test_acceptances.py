@@ -270,3 +270,47 @@ class TestAcceptedArgsDistributed:
         remaining = accepted.args(lambda v: isinstance(v, int) and v < 5).filter_differences(diffs)
         kept_drv = sorted((r[2], r[6], r[8]) for r in _viol_rows(remaining))
         assert kept_dist == kept_drv
+
+
+class TestEngineDeviationRowParity:
+    """Engine-produced deviation rows carry the actual value in `value`
+    (unlike the reference's Deviation args) — counted and instance
+    acceptances must still absorb them (review finding)."""
+
+    def _engine_rows(self):
+        # mimic requirements._core_select: deviation rows have value set
+        return [
+            ("r", "c", "deviation", None, None, "0", "12", "10", 2.0, None),
+            ("r", "c", "deviation", None, None, "1", "12", "10", 2.0, None),
+            ("r", "c", "extra", None, None, "2", "z", None, None, None),
+        ]
+
+    def test_counted_list_absorbs_engine_deviations(self, spark):
+        vdf = spark.createDataFrame(self._engine_rows(), VIOLATION_SCHEMA)
+        acc = accepted([Deviation(2, 10)])
+        kept = acc.apply(vdf).collect()
+        kinds = sorted(r["kind"] for r in kept)
+        assert kinds == ["deviation", "extra"]  # one of two absorbed
+
+    def test_instance_absorbs_engine_deviations(self, spark):
+        vdf = spark.createDataFrame(self._engine_rows(), VIOLATION_SCHEMA)
+        kept = accepted(Deviation(2, 10)).apply(vdf).collect()
+        assert sorted(r["kind"] for r in kept) == ["extra"]
+
+    def test_mapping_budget_engine_deviations(self, spark):
+        rows = [
+            ("r", "c", "deviation", None, "g1", "0", "12", "10", 2.0, None),
+            ("r", "c", "deviation", None, "g1", "1", "12", "10", 2.0, None),
+        ]
+        vdf = spark.createDataFrame(rows, VIOLATION_SCHEMA)
+        kept = accepted({"g1": [Deviation(2, 10)]}).apply(vdf).collect()
+        assert len(kept) == 1
+
+    def test_keys_callable_distributed(self, spark):
+        rows = [
+            ("r", "c", "missing", None, "source=web", "0", "a", None, None, None),
+            ("r", "c", "missing", None, "source=code", "1", "b", None, None, None),
+        ]
+        vdf = spark.createDataFrame(rows, VIOLATION_SCHEMA)
+        kept = accepted.keys(lambda k: k.endswith("web")).apply(vdf).collect()
+        assert len(kept) == 1 and kept[0]["group_key"] == "source=code"

@@ -142,3 +142,28 @@ class TestCompat:
         r = unittest.TestResult()
         T().run(r)
         assert r.wasSuccessful(), r.errors or r.failures
+
+
+class TestQueryOpOrdering:
+    """Chain order is honored: pre-agg filters apply to the plan."""
+
+    def test_filter_before_sum(self, sel):
+        assert sel("val").filter(lambda v: v > 15).sum().fetch() == 50
+
+    def test_filter_before_grouped_sum(self, sel):
+        out = sel({"grp": "val"}).filter(lambda v: v >= 10).sum().fetch()
+        assert out == {"x": 30, "y": 30}
+
+    def test_distinct_before_sum(self, spark):
+        from datatest_spark.query import Select
+
+        s = Select(spark.createDataFrame([("a", 5), ("a", 5), ("a", 7)], ["g", "v"]))
+        assert s("v").distinct().sum().fetch() == 12
+
+    def test_map_before_agg_rejected(self, sel):
+        with pytest.raises(NotImplementedError):
+            sel("val").map(lambda v: v * 2).sum().fetch()
+
+    def test_filter_after_agg_applies_to_result(self, sel):
+        out = sel({"grp": "val"}).sum().flatten().filter(lambda kv: kv[1] > 30).fetch()
+        assert out == [("y", 35)]

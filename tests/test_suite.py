@@ -320,3 +320,26 @@ class TestFreshness:
         assert len(rows) == 1
         assert rows[0]["partition_key"] == "source=web"
         assert rows[0]["kind"] == "deviation" and rows[0]["deviation"] < 0
+
+
+class TestGlobalViolationVerdicts:
+    """Partition-less violations (schema check) must fail the verdicts
+    (review finding: silent false pass)."""
+
+    def test_schema_mismatch_fails_suite(self, spark):
+        from datatest_spark.operators.checks import SchemaConformanceCheck
+        from datatest_spark.schema import INPUT_SCHEMA
+
+        bad = spark.createDataFrame(
+            [("a", "web")], "doc_id string, source string"  # missing columns
+        )
+        suite = ValidationSuite(
+            [SchemaConformanceCheck(INPUT_SCHEMA)],
+            partition_cols=("source",),
+            stats_columns=["doc_id"],
+        )
+        res = suite.run(bad, run_id="schema-fail")
+        assert res.failed
+        statuses = {r["partition_key"]: r["status"] for r in res.verdicts.collect()
+                    if r["check_id"] == "schema_conformance"}
+        assert statuses.get("__global__") == "fail"

@@ -246,3 +246,33 @@ class TestOrderDifflibParity:
 
     def test_equal_sequences_pass(self):
         validate.order(["a", "b"], ["a", "b"])
+
+
+class TestReviewRegressions:
+    """Regressions from the round-1 code review (adapter crashes and
+    silent-pass paths)."""
+
+    def test_nan_deviation_raises_validation_error(self):
+        with pytest.raises(ValidationError) as exc:
+            validate([float("nan")], 5.0)
+        [d] = exc.value.differences
+        assert isinstance(d, Deviation)
+
+    def test_interval_with_null_value(self, spark):
+        df = spark.createDataFrame([(5,), (None,)], "v int")
+        with pytest.raises(ValidationError) as exc:
+            validate.interval(df, min=1, max=3)
+        kinds = {type(d).__name__ for d in exc.value.differences}
+        assert kinds == {"Deviation", "Invalid"}
+
+    def test_null_vs_zero_expected(self, spark):
+        df = spark.createDataFrame([(None,), (0,)], "v int")
+        with pytest.raises(ValidationError) as exc:
+            validate(df, 0)
+        assert exc.value.differences == [Invalid(None, 0)]
+
+    def test_type_requirement_rejects_null(self, spark):
+        df = spark.createDataFrame([(None,), ("5",)], "v string")
+        with pytest.raises(ValidationError) as exc:
+            validate(df, int)
+        assert exc.value.differences == [Invalid(None)]
