@@ -206,6 +206,24 @@ def q_freshness_events(spark, sf_dir):
     )
 
 
+def q_freshness_gate(spark, sf_dir):
+    """FreshnessCheck end-to-end (TZ-free epoch math): per-event_type
+    partitions whose max(ts) is older than max_age relative to as_of."""
+    from datatest_spark.operators.checks import FreshnessCheck
+    from datatest_spark.operators.stats import partition_key_col
+
+    e = _t(spark, sf_dir, "events")
+    keyed = e.withColumn("partition_key", partition_key_col(["event_type"]))
+    chk = FreshnessCheck("ts", as_of_ms=1706659200000, max_age_ms=1_200_000)
+    v = chk.violations(keyed)
+    return v.select(
+        "partition_key",
+        "kind",
+        F.col("value").cast("long").alias("max_ts_ms"),
+        F.col("deviation").cast("long").alias("lag_ms"),
+    )
+
+
 def q_join_revenue(spark, sf_dir):
     """J-family: broadcast/SMJ equi-join + grouped aggregation."""
     o = _t(spark, sf_dir, "orders")
@@ -417,10 +435,20 @@ def q_ivf_ann_topk(spark, sf_dir):
 
 
 def q_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing end-to-end. The driver's rows-only check sorts
+    a pandas frame, so the output must be scalar columns only — the
+    feature array is exploded to (media_id, dim, feature)."""
     from datatest_spark.operators import multimodal
 
     media = multimodal.synth_media(spark, 200)
-    return multimodal.extract_features(media, out_dim=8)
+    feats = multimodal.extract_features(media, out_dim=8)
+    return feats.select(
+        "media_id",
+        "modality",
+        "n_bytes",
+        "payload_hash",
+        F.posexplode("features").alias("dim", "feature"),
+    ).withColumn("feature", F.round(F.col("feature").cast("double"), 4))
 
 
 # ---------------------------------------------------------------------------
@@ -446,6 +474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_n_chars": q_histogram_n_chars,
         "consistency_verdicts": q_consistency_verdicts,
         "freshness_events": q_freshness_events,
+        "freshness_gate": q_freshness_gate,
         "join_revenue": q_join_revenue,
         "suite_verdicts": q_suite_verdicts,
         "token_counts": q_token_counts,
@@ -568,8 +597,11 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem GROUP BY l_orderkey HAVING COUNT(*) > 1
         """,
         "referential_orphans": """
+            -- engine uses left_anti, which keeps NULL-FK rows as orphans;
+            -- SQL NOT IN would silently drop them if NULLs ever appear
             SELECT o_orderkey FROM orders
-            WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+            WHERE o_custkey IS NULL
+               OR o_custkey NOT IN (SELECT c_custkey FROM customer)
         """,
         "set_extra_values": """
             SELECT DISTINCT c_mktsegment AS value FROM customer
@@ -634,6 +666,14 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n
             FROM events GROUP BY event_type
         """,
+        "freshness_gate": """
+            SELECT 'event_type=' || event_type AS partition_key,
+                   'deviation' AS kind,
+                   MAX(epoch_ms(ts)) AS max_ts_ms,
+                   MAX(epoch_ms(ts)) - 1706658000000 AS lag_ms
+            FROM events GROUP BY event_type
+            HAVING MAX(epoch_ms(ts)) < 1706658000000
+        """,
         "join_revenue": """
             SELECT o_orderpriority,
                    ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
@@ -656,7 +696,9 @@ def oracle_sql() -> dict[str, str]:
                 SELECT 'source=' || source AS partition_key,
                        CAST(COUNT(*) AS BIGINT) AS n_violations
                 FROM documents
-                WHERE lang NOT IN ('en', 'es', 'de', 'fr', 'zh')
+                -- ReferentialCheck's fused condition is ~isin | isNull:
+                -- NULL membership values count as violations
+                WHERE lang IS NULL OR lang NOT IN ('en', 'es', 'de', 'fr', 'zh')
                 GROUP BY source
             )
             SELECT p.partition_key, 'uniqueness' AS check_id,
@@ -709,10 +751,17 @@ def oracle_sql() -> dict[str, str]:
         """.format(cte=_SHINGLE_CTE),
         "jaccard_pairs": """
             WITH {cte},
-            SZ AS (SELECT doc_id, COUNT(*) AS n_sh FROM S GROUP BY doc_id),
+            -- mirrors the engine's df_cap=1000 hot-shingle guard: shingles
+            -- shared by >cap docs are dropped from sizes AND intersections
+            SC AS (
+                SELECT doc_id, shingle FROM S
+                WHERE shingle IN (SELECT shingle FROM S
+                                  GROUP BY shingle HAVING COUNT(*) <= 1000)
+            ),
+            SZ AS (SELECT doc_id, COUNT(*) AS n_sh FROM SC GROUP BY doc_id),
             INTER AS (
                 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
-                FROM S a JOIN S b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                FROM SC a JOIN SC b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
                 GROUP BY 1, 2
             )
             SELECT doc_a, doc_b,
@@ -721,6 +770,54 @@ def oracle_sql() -> dict[str, str]:
             JOIN SZ sa ON sa.doc_id = doc_a
             JOIN SZ sb ON sb.doc_id = doc_b
             WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+        """.format(cte=_SHINGLE_CTE),
+        "lsh_candidate_pairs": """
+            WITH {cte},
+            SIG AS (
+                SELECT doc_id,
+                       MIN(md5(shingle || '#0')) AS mh0,
+                       MIN(md5(shingle || '#1')) AS mh1,
+                       MIN(md5(shingle || '#2')) AS mh2,
+                       MIN(md5(shingle || '#3')) AS mh3,
+                       MIN(md5(shingle || '#4')) AS mh4,
+                       MIN(md5(shingle || '#5')) AS mh5,
+                       MIN(md5(shingle || '#6')) AS mh6,
+                       MIN(md5(shingle || '#7')) AS mh7
+                FROM S GROUP BY doc_id
+            ),
+            BK AS (
+                SELECT doc_id, 0 AS band, mh0 || '|' || mh1 AS key FROM SIG
+                UNION ALL SELECT doc_id, 1, mh2 || '|' || mh3 FROM SIG
+                UNION ALL SELECT doc_id, 2, mh4 || '|' || mh5 FROM SIG
+                UNION ALL SELECT doc_id, 3, mh6 || '|' || mh7 FROM SIG
+            ),
+            CAND AS (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM BK a
+                JOIN BK b ON a.band = b.band AND a.key = b.key
+                         AND a.doc_id < b.doc_id
+            ),
+            SC AS (
+                SELECT doc_id, shingle FROM S
+                WHERE shingle IN (SELECT shingle FROM S
+                                  GROUP BY shingle HAVING COUNT(*) <= 1000)
+            ),
+            SZ AS (SELECT doc_id, COUNT(*) AS n_sh FROM SC GROUP BY doc_id),
+            INTER AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+                FROM SC a JOIN SC b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ),
+            J AS (
+                SELECT doc_a, doc_b,
+                       ROUND(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+                FROM INTER
+                JOIN SZ sa ON sa.doc_id = doc_a
+                JOIN SZ sb ON sb.doc_id = doc_b
+                WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+            )
+            SELECT c.doc_a, c.doc_b, j.jaccard
+            FROM CAND c JOIN J j USING (doc_a, doc_b)
         """.format(cte=_SHINGLE_CTE),
         "embedding_norms": """
             SELECT label, COUNT(*) AS n,
@@ -821,6 +918,6 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             GROUP BY ROLLUP (l_returnflag, l_linestatus)
         """,
-        # lsh_candidate_pairs / simhash_pairs / ivf_ann_topk /
-        # multimodal_features: approximate or non-SQL operators — rows-only.
+        # simhash_pairs / ivf_ann_topk / multimodal_features: xxhash64- or
+        # numpy-derived (not expressible in DuckDB) — rows-only checks.
     }

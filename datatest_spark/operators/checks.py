@@ -509,8 +509,31 @@ class FreshnessCheck(BaseCheck):
         self.max_age_ms = int(max_age_ms)
         self.min_ts_ms = min_ts_ms
 
+    @staticmethod
+    def _epoch_ms(df, ts_col):
+        """Session-timezone-free epoch millis.
+
+        TIMESTAMP_NTZ columns must NOT round-trip through LTZ (the cast
+        applies the session timezone, so the same data yields different
+        staleness verdicts under different sessions); the NTZ→NTZ
+        ``timestamp_diff`` from the epoch literal is TZ-free. LTZ columns
+        are instants, so ``unix_millis`` is already TZ-free for them.
+        Numeric columns are taken as epoch millis directly.
+        """
+        dt = dict(df.dtypes).get(ts_col, "")
+        c = F.col(ts_col)
+        if dt == "timestamp_ntz":
+            return F.timestamp_diff(
+                "MILLISECOND",
+                F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+                c,
+            )
+        if dt.startswith("timestamp") or dt == "date":
+            return F.unix_millis(c.cast("timestamp"))
+        return c.cast("long")
+
     def violations(self, df):
-        ms = F.unix_millis(F.col(self.ts_col).cast("timestamp_ltz"))
+        ms = self._epoch_ms(df, self.ts_col)
         agg = df.groupBy("partition_key").agg(
             F.max(ms).alias("_max_ms"), F.min(ms).alias("_min_ms")
         )

@@ -64,14 +64,30 @@ def ngram_jaccard_pairs(
     id_col="doc_id",
     k: int = 5,
     threshold: float = 0.5,
+    df_cap: int | None = 1000,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs: (doc_a, doc_b, jaccard).
 
     Cost model: the self-join fans out only on *shared* shingles, so for
     corpora where near-dups are rare the intermediate is ~linear. For
     100 TB use minhash_lsh_pairs to pre-filter candidates.
+
+    ``df_cap`` drops shingles whose document frequency exceeds the cap
+    BEFORE the self-join (both from the intersection and from the per-doc
+    sizes, so jaccard stays a true set similarity over the capped shingle
+    space). One boilerplate shingle shared by 10^5 docs would otherwise
+    fan the join out to 10^10 rows while carrying zero near-dup signal —
+    the standard guard in large-corpus dedup. ``df_cap=None`` disables.
     """
     sh = doc_shingles(df, text_col, id_col, k)
+    if df_cap is not None:
+        freq = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > df_cap)
+            .select("shingle")
+        )
+        sh = sh.join(freq, "shingle", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -127,6 +143,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 8,
     bands: int = 4,
     verify_threshold: float | None = 0.5,
+    df_cap: int | None = 1000,
 ) -> DataFrame:
     """MinHash + LSH banding near-dup candidates, optionally verified.
 
@@ -164,7 +181,9 @@ def minhash_lsh_pairs(
     )
     if verify_threshold is None:
         return cand
-    exact = ngram_jaccard_pairs(df, text_col, id_col, k_shingle, verify_threshold)
+    exact = ngram_jaccard_pairs(
+        df, text_col, id_col, k_shingle, verify_threshold, df_cap=df_cap
+    )
     return cand.join(exact, ["doc_a", "doc_b"], "inner")
 
 
