@@ -322,8 +322,11 @@ def q_embedding_norms(spark, sf_dir):
 
 
 def q_cosine_threshold_pairs(spark, sf_dir):
+    # exact=True: this entry is the oracle-checked exactness baseline; the
+    # library default is the LSH-prefiltered scale path (parity-tested in
+    # tests/test_pipeline.py at near-dup thresholds).
     e = _t(spark, sf_dir, "embeddings")
-    return similarity.threshold_pairs(e, threshold=0.35, max_ids=200)
+    return similarity.threshold_pairs(e, threshold=0.35, max_ids=200, exact=True)
 
 
 def q_cosine_topk(spark, sf_dir):

@@ -260,15 +260,25 @@ def simhash_pairs(
     )
 
 
-def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+def dedup_clusters(pairs: DataFrame, max_iters: int = 20,
+                   checkpoint_every: int = 5) -> DataFrame:
     """Connected components over near-dup pairs -> (doc_id, cluster_id).
 
     Iterative min-label propagation on the undirected pair graph (the
     standard large-scale approach when true graph libraries aren't on the
     classpath): each node adopts the smallest id reachable in one hop;
     iterate to fixpoint. Near-dup clusters are tiny and shallow in
-    practice, so convergence is a handful of joins; every iteration is a
-    self-contained shuffle-join Catalyst can plan (AQE coalesces).
+    practice, so convergence is a handful of joins.
+
+    Iteration hygiene for scale:
+      * exactly ONE action per iteration — the convergence test is folded
+        into the label update (a ``_changed`` flag summed over the newly
+        persisted frame), not a second join+count job;
+      * the superseded persisted labels are unpersisted as soon as the new
+        generation is materialized, so storage stays one generation deep;
+      * every ``checkpoint_every`` iterations the labels are
+      ``localCheckpoint``-ed to truncate the otherwise unbounded join
+      lineage (20 stacked self-joins would blow planning time and stack).
     """
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
@@ -276,38 +286,53 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
             pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
         )
         .distinct()
+        .persist()
     )
-    labels = (
+    persisted = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("cluster_id", F.col("doc_id"))
+        .persist()
     )
-    for _ in range(max_iters):
-        neighbor_min = (
-            edges.join(labels, edges["dst"] == labels["doc_id"])
-            .groupBy(F.col("src").alias("doc_id"))
-            .agg(F.min("cluster_id").alias("_nbr_min"))
-        )
-        updated = (
-            labels.join(neighbor_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("cluster_id"), F.coalesce(F.col("_nbr_min"), F.col("cluster_id"))
-                ).alias("cluster_id"),
+    labels = persisted
+    try:
+        for it in range(max_iters):
+            neighbor_min = (
+                edges.join(labels, edges["dst"] == labels["doc_id"])
+                .groupBy(F.col("src").alias("doc_id"))
+                .agg(F.min("cluster_id").alias("_nbr_min"))
             )
-        )
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "doc_id")
-            .filter(F.col("u.cluster_id") != F.col("l.cluster_id"))
-            .limit(1)
-            .count()
-        )
-        labels = updated.persist()
-        if changed == 0:
-            break
-    return labels
+            updated = (
+                labels.join(neighbor_min, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    F.least(
+                        F.col("cluster_id"),
+                        F.coalesce(F.col("_nbr_min"), F.col("cluster_id")),
+                    ).alias("cluster_id"),
+                    (
+                        F.col("_nbr_min").isNotNull()
+                        & (F.col("_nbr_min") < F.col("cluster_id"))
+                    ).cast("long").alias("_changed"),
+                )
+            )
+            if (it + 1) % checkpoint_every == 0:
+                updated = updated.localCheckpoint(eager=False)
+            updated = updated.persist()
+            # the single action of the iteration: materializes the new
+            # generation AND evaluates convergence in one job
+            changed = updated.agg(F.sum("_changed")).first()[0] or 0
+            persisted.unpersist()
+            persisted = updated
+            labels = updated.drop("_changed")
+            if changed == 0:
+                break
+        # hand the caller a frame that stays valid after we unpersist: the
+        # final generation is lineage-truncated and re-cached once.
+        return labels.localCheckpoint(eager=True)
+    finally:
+        persisted.unpersist()
+        edges.unpersist()
 
 
 def drop_near_duplicates(

@@ -79,13 +79,48 @@ def threshold_pairs(
     vec_col="embedding",
     threshold: float = 0.8,
     max_ids: int | None = None,
+    exact: bool = False,
+    bands: int = 8,
+    rows_per_band: int = 2,
+    seed: int = 42,
 ) -> DataFrame:
-    """All pairs with cosine >= threshold (embedding-cosine near-dup)."""
+    """Pairs with cosine >= threshold (embedding-cosine near-dup).
+
+    Default path (the 100-TB shape): banded random-hyperplane LSH
+    generates candidate pairs via an equi-join on (band, key) — an
+    OR-of-ANDs construction whose recall at near-dup thresholds
+    (cos >= ~0.9, collision prob p ≈ 1 - θ/π per plane) is
+    1 - (1 - p^rows_per_band)^bands ≈ 0.9999 — then the exact cosine
+    verifies candidates only. No cross join appears in the plan.
+
+    ``exact=True`` is the all-pairs O(N²) escape hatch: the exactness
+    baseline for oracle comparison and small batches only.
+    """
     v = vectors.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
     if max_ids is not None:
         v = v.filter(F.col("id") < max_ids)
-    a, b = v.alias("a"), v.alias("b")
-    pairs = a.crossJoin(b).filter(F.col("a.id") < F.col("b.id"))
+    if exact:
+        a, b = v.alias("a"), v.alias("b")
+        pairs = a.crossJoin(b).filter(F.col("a.id") < F.col("b.id"))
+    else:
+        bk = _band_buckets(v, "id", "v", bands, rows_per_band, seed)
+        a_k, b_k = bk.alias("ak"), bk.alias("bk")
+        cand = (
+            a_k.join(b_k, on=["band", "key"])
+            .filter(F.col("ak.id") < F.col("bk.id"))
+            .select(F.col("ak.id").alias("_ia"), F.col("bk.id").alias("_ib"))
+            .distinct()
+        )
+        va = v.select(F.col("id").alias("_ia"), F.col("v").alias("_va"))
+        vb = v.select(F.col("id").alias("_ib"), F.col("v").alias("_vb"))
+        pairs = (
+            cand.join(va, "_ia")
+            .join(vb, "_ib")
+            .select(
+                F.struct(F.col("_ia").alias("id"), F.col("_va").alias("v")).alias("a"),
+                F.struct(F.col("_ib").alias("id"), F.col("_vb").alias("v")).alias("b"),
+            )
+        )
     return (
         pairs.select(
             F.col("a.id").alias("id_a"),
@@ -98,15 +133,27 @@ def threshold_pairs(
 
 
 def _centroids_from_sample(vectors, vec_col, n_centroids, id_col):
-    """Deterministic centroid pick: the first C vectors by id (a seeded
-    k-means init would add quality; determinism matters more here)."""
+    """Deterministic hash-stratified centroid pick: stratum =
+    pmod(xxhash64(id), C); within each stratum keep the row minimizing a
+    salted xxhash64 of the id. Seed-stable at any parallelism (unlike
+    monotonically_increasing_id) and spread across the id space (unlike
+    first-C-by-id, which collapses all centroids into one region when ids
+    are insertion-ordered and the data is clustered)."""
+    from pyspark.sql.window import Window
+
+    v = vectors.select(
+        F.col(id_col).alias("_src_id"), as_double(F.col(vec_col)).alias("cv")
+    )
+    v = v.withColumn(
+        "centroid_id", F.pmod(F.xxhash64(F.col("_src_id")), F.lit(n_centroids))
+    )
+    w = Window.partitionBy("centroid_id").orderBy(
+        F.xxhash64(F.col("_src_id"), F.lit(7)), F.col("_src_id")
+    )
     return (
-        vectors.orderBy(F.col(id_col))
-        .limit(n_centroids)
-        .select(
-            F.monotonically_increasing_id().alias("centroid_id"),
-            as_double(F.col(vec_col)).alias("cv"),
-        )
+        v.withColumn("_r", F.row_number().over(w))
+        .filter("_r = 1")
+        .select("centroid_id", "cv")
     )
 
 
@@ -183,45 +230,58 @@ def ivf_topk(
     )
 
 
+def _sign_bits(v, n_planes: int, seed: int):
+    """Sign of <v, plane_p> for p in [0, n_planes) as '0'/'1' Columns.
+
+    Plane components are generated JVM-side from xxhash64(seed, p, dim
+    index) — dimension-agnostic (adapts to each row's vector length),
+    no RNG state, reproducible at any parallelism, and the whole dot
+    product stays in codegen (zip_with + aggregate)."""
+    idx = F.sequence(F.lit(0), F.size(v) - 1)
+
+    def _component(p):
+        # two-arg lambda required: PySpark binds Columns by arity
+        def comp(x, d):
+            h = F.pmod(F.xxhash64(F.lit(int(seed)), F.lit(int(p)), d), F.lit(10000))
+            return x * (h / F.lit(5000.0) - F.lit(1.0))
+
+        return comp
+
+    bits = []
+    for p in range(n_planes):
+        proj = F.aggregate(
+            F.zip_with(v, idx, _component(p)), F.lit(0.0), lambda acc, x: acc + x
+        )
+        bits.append(F.when(proj > 0, F.lit("1")).otherwise(F.lit("0")))
+    return bits
+
+
 def lsh_buckets(
     vectors: DataFrame,
     id_col="vec_id",
     vec_col="embedding",
     n_planes: int = 8,
     seed: int = 42,
-    dim: int = 64,
 ) -> DataFrame:
     """Random-hyperplane LSH signature: sign pattern against n_planes
-    deterministic pseudo-random hyperplanes (seeded hash arithmetic —
-    no RNG state, reproducible at any parallelism)."""
-    import math
-
-    # deterministic "random" planes from the seed via integer hashing
-    def plane(p):
-        vals = []
-        for d in range(dim):
-            h = hash((seed, p, d)) % 10_000
-            vals.append((h / 5000.0) - 1.0)
-        return vals
-
-    planes = [plane(p) for p in range(n_planes)]
+    deterministic pseudo-random hyperplanes — (id, bucket)."""
     v = vectors.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
-    sig = F.concat(
-        *[
-            F.when(
-                F.aggregate(
-                    F.zip_with(
-                        F.col("v"),
-                        F.array(*[F.lit(x) for x in pl]),
-                        lambda a, b: a * b,
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                > 0,
-                F.lit("1"),
-            ).otherwise(F.lit("0"))
-            for pl in planes
-        ]
-    )
+    sig = F.concat(*_sign_bits(F.col("v"), n_planes, seed))
     return v.select("id", sig.alias("bucket"))
+
+
+def _band_buckets(v: DataFrame, id_name: str, vec_name: str, bands: int,
+                  rows_per_band: int, seed: int) -> DataFrame:
+    """Banded LSH buckets (id, band, key): OR-construction over ``bands``
+    bands, each band an AND of ``rows_per_band`` plane signs."""
+    bits = _sign_bits(F.col(vec_name), bands * rows_per_band, seed)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat(*bits[b * rows_per_band : (b + 1) * rows_per_band]).alias("key"),
+        )
+        for b in range(bands)
+    ]
+    return v.select(
+        F.col(id_name).alias("id"), F.explode(F.array(*band_structs)).alias("bk")
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))

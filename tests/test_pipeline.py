@@ -160,6 +160,69 @@ class TestSimilarity:
         assert sorted(map(tuple, a)) == sorted(map(tuple, b))
         assert all(len(r["bucket"]) == 8 for r in a)
 
+    def test_threshold_pairs_lsh_matches_exact_on_near_dups(self, embs):
+        # clones under new ids (same direction => same LSH bands, cosine 1)
+        clones = embs.filter("vec_id < 20").select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            F.transform("embedding", lambda x: x * 2).alias("embedding"),
+        )
+        corpus = embs.select("vec_id", "embedding").unionByName(clones)
+        exact = {
+            (r["id_a"], r["id_b"])
+            for r in similarity.threshold_pairs(
+                corpus, threshold=0.95, exact=True
+            ).collect()
+        }
+        lsh = {
+            (r["id_a"], r["id_b"])
+            for r in similarity.threshold_pairs(corpus, threshold=0.95).collect()
+        }
+        assert len(exact) >= 20
+        assert lsh == exact  # banded prefilter is recall-complete here
+
+    def test_threshold_pairs_default_plan_has_no_cross_join(self, embs):
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            similarity.threshold_pairs(embs, threshold=0.9).explain(mode="extended")
+        explained = buf.getvalue()
+        assert "CartesianProduct" not in explained
+        assert "BroadcastNestedLoopJoin" not in explained
+        assert "Join" in explained  # candidates come from a real equi-join
+
+    def test_ivf_stratified_centroids_cover_clusters(self, spark):
+        # adversarial fixture: ids are insertion-ordered, the first C ids
+        # all live in cluster A — first-C-by-id init would put every
+        # centroid in one region; the stratified pick must not.
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        rows = []
+        for i in range(100):
+            rows.append((i, (np.array([10.0] + [0.0] * 7) + rng.normal(0, 0.5, 8)).tolist()))
+        for i in range(100, 200):
+            rows.append((i, (np.array([0.0] * 7 + [10.0]) + rng.normal(0, 0.5, 8)).tolist()))
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        cents = similarity._centroids_from_sample(df, "embedding", 8, "vec_id")
+        assigned = similarity.ivf_assign(df, cents)
+        sizes = [r["n"] for r in assigned.groupBy("centroid_id")
+                 .agg(F.count(F.lit(1)).alias("n")).collect()]
+        assert max(sizes) < 0.8 * 200  # no single-region collapse
+        # recall on queries from the SECOND cluster (the one first-C-by-id
+        # init would have no centroid near)
+        q = df.filter("vec_id >= 190")
+        exact = similarity.brute_force_topk(df, q, k=5).collect()
+        approx = similarity.ivf_topk(df, q, k=5, n_centroids=8, nprobe=4).collect()
+        ex, ap = {}, {}
+        for r in exact:
+            ex.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        for r in approx:
+            ap.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        recalls = [len(ex[k] & ap.get(k, set())) / 5 for k in ex]
+        assert sum(recalls) / len(recalls) >= 0.8
+
 
 class TestMultimodal:
     def test_synth_media_deterministic(self, spark):
@@ -220,3 +283,19 @@ class TestDedupClusters:
         }
         assert labels[1] == labels[2] == labels[3] == 1
         assert labels[10] == labels[11] == 10
+
+    def test_cluster_iteration_cache_is_bounded(self, spark):
+        """Regression (round-1 verdict): each label-propagation iteration
+        must unpersist the superseded generation — a long chain (many
+        iterations, exercising the checkpoint path too) must not grow the
+        persisted-RDD table by more than the single returned frame."""
+        chain = spark.createDataFrame(
+            [(i, i + 1) for i in range(1, 14)], "doc_a long, doc_b long"
+        )
+        before = spark.sparkContext._jsc.getPersistentRDDs().size()
+        labels = dedup.dedup_clusters(chain)
+        rows = {r["doc_id"]: r["cluster_id"] for r in labels.collect()}
+        after = spark.sparkContext._jsc.getPersistentRDDs().size()
+        assert all(v == 1 for v in rows.values())  # one chain, min label 1
+        assert after <= before + 1  # only the returned checkpointed frame
+        labels.unpersist()

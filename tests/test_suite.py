@@ -321,6 +321,36 @@ class TestFreshness:
         assert rows[0]["partition_key"] == "source=web"
         assert rows[0]["kind"] == "deviation" and rows[0]["deviation"] < 0
 
+    def test_ntz_verdict_session_timezone_free(self, spark):
+        """Regression (round-1 verdict): NTZ timestamps must yield the
+        same staleness verdict under any session timezone — the old
+        NTZ→LTZ cast applied the session TZ to the epoch math."""
+        from datatest_spark.operators.checks import FreshnessCheck
+
+        df = spark.createDataFrame(
+            [("a", "2024-01-01 00:00:00", "web"),
+             ("b", "2024-01-10 00:00:00", "books")],
+            "doc_id string, ts string, source string",
+        ).withColumn("ts", F.col("ts").cast("timestamp_ntz")).withColumn(
+            "partition_key", F.concat(F.lit("source="), "source")
+        )
+        as_of = 1704931200000  # 2024-01-11 00:00:00
+        chk = FreshnessCheck("ts", as_of_ms=as_of, max_age_ms=2 * 86400_000)
+        old_tz = spark.conf.get("spark.sql.session.timeZone")
+        results = {}
+        try:
+            for tz in ("UTC", "Asia/Kolkata", "America/Los_Angeles"):
+                spark.conf.set("spark.sql.session.timeZone", tz)
+                results[tz] = sorted(
+                    (r["partition_key"], r["kind"], r["value"], r["deviation"])
+                    for r in chk.violations(df).collect()
+                )
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", old_tz)
+        vals = list(results.values())
+        assert vals[0] == vals[1] == vals[2]
+        assert len(vals[0]) == 1 and vals[0][0][0] == "source=web"
+
 
 class TestGlobalViolationVerdicts:
     """Partition-less violations (schema check) must fail the verdicts
