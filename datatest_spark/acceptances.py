@@ -192,8 +192,14 @@ class AcceptedInstance(BaseAcceptance):
             )
         else:
             cond = cond & F.col("value").eqNullSafe(F.lit(str(d.args[0])))
-            if isinstance(d, Invalid) and len(d.args) > 1:
-                cond = cond & F.col("expected").eqNullSafe(F.lit(str(d.args[1])))
+            if isinstance(d, Invalid):
+                # arity-sensitive, matching driver __eq__: a one-arg
+                # Invalid must NOT absorb rows that carry an expected
+                # value (Invalid('a') != Invalid('a', 'exp'))
+                if len(d.args) > 1:
+                    cond = cond & F.col("expected").eqNullSafe(F.lit(str(d.args[1])))
+                else:
+                    cond = cond & F.col("expected").isNull()
         return cond
 
     def __repr__(self):

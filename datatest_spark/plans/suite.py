@@ -27,13 +27,23 @@ from ..operators.stats import _stat_exprs, partition_key_col, DEFAULT_QUANTILES
 
 class SuiteResult(object):
     def __init__(self, run_id, violations, verdicts, stats_rows, wall_ms,
-                 n_rows_total):
+                 n_rows_total, persisted=None):
         self.run_id = run_id
         self.violations = violations      # DataFrame (post-acceptance)
         self.verdicts = verdicts          # DataFrame
         self.stats_rows = stats_rows      # list[dict] collected wide-agg stats
         self.wall_ms = wall_ms
         self.n_rows_total = n_rows_total
+        self._persisted = list(persisted or [])
+
+    def unpersist(self):
+        """Release the cached violation frames. ``run()`` persists them so
+        verdict counts and the caller's reads of ``.violations`` share one
+        materialization; callers running many suites in one session should
+        call this when done (the frames recompute if read afterwards)."""
+        for df in self._persisted:
+            df.unpersist()
+        self._persisted = []
 
     @property
     def failed(self):
@@ -309,8 +319,12 @@ class ValidationSuite(object):
                 spark, manifest_dir, run_id, partition_rows, input_files_hash
             )
 
+        persisted = [violations]
+        if self.acceptances:
+            persisted.append(accepted_df)
         return SuiteResult(
-            run_id, accepted_df, verdicts, stats_rows, wall_ms, n_rows_total
+            run_id, accepted_df, verdicts, stats_rows, wall_ms, n_rows_total,
+            persisted=persisted,
         )
 
 

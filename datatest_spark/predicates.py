@@ -122,10 +122,17 @@ _SPARK_TYPE_FOR_PY = {
 }
 
 
-def compile_predicate(obj, col):
+_NUMERIC_DTYPES = ("tinyint", "smallint", "int", "bigint", "float", "double")
+
+
+def compile_predicate(obj, col, dtype=None):
     """Compile a predicate form to a boolean Column over ``col`` (P1–P9).
 
-    ``col`` may be a Column or a column name. Callables are NOT handled here
+    ``col`` may be a Column or a column name. ``dtype`` (the column's Spark
+    dtype string, when the caller knows it) disambiguates forms whose
+    semantics depend on the column type — True/False predicates on numeric
+    columns must match Python's ``v == True`` (only 1/1.0, not any truthy
+    numeric) and never match strings. Callables are NOT handled here
     (they need a pandas_udf and a declared dtype — see
     ``operators/rowpred.py``); passing one raises TypeError so callers fall
     back to the vectorized-UDF path explicitly.
@@ -134,7 +141,7 @@ def compile_predicate(obj, col):
         col = F.col(col)
 
     if isinstance(obj, Predicate):
-        inner = compile_predicate(obj.obj, col)
+        inner = compile_predicate(obj.obj, col, dtype)
         return ~inner if obj._negated else inner
     if obj is Ellipsis:
         return F.lit(True)
@@ -158,10 +165,20 @@ def compile_predicate(obj, col):
                 cond = cond | col.isin(non_nan)
             return cond
         return col.isin(vals)
-    if obj is True:
-        return col.try_cast("boolean").eqNullSafe(F.lit(True))
-    if obj is False:
-        return col.try_cast("boolean").eqNullSafe(F.lit(False))
+    if obj is True or obj is False:
+        # Python matcher parity: v == True holds only for True/1/1.0;
+        # strings never equal booleans. try_cast('boolean') would accept
+        # any string Spark parses as boolean ('t', 'yes') and map numeric
+        # 5 to true — divergent. Branch on the column dtype when known.
+        if dtype is not None and (
+            dtype in _NUMERIC_DTYPES or dtype.startswith("decimal")
+        ):
+            return col.eqNullSafe(F.lit(1 if obj else 0))
+        if dtype == "boolean":
+            return col.eqNullSafe(F.lit(obj))
+        if dtype is not None:
+            return F.lit(False)  # strings/dates/... never equal a boolean
+        return col.try_cast("boolean").eqNullSafe(F.lit(obj))
     if isinstance(obj, Column):
         return obj
     if isinstance(obj, tuple):

@@ -40,7 +40,7 @@ def _compile_where(df, kwargs):
 
             c = compile_callable(req, F.col(col))
         else:
-            c = compile_predicate(req, F.col(col))
+            c = compile_predicate(req, F.col(col), dtype=dict(df.dtypes).get(col))
         cond = c if cond is None else (cond & c)
     return df.filter(cond) if cond is not None else df
 
@@ -200,7 +200,10 @@ class Query(object):
 
                         df = df.filter(compile_callable(pred, F.col(vals[0])))
                     else:
-                        df = df.filter(compile_predicate(pred, F.col(vals[0])))
+                        df = df.filter(compile_predicate(
+                            pred, F.col(vals[0]),
+                            dtype=dict(df.dtypes).get(vals[0]),
+                        ))
                 else:
                     raise NotImplementedError(
                         "{0}() before an aggregation has no relational form; "

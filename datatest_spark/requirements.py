@@ -170,7 +170,7 @@ class RequiredPredicate(BaseRequirement):
                 df, cols[0], pred_obj, id_col=id_col, group_col=group_col
             )
 
-        ok = compile_predicate(pred_obj, c)
+        ok = compile_predicate(pred_obj, c, dtype=dict(df.dtypes).get(cols[0]))
         bad = df.filter(~F.coalesce(ok, F.lit(False)))
 
         negated = isinstance(pred_obj, Predicate) and pred_obj._negated

@@ -291,6 +291,9 @@ def valid(data, requirement, **kw):
     """True iff validation finds no differences (V12). Short-circuits with
     ``isEmpty()`` — no driver-side collection of violations."""
     df, cols, inferred_group = _normalize(data)
+    columns = kw.get("columns")
+    if columns is not None:
+        cols = [columns] if isinstance(columns, str) else list(columns)
     req = get_requirement(requirement)
     gcol = kw.get("group_col") or (
         inferred_group if isinstance(req, RequiredMapping) else None

@@ -19,6 +19,7 @@ def diff_strategy():
         st.sampled_from(VALUES).map(Missing),
         st.sampled_from(VALUES).map(Extra),
         st.sampled_from(VALUES).map(lambda v: Invalid(v, "exp")),
+        st.sampled_from(VALUES).map(Invalid),  # one-arg form (arity matters)
         st.sampled_from([1, -1, 2, 5, -3]).map(lambda d: Deviation(d, 10)),
     )
 
@@ -26,6 +27,8 @@ def diff_strategy():
 def acceptance_strategy():
     leaf = st.one_of(
         st.sampled_from(VALUES).map(lambda v: accepted(Missing(v))),
+        st.sampled_from(VALUES).map(lambda v: accepted(Invalid(v))),
+        st.sampled_from(VALUES).map(lambda v: accepted(Invalid(v, "exp"))),
         st.sampled_from([Missing, Extra, Invalid, Deviation]).map(accepted),
         st.lists(diff_strategy(), min_size=1, max_size=3).map(accepted),
         st.sampled_from([1, 2, 3]).map(lambda t: accepted.tolerance(t)),
@@ -72,11 +75,11 @@ def test_distributed_equals_driver_side(spark, diffs, acc):
     except NotImplementedError:
         return  # '&' of two budgeted acceptances: driver-side only (documented)
     kept_dist = sorted(
-        (r["kind"], r["value"], r["expected"], r["deviation"])
-        for r in remaining_dist
+        ((r["kind"], r["value"], r["expected"], r["deviation"])
+         for r in remaining_dist), key=repr,
     )
     kept_drv = sorted(
-        (r[2], r[6], r[7], r[8]) for r in _rows(remaining_drv)
+        ((r[2], r[6], r[7], r[8]) for r in _rows(remaining_drv)), key=repr,
     )
     assert kept_dist == kept_drv
 

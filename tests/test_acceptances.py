@@ -213,6 +213,10 @@ class TestDistributedParity:
          [Missing("a"), Missing("b"), Extra("c")]),
         ("fuzzy", lambda: accepted.fuzzy(0.6),
          [Invalid("kitten", "sitten"), Invalid("abc", "zzz")]),
+        # ADVICE regression: a one-arg Invalid must NOT absorb the two-arg
+        # row (arity-sensitive __eq__ parity with the driver filter)
+        ("invalid_arity", lambda: accepted(Invalid("a")),
+         [Invalid("a"), Invalid("a", "exp"), Invalid("b")]),
     ]
 
     @pytest.mark.parametrize("name,acc_fn,diffs", CASES, ids=[c[0] for c in CASES])

@@ -106,6 +106,40 @@ class TestColumnCompilerParity:
                 continue
             assert got[v] == expected, "mismatch for obj={0!r} v={1!r}".format(obj, v)
 
+    @pytest.mark.parametrize("obj", [True, False], ids=["True", "False"])
+    @pytest.mark.parametrize(
+        "ddl,values",
+        [
+            ("v int", [0, 1, 5, -1, None]),
+            ("v double", [0.0, 1.0, 5.0, None]),
+            ("v string", ["true", "1", "yes", "x", None]),
+            ("v boolean", [True, False, None]),
+        ],
+        ids=["int", "double", "string", "boolean"],
+    )
+    def test_true_false_dtype_parity(self, spark, obj, ddl, values):
+        """ADVICE regression: with the column dtype threaded through, the
+        Column form must match Python's v == True/False on non-0/1
+        numerics (5 is NOT True) and never match strings."""
+        py = Predicate(obj)
+        df = spark.createDataFrame([(v,) for v in values], ddl)
+        dtype = df.dtypes[0][1]
+        got = {
+            r["v"]: bool(r["ok"])
+            for r in df.select(
+                "v",
+                F.coalesce(
+                    compile_predicate(obj, F.col("v"), dtype=dtype), F.lit(False)
+                ).alias("ok"),
+            ).collect()
+        }
+        for v in values:
+            if v is None:
+                continue
+            assert got[v] == py(v), "obj={0!r} v={1!r} dtype={2}".format(
+                obj, v, dtype
+            )
+
     def test_null_never_matches_scalar(self, spark):
         df = spark.createDataFrame([(None,)], "v string")
         n = df.filter(F.coalesce(compile_predicate("a", F.col("v")), F.lit(False))).count()

@@ -199,6 +199,14 @@ class TestMethods:
         assert valid(["a"], {"a"}) is True
         assert valid(["a", "x"], {"a"}) is False
 
+    def test_valid_honors_columns_kwarg(self, spark):
+        """ADVICE regression: valid() must scope to columns= the same way
+        validate() does instead of silently validating all columns."""
+        df = spark.createDataFrame([("a", "zzz"), ("b", "zzz")], ["good", "bad"])
+        assert valid(df, {"a", "b"}, columns="good") is True
+        assert valid(df, {"a", "b"}, columns=["good"]) is True
+        assert valid(df, {"a", "b"}, columns="bad") is False
+
 
 class TestFuzzyNativeApproximation:
     """The documented native levenshtein approximation tracks difflib on
