@@ -8,6 +8,14 @@ DataFrame API so Catalyst/Tungsten own the physical plan.
 """
 
 from .acceptances import accepted
+from .compat import (
+    DataTestCase,
+    DataTestRunner,
+    RepeatingContainer,
+    main,
+    mandatory,
+    working_directory,
+)
 from .differences import (
     Deviation,
     Extra,
@@ -24,26 +32,55 @@ from .schema import (
     VIOLATION_SCHEMA,
     assert_schema,
 )
+from .query import Query, Select
 from .session import get_spark
 from .validation import valid, validate
+from .vintage import (
+    allowed_args,
+    allowed_deviation,
+    allowed_extra,
+    allowed_invalid,
+    allowed_key,
+    allowed_limit,
+    allowed_missing,
+    allowed_percent_deviation,
+    allowed_specific,
+)
 
 __all__ = [
     "accepted",
+    "allowed_args",
+    "allowed_deviation",
+    "allowed_extra",
+    "allowed_invalid",
+    "allowed_key",
+    "allowed_limit",
+    "allowed_missing",
+    "allowed_percent_deviation",
+    "allowed_specific",
     "assert_schema",
+    "DataTestCase",
+    "DataTestRunner",
     "Deviation",
     "Extra",
     "get_spark",
     "INPUT_SCHEMA",
     "Invalid",
+    "main",
+    "mandatory",
     "MANIFEST_SCHEMA",
     "Missing",
     "NOVALUE",
     "Predicate",
+    "Query",
+    "RepeatingContainer",
+    "Select",
     "valid",
     "validate",
     "ValidationError",
     "VERDICT_SCHEMA",
     "VIOLATION_SCHEMA",
+    "working_directory",
 ]
 
 __version__ = "0.1.0"

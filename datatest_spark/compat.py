@@ -104,3 +104,46 @@ class DataTestCase(unittest.TestCase):
 
     def acceptedFuzzy(self, cutoff=0.6):
         return accepted.fuzzy(cutoff)
+
+
+def mandatory(test_method):
+    """``@mandatory`` (ref:datatest/runner.py X3): a failing mandatory
+    test stops the whole run — later tests depend on its invariant
+    (e.g. schema conformance gates every value check).
+
+    Works with ``DataTestRunner`` below; under pytest the equivalent is
+    running with ``-x`` or ordering mandatory tests first in a session
+    fixture (documented in COVERAGE.md §2.11).
+    """
+    test_method.__datatest_mandatory__ = True
+    return test_method
+
+
+class _MandatoryStopResult(unittest.TextTestResult):
+    """TextTestResult that stops the run when a @mandatory test fails."""
+
+    def _is_mandatory(self, test):
+        method = getattr(test, getattr(test, "_testMethodName", ""), None)
+        return bool(getattr(method, "__datatest_mandatory__", False))
+
+    def addFailure(self, test, err):
+        super().addFailure(test, err)
+        if self._is_mandatory(test):
+            self.stop()
+
+    def addError(self, test, err):
+        super().addError(test, err)
+        if self._is_mandatory(test):
+            self.stop()
+
+
+class DataTestRunner(unittest.TextTestRunner):
+    """unittest runner honoring ``@mandatory`` (ref:datatest/runner.py)."""
+
+    resultclass = _MandatoryStopResult
+
+
+def main(module="__main__", **kwargs):
+    """``datatest.main()`` parity: unittest.main with DataTestRunner."""
+    kwargs.setdefault("testRunner", DataTestRunner)
+    return unittest.main(module=module, **kwargs)

@@ -46,20 +46,28 @@ def _compile_where(df, kwargs):
 
 
 class Select(object):
-    """A queryable source: DataFrame, parquet/CSV path, or table name.
+    """A queryable source: DataFrame, csv/json/parquet/Excel path, DBAPI2
+    cursor, or table name.
 
-    ``Select(path)`` mirrors the reference's CSV loading (``Select('f.csv')``)
-    with Spark readers; the in-memory-SQLite store is replaced by the
-    DataFrame itself (not ported by design — SURVEY S5).
+    ``Select(path)`` mirrors the reference's loader dispatch
+    (``Select('f.csv')``, ``Select('f.xlsx')``, ``Select(cursor)`` —
+    ref:datatest/_load/get_reader.py) with Spark readers; the
+    in-memory-SQLite store is replaced by the DataFrame itself (not
+    ported by design — SURVEY S5).
     """
 
     def __init__(self, source, spark: SparkSession | None = None, **reader_opts):
+        from .sources.external import is_dbapi_cursor, load_dbapi, load_excel
+
         if isinstance(source, DataFrame):
             self._df = source
         else:
             spark = spark or SparkSession.getActiveSession()
             if spark is None:
                 raise RuntimeError("no active SparkSession for Select()")
+            if is_dbapi_cursor(source):
+                self._df = load_dbapi(spark, source, **reader_opts)
+                return
             s = str(source)
             if s.endswith(".csv"):
                 self._df = spark.read.csv(
@@ -68,6 +76,8 @@ class Select(object):
                 )
             elif s.endswith(".json"):
                 self._df = spark.read.json(s, **reader_opts)
+            elif s.endswith((".xlsx", ".xls")):
+                self._df = load_excel(spark, s, **reader_opts)
             elif s.endswith(".parquet") or "/" in s:
                 self._df = spark.read.parquet(s)
             else:
