@@ -103,6 +103,8 @@ def main():
         res = suite.run(synth, run_id="bench-{0}".format(i))
         res.violations.count()
         dts.append(time.time() - t0)
+        if i == 0:
+            res.unpersist()  # repeat-suite hygiene: no cache accumulation
     dt = min(dts)
     timings["constraint_suite_{0}".format(SYNTH_ROWS)] = round(dt, 3)
     total += dt
@@ -123,7 +125,41 @@ def main():
         "synth_rows": SYNTH_ROWS,
         "cpus": CPUS,
     }
+
+    # round-over-round continuity: flag per-query regressions vs the most
+    # recent BENCH_r{N}.json (same workload + synth cache by design)
+    prev = _latest_round_bench()
+    if prev:
+        regressions = {}
+        for name, now in timings.items():
+            before = prev.get(name)
+            if before and now > before * 1.25 and now - before > 0.5:
+                regressions[name] = {"prev": before, "now": now,
+                                     "ratio": round(now / before, 2)}
+        out["regressions_vs_last_round"] = regressions
     print(json.dumps(out))
+
+
+def _latest_round_bench():
+    """Per-query timings parsed from the newest BENCH_r{N}.json, or None."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    paths = sorted(
+        glob.glob(os.path.join(here, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),
+    )
+    for p in reversed(paths):
+        try:
+            with open(p) as fh:
+                doc = json.load(fh)
+            q = (doc.get("parsed") or {}).get("queries") or doc.get("queries")
+            if q:
+                return q
+        except Exception:
+            continue
+    return None
 
 
 if __name__ == "__main__":
