@@ -345,8 +345,10 @@ def q_drift_psi(spark, sf_dir):
     bucketed = d.select("source", bucket.alias("bucket"))
     per_sb = bucketed.groupBy("source", "bucket").agg(F.count(F.lit(1)).alias("n_sb"))
     per_s = bucketed.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    # global denominator via a window-sum over the tiny (≤10-row) bucket
+    # aggregate — no second full-table scan for a scalar count
     per_b = bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_b"))
-    n_total = bucketed.count()
+    per_b = per_b.withColumn("n_total", F.sum("n_b").over(Window.partitionBy()))
     grid = (
         per_s.select("source")
         .crossJoin(spark.range(0, 10).select(F.col("id").cast("int").alias("bucket")))
@@ -360,7 +362,7 @@ def q_drift_psi(spark, sf_dir):
             "source",
             "bucket",
             (F.coalesce(F.col("n_sb"), F.lit(0)) / F.col("n_s")).alias("p"),
-            (F.coalesce(F.col("n_b"), F.lit(0)) / F.lit(float(n_total))).alias("q"),
+            F.coalesce(F.col("n_b") / F.col("n_total"), F.lit(0.0)).alias("q"),
         )
     )
     term = (F.greatest(F.col("p"), F.lit(eps)) - F.greatest(F.col("q"), F.lit(eps))) * (
