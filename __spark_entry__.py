@@ -421,6 +421,14 @@ def q_rollup_revenue(spark, sf_dir):
     )
 
 
+def q_dedup_cluster_labels(spark, sf_dir):
+    """Near-dup clustering end-to-end: connected components (min-label)
+    over the exact-jaccard pair graph at threshold 0.5."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, k=5, threshold=0.5)
+    return dedup.dedup_clusters(pairs).select("doc_id", "cluster_id")
+
+
 # -- approximate / non-SQL ops: rows-only driver check ----------------------
 
 def q_lsh_candidate_pairs(spark, sf_dir):
@@ -497,6 +505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionization": q_sessionization,
         "pivot_order_status": q_pivot_order_status,
         "rollup_revenue": q_rollup_revenue,
+        "dedup_cluster_labels": q_dedup_cluster_labels,
         "lsh_candidate_pairs": q_lsh_candidate_pairs,
         "simhash_pairs": q_simhash_pairs,
         "ivf_ann_topk": q_ivf_ann_topk,
@@ -672,12 +681,15 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY event_type
         """,
         "freshness_gate": """
+            -- the engine also flags all-NULL-timestamp partitions
+            -- (max IS NULL), with deviation from a 0 epoch
             SELECT 'event_type=' || event_type AS partition_key,
                    'deviation' AS kind,
                    MAX(epoch_ms(ts)) AS max_ts_ms,
-                   MAX(epoch_ms(ts)) - 1706658000000 AS lag_ms
+                   COALESCE(MAX(epoch_ms(ts)), 0) - 1706658000000 AS lag_ms
             FROM events GROUP BY event_type
             HAVING MAX(epoch_ms(ts)) < 1706658000000
+                OR MAX(epoch_ms(ts)) IS NULL
         """,
         "join_revenue": """
             SELECT o_orderpriority,
@@ -775,6 +787,36 @@ def oracle_sql() -> dict[str, str]:
             JOIN SZ sa ON sa.doc_id = doc_a
             JOIN SZ sb ON sb.doc_id = doc_b
             WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+        """.format(cte=_SHINGLE_CTE),
+        "dedup_cluster_labels": """
+            WITH RECURSIVE {cte},
+            SC AS (
+                SELECT doc_id, shingle FROM S
+                WHERE shingle IN (SELECT shingle FROM S
+                                  GROUP BY shingle HAVING COUNT(*) <= 1000)
+            ),
+            SZ AS (SELECT doc_id, COUNT(*) AS n_sh FROM SC GROUP BY doc_id),
+            INTER AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+                FROM SC a JOIN SC b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ),
+            P AS (
+                SELECT doc_a, doc_b FROM INTER
+                JOIN SZ sa ON sa.doc_id = doc_a
+                JOIN SZ sb ON sb.doc_id = doc_b
+                WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+            ),
+            E AS (
+                SELECT doc_a AS src, doc_b AS dst FROM P
+                UNION SELECT doc_b, doc_a FROM P
+            ),
+            REACH(id, r) AS (
+                SELECT src, src FROM E
+                UNION
+                SELECT e.src, REACH.r FROM E e JOIN REACH ON e.dst = REACH.id
+            )
+            SELECT id AS doc_id, MIN(r) AS cluster_id FROM REACH GROUP BY id
         """.format(cte=_SHINGLE_CTE),
         "lsh_candidate_pairs": """
             WITH {cte},

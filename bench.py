@@ -146,10 +146,12 @@ def _latest_round_bench():
     import re
 
     here = os.path.dirname(os.path.abspath(__file__))
-    paths = sorted(
-        glob.glob(os.path.join(here, "BENCH_r*.json")),
-        key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),
-    )
+    numbered = [
+        (int(m.group(1)), p)
+        for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+        if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+    ]
+    paths = [p for _, p in sorted(numbered)]
     for p in reversed(paths):
         try:
             with open(p) as fh:

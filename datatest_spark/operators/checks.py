@@ -522,13 +522,15 @@ class FreshnessCheck(BaseCheck):
         """
         dt = dict(df.dtypes).get(ts_col, "")
         c = F.col(ts_col)
-        if dt == "timestamp_ntz":
+        if dt == "timestamp_ntz" or dt == "date":
+            # date -> NTZ lands on midnight independent of the session TZ
+            # (date -> LTZ would shift by the session offset)
             return F.timestamp_diff(
                 "MILLISECOND",
                 F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
-                c,
+                c.cast("timestamp_ntz"),
             )
-        if dt.startswith("timestamp") or dt == "date":
+        if dt.startswith("timestamp"):
             return F.unix_millis(c.cast("timestamp"))
         return c.cast("long")
 

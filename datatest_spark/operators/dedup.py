@@ -90,6 +90,10 @@ def ngram_jaccard_pairs(
     buffering; prefer it when one shingle's row group alone would
     dominate a task (pathological boilerplate at the 10^8+ scale).
     """
+    if cap_strategy not in ("window", "agg"):
+        raise ValueError(
+            "cap_strategy must be 'window' or 'agg', got {0!r}".format(cap_strategy)
+        )
     sh = doc_shingles(df, text_col, id_col, k)
     if df_cap is not None:
         if cap_strategy == "window":
@@ -296,10 +300,16 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 20,
         into the label update (a ``_changed`` flag summed over the newly
         persisted frame), not a second join+count job;
       * the superseded persisted labels are unpersisted as soon as the new
-        generation is materialized, so storage stays one generation deep;
-      * every ``checkpoint_every`` iterations the labels are
-      ``localCheckpoint``-ed to truncate the otherwise unbounded join
-      lineage (20 stacked self-joins would blow planning time and stack).
+        generation is materialized, so block storage stays one generation
+        deep (``localCheckpoint`` is deliberately NOT used: its pinned
+        RDD blocks survive ``DataFrame.unpersist()`` and leak one
+        generation per checkpoint);
+      * every ``checkpoint_every`` iterations the labels take a *reliable*
+        ``checkpoint()`` (file-backed via the context checkpoint dir — a
+        temp dir is set if the session has none) to truncate the
+        otherwise unbounded join lineage; checkpoint files hold no
+        executor storage and the final result frame reads from them, so
+        it stays valid after every cache is released.
     """
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
@@ -309,6 +319,8 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 20,
         .distinct()
         .persist()
     )
+    spark = pairs.sparkSession
+    _ensure_checkpoint_dir(spark)
     persisted = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
@@ -338,7 +350,10 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 20,
                 )
             )
             if (it + 1) % checkpoint_every == 0:
-                updated = updated.localCheckpoint(eager=False)
+                # reliable (file) checkpoint: lazy mark + persist means the
+                # iteration's single action both caches the generation and
+                # saves the checkpoint files from that cache — no recompute
+                updated = updated.checkpoint(eager=False)
             updated = updated.persist()
             # the single action of the iteration: materializes the new
             # generation AND evaluates convergence in one job
@@ -348,12 +363,26 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 20,
             labels = updated.drop("_changed")
             if changed == 0:
                 break
-        # hand the caller a frame that stays valid after we unpersist: the
-        # final generation is lineage-truncated and re-cached once.
-        return labels.localCheckpoint(eager=True)
+        # hand the caller a frame that stays valid after every cache below
+        # is released: a final file checkpoint (no pinned block storage)
+        return labels.checkpoint(eager=True)
     finally:
         persisted.unpersist()
         edges.unpersist()
+
+
+def _ensure_checkpoint_dir(spark):
+    """Set a context checkpoint dir if the session has none (local runs);
+    production jobs set a durable dir (HDFS/S3) via sc.setCheckpointDir."""
+    sc = spark.sparkContext
+    try:
+        has_dir = sc.getCheckpointDir() is not None
+    except Exception:
+        has_dir = False
+    if not has_dir:
+        import tempfile
+
+        sc.setCheckpointDir(tempfile.mkdtemp(prefix="datatest_spark_ckpt_"))
 
 
 def drop_near_duplicates(

@@ -207,21 +207,27 @@ def compile_predicate(obj, col, dtype=None):
     return col.eqNullSafe(F.lit(obj))
 
 
-def compile_row_predicate(obj, cols):
-    """Compile a tuple predicate (P7/P8) over a list of Columns/names."""
+def compile_row_predicate(obj, cols, dtypes=None):
+    """Compile a tuple predicate (P7/P8) over a list of Columns/names.
+
+    ``dtypes`` (parallel to ``cols``) threads the per-column Spark dtype
+    through to the element compiles — same True/False-vs-numeric parity
+    as the single-column path."""
     if isinstance(obj, Predicate):
-        inner = compile_row_predicate(obj.obj, cols)
+        inner = compile_row_predicate(obj.obj, cols, dtypes)
         return ~inner if obj._negated else inner
+    if dtypes is None:
+        dtypes = [None] * len(cols)
     if not isinstance(obj, tuple):
         if len(cols) != 1:
             raise ValueError("non-tuple predicate against {0} columns".format(len(cols)))
-        return compile_predicate(obj, cols[0])
+        return compile_predicate(obj, cols[0], dtypes[0])
     if len(obj) != len(cols):
         raise ValueError(
             "tuple predicate length {0} != column count {1}".format(len(obj), len(cols))
         )
     conjuncts = []
-    for p, c in zip(obj, cols):
+    for p, c, dt in zip(obj, cols, dtypes):
         if p is Ellipsis:
             continue
         inner = p.obj if isinstance(p, Predicate) else p
@@ -232,7 +238,7 @@ def compile_row_predicate(obj, cols):
         ):
             conjuncts.append(compile_callable(p, c))
         else:
-            conjuncts.append(compile_predicate(p, c))
+            conjuncts.append(compile_predicate(p, c, dt))
     if not conjuncts:
         return F.lit(True)
     out = conjuncts[0]

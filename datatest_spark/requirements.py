@@ -152,7 +152,11 @@ class RequiredPredicate(BaseRequirement):
         did = _str(F.col(id_col)) if id_col else None
 
         if isinstance(inner, tuple) and len(cols) > 1:
-            ok = compile_row_predicate(pred_obj, [F.col(c) for c in cols])
+            dt_map = dict(df.dtypes)
+            ok = compile_row_predicate(
+                pred_obj, [F.col(c) for c in cols],
+                dtypes=[dt_map.get(c) for c in cols],
+            )
             bad = df.filter(~F.coalesce(ok, F.lit(False)))
             value = F.to_json(F.struct(*[F.col(c) for c in cols]))
             return _core_select(bad, "invalid", value, group_key=gk, doc_id=did)

@@ -31,9 +31,10 @@ def load_excel(spark: SparkSession, path, sheet_name=0, **pandas_opts) -> DataFr
     try:
         pdf = pd.read_excel(path, sheet_name=sheet_name, **pandas_opts)
     except ImportError as exc:
+        dep = "xlrd" if str(path).endswith(".xls") else "openpyxl"
         raise ImportError(
-            "Excel sources need the optional 'openpyxl' dependency "
-            "(pip install openpyxl); underlying error: {0}".format(exc)
+            "Excel sources need the optional '{0}' dependency "
+            "(pip install {0}); underlying error: {1}".format(dep, exc)
         ) from exc
     return spark.createDataFrame(pdf)
 
@@ -62,9 +63,15 @@ def load_dbapi(spark: SparkSession, cursor, arraysize: int = 10_000,
     if schema is not None:
         return spark.createDataFrame(rows, schema)
     if not rows:
-        # no data and no declared schema: all-string is the only safe bet
-        ddl = ", ".join("{0} string".format(c) for c in cols)
-        return spark.createDataFrame(rows, ddl)
+        # no data and no declared schema: all-string is the only safe bet;
+        # build the StructType directly — cursor column names like
+        # 'COUNT(*)' are not valid DDL identifiers
+        from pyspark.sql import types as T
+
+        struct = T.StructType(
+            [T.StructField(c, T.StringType(), True) for c in cols]
+        )
+        return spark.createDataFrame(rows, struct)
     return spark.createDataFrame(rows, cols)
 
 

@@ -136,6 +136,16 @@ class TestDBAPI2Source:
         )
         assert empty.count() == 0 and empty.dtypes == [("x", "int")]
 
+    def test_load_dbapi_empty_with_nonidentifier_columns(self, spark):
+        """Review finding: cursor names like COUNT(*) are not valid DDL —
+        the empty-result fallback must build the StructType directly."""
+        con = sqlite3.connect(":memory:")
+        con.execute("CREATE TABLE t (x INTEGER)")
+        cur = con.execute("SELECT COUNT(*), x FROM t WHERE 1=0 GROUP BY x")
+        df = load_dbapi(spark, cur)
+        assert df.count() == 0
+        assert df.columns[0] == "COUNT(*)"
+
     def test_load_dbapi_requires_result_set(self, spark):
         con = sqlite3.connect(":memory:")
         cur = con.cursor()

@@ -109,6 +109,10 @@ class TestDedup:
         assert len(pair_ids) < 0.01 * n_docs * (n_docs - 1) / 2
         assert n_docs > cap  # the footer really was over the cap
 
+    def test_jaccard_cap_strategy_validated(self, docs):
+        with pytest.raises(ValueError, match="cap_strategy"):
+            dedup.ngram_jaccard_pairs(docs, cap_strategy="windowed")
+
     def test_minhash_signature_shape(self, docs):
         sig = dedup.minhash_signatures(docs, num_hashes=8)
         row = sig.limit(1).collect()[0]
@@ -327,5 +331,8 @@ class TestDedupClusters:
         rows = {r["doc_id"]: r["cluster_id"] for r in labels.collect()}
         after = spark.sparkContext._jsc.getPersistentRDDs().size()
         assert all(v == 1 for v in rows.values())  # one chain, min label 1
-        assert after <= before + 1  # only the returned checkpointed frame
-        labels.unpersist()
+        # file-backed checkpoints pin no executor block storage: nothing
+        # from the iterations (incl. mid-loop checkpoints) may remain
+        assert after <= before
+        # the returned frame stays valid after all caches are gone
+        assert labels.count() == len(rows)

@@ -150,6 +150,18 @@ class TestColumnCompilerParity:
         cond = compile_row_predicate((..., {"a", "b"}), [F.col("x"), F.col("y")])
         assert [r["x"] for r in df.filter(cond).collect()] == [1]
 
+    def test_row_predicate_true_dtype_parity(self, spark):
+        """Review finding: tuple predicates must get the same True/False
+        dtype parity as the single-column path (5 != True on int cols)."""
+        df = spark.createDataFrame(
+            [(1, "a"), (5, "a"), (1, "yes")], "flag int, s string"
+        )
+        cond = compile_row_predicate(
+            (True, ...), [F.col("flag"), F.col("s")],
+            dtypes=["int", "string"],
+        )
+        assert sorted(r["flag"] for r in df.filter(cond).collect()) == [1, 1]
+
     def test_negated_compile(self, spark):
         df = spark.createDataFrame([(5,), (6,)], ["v"])
         cond = compile_predicate(~Predicate(5), F.col("v"))

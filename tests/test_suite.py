@@ -351,6 +351,29 @@ class TestFreshness:
         assert vals[0] == vals[1] == vals[2]
         assert len(vals[0]) == 1 and vals[0][0][0] == "source=web"
 
+    def test_date_column_session_timezone_free(self, spark):
+        """Review finding: date -> timestamp cast lands on midnight in
+        the SESSION timezone; the date branch must go through NTZ."""
+        from datatest_spark.operators.checks import FreshnessCheck
+
+        df = spark.createDataFrame(
+            [("a", "2024-01-05", "web")],
+            "doc_id string, ts string, source string",
+        ).withColumn("ts", F.col("ts").cast("date")).withColumn(
+            "partition_key", F.concat(F.lit("source="), "source")
+        )
+        chk = FreshnessCheck("ts", as_of_ms=1704931200000, max_age_ms=1)
+        old_tz = spark.conf.get("spark.sql.session.timeZone")
+        vals = []
+        try:
+            for tz in ("UTC", "Asia/Kolkata", "America/Los_Angeles"):
+                spark.conf.set("spark.sql.session.timeZone", tz)
+                vals.append([r["value"] for r in chk.violations(df).collect()])
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", old_tz)
+        assert vals[0] == vals[1] == vals[2]
+        assert vals[0] == ["1704412800000"]  # 2024-01-05T00:00 from epoch
+
 
 class TestGlobalViolationVerdicts:
     """Partition-less violations (schema check) must fail the verdicts
