@@ -421,6 +421,34 @@ def q_rollup_revenue(spark, sf_dir):
     )
 
 
+def q_embedding_dedup_survivors(spark, sf_dir):
+    """Embedding-cosine near-dup dedup end-to-end: cosine>=0.35 pairs ->
+    connected components -> keep the min-id representative per cluster.
+    (0.35 on the random-embedding fixture stands in for the ~0.9 of a
+    real near-dup corpus; the exact pair form keeps the oracle exact.)"""
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    pairs = similarity.threshold_pairs(e, threshold=0.35, exact=True).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    clusters = dedup.dedup_clusters(pairs)
+    drop = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias("vec_id")
+    )
+    return e.join(drop, "vec_id", "left_anti").select("vec_id", "label")
+
+
+def q_exact_quantiles(spark, sf_dir):
+    """Exact continuous quantiles per group (A10 stats-family, exact
+    variant of the approx_percentile sketch used in the wide pass)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.25)), 4).alias("q25"),
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("q50"),
+        F.round(F.percentile("l_quantity", F.lit(0.75)), 4).alias("q75"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.95)), 4).alias("p95_price"),
+    )
+
+
 def q_dedup_cluster_labels(spark, sf_dir):
     """Near-dup clustering end-to-end: connected components (min-label)
     over the exact-jaccard pair graph at threshold 0.5."""
@@ -506,6 +534,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_order_status": q_pivot_order_status,
         "rollup_revenue": q_rollup_revenue,
         "dedup_cluster_labels": q_dedup_cluster_labels,
+        "embedding_dedup_survivors": q_embedding_dedup_survivors,
+        "exact_quantiles": q_exact_quantiles,
         "lsh_candidate_pairs": q_lsh_candidate_pairs,
         "simhash_pairs": q_simhash_pairs,
         "ivf_ann_topk": q_ivf_ann_topk,
@@ -818,6 +848,35 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id AS doc_id, MIN(r) AS cluster_id FROM REACH GROUP BY id
         """.format(cte=_SHINGLE_CTE),
+        "embedding_dedup_survivors": """
+            WITH RECURSIVE V AS (
+                SELECT vec_id AS id, label, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings WHERE vec_id < 200
+            ),
+            P AS (
+                SELECT a.id AS src, b.id AS dst FROM V a JOIN V b ON a.id < b.id
+                WHERE list_dot_product(a.v, b.v)
+                      / (SQRT(list_sum(list_transform(a.v, x -> x * x)))
+                       * SQRT(list_sum(list_transform(b.v, x -> x * x)))) >= 0.35
+            ),
+            E AS (SELECT src, dst FROM P UNION SELECT dst, src FROM P),
+            REACH(id, r) AS (
+                SELECT src, src FROM E
+                UNION
+                SELECT e.src, REACH.r FROM E e JOIN REACH ON e.dst = REACH.id
+            ),
+            LBL AS (SELECT id, MIN(r) AS cluster_id FROM REACH GROUP BY id)
+            SELECT v.id AS vec_id, v.label FROM V v
+            WHERE v.id NOT IN (SELECT id FROM LBL WHERE id <> cluster_id)
+        """,
+        "exact_quantiles": """
+            SELECT l_returnflag,
+                   ROUND(quantile_cont(l_quantity, 0.25), 4) AS q25,
+                   ROUND(quantile_cont(l_quantity, 0.5), 4) AS q50,
+                   ROUND(quantile_cont(l_quantity, 0.75), 4) AS q75,
+                   ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price
+            FROM lineitem GROUP BY l_returnflag
+        """,
         "lsh_candidate_pairs": """
             WITH {cte},
             SIG AS (
