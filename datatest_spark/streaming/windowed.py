@@ -1,0 +1,221 @@
+"""Watermarked windowed streaming operators (engine extension, §2.10).
+
+The reference has no streaming surface; these are the Structured
+Streaming counterparts of the batch wide-stats / freshness checks for
+continuous ingestion:
+
+* ``windowed_stats``     — event-time tumbling-window per-source stats
+                           (count / null-rate / min / max) with a
+                           watermark so late data is bounded and state
+                           is evicted — the streaming analogue of the
+                           C1 wide aggregation pass;
+* ``windowed_violation_rate`` — per-window violation counts for any
+                           fused row-condition (the streaming row-check
+                           scan);
+* ``stateful_freshness`` — custom stateful operator via
+                           ``applyInPandasWithState``: tracks the max
+                           event timestamp per source across batches and
+                           emits a staleness verdict per update — state
+                           the built-in window aggregation cannot express
+                           (it needs the *latest seen* ts regardless of
+                           window).
+
+All three return unstarted streaming DataFrames; callers pick the sink.
+Tested with the in-memory sink (availableNow) in tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def _with_event_time(stream: DataFrame, ts_col: str) -> DataFrame:
+    """Watermarks require TIMESTAMP (an instant); NTZ event-time columns
+    are cast through the session timezone (the engine pins UTC in
+    get_spark, so NTZ values map 1:1 onto instants)."""
+    if dict(stream.dtypes).get(ts_col) == "timestamp_ntz":
+        return stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return stream
+
+
+def windowed_stats(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    group_col: str = "source",
+    value_col: str = "n_tok",
+    window: str = "10 minutes",
+    watermark: str = "5 minutes",
+) -> DataFrame:
+    """Tumbling event-time window stats per group with bounded lateness.
+
+    The watermark bounds state: windows older than (max event time −
+    watermark) are finalized and evicted — at 10^12-row streams the state
+    store holds only the open windows per group, not history.
+    """
+    w = _with_event_time(stream, ts_col).withWatermark(ts_col, watermark)
+    v = F.col(value_col)
+    return (
+        w.groupBy(F.window(F.col(ts_col), window).alias("win"), F.col(group_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(v.isNull().cast("long")).alias("n_nulls"),
+            F.min(v).alias("min_v"),
+            F.max(v).alias("max_v"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            group_col,
+            "n_rows",
+            "n_nulls",
+            "min_v",
+            "max_v",
+        )
+    )
+
+
+def windowed_violation_rate(
+    stream: DataFrame,
+    condition,
+    ts_col: str = "ts",
+    group_col: str = "source",
+    window: str = "10 minutes",
+    watermark: str = "5 minutes",
+) -> DataFrame:
+    """Per-window violation counts for a row-level Column condition —
+    the streaming form of the fused row-check scan (one pass, the
+    violation flag aggregates map-side before the window shuffle)."""
+    w = _with_event_time(stream, ts_col).withWatermark(ts_col, watermark)
+    return (
+        w.groupBy(F.window(F.col(ts_col), window).alias("win"), F.col(group_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.coalesce(condition, F.lit(False)).cast("long")).alias(
+                "n_violations"
+            ),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col(group_col),
+            "n_rows",
+            "n_violations",
+            F.when(F.col("n_violations") > 0, "fail").otherwise("pass").alias(
+                "status"
+            ),
+        )
+    )
+
+
+_FRESH_STATE_SCHEMA = "max_ts_ms long, n_rows long"
+_FRESH_OUT_SCHEMA = (
+    "source string, max_ts_ms long, n_rows_total long, stale boolean"
+)
+
+
+def stateful_freshness(
+    stream: DataFrame,
+    as_of_ms_fn,
+    max_age_ms: int,
+    ts_col: str = "ts",
+    group_col: str = "source",
+    idle_timeout_ms: int | None = None,
+) -> DataFrame:
+    """Custom stateful freshness monitor (``applyInPandasWithState``).
+
+    Keeps one tiny state row per group — the max event-time millis and a
+    running row count — and on every trigger emits whether the group has
+    gone stale relative to ``as_of_ms_fn()`` (injected clock: tests pass
+    a fixed lambda; production passes time.time-based). This needs
+    arbitrary state because staleness depends on the latest ts *ever
+    seen*, not on any bounded window.
+
+    ``idle_timeout_ms`` (optional) evicts groups that stop sending data
+    entirely via ProcessingTimeTimeout — their final update has already
+    flagged them stale. It is OFF by default because a pending
+    processing-time timeout keeps bounded triggers (availableNow) in a
+    'cleaning up state' loop that never terminates; enable it for
+    continuously-triggered production monitors only.
+    """
+    import pandas as pd  # noqa: F401 (annotation resolution inside Spark)
+
+    ms_expr = F.timestamp_diff(
+        "MILLISECOND",
+        F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+        F.col(ts_col).cast("timestamp_ntz"),
+    )
+    prepared = stream.select(
+        F.col(group_col).cast("string").alias("source"), ms_expr.alias("ts_ms")
+    )
+
+    threshold = int(max_age_ms)
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        max_ts, n = state.get() if state.exists else (None, 0)
+        for pdf in pdfs:
+            if len(pdf):
+                batch_max = int(pdf["ts_ms"].max())
+                max_ts = batch_max if max_ts is None else max(max_ts, batch_max)
+                n += len(pdf)
+        state.update((max_ts, n))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(int(idle_timeout_ms))
+        stale = max_ts is None or max_ts < as_of_ms_fn() - threshold
+        yield pd.DataFrame(
+            {
+                "source": [key[0]],
+                "max_ts_ms": [max_ts],
+                "n_rows_total": [n],
+                "stale": [stale],
+            }
+        )
+
+    return prepared.groupBy("source").applyInPandasWithState(
+        update,
+        outputStructType=_FRESH_OUT_SCHEMA,
+        stateStructType=_FRESH_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if idle_timeout_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
+    )
+
+
+def run_available_now(stream_df: DataFrame, query_name: str, checkpoint: str):
+    """Drain all currently-available input into an in-memory sink and
+    return the collected rows (test/inspection helper)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.sql(
+        "SELECT * FROM {0}".format(query_name)
+    ).collect()
+
+
+def to_violation_rows(windowed: DataFrame, check_id: str = "windowed") -> DataFrame:
+    """Adapt windowed fail rows to the engine's violation-row shape so
+    streaming verdicts land in the same sinks as batch ones."""
+    bad = windowed.filter(F.col("status") == "fail")
+    return bad.select(
+        F.lit(check_id).alias("check_id"),
+        F.lit("deviation").alias("kind"),
+        F.concat(F.lit("source="), F.col("source")).alias("partition_key"),
+        F.col("n_violations").cast("string").alias("value"),
+        F.lit("0").alias("expected"),
+        F.col("n_violations").cast("double").alias("deviation"),
+    )

@@ -37,3 +37,86 @@ def test_incremental_validation(spark, tmp_path):
     assert verdicts.filter("check_id = 'referential' AND status = 'fail'").count() > 0
     violations = spark.read.parquet(out + "/violations")
     assert violations.filter("kind = 'extra'").count() > 0
+
+
+def _write_event_source(spark, path, rows):
+    spark.createDataFrame(
+        rows, "source string, ts string, n_tok int"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz")).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+@pytest.mark.spark
+def test_windowed_stats_with_watermark(spark, tmp_path):
+    from datatest_spark.streaming import windowed
+
+    src = str(tmp_path / "wsrc")
+    rows = [
+        ("web", "2024-01-01 00:01:00", 10),
+        ("web", "2024-01-01 00:04:00", None),   # same 10-min window
+        ("web", "2024-01-01 00:12:00", 30),     # next window
+        ("books", "2024-01-01 00:02:00", 7),
+    ]
+    _write_event_source(spark, src, rows)
+    stream = spark.readStream.schema(
+        "source string, ts timestamp_ntz, n_tok int"
+    ).parquet(src)
+    agg = windowed.windowed_stats(stream, window="10 minutes",
+                                  watermark="5 minutes")
+    got = windowed.run_available_now(agg, "wstats", str(tmp_path / "wck"))
+    by_key = {
+        (r["source"], r["window_start"].minute): (r["n_rows"], r["n_nulls"])
+        for r in got
+    }
+    assert by_key[("web", 0)] == (2, 1)     # window 00:00–00:10
+    assert by_key[("web", 10)] == (1, 0)    # window 00:10–00:20
+    assert by_key[("books", 0)] == (1, 0)
+
+
+@pytest.mark.spark
+def test_windowed_violation_rate(spark, tmp_path):
+    from datatest_spark.streaming import windowed
+
+    src = str(tmp_path / "vsrc")
+    rows = [
+        ("web", "2024-01-01 00:01:00", 10),
+        ("web", "2024-01-01 00:02:00", -5),    # violation: negative n_tok
+        ("books", "2024-01-01 00:03:00", 7),
+    ]
+    _write_event_source(spark, src, rows)
+    stream = spark.readStream.schema(
+        "source string, ts timestamp_ntz, n_tok int"
+    ).parquet(src)
+    rate = windowed.windowed_violation_rate(
+        stream, F.col("n_tok") < 0, window="10 minutes")
+    got = windowed.run_available_now(rate, "vrate", str(tmp_path / "vck"))
+    status = {r["source"]: (r["n_violations"], r["status"]) for r in got}
+    assert status["web"] == (1, "fail")
+    assert status["books"] == (0, "pass")
+
+
+@pytest.mark.spark
+def test_stateful_freshness_applyinpandaswithstate(spark, tmp_path):
+    from datatest_spark.streaming import windowed
+
+    src = str(tmp_path / "fsrc")
+    # web's latest event is old; books is fresh relative to as_of
+    rows = [
+        ("web", "2024-01-01 00:00:00", 1),
+        ("web", "2024-01-01 00:05:00", 1),
+        ("books", "2024-01-10 00:00:00", 1),
+    ]
+    _write_event_source(spark, src, rows)
+    stream = spark.readStream.schema(
+        "source string, ts timestamp_ntz, n_tok int"
+    ).parquet(src)
+    as_of = 1704931200000  # 2024-01-11 00:00:00
+    fresh = windowed.stateful_freshness(
+        stream, lambda: as_of, max_age_ms=2 * 86400_000)
+    got = windowed.run_available_now(fresh, "fresh", str(tmp_path / "fck"))
+    latest = {r["source"]: r for r in got}  # update mode: last row per key
+    assert latest["web"]["stale"] is True
+    assert latest["web"]["n_rows_total"] == 2
+    assert latest["web"]["max_ts_ms"] == 1704067500000  # 00:05 from epoch
+    assert latest["books"]["stale"] is False
