@@ -87,7 +87,12 @@ def windowed_violation_rate(
 ) -> DataFrame:
     """Per-window violation counts for a row-level Column condition —
     the streaming form of the fused row-check scan (one pass, the
-    violation flag aggregates map-side before the window shuffle)."""
+    violation flag aggregates map-side before the window shuffle).
+
+    NULL-evaluating conditions count as PASS here (coalesce to false):
+    encode the intended null semantics in the condition itself, exactly
+    as the batch fused checks do (e.g. ``~c.isin(...) | c.isNull()`` to
+    treat nulls as violations — operators/checks.py ReferentialCheck)."""
     w = _with_event_time(stream, ts_col).withWatermark(ts_col, watermark)
     return (
         w.groupBy(F.window(F.col(ts_col), window).alias("win"), F.col(group_col))
@@ -99,6 +104,7 @@ def windowed_violation_rate(
         )
         .select(
             F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
             F.col(group_col),
             "n_rows",
             "n_violations",
@@ -141,11 +147,11 @@ def stateful_freshness(
     """
     import pandas as pd  # noqa: F401 (annotation resolution inside Spark)
 
-    ms_expr = F.timestamp_diff(
-        "MILLISECOND",
-        F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
-        F.col(ts_col).cast("timestamp_ntz"),
-    )
+    from ..operators.checks import FreshnessCheck
+
+    # FreshnessCheck._epoch_ms carries the TZ-free type dispatch
+    # (NTZ/date via timestamp_diff, LTZ via unix_millis, numeric as-is)
+    ms_expr = FreshnessCheck._epoch_ms(stream, ts_col)
     prepared = stream.select(
         F.col(group_col).cast("string").alias("source"), ms_expr.alias("ts_ms")
     )
@@ -155,27 +161,38 @@ def stateful_freshness(
     def update(key, pdfs, state: GroupState):
         import pandas as pd
 
+        def verdict(max_ts, n):
+            stale = max_ts is None or max_ts < as_of_ms_fn() - threshold
+            return pd.DataFrame(
+                {
+                    "source": [key[0]],
+                    "max_ts_ms": [max_ts],
+                    "n_rows_total": [n],
+                    "stale": [stale],
+                }
+            )
+
         if state.hasTimedOut:
+            # a silent group's timer fired: by construction it is stale
+            # (no data for idle_timeout_ms) — emit the final verdict
+            # BEFORE evicting, or silence would never be reported
+            max_ts, n = state.get() if state.exists else (None, 0)
             state.remove()
+            yield verdict(max_ts, n)
             return
         max_ts, n = state.get() if state.exists else (None, 0)
         for pdf in pdfs:
-            if len(pdf):
-                batch_max = int(pdf["ts_ms"].max())
+            # NULL event times arrive as NaN — exactly the dirty data a
+            # validation engine must survive, not crash on
+            valid_ts = pdf["ts_ms"].dropna()
+            if len(valid_ts):
+                batch_max = int(valid_ts.max())
                 max_ts = batch_max if max_ts is None else max(max_ts, batch_max)
-                n += len(pdf)
+            n += len(pdf)
         state.update((max_ts, n))
         if idle_timeout_ms is not None:
             state.setTimeoutDuration(int(idle_timeout_ms))
-        stale = max_ts is None or max_ts < as_of_ms_fn() - threshold
-        yield pd.DataFrame(
-            {
-                "source": [key[0]],
-                "max_ts_ms": [max_ts],
-                "n_rows_total": [n],
-                "stale": [stale],
-            }
-        )
+        yield verdict(max_ts, n)
 
     return prepared.groupBy("source").applyInPandasWithState(
         update,
@@ -207,15 +224,28 @@ def run_available_now(stream_df: DataFrame, query_name: str, checkpoint: str):
     ).collect()
 
 
-def to_violation_rows(windowed: DataFrame, check_id: str = "windowed") -> DataFrame:
-    """Adapt windowed fail rows to the engine's violation-row shape so
-    streaming verdicts land in the same sinks as batch ones."""
+def to_violation_rows(windowed: DataFrame, check_id: str = "windowed",
+                      run_id: str = "stream") -> DataFrame:
+    """Adapt windowed fail rows to the engine's FULL violation-row shape
+    (schema.VIOLATION_SCHEMA) so they union/append cleanly into the same
+    sinks as batch violations; the window bounds land in ``detail`` so
+    per-window rows stay distinguishable and re-keyable."""
+    from ..schema import VIOLATION_SCHEMA
+
     bad = windowed.filter(F.col("status") == "fail")
-    return bad.select(
+    shaped = bad.select(
+        F.lit(run_id).alias("run_id"),
         F.lit(check_id).alias("check_id"),
         F.lit("deviation").alias("kind"),
         F.concat(F.lit("source="), F.col("source")).alias("partition_key"),
+        F.lit(None).cast("string").alias("group_key"),
+        F.lit(None).cast("string").alias("doc_id"),
         F.col("n_violations").cast("string").alias("value"),
         F.lit("0").alias("expected"),
         F.col("n_violations").cast("double").alias("deviation"),
+        F.create_map(
+            F.lit("window_start"), F.col("window_start").cast("string"),
+            F.lit("window_end"), F.col("window_end").cast("string"),
+        ).alias("detail"),
     )
+    return shaped.select(*VIOLATION_SCHEMA.names)

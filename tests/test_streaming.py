@@ -120,3 +120,60 @@ def test_stateful_freshness_applyinpandaswithstate(spark, tmp_path):
     assert latest["web"]["n_rows_total"] == 2
     assert latest["web"]["max_ts_ms"] == 1704067500000  # 00:05 from epoch
     assert latest["books"]["stale"] is False
+
+
+@pytest.mark.spark
+def test_stateful_freshness_survives_null_timestamps(spark, tmp_path):
+    """Review regression: an all-NULL-ts group must report stale, not
+    crash the Python worker on int(NaN)."""
+    from datatest_spark.streaming import windowed
+
+    src = str(tmp_path / "nsrc")
+    spark.createDataFrame(
+        [("web", None, 1), ("web", None, 1), ("books", "2024-01-10 00:00:00", 1)],
+        "source string, ts string, n_tok int",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz")).write.mode(
+        "overwrite"
+    ).parquet(src)
+    stream = spark.readStream.schema(
+        "source string, ts timestamp_ntz, n_tok int"
+    ).parquet(src)
+    fresh = windowed.stateful_freshness(
+        stream, lambda: 1704931200000, max_age_ms=2 * 86400_000)
+    got = windowed.run_available_now(fresh, "nfresh", str(tmp_path / "nck"))
+    latest = {r["source"]: r for r in got}
+    assert latest["web"]["stale"] is True
+    assert latest["web"]["max_ts_ms"] is None
+    assert latest["web"]["n_rows_total"] == 2
+    assert latest["books"]["stale"] is False
+
+
+@pytest.mark.spark
+def test_to_violation_rows_matches_engine_schema(spark, tmp_path):
+    """Review regression: streaming violation rows must union cleanly
+    with batch VIOLATION_SCHEMA frames (all 10 columns, window in detail)."""
+    from datatest_spark.schema import VIOLATION_SCHEMA
+    from datatest_spark.streaming import windowed
+
+    src = str(tmp_path / "tsrc")
+    _write_event_source(spark, src, [
+        ("web", "2024-01-01 00:01:00", -5),
+        ("web", "2024-01-01 00:12:00", -5),   # second window, same source
+    ])
+    stream = spark.readStream.schema(
+        "source string, ts timestamp_ntz, n_tok int"
+    ).parquet(src)
+    rate = windowed.windowed_violation_rate(
+        stream, F.col("n_tok") < 0, window="10 minutes")
+    rows = windowed.run_available_now(
+        windowed.to_violation_rows(rate, check_id="n_tok_neg", run_id="s1"),
+        "tviol", str(tmp_path / "tck"))
+    assert len(rows) == 2
+    assert set(rows[0].asDict()) == set(VIOLATION_SCHEMA.names)
+    # distinct windows stay distinguishable via detail
+    starts = {r["detail"]["window_start"] for r in rows}
+    assert len(starts) == 2
+    batch_empty = spark.createDataFrame([], VIOLATION_SCHEMA)
+    unioned = batch_empty.unionByName(
+        spark.createDataFrame(rows, VIOLATION_SCHEMA))
+    assert unioned.count() == 2
