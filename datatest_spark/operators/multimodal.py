@@ -111,6 +111,55 @@ def extract_features(
     return pruned.mapInPandas(kernel, schema=FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = (
+    "media_id string, payload binary, width int, height int, "
+    "orig_width int, orig_height int"
+)
+
+
+def _resize_stub(payload: bytes, out_w: int, out_h: int) -> bytes:
+    """STUB resize kernel: a real kernel decodes, resamples, re-encodes.
+    The fake derives a deterministic payload from (bytes, target dims) so
+    the pipeline — batch shapes, binary round-trip, metadata rewrite —
+    is exercised end-to-end without image libs."""
+    if payload is None:
+        raise NotImplementedError("real decoder required for null payloads")
+    import hashlib
+
+    tag = "{0}x{1}".format(out_w, out_h).encode()
+    return hashlib.md5(payload + tag).digest() + tag
+
+
+def resize_images(media: DataFrame, width: int, height: int,
+                  skip_non_image: bool = True) -> DataFrame:
+    """mapInPandas image resize over binary payloads (brief: decode /
+    feature-extract / RESIZE / frame-sample as Pandas UDFs).
+
+    Real plumbing: modality filter pushes into the scan, Arrow batches
+    carry the binary column both ways, original dims preserved as
+    metadata. The pixel kernel is the documented stub boundary."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [
+                        _resize_stub(p, width, height) if p is not None else None
+                        for p in pdf["payload"]
+                    ],
+                    "width": width,
+                    "height": height,
+                    "orig_width": pdf["width"],
+                    "orig_height": pdf["height"],
+                }
+            )
+
+    src = media.filter(F.col("modality") == "image") if skip_non_image else media
+    pruned = src.select("media_id", "payload", "width", "height")
+    return pruned.mapInPandas(kernel, schema=RESIZED_SCHEMA)
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: one output row per sampled timestamp
     (sequence/explode — JVM-side). The actual frame decode is the same

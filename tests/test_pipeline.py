@@ -277,6 +277,23 @@ class TestMultimodal:
             r["payload_hash"] for r in rows2
         )
 
+    def test_resize_images_plumbing(self, spark):
+        media = multimodal.synth_media(spark, 90)
+        out = multimodal.resize_images(media, 224, 224)
+        rows = out.collect()
+        n_images = media.filter("modality = 'image'").count()
+        assert len(rows) == n_images > 0
+        assert all(r["width"] == 224 and r["height"] == 224 for r in rows)
+        assert all(r["orig_width"] >= 1 for r in rows)
+        # deterministic payload rewrite, distinct from the original
+        again = {r["media_id"]: bytes(r["payload"])
+                 for r in multimodal.resize_images(media, 224, 224).collect()}
+        orig = {r["media_id"]: bytes(r["payload"])
+                for r in media.filter("modality = 'image'").collect()}
+        for r in rows:
+            assert bytes(r["payload"]) == again[r["media_id"]]
+            assert bytes(r["payload"]) != orig[r["media_id"]]
+
     def test_frame_sample_plan(self, spark):
         media = multimodal.synth_media(spark, 60)
         frames = multimodal.frame_sample_plan(media, every_ms=10000)
