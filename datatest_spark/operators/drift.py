@@ -34,8 +34,14 @@ def histogram(
     overflow, so no value is silently dropped.
     """
     v = F.col(value_col).cast("double")
+    # null group values coalesce to the engine's '__null__' token (same
+    # convention as stats.partition_key_col) — an equi-join on a raw null
+    # key would silently drop the whole null-group slice from the
+    # histogram, making a corrupted null-source partition undriftable
     bucketed = df.filter(v.isNotNull()).select(
-        F.col(group_col).alias("group"),
+        F.coalesce(F.col(group_col).cast("string"), F.lit("__null__")).alias(
+            "group"
+        ),
         F.width_bucket(v, F.lit(lo), F.lit(hi), F.lit(nbins)).alias("bucket"),
     )
     counts = bucketed.groupBy("group", "bucket").agg(F.count(F.lit(1)).alias("n"))
@@ -107,8 +113,12 @@ class DriftCheck(BaseCheck):
             out.setdefault(g, {})[b] = float(p)
         return out
 
-    def compute(self, df: DataFrame) -> dict:
-        """{group: metric_value} for the current data vs baseline."""
+    def compute(self, df: DataFrame) -> tuple:
+        """Returns ``(metrics, extra_groups, missing_groups)``:
+        ``metrics`` = {group: metric_value} for groups present in both
+        current data and baseline; ``extra_groups`` / ``missing_groups``
+        are the one-sided group sets (each a violation in
+        ``drift_violations``)."""
         hist = histogram(df, self.value_col, self.group_col, self.lo, self.hi, self.nbins)
         cur = {}
         for r in hist.collect():

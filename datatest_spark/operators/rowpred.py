@@ -33,7 +33,13 @@ def callable_violations(df, col, predicate, id_col=None, group_col=None):
     """
     from ..differences import BaseDifference, Deviation, Extra, Invalid, Missing
 
-    fn = predicate if not isinstance(predicate, Predicate) else predicate
+    # Unwrap Predicate so difference-returning callables keep their
+    # difference semantics (Predicate.__call__ bool-coerces the returned
+    # difference, which would silently swallow it); negation applies to
+    # boolean results, and under a negated predicate a returned difference
+    # means "did not match" — i.e. the row is accepted.
+    negated = isinstance(predicate, Predicate) and predicate._negated
+    fn = predicate.obj if isinstance(predicate, Predicate) else predicate
     out_type = T.StructType(
         [
             T.StructField("ok", T.BooleanType()),
@@ -46,13 +52,29 @@ def callable_violations(df, col, predicate, id_col=None, group_col=None):
 
     @F.pandas_udf(out_type)
     def _apply(s: pd.Series) -> pd.DataFrame:
+        import math
+
         oks, kinds, values, expecteds, devs = [], [], [], [], []
         for v in s:
+            # Arrow hands numeric nulls to pandas as NaN; the reference
+            # callable sees Python None for missing values, so normalize
+            # (true float NaN data is indistinguishable post-Arrow and
+            # also maps to None — documented engine behavior).
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                v = None
             try:
                 r = fn(v)
             except Exception:
                 r = False
             if isinstance(r, BaseDifference):
+                if negated:
+                    # difference = "did not match"; negation accepts it
+                    oks.append(True)
+                    kinds.append("invalid")
+                    values.append(None)
+                    expecteds.append(None)
+                    devs.append(None)
+                    continue
                 oks.append(False)
                 if isinstance(r, Deviation):
                     kinds.append("deviation")
@@ -75,7 +97,8 @@ def callable_violations(df, col, predicate, id_col=None, group_col=None):
                     )
                     devs.append(None)
             else:
-                oks.append(bool(r))
+                ok = bool(r)
+                oks.append((not ok) if negated else ok)
                 kinds.append("invalid")
                 values.append(None)
                 expecteds.append(None)

@@ -106,17 +106,21 @@ def column_stats_salted(
 ) -> DataFrame:
     """Two-phase salted stats (C2) for the mergeable metric subset.
 
-    Salt is derived deterministically from a high-cardinality column hash
-    (never ``rand()`` — resume/determinism, SURVEY C3/C5). Quantiles are
-    excluded: percentile sketches aren't union-mergeable through the public
-    API; they stay in the single-pass form where Spark's own partial
-    aggregation handles skew.
+    Salt is round-robin within each physical partition
+    (``monotonically_increasing_id() % n_salts``) — perfectly balanced
+    regardless of data values (a value-hash salt collapses when the hashed
+    column is low-cardinality), deterministic per layout, and never
+    ``rand()`` (resume/determinism, SURVEY C3/C5; cross-run determinism is
+    not required — the phase-2 merge is value-exact whatever the salt).
+    Quantiles are excluded: percentile sketches aren't union-mergeable
+    through the public API; they stay in the single-pass form where
+    Spark's own partial aggregation handles skew.
     """
     columns = list(columns) if columns is not None else list(df.columns)
     types = dict((f.name, f.dataType) for f in df.schema.fields)
     keyed = df.withColumn("partition_key", partition_key_col(partition_cols))
     salted = keyed.withColumn(
-        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in columns[:1]]), F.lit(n_salts))
+        "_salt", F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
     )
 
     phase1_exprs = [F.count(F.lit(1)).alias("n_rows")]

@@ -61,7 +61,9 @@ def quality_score(text="text", n_chars=None):
 
 
 def stopword_hits(text, lang):
-    """Count of stopword occurrences for one language (word-boundary LIKE)."""
+    """Number of the language's stopwords PRESENT at least once
+    (word-boundary contains) — distinct-stopword count, not total
+    occurrences."""
     padded = F.concat(F.lit(" "), text, F.lit(" "))
     out = F.lit(0)
     for w in STOPWORDS[lang]:
@@ -103,14 +105,24 @@ def winnow_fingerprints(text="text", k=5, window=4):
     from .dedup import shingles_col
 
     sh = shingles_col(text, k)
-    hashes = F.transform(sh, lambda s: F.md5(s))
+    # null text shingles to [null] (split(null) under legacy sizeOfNull);
+    # drop null hashes so the window never selects a null fingerprint
+    hashes = F.filter(
+        F.transform(sh, lambda s: F.md5(s)), lambda h: h.isNotNull()
+    )
     n = F.size(hashes)
     idx = F.sequence(F.lit(1), F.greatest(n - window + 1, F.lit(1)))
-    return F.array_distinct(
+    windowed = F.array_distinct(
         F.transform(
             idx,
             lambda i: F.array_min(F.slice(hashes, i, window)),
         )
+    )
+    # a text too short to yield any shingle must fingerprint to [] —
+    # without the guard, slice-of-empty makes array_min null and the
+    # result is [null]
+    return F.when(n >= 1, windowed).otherwise(
+        F.array().cast("array<string>")
     )
 
 

@@ -258,8 +258,15 @@ def compile_callable(obj, col):
 
     @F.pandas_udf(T.BooleanType())
     def _match(s: pd.Series) -> pd.Series:
+        import math
+
         out = []
         for v in s:
+            # Arrow surfaces numeric nulls as NaN; the driver-side matcher
+            # sees Python None for missing values, so normalize for parity
+            # (same rule as operators/rowpred.callable_violations)
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                v = None
             try:
                 r = pred(v)
             except Exception:

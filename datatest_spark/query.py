@@ -171,11 +171,64 @@ class Query(object):
                "count": F.count}
 
     def to_df(self) -> DataFrame:
-        """The compiled Spark plan (pre-aggregation ops applied)."""
+        """The compiled Spark plan with every relationally-expressible
+        chained op applied: filter (as a row filter on the value column),
+        distinct, and a trailing aggregation. Ops that only exist
+        driver-side on fetched containers — map/apply/flatten/unwrap/
+        reduce, or a filter chained after an aggregation — raise
+        NotImplementedError instead of being silently dropped."""
         keys, vals, _container, _ = _normalize_selection(self._columns)
         df = _compile_where(self._df, self._where)
-        cols = (keys or []) + vals
-        return df.select(*cols)
+        agg = None
+        distinct = False
+        for op, arg in self._ops:
+            if op == "agg":
+                if agg is not None:
+                    raise NotImplementedError(
+                        "chained aggregations have no single relational form"
+                    )
+                agg = arg
+            elif op == "distinct":
+                if agg is not None:
+                    raise NotImplementedError("distinct() after an aggregation")
+                distinct = True
+            elif op == "filter":
+                if agg is not None:
+                    raise NotImplementedError(
+                        "filter() after an aggregation has no relational "
+                        "form; fetch() applies it driver-side"
+                    )
+                if len(vals) != 1:
+                    raise NotImplementedError(
+                        "relational filter needs a single value column"
+                    )
+                pred = arg
+                inner = pred.obj if isinstance(pred, Predicate) else pred
+                if callable(inner) and not isinstance(inner, type) and not hasattr(inner, "pattern"):
+                    from .predicates import compile_callable
+
+                    df = df.filter(compile_callable(pred, F.col(vals[0])))
+                else:
+                    df = df.filter(compile_predicate(
+                        pred, F.col(vals[0]),
+                        dtype=dict(df.dtypes).get(vals[0]),
+                    ))
+            else:
+                raise NotImplementedError(
+                    "{0}() has no relational form; use fetch()".format(op)
+                )
+        if agg is not None:
+            if distinct and agg != "count":
+                df = df.select(*(keys or []), *vals).distinct()
+            if distinct and agg == "count":
+                exprs = [F.countDistinct(F.col(v)).alias(v) for v in vals]
+            elif agg == "count":
+                exprs = [F.count(F.col(v)).alias(v) for v in vals]
+            else:
+                exprs = [self._AGG_FN[agg](F.col(v)).alias(v) for v in vals]
+            return df.groupBy(*keys).agg(*exprs) if keys else df.agg(*exprs)
+        sel = df.select(*(keys or []), *vals)
+        return sel.distinct() if distinct else sel
 
     def fetch(self):
         keys, vals, container, key_is_tuple = _normalize_selection(self._columns)
@@ -293,8 +346,19 @@ class Query(object):
         if op == "filter":
             pred = arg if callable(arg) else Predicate(arg)
             if isinstance(result, dict):
-                return {k: [x for x in v if pred(x)] for k, v in result.items()}
-            return [x for x in result if pred(x)]
+                # list values filter their elements; scalar values (post-
+                # aggregation groups) keep or drop the whole entry
+                out = {}
+                for k, v in result.items():
+                    if isinstance(v, list):
+                        out[k] = [x for x in v if pred(x)]
+                    elif pred(v):
+                        out[k] = v
+                return out
+            if isinstance(result, list):
+                return [x for x in result if pred(x)]
+            # ungrouped aggregation: scalar in, scalar-or-None out
+            return result if pred(result) else None
         if op == "apply":
             return arg(result)
         if op == "flatten":

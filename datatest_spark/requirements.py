@@ -302,6 +302,11 @@ class RequiredUnique(BaseRequirement):
         cols = self._value_cols(df, columns)
         if group_col is not None and group_col in cols:
             cols = [c for c in cols if c != group_col]
+        # the row-identity column must not participate in the duplicate
+        # grouping — it is unique by construction, so including it makes
+        # every group count 1 and duplicates pass silently
+        if id_col is not None and id_col in cols and len(cols) > 1:
+            cols = [c for c in cols if c != id_col]
         group_cols = [group_col] if group_col else []
         counts = (
             df.groupBy(*group_cols, *cols)
@@ -387,6 +392,10 @@ class RequiredOrder(BaseRequirement):
                 .withColumn("_idx", F.monotonically_increasing_id())
                 .select("_idx", F.col(col).alias("_actual"))
             )
+        # presence markers: a null VALUE at an index must not read as "no
+        # row at this index" after the full-outer join (the old
+        # _actual.isNotNull() filter silently dropped null-valued rows)
+        data_idx = data_idx.withColumn("_has_a", F.lit(True))
 
         req_df = spark.createDataFrame(
             [(i, v) for i, v in enumerate(self.sequence)],
@@ -396,21 +405,33 @@ class RequiredOrder(BaseRequirement):
                     data_idx.schema["_actual"],
                 ]
             ),
-        ).withColumnRenamed("_actual", "_expected")
+        ).withColumnRenamed("_actual", "_expected").withColumn(
+            "_has_b", F.lit(True)
+        )
 
         joined = data_idx.join(F.broadcast(req_df), "_idx", "full_outer")
-        mismatch = joined.filter(~F.col("_actual").eqNullSafe(F.col("_expected")))
+        ha = F.coalesce(F.col("_has_a"), F.lit(False))
+        hb = F.coalesce(F.col("_has_b"), F.lit(False))
+        mismatch = joined.filter(
+            (ha != hb) | (ha & hb & ~F.col("_actual").eqNullSafe(F.col("_expected")))
+        )
 
+        # ignoreNullFields=false keeps {"index":i,"value":null} distinct
+        # from a json with the value key absent
         extra = _core_select(
-            mismatch.filter(F.col("_actual").isNotNull()),
+            mismatch.filter(ha),
             "extra",
-            F.to_json(F.struct(F.col("_idx").alias("index"), F.col("_actual").alias("value"))),
+            F.to_json(
+                F.struct(F.col("_idx").alias("index"), F.col("_actual").alias("value")),
+                {"ignoreNullFields": "false"},
+            ),
         )
         missing = _core_select(
-            mismatch.filter(F.col("_expected").isNotNull()),
+            mismatch.filter(hb),
             "missing",
             F.to_json(
-                F.struct(F.col("_idx").alias("index"), F.col("_expected").alias("value"))
+                F.struct(F.col("_idx").alias("index"), F.col("_expected").alias("value")),
+                {"ignoreNullFields": "false"},
             ),
         )
         return extra.unionByName(missing)
@@ -638,13 +659,28 @@ class RequiredMapping(BaseRequirement):
                             doc_id=_str(F.col(id_col)) if id_col else None,
                         )
                     )
+                    # null actual vs numeric expected -> Deviation(-x, x);
+                    # a zero expected has no expressible non-zero deviation
+                    # (Deviation(0, 0) is unbuildable), so those rows
+                    # surface as Invalid — same rule as RequiredPredicate
+                    exp_d = F.col("_expected").cast("double")
                     plans.append(
                         _core_select(
-                            bad.filter(F.col(vcol).isNull()),
+                            bad.filter(F.col(vcol).isNull() & (exp_d != 0)),
                             "deviation",
                             F.col(vcol),
                             expected=F.col("_expected"),
-                            deviation=-F.col("_expected").cast("double"),
+                            deviation=-exp_d,
+                            group_key=_str(gk),
+                            doc_id=_str(F.col(id_col)) if id_col else None,
+                        )
+                    )
+                    plans.append(
+                        _core_select(
+                            bad.filter(F.col(vcol).isNull() & (exp_d == 0)),
+                            "invalid",
+                            F.col(vcol),
+                            expected=F.col("_expected"),
                             group_key=_str(gk),
                             doc_id=_str(F.col(id_col)) if id_col else None,
                         )
@@ -660,16 +696,27 @@ class RequiredMapping(BaseRequirement):
                             doc_id=_str(F.col(id_col)) if id_col else None,
                         )
                     )
-                # required-only keys: Deviation(-x, x) for numeric, Missing(x) else.
+                # required-only keys: Deviation(-x, x) for numeric, Missing(x)
+                # else; a zero numeric expected falls back to Missing(0)
+                # (Deviation(0, 0) is unbuildable)
                 absent = req_df.join(data_keys_df, group_col, "left_anti")
                 if numeric:
+                    exp_d = F.col("_expected").cast("double")
                     plans.append(
                         _core_select(
-                            absent,
+                            absent.filter(exp_d != 0),
                             "deviation",
                             F.lit(None),
                             expected=F.col("_expected"),
-                            deviation=-F.col("_expected").cast("double"),
+                            deviation=-exp_d,
+                            group_key=_str(gk),
+                        )
+                    )
+                    plans.append(
+                        _core_select(
+                            absent.filter(exp_d == 0),
+                            "missing",
+                            F.col("_expected"),
                             group_key=_str(gk),
                         )
                     )

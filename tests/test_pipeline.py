@@ -54,6 +54,15 @@ class TestText:
         rows = docs.select(text.winnow_fingerprints().alias("w")).limit(10).collect()
         assert all(len(r["w"]) >= 1 for r in rows)
 
+    def test_winnow_short_text_never_null_elements(self, spark):
+        # round-2 review: a shingle-less input fingerprinted to [null];
+        # null text now yields [] and short texts their whole-text shingle
+        df = spark.createDataFrame([(None,), ("",), ("one two",)], "text string")
+        rows = df.select(text.winnow_fingerprints(k=5).alias("w")).collect()
+        assert rows[0]["w"] == []
+        for r in rows[1:]:
+            assert len(r["w"]) == 1 and r["w"][0] is not None
+
     def test_text_profile(self, docs):
         prof = text.text_profile(docs).collect()
         assert len(prof) == docs.select("source").distinct().count()

@@ -167,3 +167,44 @@ class TestQueryOpOrdering:
     def test_filter_after_agg_applies_to_result(self, sel):
         out = sel({"grp": "val"}).sum().flatten().filter(lambda kv: kv[1] > 30).fetch()
         assert out == [("y", 35)]
+
+
+class TestToDfCompilesOps:
+    """Round-2 review regression: to_df() must apply relationally-
+    expressible chained ops instead of silently dropping them."""
+
+    def test_filter_applied(self, sel):
+        rows = sel("val").filter(lambda v: v > 10).to_df().collect()
+        assert sorted(r["val"] for r in rows) == [20, 30]
+
+    def test_distinct_applied(self, sel):
+        rows = sel("tag").distinct().to_df().collect()
+        assert sorted(r["tag"] for r in rows) == ["a", "b"]
+
+    def test_grouped_agg_applied(self, sel):
+        rows = sel({"grp": "val"}).sum().to_df().collect()
+        assert {r["grp"]: r["val"] for r in rows} == {"x": 30, "y": 35}
+
+    def test_driver_only_op_rejected(self, sel):
+        with pytest.raises(NotImplementedError):
+            sel("val").map(lambda v: v + 1).to_df()
+
+    def test_post_agg_filter_rejected(self, sel):
+        with pytest.raises(NotImplementedError):
+            sel("val").sum().filter(lambda v: v > 10).to_df()
+
+
+class TestPostFilterShapes:
+    """Round-2 review regression: fetch-side filter after an aggregation
+    must handle scalar and dict-of-scalar results (it crashed with
+    TypeError before)."""
+
+    def test_scalar_kept(self, sel):
+        assert sel("val").sum().filter(lambda v: v > 10).fetch() == 65
+
+    def test_scalar_dropped_to_none(self, sel):
+        assert sel("val").sum().filter(lambda v: v > 100).fetch() is None
+
+    def test_dict_of_scalars_drops_entries(self, sel):
+        out = sel({"grp": "val"}).sum().filter(lambda v: v > 30).fetch()
+        assert out == {"y": 35}

@@ -284,3 +284,68 @@ class TestReviewRegressions:
         with pytest.raises(ValidationError) as exc:
             validate(df, int)
         assert exc.value.differences == [Invalid(None)]
+
+
+class TestReviewRegressionsR2:
+    """Regressions from the round-2 code review (negation/NaN handling in
+    callable predicates, zero-expected mapping rows, order-check
+    null-vs-absent conflation, id_col in uniqueness grouping)."""
+
+    def test_negated_callable_predicate_distributed(self, spark):
+        from datatest_spark.predicates import Predicate
+
+        df = spark.createDataFrame([("a",), ("b",)], "v string")
+        with pytest.raises(ValidationError) as exc:
+            validate(df, ~Predicate(lambda v: v == "a"))
+        assert exc.value.differences == [Invalid("a")]
+
+    def test_difference_returning_callable_distributed(self, spark):
+        def check(v):
+            return Invalid(v, "want") if v != "ok" else True
+
+        df = spark.createDataFrame([("ok",), ("bad",)], "v string")
+        with pytest.raises(ValidationError) as exc:
+            validate(df, check)
+        assert exc.value.differences == [Invalid("bad", "want")]
+
+    def test_callable_sees_none_not_nan(self, spark):
+        # Arrow hands numeric nulls to the UDF as NaN; the reference
+        # callable contract is Python None for missing values
+        df = spark.createDataFrame([(1.0,), (None,)], "v double")
+        with pytest.raises(ValidationError) as exc:
+            validate(df, lambda v: v is None)
+        assert exc.value.differences == [Invalid(1.0)]
+
+    def test_mapping_null_value_zero_expected(self, spark):
+        df = spark.createDataFrame([("a", None), ("b", 2)], "k string, v int")
+        with pytest.raises(ValidationError) as exc:
+            validate(df, {"a": 0, "b": 2})
+        assert exc.value.differences == {"a": [Invalid(None, 0)]}
+
+    def test_mapping_absent_key_zero_expected(self, spark):
+        df = spark.createDataFrame([("a", 1)], "k string, v int")
+        with pytest.raises(ValidationError) as exc:
+            validate(df, {"a": 1, "c": 0})
+        assert exc.value.differences == {"c": [Missing(0)]}
+
+    def test_order_null_value_is_extra_not_dropped(self, spark):
+        df = spark.createDataFrame(
+            [(0, "a"), (1, None)], "ord int, v string"
+        )
+        with pytest.raises(ValidationError) as exc:
+            validate.order(df, ["a"], order_by="ord")
+        assert exc.value.differences == [Extra('{"index":1,"value":null}')]
+
+    def test_order_null_matches_null(self, spark):
+        df = spark.createDataFrame(
+            [(0, "a"), (1, None)], "ord int, v string"
+        )
+        validate.order(df, ["a", None], order_by="ord")  # no raise
+
+    def test_unique_ignores_id_col(self, spark):
+        df = spark.createDataFrame(
+            [(1, "x"), (2, "x"), (3, "y")], "id int, v string"
+        )
+        with pytest.raises(ValidationError) as exc:
+            validate.unique(df, id_col="id")
+        assert exc.value.differences == [Extra("x")]
