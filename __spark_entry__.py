@@ -302,6 +302,20 @@ def q_fingerprints(spark, sf_dir):
     )
 
 
+def q_winnow_fingerprints(spark, sf_dir):
+    """Winnowing fingerprint SET per document (text.winnow_fingerprints):
+    min shingle-hash per sliding window, exploded to scalar rows so the
+    driver can hash-compare. Oracle reproduces the first-occurrence
+    shingle order via MIN(position) + a window self-join."""
+    d = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 200
+    ).filter(F.col("text").isNotNull())
+    return d.select(
+        "doc_id",
+        F.explode(text.winnow_fingerprints(k=5, window=4)).alias("fp"),
+    ).distinct()
+
+
 def q_minhash_signatures(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
     return dedup.minhash_signatures(d, num_hashes=4)
@@ -524,6 +538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_confusion": q_langid_confusion,
         "exact_dup_groups": q_exact_dup_groups,
         "fingerprints": q_fingerprints,
+        "winnow_fingerprints": q_winnow_fingerprints,
         "minhash_signatures": q_minhash_signatures,
         "jaccard_pairs": q_jaccard_pairs,
         "embedding_norms": q_embedding_norms,
@@ -786,6 +801,41 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fingerprints": """
             SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id < 100
+        """,
+        "winnow_fingerprints": """
+            WITH W AS (
+                SELECT doc_id, string_split(text, ' ') AS w
+                FROM documents WHERE doc_id < 200 AND text IS NOT NULL
+            ),
+            SH AS (
+                SELECT doc_id, i, array_to_string(w[i : i + 4], ' ') AS shingle
+                FROM W, UNNEST(range(1, GREATEST(len(w) - 3, 2))) AS t(i)
+            ),
+            -- dedupe shingles keeping first-occurrence order (Spark's
+            -- array_distinct semantics), then hash
+            FIRSTPOS AS (
+                SELECT doc_id, shingle, MIN(i) AS fi
+                FROM SH GROUP BY doc_id, shingle
+            ),
+            ORD AS (
+                SELECT doc_id, md5(shingle) AS h,
+                       ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY fi) AS rn,
+                       COUNT(*) OVER (PARTITION BY doc_id) AS n
+                FROM FIRSTPOS
+            ),
+            STARTS AS (
+                SELECT doc_id, s
+                FROM (SELECT DISTINCT doc_id, n FROM ORD),
+                     UNNEST(range(1, GREATEST(n - 2, 2))) AS t(s)
+            ),
+            MINS AS (
+                SELECT st.doc_id, st.s, MIN(o.h) AS fp
+                FROM STARTS st
+                JOIN ORD o ON o.doc_id = st.doc_id
+                          AND o.rn BETWEEN st.s AND st.s + 3
+                GROUP BY st.doc_id, st.s
+            )
+            SELECT DISTINCT doc_id, fp FROM MINS
         """,
         "minhash_signatures": """
             WITH {cte}

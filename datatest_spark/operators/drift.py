@@ -110,6 +110,10 @@ class DriftCheck(BaseCheck):
             it = ((r[0], r[1], r[2]) for r in self.baseline)
         out = {}
         for g, b, p in it:
+            # histogram() stringifies group keys (nulls -> '__null__'); a
+            # baseline built from raw rows with e.g. int groups must land
+            # in the same key space or every group reads extra+missing
+            g = "__null__" if g is None else str(g)
             out.setdefault(g, {})[b] = float(p)
         return out
 

@@ -35,9 +35,11 @@ def callable_violations(df, col, predicate, id_col=None, group_col=None):
 
     # Unwrap Predicate so difference-returning callables keep their
     # difference semantics (Predicate.__call__ bool-coerces the returned
-    # difference, which would silently swallow it); negation applies to
-    # boolean results, and under a negated predicate a returned difference
-    # means "did not match" — i.e. the row is accepted.
+    # difference, which would silently swallow it). The driver-side oracle
+    # for negation is Predicate.__call__: a returned difference coerces
+    # truthy, so under ~P it yields False — still a violation (reported as
+    # a generic Invalid; the returned difference's args describe the
+    # un-negated failure and don't apply).
     negated = isinstance(predicate, Predicate) and predicate._negated
     fn = predicate.obj if isinstance(predicate, Predicate) else predicate
     out_type = T.StructType(
@@ -65,11 +67,21 @@ def callable_violations(df, col, predicate, id_col=None, group_col=None):
             try:
                 r = fn(v)
             except Exception:
-                r = False
+                # an un-evaluable row is a violation whether or not the
+                # predicate is negated — negation must not silently
+                # accept rows the callable cannot judge
+                oks.append(False)
+                kinds.append("invalid")
+                values.append(None)
+                expecteds.append(None)
+                devs.append(None)
+                continue
             if isinstance(r, BaseDifference):
                 if negated:
-                    # difference = "did not match"; negation accepts it
-                    oks.append(True)
+                    # truthy difference -> ~P is False -> violation, but
+                    # as a generic Invalid(value): r's args describe the
+                    # un-negated failure
+                    oks.append(False)
                     kinds.append("invalid")
                     values.append(None)
                     expecteds.append(None)

@@ -251,7 +251,9 @@ def compile_callable(obj, col):
     """Column for a callable predicate (P5) — vectorized pandas UDF.
 
     Applies full Predicate matching semantics per batch (Arrow transfer);
-    a difference-returning callable counts as a failure here (the
+    a difference-returning callable bool-coerces truthy and counts as a
+    MATCH in this filter context — identical to the driver-side
+    ``Predicate.__call__`` and to ``_apply_post``'s truthiness test (the
     difference-materializing form lives in operators/rowpred.py).
     """
     pred = obj if isinstance(obj, Predicate) else Predicate(obj)
@@ -271,7 +273,9 @@ def compile_callable(obj, col):
                 r = pred(v)
             except Exception:
                 r = False
-            out.append(bool(r) and not hasattr(r, "args"))
+            # pred is always a Predicate, whose __call__ bool-coerces —
+            # r is a plain bool by the time it lands here
+            out.append(bool(r))
         return pd.Series(out, dtype="bool")
 
     if isinstance(col, str):

@@ -31,16 +31,24 @@ from pyspark.sql import functions as F
 from .predicates import Predicate, compile_predicate
 
 
+def _filter_condition(df, pred, col_name):
+    """The one filter-compile dispatch (callable -> pandas-UDF match,
+    everything else -> native Column predicate), shared by kwargs-where,
+    fetch()'s pre-aggregation filters, and to_df()."""
+    inner = pred.obj if isinstance(pred, Predicate) else pred
+    if callable(inner) and not isinstance(inner, type) and not hasattr(inner, "pattern"):
+        from .predicates import compile_callable
+
+        return compile_callable(pred, F.col(col_name))
+    return compile_predicate(
+        pred, F.col(col_name), dtype=dict(df.dtypes).get(col_name)
+    )
+
+
 def _compile_where(df, kwargs):
     cond = None
     for col, req in kwargs.items():
-        inner = req.obj if isinstance(req, Predicate) else req
-        if callable(inner) and not isinstance(inner, type) and not hasattr(inner, "pattern"):
-            from .predicates import compile_callable
-
-            c = compile_callable(req, F.col(col))
-        else:
-            c = compile_predicate(req, F.col(col), dtype=dict(df.dtypes).get(col))
+        c = _filter_condition(df, req, col)
         cond = c if cond is None else (cond & c)
     return df.filter(cond) if cond is not None else df
 
@@ -202,17 +210,7 @@ class Query(object):
                     raise NotImplementedError(
                         "relational filter needs a single value column"
                     )
-                pred = arg
-                inner = pred.obj if isinstance(pred, Predicate) else pred
-                if callable(inner) and not isinstance(inner, type) and not hasattr(inner, "pattern"):
-                    from .predicates import compile_callable
-
-                    df = df.filter(compile_callable(pred, F.col(vals[0])))
-                else:
-                    df = df.filter(compile_predicate(
-                        pred, F.col(vals[0]),
-                        dtype=dict(df.dtypes).get(vals[0]),
-                    ))
+                df = df.filter(_filter_condition(df, arg, vals[0]))
             else:
                 raise NotImplementedError(
                     "{0}() has no relational form; use fetch()".format(op)
@@ -256,17 +254,7 @@ class Query(object):
                         raise NotImplementedError(
                             "pre-aggregation filter needs a single value column"
                         )
-                    pred = arg
-                    inner = pred.obj if isinstance(pred, Predicate) else pred
-                    if callable(inner) and not isinstance(inner, type) and not hasattr(inner, "pattern"):
-                        from .predicates import compile_callable
-
-                        df = df.filter(compile_callable(pred, F.col(vals[0])))
-                    else:
-                        df = df.filter(compile_predicate(
-                            pred, F.col(vals[0]),
-                            dtype=dict(df.dtypes).get(vals[0]),
-                        ))
+                    df = df.filter(_filter_condition(df, arg, vals[0]))
                 else:
                     raise NotImplementedError(
                         "{0}() before an aggregation has no relational form; "

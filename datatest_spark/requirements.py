@@ -375,6 +375,8 @@ class RequiredOrder(BaseRequirement):
             cols = [c for c in cols if c != group_col]
         if self.order_by and self.order_by in cols and len(cols) > 1:
             cols = [c for c in cols if c != self.order_by]
+        if id_col is not None and id_col in cols and len(cols) > 1:
+            cols = [c for c in cols if c != id_col]
         if len(cols) != 1:
             raise ValueError("order requirement needs 1 value column")
         col = cols[0]

@@ -396,3 +396,27 @@ class TestGlobalViolationVerdicts:
         statuses = {r["partition_key"]: r["status"] for r in res.verdicts.collect()
                     if r["check_id"] == "schema_conformance"}
         assert statuses.get("__global__") == "fail"
+
+
+class TestDriftBaselineKeySpace:
+    """Round-2 review: a baseline built from raw rows with non-string
+    groups must land in histogram()'s stringified key space, or drift is
+    never computed and every group double-reports extra+missing."""
+
+    def test_int_group_col_baseline(self, spark):
+        from datatest_spark.operators.drift import DriftCheck
+
+        df = spark.createDataFrame(
+            [(1, float(i % 10)) for i in range(100)]
+            + [(2, float(i % 10)) for i in range(100)],
+            "shard int, v double",
+        )
+        base = [
+            (1, b, 0.1) for b in range(1, 11)
+        ] + [(2, b, 0.1) for b in range(1, 11)]
+        chk = DriftCheck(base, value_col="v", group_col="shard",
+                         lo=0.0, hi=10.0, nbins=10, threshold=0.5)
+        metrics, extra, missing = chk.compute(df)
+        assert set(metrics) == {"1", "2"}
+        assert extra == set() and missing == set()
+        assert chk.drift_violations(df) == []

@@ -349,3 +349,30 @@ class TestReviewRegressionsR2:
         with pytest.raises(ValidationError) as exc:
             validate.unique(df, id_col="id")
         assert exc.value.differences == [Extra("x")]
+
+    def test_negated_difference_returning_callable_still_violates(self, spark):
+        # driver oracle: bool(difference) is truthy, so ~P yields False —
+        # a violation, reported as generic Invalid (not silently accepted)
+        from datatest_spark.predicates import Predicate
+
+        def check(v):
+            return Invalid(v, "want") if v != "ok" else True
+
+        df = spark.createDataFrame([("ok",), ("bad",)], "v string")
+        with pytest.raises(ValidationError) as exc:
+            validate(df, ~Predicate(check))
+        assert set(exc.value.differences) == {Invalid("ok"), Invalid("bad")}
+
+    def test_negated_raising_callable_still_violates(self, spark):
+        from datatest_spark.predicates import Predicate
+
+        df = spark.createDataFrame([("abc",), ("7",)], "v string")
+        with pytest.raises(ValidationError) as exc:
+            validate(df, ~Predicate(lambda v: int(v) > 5))
+        assert set(exc.value.differences) == {Invalid("abc"), Invalid("7")}
+
+    def test_order_ignores_id_col(self, spark):
+        df = spark.createDataFrame(
+            [(10, 0, "a"), (11, 1, "b")], "doc_id int, ord int, v string"
+        )
+        validate.order(df, ["a", "b"], order_by="ord", id_col="doc_id")
