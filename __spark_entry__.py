@@ -483,6 +483,20 @@ def q_simhash_pairs(spark, sf_dir):
     return dedup.simhash_pairs(d, k_shingle=3, max_hamming=8)
 
 
+def q_simhash_md5_signatures(spark, sf_dir):
+    """md5-variant SimHash signatures (dedup.simhash60_md5): the
+    vote-and-pack logic value-checked against a DuckDB oracle that
+    rebuilds each 60-bit hash digit-by-digit from the md5 hex string
+    (xxhash64 isn't available in DuckDB; the production simhash_pairs
+    path stays on xxhash64 and is rows-only checked)."""
+    d = _t(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 50) & F.col("text").isNotNull()
+    )
+    return d.select(
+        "doc_id", dedup.simhash60_md5(F.col("text"), 3).alias("simhash60")
+    )
+
+
 def q_ivf_ann_topk(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 10)
@@ -553,6 +567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_quantiles": q_exact_quantiles,
         "lsh_candidate_pairs": q_lsh_candidate_pairs,
         "simhash_pairs": q_simhash_pairs,
+        "simhash_md5_signatures": q_simhash_md5_signatures,
         "ivf_ann_topk": q_ivf_ann_topk,
         "multimodal_features": q_multimodal_features,
     }
@@ -801,6 +816,33 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fingerprints": """
             SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id < 100
+        """,
+        "simhash_md5_signatures": """
+            WITH W AS (
+                SELECT doc_id, string_split(text, ' ') AS w
+                FROM documents WHERE doc_id < 50 AND text IS NOT NULL
+            ),
+            S AS (
+                SELECT DISTINCT doc_id, array_to_string(w[i : i + 2], ' ') AS shingle
+                FROM W, UNNEST(range(1, GREATEST(len(w) - 1, 2))) AS t(i)
+            ),
+            H AS (SELECT doc_id, substr(md5(shingle), 1, 15) AS hx FROM S),
+            -- bit j of the 60-bit value lives in hex digit 15 - j//4
+            -- (1-based, leftmost most significant), sub-bit j%4
+            B AS (
+                SELECT doc_id, j,
+                       SUM(CASE WHEN ((strpos('0123456789abcdef',
+                                              substr(hx, CAST(15 - j // 4 AS INT), 1)) - 1)
+                                      >> CAST(j % 4 AS INT)) & 1 = 1
+                                THEN 1 ELSE -1 END) AS vote
+                FROM H, UNNEST(range(60)) AS t(j)
+                GROUP BY doc_id, j
+            )
+            SELECT doc_id,
+                   CAST(SUM(CASE WHEN vote > 0
+                                 THEN (CAST(1 AS BIGINT) << CAST(j AS INT))
+                                 ELSE 0 END) AS BIGINT) AS simhash60
+            FROM B GROUP BY doc_id
         """,
         "winnow_fingerprints": """
             WITH W AS (

@@ -227,8 +227,15 @@ def simhash64(text="text", k_shingle: int = 3):
     for simhash_pairs on sf0.1's 200k docs, bit-identical outputs)."""
     sh = shingles_col(text, k_shingle)
     hashes = F.transform(sh, lambda s: F.xxhash64(s))
-    masks = F.array(*[F.lit(m).cast("long") for m in _SIMHASH_MASKS])
-    zeros = F.array_repeat(F.lit(0), 64)
+    return _simhash_pack(hashes, _SIMHASH_MASKS)
+
+
+def _simhash_pack(hashes, masks_list):
+    """Vote-and-pack core shared by the xxhash64 and md5 variants: every
+    feature hash votes ±1 per mask bit in one array-accumulator pass;
+    strictly-positive votes set the bit."""
+    masks = F.array(*[F.lit(m).cast("long") for m in masks_list])
+    zeros = F.array_repeat(F.lit(0), len(masks_list))
     votes = F.aggregate(
         hashes,
         zeros,
@@ -248,6 +255,20 @@ def simhash64(text="text", k_shingle: int = 3):
     return F.aggregate(
         signed, F.lit(0).cast("long"), lambda acc, x: acc.bitwiseOR(x)
     )
+
+
+def simhash60_md5(text="text", k_shingle: int = 3):
+    """60-bit SimHash whose feature hash is the first 15 hex digits of
+    md5 — slower than xxhash64 but reproducible digit-by-digit in ANSI
+    SQL (DuckDB has md5 but not xxhash64), so the vote/pack logic gets a
+    value-level cross-engine oracle. 15 hex digits = 60 bits keeps every
+    intermediate inside a signed BIGINT in both engines."""
+    sh = shingles_col(text, k_shingle)
+    hashes = F.transform(
+        sh,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+    )
+    return _simhash_pack(hashes, [1 << i for i in range(60)])
 
 
 def simhash_pairs(

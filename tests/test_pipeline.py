@@ -157,6 +157,22 @@ class TestDedup:
         assert len(clone_pairs) >= 2
         assert all(p["hamming"] == 0 for p in clone_pairs)
 
+    def test_simhash60_md5_fits_60_bits_and_clones_equal(self, spark, docs):
+        rows = (
+            docs.limit(5)
+            .select("doc_id", dedup.simhash60_md5(F.col("text")).alias("s"))
+            .collect()
+        )
+        assert all(0 <= r["s"] < (1 << 60) for r in rows)
+        clone = docs.limit(5).withColumn("doc_id", F.col("doc_id") + 100000)
+        both = docs.limit(5).unionByName(clone).select(
+            F.md5("text").alias("h"), dedup.simhash60_md5(F.col("text")).alias("s")
+        ).collect()
+        by_text = {}
+        for r in both:
+            by_text.setdefault(r["h"], set()).add(r["s"])
+        assert all(len(v) == 1 for v in by_text.values())
+
 
 class TestSimilarity:
     def test_brute_force_topk_shape(self, embs):
