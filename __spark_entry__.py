@@ -503,6 +503,20 @@ def q_ivf_ann_topk(spark, sf_dir):
     return similarity.ivf_topk(e, q, k=3, n_centroids=8, nprobe=4)
 
 
+def q_ivf_md5_topk(spark, sf_dir):
+    """IVF top-k with the md5-based centroid pick — same bucketed probe
+    algorithm as ivf_ann_topk, but every stage (stratified centroid
+    choice, nearest-centroid assignment, probe selection, in-bucket
+    top-k) is reproduced step-for-step by the DuckDB oracle, so the IVF
+    pipeline is value-checked end-to-end (the production variant stays
+    on xxhash64 and is rows-only + recall-tested)."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return similarity.ivf_topk(
+        e, q, k=3, n_centroids=8, nprobe=4, centroid_hash="md5"
+    )
+
+
 def q_multimodal_features(spark, sf_dir):
     """Multimodal plumbing end-to-end. The driver's rows-only check sorts
     a pandas frame, so the output must be scalar columns only — the
@@ -569,6 +583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "simhash_md5_signatures": q_simhash_md5_signatures,
         "ivf_ann_topk": q_ivf_ann_topk,
+        "ivf_md5_topk": q_ivf_md5_topk,
         "multimodal_features": q_multimodal_features,
     }
 
@@ -1048,6 +1063,72 @@ def oracle_sql() -> dict[str, str]:
                         * SQRT(list_sum(list_transform(n.v, x -> x * x)))) AS cos_raw
                 FROM V q JOIN V n ON q.vec_id <> n.vec_id
                 WHERE q.vec_id < 10
+            )
+            SELECT query_id, neighbor_id, ROUND(cos_raw, 4) AS cosine, rank FROM (
+                SELECT query_id, neighbor_id, cos_raw,
+                       CAST(ROW_NUMBER() OVER (
+                           PARTITION BY query_id
+                           ORDER BY cos_raw DESC, neighbor_id ASC
+                       ) AS INT) AS rank
+                FROM SCORED
+            ) WHERE rank <= 3
+        """,
+        "ivf_md5_topk": """
+            WITH V AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            ),
+            ST AS (
+                SELECT vec_id, v,
+                       (16 * (strpos('0123456789abcdef',
+                                     substr(md5(CAST(vec_id AS VARCHAR)), 31, 1)) - 1)
+                          + strpos('0123456789abcdef',
+                                   substr(md5(CAST(vec_id AS VARCHAR)), 32, 1)) - 1
+                       ) % 8 AS centroid_id,
+                       md5(CAST(vec_id AS VARCHAR) || '#7') AS salt
+                FROM V
+            ),
+            CENT AS (
+                SELECT centroid_id, cv FROM (
+                    SELECT centroid_id, v AS cv,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY centroid_id ORDER BY salt, vec_id
+                           ) AS r
+                    FROM ST
+                ) WHERE r = 1
+            ),
+            ASSIGN AS (
+                SELECT id, v, centroid_id FROM (
+                    SELECT s.vec_id AS id, s.v, c.centroid_id,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY s.vec_id
+                               ORDER BY list_dot_product(s.v, c.cv)
+                                        / (SQRT(list_sum(list_transform(s.v, x -> x * x)))
+                                         * SQRT(list_sum(list_transform(c.cv, x -> x * x)))) DESC,
+                                        c.centroid_id
+                           ) AS r
+                    FROM ST s CROSS JOIN CENT c
+                ) WHERE r = 1
+            ),
+            PROBES AS (
+                SELECT query_id, qv, centroid_id FROM (
+                    SELECT q.vec_id AS query_id, q.v AS qv, c.centroid_id,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY q.vec_id
+                               ORDER BY list_dot_product(q.v, c.cv)
+                                        / (SQRT(list_sum(list_transform(q.v, x -> x * x)))
+                                         * SQRT(list_sum(list_transform(c.cv, x -> x * x)))) DESC,
+                                        c.centroid_id
+                           ) AS r
+                    FROM V q CROSS JOIN CENT c WHERE q.vec_id < 10
+                ) WHERE r <= 4
+            ),
+            SCORED AS (
+                SELECT p.query_id, a.id AS neighbor_id,
+                       list_dot_product(p.qv, a.v)
+                       / (SQRT(list_sum(list_transform(p.qv, x -> x * x)))
+                        * SQRT(list_sum(list_transform(a.v, x -> x * x)))) AS cos_raw
+                FROM PROBES p JOIN ASSIGN a USING (centroid_id)
+                WHERE p.query_id <> a.id
             )
             SELECT query_id, neighbor_id, ROUND(cos_raw, 4) AS cosine, rank FROM (
                 SELECT query_id, neighbor_id, cos_raw,

@@ -132,24 +132,42 @@ def threshold_pairs(
     )
 
 
-def _centroids_from_sample(vectors, vec_col, n_centroids, id_col):
+def _centroids_from_sample(vectors, vec_col, n_centroids, id_col,
+                           hash_fn="xxhash64"):
     """Deterministic hash-stratified centroid pick: stratum =
-    pmod(xxhash64(id), C); within each stratum keep the row minimizing a
-    salted xxhash64 of the id. Seed-stable at any parallelism (unlike
+    pmod(hash(id), C); within each stratum keep the row minimizing a
+    salted hash of the id. Seed-stable at any parallelism (unlike
     monotonically_increasing_id) and spread across the id space (unlike
     first-C-by-id, which collapses all centroids into one region when ids
-    are insertion-ordered and the data is clustered)."""
+    are insertion-ordered and the data is clustered).
+
+    ``hash_fn='md5'`` swaps xxhash64 for md5-derived keys (stratum from
+    the last two hex digits, within-stratum order lexicographic on a
+    salted md5 hex string) — same statistical behavior, but every step
+    is reproducible in ANSI SQL for the cross-engine oracle."""
     from pyspark.sql.window import Window
 
     v = vectors.select(
         F.col(id_col).alias("_src_id"), as_double(F.col(vec_col)).alias("cv")
     )
-    v = v.withColumn(
-        "centroid_id", F.pmod(F.xxhash64(F.col("_src_id")), F.lit(n_centroids))
-    )
-    w = Window.partitionBy("centroid_id").orderBy(
-        F.xxhash64(F.col("_src_id"), F.lit(7)), F.col("_src_id")
-    )
+    if hash_fn == "md5":
+        h = F.md5(F.col("_src_id").cast("string"))
+        v = v.withColumn(
+            "centroid_id",
+            F.pmod(
+                F.conv(F.substring(h, 31, 2), 16, 10).cast("int"),
+                F.lit(n_centroids),
+            ),
+        )
+        order_key = F.md5(
+            F.concat(F.col("_src_id").cast("string"), F.lit("#7"))
+        )
+    else:
+        v = v.withColumn(
+            "centroid_id", F.pmod(F.xxhash64(F.col("_src_id")), F.lit(n_centroids))
+        )
+        order_key = F.xxhash64(F.col("_src_id"), F.lit(7))
+    w = Window.partitionBy("centroid_id").orderBy(order_key, F.col("_src_id"))
     return (
         v.withColumn("_r", F.row_number().over(w))
         .filter("_r = 1")
@@ -187,14 +205,19 @@ def ivf_topk(
     k: int = 10,
     n_centroids: int = 16,
     nprobe: int = 4,
+    centroid_hash: str = "xxhash64",
 ) -> DataFrame:
     """IVF approximate top-k: search only the nprobe nearest buckets.
 
     At 100 TB the assignment table is written bucketed by centroid_id so
     query-time probes prune partitions; here both passes are computed
     inline. Recall is tested against brute force in tests/test_pipeline.py.
+    ``centroid_hash='md5'`` selects the SQL-reproducible centroid pick
+    (see _centroids_from_sample) for the cross-engine oracle query.
     """
-    cents = _centroids_from_sample(vectors, vec_col, n_centroids, id_col)
+    cents = _centroids_from_sample(
+        vectors, vec_col, n_centroids, id_col, hash_fn=centroid_hash
+    )
     cents = cents.persist()
     assigned = ivf_assign(vectors, cents, id_col, vec_col)
 

@@ -213,6 +213,20 @@ class TestSimilarity:
         ]
         assert sum(recalls) / len(recalls) >= 0.5  # nprobe=4/8 buckets
 
+    def test_ivf_md5_variant_same_shape(self, embs):
+        # the oracle-able centroid pick must run the same pipeline:
+        # dense ranks 1..k per query, cosine within [-1, 1]
+        q = embs.filter("vec_id < 5")
+        rows = similarity.ivf_topk(
+            embs, q, k=3, n_centroids=8, nprobe=4, centroid_hash="md5"
+        ).collect()
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r["query_id"], []).append(r["rank"])
+            assert -1.0001 <= r["cosine"] <= 1.0001
+        assert set(by_q) == {0, 1, 2, 3, 4}
+        assert all(sorted(v) == [1, 2, 3] for v in by_q.values())
+
     def test_lsh_buckets_deterministic(self, embs):
         a = similarity.lsh_buckets(embs).collect()
         b = similarity.lsh_buckets(embs).collect()
