@@ -171,3 +171,51 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             F.sequence(F.lit(0), F.col("duration_ms"), F.lit(every_ms))
         ).alias("frame_ts_ms"),
     )
+
+
+FRAME_SCHEMA = "media_id string, frame_ts_ms long, frame_payload binary"
+
+
+def _frame_stub(payload: bytes, ts_ms: int) -> bytes:
+    """STUB frame-decode kernel: a real kernel seeks the container to
+    ts_ms and re-encodes the frame. The fake derives deterministic bytes
+    from (payload, timestamp) so dedup/feature stages downstream see
+    distinct per-frame payloads."""
+    import hashlib
+
+    tag = "@{0}".format(ts_ms).encode()
+    return hashlib.md5(payload + tag).digest() + tag
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Frame-sample kernel stage (brief: decode / feature-extract /
+    resize / FRAME-SAMPLE as Pandas UDFs).
+
+    The timestamp fan-out stays JVM-side (sequence/explode, same plan as
+    frame_sample_plan) so only (payload, ts) pairs cross the Arrow
+    boundary; the per-frame decode is the documented stub. At scale the
+    fan-out multiplies rows ~duration/every_ms, so the exploded plan
+    repartitions by media_id before the Python stage only if the caller
+    asks — default leaves Spark's AQE to size the shuffle."""
+    vids = media.filter(F.col("modality") == "video").select(
+        "media_id",
+        "payload",
+        F.explode(
+            F.sequence(F.lit(0), F.col("duration_ms"), F.lit(every_ms))
+        ).alias("frame_ts_ms"),
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "frame_ts_ms": pdf["frame_ts_ms"],
+                    "frame_payload": [
+                        _frame_stub(p, int(t)) if p is not None else None
+                        for p, t in zip(pdf["payload"], pdf["frame_ts_ms"])
+                    ],
+                }
+            )
+
+    return vids.mapInPandas(kernel, schema=FRAME_SCHEMA)

@@ -344,6 +344,32 @@ class TestMultimodal:
         with pytest.raises(NotImplementedError):
             multimodal._decode_image_stub(None, 4)
 
+    def test_sample_frames_kernel(self, spark):
+        media = multimodal.synth_media(spark, 60)
+        frames = multimodal.sample_frames(media, every_ms=10000).collect()
+        plan_n = multimodal.frame_sample_plan(media, every_ms=10000).count()
+        assert len(frames) == plan_n
+        # per-frame payloads are distinct per timestamp and deterministic
+        seen = {}
+        for r in frames:
+            key = (r["media_id"], r["frame_ts_ms"])
+            assert key not in seen
+            seen[key] = r["frame_payload"]
+            assert r["frame_payload"] is not None
+        again = {
+            (r["media_id"], r["frame_ts_ms"]): r["frame_payload"]
+            for r in multimodal.sample_frames(media, every_ms=10000).collect()
+        }
+        assert again == seen
+        per_vid = {}
+        for (mid, _), p in seen.items():
+            per_vid.setdefault(mid, set()).add(bytes(p))
+        # distinct frames within one video (stub varies with ts)
+        assert all(
+            len(v) == sum(1 for k in seen if k[0] == mid)
+            for mid, v in per_vid.items()
+        )
+
 
 class TestDedupClusters:
     def test_clusters_and_drop(self, spark, docs):
