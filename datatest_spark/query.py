@@ -86,6 +86,8 @@ class Select(object):
                 self._df = spark.read.json(s, **reader_opts)
             elif s.endswith((".xlsx", ".xls")):
                 self._df = load_excel(spark, s, **reader_opts)
+            elif s.endswith(".orc"):
+                self._df = spark.read.orc(s)
             elif s.endswith(".parquet") or "/" in s:
                 self._df = spark.read.parquet(s)
             else:

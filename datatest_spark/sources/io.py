@@ -111,3 +111,9 @@ def read_json(spark: SparkSession, path: str, schema=None, **opts) -> DataFrame:
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path, **opts)
+
+
+def read_orc(spark: SparkSession, path: str, **opts) -> DataFrame:
+    """ORC source — native Spark reader, same pushdown/pruning behavior
+    as parquet (PushedFilters reach the ORC scan)."""
+    return spark.read.orc(path, **opts)

@@ -98,6 +98,18 @@ class TestIO:
         s2 = Select(p + "/", spark=spark) if False else Select(back)
         assert sorted(s2("val").fetch()) == [5, 10, 20, 30]
 
+    def test_orc_roundtrip(self, spark, tmp_path, sel):
+        from datatest_spark.sources.io import read_orc
+
+        p = str(tmp_path / "t.orc")
+        sel._df.write.mode("overwrite").orc(p)
+        back = read_orc(spark, p)
+        assert sorted(back.columns) == ["grp", "tag", "val"]
+        assert back.count() == 4
+        # path-suffix dispatch: the .orc directory routes to the orc reader
+        s2 = Select(p, spark=spark)
+        assert sorted(s2("val").fetch()) == [5, 10, 20, 30]
+
     def test_catalog_partitioned_roundtrip(self, spark, tmp_path):
         from datatest_spark.sources.synth import tokenized_sequences
 
