@@ -207,6 +207,31 @@ def stateful_freshness(
     )
 
 
+def streaming_dedup(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    content_col: str = "text",
+    watermark: str = "10 minutes",
+    extra_key_cols=(),
+) -> DataFrame:
+    """Streaming exact dedup with BOUNDED state: the streaming analogue
+    of dedup.exact_duplicates for continuous ingestion.
+
+    Keys on md5(content) (+ optional extra key columns) and uses
+    ``dropDuplicatesWithinWatermark`` — duplicates arriving inside the
+    watermark horizon are dropped and a key's state is evicted once the
+    watermark passes it. Plain ``dropDuplicates`` on a stream keeps
+    every key ever seen, which at 10^12-row streams is an unbounded
+    state store; the watermark variant holds only the horizon's keys.
+    Re-emission of a duplicate *after* the horizon is the documented
+    trade-off: exact global dedup belongs to the batch/compaction pass.
+    """
+    w = _with_event_time(stream, ts_col).withWatermark(ts_col, watermark)
+    hashed = w.withColumn("content_hash", F.md5(F.col(content_col)))
+    keys = ["content_hash"] + list(extra_key_cols)
+    return hashed.dropDuplicatesWithinWatermark(keys)
+
+
 def run_available_now(stream_df: DataFrame, query_name: str, checkpoint: str):
     """Drain all currently-available input into an in-memory sink and
     return the collected rows (test/inspection helper)."""

@@ -177,3 +177,26 @@ def test_to_violation_rows_matches_engine_schema(spark, tmp_path):
     unioned = batch_empty.unionByName(
         spark.createDataFrame(rows, VIOLATION_SCHEMA))
     assert unioned.count() == 2
+
+
+@pytest.mark.spark
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    from datatest_spark.streaming import windowed
+
+    src = str(tmp_path / "dsrc")
+    spark.createDataFrame(
+        [
+            ("2024-01-01 00:01:00", "same text"),
+            ("2024-01-01 00:02:00", "same text"),      # dup inside horizon
+            ("2024-01-01 00:03:00", "other text"),
+            ("2024-01-01 00:03:30", "same text"),      # dup again
+        ],
+        "ts string, text string",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz")).write.mode(
+        "overwrite"
+    ).parquet(src)
+    stream = spark.readStream.schema("ts timestamp_ntz, text string").parquet(src)
+    deduped = windowed.streaming_dedup(stream, watermark="10 minutes")
+    got = windowed.run_available_now(deduped, "sdedup", str(tmp_path / "dck"))
+    texts = sorted(r["text"] for r in got)
+    assert texts == ["other text", "same text"]
