@@ -110,11 +110,13 @@ class DriftCheck(BaseCheck):
             it = ((r[0], r[1], r[2]) for r in self.baseline)
         out = {}
         for g, b, p in it:
-            # histogram() stringifies group keys (nulls -> '__null__'); a
-            # baseline built from raw rows with e.g. int groups must land
-            # in the same key space or every group reads extra+missing
+            # normalize both keys into histogram()'s key space — groups
+            # are strings (nulls -> '__null__'), buckets are ints. A
+            # baseline loaded from a text format (str groups AND str
+            # buckets) would otherwise never align with current data and
+            # every group would falsely read as maximally drifted.
             g = "__null__" if g is None else str(g)
-            out.setdefault(g, {})[b] = float(p)
+            out.setdefault(g, {})[int(b)] = float(p)
         return out
 
     def compute(self, df: DataFrame) -> tuple:

@@ -160,16 +160,27 @@ def resize_images(media: DataFrame, width: int, height: int,
     return pruned.mapInPandas(kernel, schema=RESIZED_SCHEMA)
 
 
+def _sampled_times(media: DataFrame, every_ms: int) -> DataFrame:
+    """Shared frame fan-out source: one row per video with the sampled
+    timestamp ARRAY (not yet exploded). frame_sample_plan explodes it;
+    sample_frames fans out inside the pandas kernel so each payload
+    crosses the Arrow boundary exactly once."""
+    return media.filter(F.col("modality") == "video").select(
+        "media_id",
+        "payload",
+        F.sequence(F.lit(0), F.col("duration_ms"), F.lit(every_ms)).alias(
+            "frame_ts"
+        ),
+    )
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: one output row per sampled timestamp
-    (sequence/explode — JVM-side). The actual frame decode is the same
-    stubbed kernel boundary as extract_features."""
-    vids = media.filter(F.col("modality") == "video")
-    return vids.select(
-        "media_id",
-        F.explode(
-            F.sequence(F.lit(0), F.col("duration_ms"), F.lit(every_ms))
-        ).alias("frame_ts_ms"),
+    (sequence/explode — JVM-side; the unused payload column is pruned by
+    Catalyst). The actual frame decode is the same stubbed kernel
+    boundary as extract_features."""
+    return _sampled_times(media, every_ms).select(
+        "media_id", F.explode("frame_ts").alias("frame_ts_ms")
     )
 
 
@@ -191,31 +202,29 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Frame-sample kernel stage (brief: decode / feature-extract /
     resize / FRAME-SAMPLE as Pandas UDFs).
 
-    The timestamp fan-out stays JVM-side (sequence/explode, same plan as
-    frame_sample_plan) so only (payload, ts) pairs cross the Arrow
-    boundary; the per-frame decode is the documented stub. At scale the
-    fan-out multiplies rows ~duration/every_ms, so the exploded plan
-    repartitions by media_id before the Python stage only if the caller
-    asks — default leaves Spark's AQE to size the shuffle."""
-    vids = media.filter(F.col("modality") == "video").select(
-        "media_id",
-        "payload",
-        F.explode(
-            F.sequence(F.lit(0), F.col("duration_ms"), F.lit(every_ms))
-        ).alias("frame_ts_ms"),
-    )
+    One Arrow row per video (payload + timestamp array); the
+    ~duration/every_ms fan-out happens INSIDE the pandas kernel, so a
+    payload is serialized once rather than once per frame — exploding
+    first would multiply a production-sized payload by the frame count
+    in shuffle/Arrow traffic. Output matches frame_sample_plan row for
+    row; the per-frame decode is the documented stub."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "frame_ts_ms": pdf["frame_ts_ms"],
-                    "frame_payload": [
+            ids, tss, payloads = [], [], []
+            for mid, p, ts_list in zip(
+                pdf["media_id"], pdf["payload"], pdf["frame_ts"]
+            ):
+                for t in ts_list:
+                    ids.append(mid)
+                    tss.append(int(t))
+                    payloads.append(
                         _frame_stub(p, int(t)) if p is not None else None
-                        for p, t in zip(pdf["payload"], pdf["frame_ts_ms"])
-                    ],
-                }
+                    )
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_ts_ms": tss, "frame_payload": payloads}
             )
 
-    return vids.mapInPandas(kernel, schema=FRAME_SCHEMA)
+    return _sampled_times(media, every_ms).mapInPandas(
+        kernel, schema=FRAME_SCHEMA
+    )

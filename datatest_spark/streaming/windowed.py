@@ -225,11 +225,20 @@ def streaming_dedup(
     state store; the watermark variant holds only the horizon's keys.
     Re-emission of a duplicate *after* the horizon is the documented
     trade-off: exact global dedup belongs to the batch/compaction pass.
+
+    Null-content rows bypass dedup entirely: md5(null) is null and
+    dropDuplicatesWithinWatermark treats null keys as equal, which would
+    silently collapse every distinct null-content record in the horizon
+    into one — a null payload is unjudgeable, not a duplicate.
     """
     w = _with_event_time(stream, ts_col).withWatermark(ts_col, watermark)
     hashed = w.withColumn("content_hash", F.md5(F.col(content_col)))
     keys = ["content_hash"] + list(extra_key_cols)
-    return hashed.dropDuplicatesWithinWatermark(keys)
+    deduped = hashed.filter(
+        F.col(content_col).isNotNull()
+    ).dropDuplicatesWithinWatermark(keys)
+    passthrough = hashed.filter(F.col(content_col).isNull())
+    return deduped.unionByName(passthrough)
 
 
 def run_available_now(stream_df: DataFrame, query_name: str, checkpoint: str):

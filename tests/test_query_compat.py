@@ -220,3 +220,17 @@ class TestPostFilterShapes:
     def test_dict_of_scalars_drops_entries(self, sel):
         out = sel({"grp": "val"}).sum().filter(lambda v: v > 30).fetch()
         assert out == {"y": 35}
+
+
+class TestReaderOptsForwarding:
+    """Review regression: the .orc/.parquet Select branches dropped
+    **reader_opts on the floor."""
+
+    def test_orc_merge_schema_option_reaches_reader(self, spark, tmp_path):
+        p = str(tmp_path / "ms.orc")
+        spark.createDataFrame([(1,)], "a int").write.orc(p)
+        spark.createDataFrame([(2, 3)], "a int, b int").write.mode(
+            "append"
+        ).orc(p)
+        merged = Select(p, spark=spark, mergeSchema="true")
+        assert "b" in merged.fieldnames

@@ -200,3 +200,29 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     got = windowed.run_available_now(deduped, "sdedup", str(tmp_path / "dck"))
     texts = sorted(r["text"] for r in got)
     assert texts == ["other text", "same text"]
+
+
+@pytest.mark.spark
+def test_streaming_dedup_null_content_passthrough(spark, tmp_path):
+    # review regression: md5(null) keys made ALL null-content rows
+    # collapse into one "duplicate" — they must bypass dedup instead
+    from datatest_spark.streaming import windowed
+
+    src = str(tmp_path / "ndsrc")
+    spark.createDataFrame(
+        [
+            ("2024-01-01 00:01:00", None),
+            ("2024-01-01 00:02:00", None),
+            ("2024-01-01 00:03:00", "x"),
+            ("2024-01-01 00:04:00", "x"),
+        ],
+        "ts string, text string",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz")).write.mode(
+        "overwrite"
+    ).parquet(src)
+    stream = spark.readStream.schema("ts timestamp_ntz, text string").parquet(src)
+    got = windowed.run_available_now(
+        windowed.streaming_dedup(stream), "sdedupnull", str(tmp_path / "ndck")
+    )
+    texts = sorted((r["text"] or "") for r in got)
+    assert texts == ["", "", "x"]

@@ -420,3 +420,18 @@ class TestDriftBaselineKeySpace:
         assert set(metrics) == {"1", "2"}
         assert extra == set() and missing == set()
         assert chk.drift_violations(df) == []
+
+    def test_text_format_baseline_str_buckets(self, spark):
+        # a baseline loaded from CSV/JSON carries str groups AND str
+        # buckets; both must normalize into histogram()'s key space
+        from datatest_spark.operators.drift import DriftCheck
+
+        df = spark.createDataFrame(
+            [("web", float(i % 10)) for i in range(100)], "src string, v double"
+        )
+        base = [("web", str(b), "0.1") for b in range(1, 11)]
+        chk = DriftCheck(base, value_col="v", group_col="src",
+                         lo=0.0, hi=10.0, nbins=10, threshold=0.5)
+        metrics, extra, missing = chk.compute(df)
+        assert extra == set() and missing == set()
+        assert metrics["web"] < 0.01  # identical distribution, no drift
