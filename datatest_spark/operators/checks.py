@@ -353,8 +353,14 @@ class ReferentialCheck(BaseCheck):
             doc_id=F.col(self.id_col) if self.id_col in df.columns else None,
         )
         if self.require_all:
+            # semi-then-anti: `present` (distinct data values) can be huge
+            # and the left side of an anti-join cannot broadcast; values
+            # matching `allowed` are <= |allowed| rows and DO broadcast
             present = df.select(self.column).distinct()
-            absent = allowed.join(present, self.column, "left_anti").withColumn(
+            matched = present.join(F.broadcast(allowed), self.column, "left_semi")
+            absent = allowed.join(
+                F.broadcast(matched), self.column, "left_anti"
+            ).withColumn(
                 "partition_key", F.lit(None).cast("string")
             )
             plan = plan.unionByName(

@@ -1,0 +1,105 @@
+"""Physical-plan pins for the scale-critical claims (SURVEY.md §4):
+filters and projections reach the parquet scan, requirement tables
+broadcast, the whole stats family costs one shuffle, row checks stay in
+whole-stage codegen. Assertions are operator-presence (loose) so Spark
+upgrades don't break them gratuitously — but a regression that adds a
+shuffle, drops a pushdown, or turns a broadcast into a sort-merge join
+fails loudly here before it costs hours at 100 TB."""
+
+import contextlib
+import io
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _plan(df, mode="formatted"):
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+def _exchanges(plan_text):
+    """Count Exchange NODES (the tree and the detail section both print
+    the node, so a raw substring count double-counts)."""
+    return len(re.findall(r"\(\d+\) Exchange", plan_text))
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(sf_dir + "/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark, sf_dir):
+    # deliberately NOT the documents table: other test modules persist
+    # documents/embeddings, and the cache manager would swap the parquet
+    # scan for an InMemoryRelation, hiding PushedFilters/ReadSchema
+    return spark.read.parquet(sf_dir + "/lineitem.parquet")
+
+
+class TestScanPushdown:
+    def test_filter_reaches_parquet_scan(self, lineitem):
+        p = _plan(
+            lineitem.filter("l_orderkey < 100").select("l_orderkey", "l_quantity")
+        )
+        pushed = p.split("PushedFilters:")[1].splitlines()[0]
+        assert "LessThan(l_orderkey,100)" in pushed
+
+    def test_column_pruning(self, lineitem):
+        p = _plan(
+            lineitem.filter("l_orderkey < 100").select("l_orderkey", "l_quantity")
+        )
+        schema = p.split("ReadSchema:")[1].splitlines()[0]
+        assert "l_quantity" in schema and "l_comment" not in schema
+
+
+class TestStatsShuffles:
+    def test_wide_stats_single_exchange(self, docs):
+        from datatest_spark.operators.stats import column_stats
+
+        p = _plan(column_stats(docs, ("source",), ["n_chars", "lang"]))
+        assert _exchanges(p) == 1  # partial agg -> ONE shuffle -> final
+
+    def test_salted_stats_two_exchanges(self, docs):
+        from datatest_spark.operators.stats import column_stats_salted
+
+        # two-phase by design: salt-local agg + merge
+        p = _plan(column_stats_salted(docs, ("source",), ["n_chars"]))
+        assert _exchanges(p) == 2
+
+
+class TestBroadcasts:
+    def test_mapping_requirement_broadcasts(self, spark):
+        from datatest_spark.requirements import RequiredMapping
+
+        df = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int")
+        p = _plan(RequiredMapping({"a": 1, "b": 2}).violations(df))
+        assert "BroadcastExchange" in p
+        assert "SortMergeJoin" not in p
+
+    def test_set_requirement_anti_join_broadcasts(self, spark):
+        from datatest_spark.requirements import RequiredSet
+
+        df = spark.createDataFrame([("a",), ("z",)], "v string")
+        p = _plan(RequiredSet({"a", "b"}).violations(df))
+        assert "SortMergeJoin" not in p
+
+    def test_cosine_topk_broadcasts_query_side(self, spark, sf_dir):
+        from datatest_spark.operators.similarity import brute_force_topk
+
+        e = spark.read.parquet(sf_dir + "/embeddings.parquet")
+        p = _plan(brute_force_topk(e, e.filter("vec_id < 3"), k=2))
+        assert "Broadcast" in p  # query batch is the broadcast side
+
+
+class TestCodegen:
+    def test_row_checks_stay_in_codegen(self, docs):
+        # fused row-condition scan: filter + projection in one
+        # WholeStageCodegen span, no Python evaluation
+        cond = (F.col("n_chars") < 0) | F.col("lang").isNull()
+        p = _plan(docs.select("doc_id").where(cond | F.lit(False)))
+        assert "[codegen id :" in p  # whole-stage codegen span
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
