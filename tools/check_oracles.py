@@ -10,11 +10,13 @@ to 1e-9). Usage:  python tools/check_oracles.py [name ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 
 sys.path.insert(0, "/root/repo")
 
-SF_DIR = "/root/testdata/sf0.01"
+# override with CHECK_SF_DIR to spot-check parity at other scales
+SF_DIR = os.environ.get("CHECK_SF_DIR", "/root/testdata/sf0.01")
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
