@@ -353,13 +353,11 @@ class ReferentialCheck(BaseCheck):
             doc_id=F.col(self.id_col) if self.id_col in df.columns else None,
         )
         if self.require_all:
-            # semi-then-anti: `present` (distinct data values) can be huge
-            # and the left side of an anti-join cannot broadcast; values
-            # matching `allowed` are <= |allowed| rows and DO broadcast
+            from ..joins import required_minus_data
+
             present = df.select(self.column).distinct()
-            matched = present.join(F.broadcast(allowed), self.column, "left_semi")
-            absent = allowed.join(
-                F.broadcast(matched), self.column, "left_anti"
+            absent = required_minus_data(
+                allowed, present, [self.column], null_safe=False
             ).withColumn(
                 "partition_key", F.lit(None).cast("string")
             )

@@ -116,7 +116,11 @@ class DriftCheck(BaseCheck):
             # buckets) would otherwise never align with current data and
             # every group would falsely read as maximally drifted.
             g = "__null__" if g is None else str(g)
-            out.setdefault(g, {})[int(b)] = float(p)
+            if b is None:
+                continue  # a null bucket carries no alignable mass
+            # int(float(...)) also accepts "3.0"-style buckets from a
+            # pandas/CSV round trip that floated the column
+            out.setdefault(g, {})[int(float(b))] = float(p)
         return out
 
     def compute(self, df: DataFrame) -> tuple:

@@ -211,19 +211,30 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, tss, payloads = [], [], []
             for mid, p, ts_list in zip(
                 pdf["media_id"], pdf["payload"], pdf["frame_ts"]
             ):
-                for t in ts_list:
-                    ids.append(mid)
-                    tss.append(int(t))
-                    payloads.append(
-                        _frame_stub(p, int(t)) if p is not None else None
-                    )
-            yield pd.DataFrame(
-                {"media_id": ids, "frame_ts_ms": tss, "frame_payload": payloads}
-            )
+                # null duration -> null timestamp array: drop the row,
+                # matching frame_sample_plan's explode (which emits
+                # nothing for a null sequence) instead of crashing
+                if ts_list is None:
+                    continue
+                # one yield per video bounds kernel memory at a single
+                # fan-out (frames-per-video), not batch_rows x frames —
+                # with a real decode kernel each output frame is
+                # image-sized, and accumulating a whole Arrow batch's
+                # fan-out would OOM the Python worker
+                tss = [int(t) for t in ts_list]
+                yield pd.DataFrame(
+                    {
+                        "media_id": [mid] * len(tss),
+                        "frame_ts_ms": tss,
+                        "frame_payload": [
+                            _frame_stub(p, t) if p is not None else None
+                            for t in tss
+                        ],
+                    }
+                )
 
     return _sampled_times(media, every_ms).mapInPandas(
         kernel, schema=FRAME_SCHEMA

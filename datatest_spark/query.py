@@ -87,7 +87,9 @@ class Select(object):
             elif s.endswith((".xlsx", ".xls")):
                 self._df = load_excel(spark, s, **reader_opts)
             elif s.endswith(".orc"):
-                self._df = spark.read.orc(s, **reader_opts)
+                # options(): DataFrameReader.orc() itself only accepts a
+                # fixed keyword set and would TypeError on anything else
+                self._df = spark.read.options(**reader_opts).orc(s)
             elif s.endswith(".parquet") or "/" in s:
                 self._df = spark.read.parquet(s, **reader_opts)
             else:

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
+from .joins import required_minus_data
 from .predicates import (
     Predicate,
     compile_predicate,
@@ -264,21 +265,9 @@ class RequiredSet(BaseRequirement):
                 )
             )
         if self.missing:
-            # required-minus-data via semi-then-anti: `distinct` can be
-            # huge and the LEFT side of an anti-join cannot broadcast, so
-            # req ANTI data would sort-merge-shuffle the whole data side.
-            # The data values that MATCH the requirement are at most
-            # |required| rows — semi-join those out first (broadcast req),
-            # then anti-join the requirement against that small matched
-            # set, which broadcasts. Plan cost: zero wide shuffles.
-            mcols = [col] + group_cols
-            matched = distinct.join(F.broadcast(req_df), cond, "left_semi").select(
-                *[F.col(c).alias("_m_" + c) for c in mcols]
+            missing = required_minus_data(
+                req_df, distinct, [col] + group_cols, null_safe=True
             )
-            mcond = req_df[col].eqNullSafe(F.col("_m_" + col))
-            for c in group_cols:
-                mcond = mcond & req_df[c].eqNullSafe(F.col("_m_" + c))
-            missing = req_df.join(F.broadcast(matched), mcond, "left_anti")
             plans.append(
                 _core_select(
                     missing,
@@ -714,15 +703,10 @@ class RequiredMapping(BaseRequirement):
                     )
                 # required-only keys: Deviation(-x, x) for numeric, Missing(x)
                 # else; a zero numeric expected falls back to Missing(0)
-                # (Deviation(0, 0) is unbuildable). Semi-then-anti so the
-                # huge data-key side never sort-merges: keys matching the
-                # requirement are <= |mapping| rows, and THAT set broadcasts
-                # into the anti-join.
-                matched_keys = data_keys_df.join(
-                    F.broadcast(req_keys), group_col, "left_semi"
-                )
-                absent = req_df.join(
-                    F.broadcast(matched_keys), group_col, "left_anti"
+                # (Deviation(0, 0) is unbuildable). null_safe=False keeps
+                # the sibling name-joins' semantics: null keys never align.
+                absent = required_minus_data(
+                    req_df, data_keys_df, [group_col], null_safe=False
                 )
                 if numeric:
                     exp_d = F.col("_expected").cast("double")
@@ -768,15 +752,9 @@ class RequiredMapping(BaseRequirement):
             )
             # missing: required members absent from that key's data (keys with
             # no data at all also land here, as pure Missing rows).
-            # Semi-then-anti (same rationale as RequiredSet): matched
-            # (key, member) pairs are <= |exploded requirement| rows.
-            matched = distinct.join(F.broadcast(req_df), cond, "left_semi").select(
-                F.col(group_col).alias("_m_k"), F.col(vcol).alias("_m_v")
+            missing = required_minus_data(
+                req_df, distinct, [group_col, vcol], null_safe=True
             )
-            mcond = req_df[group_col].eqNullSafe(F.col("_m_k")) & req_df[
-                vcol
-            ].eqNullSafe(F.col("_m_v"))
-            missing = req_df.join(F.broadcast(matched), mcond, "left_anti")
             plans.append(
                 _core_select(missing, "missing", F.col(vcol), group_key=_str(gk))
             )

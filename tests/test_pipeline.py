@@ -344,6 +344,20 @@ class TestMultimodal:
         with pytest.raises(NotImplementedError):
             multimodal._decode_image_stub(None, 4)
 
+    def test_sample_frames_null_duration_dropped_not_crashed(self, spark):
+        media = multimodal.synth_media(spark, 30).withColumn(
+            "duration_ms",
+            F.when(F.col("media_id") == "m00000000", None).otherwise(
+                F.col("duration_ms")
+            ),
+        )
+        # parity with frame_sample_plan: explode of a null sequence emits
+        # nothing; the kernel must do the same instead of raising
+        assert (
+            multimodal.sample_frames(media, every_ms=20000).count()
+            == multimodal.frame_sample_plan(media, every_ms=20000).count()
+        )
+
     def test_sample_frames_kernel(self, spark):
         media = multimodal.synth_media(spark, 60)
         frames = multimodal.sample_frames(media, every_ms=10000).collect()

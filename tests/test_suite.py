@@ -435,3 +435,17 @@ class TestDriftBaselineKeySpace:
         metrics, extra, missing = chk.compute(df)
         assert extra == set() and missing == set()
         assert metrics["web"] < 0.01  # identical distribution, no drift
+
+    def test_float_string_buckets(self, spark):
+        # pandas round trips can float the bucket column ("3.0")
+        from datatest_spark.operators.drift import DriftCheck
+
+        df = spark.createDataFrame(
+            [("web", float(i % 10)) for i in range(100)], "src string, v double"
+        )
+        base = [("web", "{0}.0".format(b), 0.1) for b in range(1, 11)]
+        chk = DriftCheck(base, value_col="v", group_col="src",
+                         lo=0.0, hi=10.0, nbins=10, threshold=0.5)
+        metrics, extra, missing = chk.compute(df)
+        assert extra == set() and missing == set()
+        assert metrics["web"] < 0.01
