@@ -376,3 +376,44 @@ class TestReviewRegressionsR2:
             [(10, 0, "a"), (11, 1, "b")], "doc_id int, ord int, v string"
         )
         validate.order(df, ["a", "b"], order_by="ord", id_col="doc_id")
+
+
+class TestTemporalPredicates:
+    """Date/timestamp columns through the predicate/interval paths —
+    pinned so the Column compiler keeps handling temporal literals
+    (violation rows stringify values; VIOLATION_SCHEMA is string-typed)."""
+
+    def test_date_equality(self, spark):
+        import datetime
+
+        df = spark.createDataFrame(
+            [(datetime.date(2024, 1, 1),), (datetime.date(2024, 1, 2),)], "d date"
+        )
+        with pytest.raises(ValidationError) as exc:
+            validate(df, datetime.date(2024, 1, 1))
+        assert exc.value.differences == [Invalid("2024-01-02")]
+
+    def test_date_set_membership(self, spark):
+        import datetime
+
+        df = spark.createDataFrame(
+            [(datetime.date(2024, 1, 1),), (datetime.date(2024, 1, 2),)], "d date"
+        )
+        validate(df, {datetime.date(2024, 1, 1), datetime.date(2024, 1, 2)})
+
+    def test_timestamp_interval_nonnumeric_invalid(self, spark):
+        import datetime
+
+        df = spark.createDataFrame(
+            [(datetime.datetime(2024, 1, 1, 12),),
+             (datetime.datetime(2024, 6, 1, 12),)], "t timestamp"
+        )
+        with pytest.raises(ValidationError) as exc:
+            validate.interval(
+                df, min=datetime.datetime(2024, 1, 1),
+                max=datetime.datetime(2024, 3, 1),
+            )
+        # timestamps have no numeric deviation: out-of-range rows surface
+        # as Invalid(value, expected=<violated bound>)
+        [d] = exc.value.differences
+        assert isinstance(d, Invalid) and d.args[0].startswith("2024-06-01")
