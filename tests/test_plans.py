@@ -56,6 +56,19 @@ class TestScanPushdown:
         assert "l_quantity" in schema and "l_comment" not in schema
 
 
+class TestPartitionPruning:
+    def test_catalog_partition_filter_prunes(self, spark, tmp_path):
+        from datatest_spark.sources.io import Catalog
+        from datatest_spark.sources.synth import tokenized_sequences
+
+        cat = Catalog(spark, str(tmp_path / "wh"))
+        cat.write(tokenized_sequences(spark, 400, seed=9), "seqs",
+                  partition_by=("source",))
+        p = _plan(cat.read("seqs").filter("source = 'web'"))
+        pf = p.split("PartitionFilters:")[1].splitlines()[0]
+        assert "= web" in pf  # directory-level pruning, not a data filter
+
+
 class TestStatsShuffles:
     def test_wide_stats_single_exchange(self, docs):
         from datatest_spark.operators.stats import column_stats
