@@ -117,7 +117,14 @@ class DriftCheck(BaseCheck):
             # every group would falsely read as maximally drifted.
             g = "__null__" if g is None else str(g)
             if b is None:
-                continue  # a null bucket carries no alignable mass
+                # histogram() never emits null buckets (null values are
+                # filtered before width_bucket) — a null here is a
+                # malformed baseline; silently skipping would drop its
+                # mass and misreport drift for the whole group
+                raise ValueError(
+                    "drift baseline has a null bucket for group "
+                    "{0!r} — rebuild the baseline with histogram()".format(g)
+                )
             # int(float(...)) also accepts "3.0"-style buckets from a
             # pandas/CSV round trip that floated the column
             out.setdefault(g, {})[int(float(b))] = float(p)

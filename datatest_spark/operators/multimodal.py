@@ -209,7 +209,14 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     in shuffle/Arrow traffic. Output matches frame_sample_plan row for
     row; the per-frame decode is the documented stub."""
 
+    # flush threshold balances the two failure modes: accumulating a
+    # whole Arrow batch's fan-out (rows x frames x frame_size) OOMs the
+    # Python worker with a real decode kernel, while one tiny batch per
+    # short video drowns in Arrow framing overhead
+    flush_rows = 4096
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, tss, payloads = [], [], []
         for pdf in batches:
             for mid, p, ts_list in zip(
                 pdf["media_id"], pdf["payload"], pdf["frame_ts"]
@@ -219,22 +226,21 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
                 # nothing for a null sequence) instead of crashing
                 if ts_list is None:
                     continue
-                # one yield per video bounds kernel memory at a single
-                # fan-out (frames-per-video), not batch_rows x frames —
-                # with a real decode kernel each output frame is
-                # image-sized, and accumulating a whole Arrow batch's
-                # fan-out would OOM the Python worker
-                tss = [int(t) for t in ts_list]
-                yield pd.DataFrame(
-                    {
-                        "media_id": [mid] * len(tss),
-                        "frame_ts_ms": tss,
-                        "frame_payload": [
-                            _frame_stub(p, t) if p is not None else None
-                            for t in tss
-                        ],
-                    }
-                )
+                for t in ts_list:
+                    t = int(t)
+                    ids.append(mid)
+                    tss.append(t)
+                    payloads.append(_frame_stub(p, t) if p is not None else None)
+                if len(ids) >= flush_rows:
+                    yield pd.DataFrame(
+                        {"media_id": ids, "frame_ts_ms": tss,
+                         "frame_payload": payloads}
+                    )
+                    ids, tss, payloads = [], [], []
+        if ids:
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_ts_ms": tss, "frame_payload": payloads}
+            )
 
     return _sampled_times(media, every_ms).mapInPandas(
         kernel, schema=FRAME_SCHEMA

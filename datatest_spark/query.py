@@ -78,12 +78,16 @@ class Select(object):
                 return
             s = str(source)
             if s.endswith(".csv"):
-                self._df = spark.read.csv(
-                    s, header=reader_opts.pop("header", True),
-                    inferSchema=reader_opts.pop("inferSchema", True), **reader_opts
+                # .options() so datasource options outside csv()'s fixed
+                # keyword set forward instead of raising TypeError
+                self._df = (
+                    spark.read.option("header", reader_opts.pop("header", True))
+                    .option("inferSchema", reader_opts.pop("inferSchema", True))
+                    .options(**reader_opts)
+                    .csv(s)
                 )
             elif s.endswith(".json"):
-                self._df = spark.read.json(s, **reader_opts)
+                self._df = spark.read.options(**reader_opts).json(s)
             elif s.endswith((".xlsx", ".xls")):
                 self._df = load_excel(spark, s, **reader_opts)
             elif s.endswith(".orc"):

@@ -115,5 +115,6 @@ def read_json(spark: SparkSession, path: str, schema=None, **opts) -> DataFrame:
 
 def read_orc(spark: SparkSession, path: str, **opts) -> DataFrame:
     """ORC source — native Spark reader, same pushdown/pruning behavior
-    as parquet (PushedFilters reach the ORC scan)."""
-    return spark.read.orc(path, **opts)
+    as parquet (PushedFilters reach the ORC scan). Options route through
+    .options(): orc() itself only accepts a fixed keyword set."""
+    return spark.read.options(**opts).orc(path)

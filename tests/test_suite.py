@@ -449,3 +449,12 @@ class TestDriftBaselineKeySpace:
         metrics, extra, missing = chk.compute(df)
         assert extra == set() and missing == set()
         assert metrics["web"] < 0.01
+
+    def test_null_bucket_baseline_raises(self, spark):
+        from datatest_spark.operators.drift import DriftCheck
+
+        df = spark.createDataFrame([("web", 1.0)], "src string, v double")
+        chk = DriftCheck([("web", None, 1.0)], value_col="v", group_col="src",
+                         lo=0.0, hi=10.0, nbins=10)
+        with pytest.raises(ValueError, match="null bucket"):
+            chk.compute(df)
