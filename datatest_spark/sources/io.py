@@ -103,14 +103,16 @@ def read_csv(spark: SparkSession, path: str, schema=None, **opts) -> DataFrame:
         reader = reader.schema(schema)
     else:
         reader = reader.option("inferSchema", True)
-    return reader.csv(path, **opts)
+    # .options() so datasource options outside csv()'s fixed keyword set
+    # forward instead of raising TypeError
+    return reader.options(**opts).csv(path)
 
 
 def read_json(spark: SparkSession, path: str, schema=None, **opts) -> DataFrame:
     reader = spark.read
     if schema is not None:
         reader = reader.schema(schema)
-    return reader.json(path, **opts)
+    return reader.options(**opts).json(path)
 
 
 def read_orc(spark: SparkSession, path: str, **opts) -> DataFrame:
