@@ -12,6 +12,9 @@ codegen, cast to double for stable accumulation); no Python UDFs.
 
 from __future__ import annotations
 
+import math
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -73,6 +76,35 @@ def brute_force_topk(
     )
 
 
+def lsh_recall(threshold: float, bands: int, rows_per_band: int) -> float:
+    """Worst-case pair recall of banded hyperplane LSH at ``threshold``.
+
+    Per-plane collision probability for a pair at exactly the threshold
+    angle is p = 1 - acos(threshold)/π; the OR-of-ANDs construction then
+    finds the pair with probability 1 - (1 - p^rows_per_band)^bands.
+    Pairs *above* the threshold collide more often, so this is a lower
+    bound on the realized recall."""
+    t = max(-1.0, min(1.0, float(threshold)))
+    p = 1.0 - math.acos(t) / math.pi
+    return 1.0 - (1.0 - p ** rows_per_band) ** bands
+
+
+def _auto_bands(threshold: float, rows_per_band: int, target_recall: float,
+                max_bands: int = 64) -> int:
+    """Smallest band count whose worst-case recall meets ``target_recall``
+    at ``threshold`` (capped at ``max_bands`` — the cap is the point where
+    candidate-generation cost stops being worth the marginal recall)."""
+    t = max(-1.0, min(1.0, float(threshold)))
+    p = 1.0 - math.acos(t) / math.pi
+    pr = p ** rows_per_band
+    if pr >= 1.0:
+        return 1
+    if pr <= 0.0:
+        return max_bands
+    need = math.ceil(math.log1p(-target_recall) / math.log1p(-pr))
+    return max(1, min(max_bands, int(need)))
+
+
 def threshold_pairs(
     vectors: DataFrame,
     id_col="vec_id",
@@ -80,18 +112,23 @@ def threshold_pairs(
     threshold: float = 0.8,
     max_ids: int | None = None,
     exact: bool = False,
-    bands: int = 8,
+    bands: int | None = None,
     rows_per_band: int = 2,
+    target_recall: float = 0.999,
     seed: int = 42,
 ) -> DataFrame:
     """Pairs with cosine >= threshold (embedding-cosine near-dup).
 
     Default path (the 100-TB shape): banded random-hyperplane LSH
-    generates candidate pairs via an equi-join on (band, key) — an
-    OR-of-ANDs construction whose recall at near-dup thresholds
-    (cos >= ~0.9, collision prob p ≈ 1 - θ/π per plane) is
-    1 - (1 - p^rows_per_band)^bands ≈ 0.9999 — then the exact cosine
-    verifies candidates only. No cross join appears in the plan.
+    generates candidate pairs via an equi-join on (band, key), then the
+    exact cosine verifies candidates only — no cross join in the plan.
+    This path is APPROXIMATE: with ``bands=None`` the band count is
+    derived from the *caller's* threshold so the worst-case recall
+    (``lsh_recall``) meets ``target_recall`` — e.g. 7 bands at
+    threshold 0.8, 15 at 0.35 — instead of a fixed 8x2 whose recall
+    silently degrades at low thresholds. Passing ``bands`` explicitly
+    overrides the derivation; if the resulting recall is below
+    ``target_recall`` a warning states the achieved bound.
 
     ``exact=True`` is the all-pairs O(N²) escape hatch: the exactness
     baseline for oracle comparison and small batches only.
@@ -99,6 +136,19 @@ def threshold_pairs(
     v = vectors.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
     if max_ids is not None:
         v = v.filter(F.col("id") < max_ids)
+    if not exact:
+        if bands is None:
+            bands = _auto_bands(threshold, rows_per_band, target_recall)
+        achieved = lsh_recall(threshold, bands, rows_per_band)
+        if achieved < target_recall:
+            warnings.warn(
+                "threshold_pairs LSH recall bound at threshold={0} with "
+                "{1}x{2} banding is {3:.4f} (< target {4}); pass exact=True "
+                "or raise bands for exhaustive pairs".format(
+                    threshold, bands, rows_per_band, achieved, target_recall
+                ),
+                stacklevel=2,
+            )
     if exact:
         a, b = v.alias("a"), v.alias("b")
         pairs = a.crossJoin(b).filter(F.col("a.id") < F.col("b.id"))
@@ -144,9 +194,14 @@ def _centroids_from_sample(vectors, vec_col, n_centroids, id_col,
     ``hash_fn='md5'`` swaps xxhash64 for md5-derived keys (stratum from
     the last two hex digits, within-stratum order lexicographic on a
     salted md5 hex string) — same statistical behavior, but every step
-    is reproducible in ANSI SQL for the cross-engine oracle."""
-    from pyspark.sql.window import Window
+    is reproducible in ANSI SQL for the cross-engine oracle.
 
+    The within-stratum argmin is ``min_by`` over a (order_key, id)
+    struct, not a window: partial aggregation collapses every map task
+    to ≤C rows before the exchange, so the shuffle moves O(C x tasks)
+    rows — a window partitionBy(centroid_id) would funnel all N rows
+    through C reducers. Result is identical (struct ordering ==
+    lexicographic orderBy; id uniqueness breaks all ties)."""
     v = vectors.select(
         F.col(id_col).alias("_src_id"), as_double(F.col(vec_col)).alias("cv")
     )
@@ -167,12 +222,8 @@ def _centroids_from_sample(vectors, vec_col, n_centroids, id_col,
             "centroid_id", F.pmod(F.xxhash64(F.col("_src_id")), F.lit(n_centroids))
         )
         order_key = F.xxhash64(F.col("_src_id"), F.lit(7))
-    w = Window.partitionBy("centroid_id").orderBy(order_key, F.col("_src_id"))
-    return (
-        v.withColumn("_r", F.row_number().over(w))
-        .filter("_r = 1")
-        .select("centroid_id", "cv")
-    )
+    pick = F.struct(order_key.alias("k1"), F.col("_src_id").alias("k2"))
+    return v.groupBy("centroid_id").agg(F.min_by(F.col("cv"), pick).alias("cv"))
 
 
 def ivf_assign(
@@ -181,20 +232,72 @@ def ivf_assign(
     id_col="vec_id",
     vec_col="embedding",
 ) -> DataFrame:
-    """Assign each vector to its nearest centroid (broadcast argmax)."""
-    v = vectors.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
-    joined = v.crossJoin(F.broadcast(centroids))
-    scored = joined.select(
-        "id", "v", "centroid_id", cosine(F.col("v"), F.col("cv")).alias("sim")
-    )
-    from pyspark.sql.window import Window
+    """Assign each vector to its nearest centroid — MAP-ONLY.
 
-    w = Window.partitionBy("id").orderBy(F.col("sim").desc(), F.col("centroid_id"))
-    return (
-        scored.withColumn("_r", F.row_number().over(w))
-        .filter("_r = 1")
-        .select("id", "v", "centroid_id")
+    The centroid table is tiny (C rows) and driver-known, so it is
+    collected once and inlined as a literal array<struct>; the per-row
+    argmax is a single transform+aggregate expression over that array.
+    The previous shape (crossJoin(broadcast) -> window partitionBy(id)
+    -> row_number=1) blew each row up C× and hash-exchanged on the full
+    id space — at 10^12 rows that exchange dominates the job. This plan
+    has ZERO Exchange between the scan and the assignment (pinned in
+    tests/test_plans.py).
+
+    Assignments are bit-for-bit unchanged vs the window form: centroid
+    norms are pre-folded left-to-right in IEEE doubles exactly as the
+    JVM aggregate would, the array is ordered by centroid_id with a
+    strict ``>`` comparison (ties keep the smaller id, matching orderBy
+    (sim desc, centroid_id)), and a non-null sim beats a null one
+    (matching desc nulls-last)."""
+    v = vectors.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
+    rows = sorted(
+        centroids.select("centroid_id", "cv").collect(),
+        key=lambda r: r["centroid_id"],
     )
+    if not rows:
+        return v.select(
+            "id", "v", F.lit(None).cast("int").alias("centroid_id")
+        ).where(F.lit(False))
+
+    def _norm(xs):
+        acc = 0.0
+        for x in xs:
+            acc += float(x) * float(x)
+        return math.sqrt(acc)
+
+    cent_arr = F.array(
+        *[
+            F.struct(
+                F.lit(int(r["centroid_id"])).alias("cid"),
+                F.array(*[F.lit(float(x)) for x in r["cv"]]).alias("cv"),
+                F.lit(_norm(r["cv"])).alias("cn"),
+            )
+            for r in rows
+        ]
+    )
+    vn = l2_norm(F.col("v"))
+    sims = F.transform(
+        cent_arr,
+        lambda c: F.struct(
+            c["cid"].alias("cid"),
+            (dot(F.col("v"), c["cv"]) / (vn * c["cn"])).alias("sim"),
+        ),
+    )
+    init = F.struct(
+        F.lit(None).cast("int").alias("cid"),
+        F.lit(None).cast("double").alias("sim"),
+    )
+    best = F.aggregate(
+        sims,
+        init,
+        lambda acc, s: F.when(
+            acc["cid"].isNull()
+            | (acc["sim"].isNull() & s["sim"].isNotNull())
+            | (s["sim"] > acc["sim"]),
+            s,
+        ).otherwise(acc),
+    )
+    return v.select("id", "v", best["cid"].alias("centroid_id"))
 
 
 def ivf_topk(

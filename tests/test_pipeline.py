@@ -265,6 +265,29 @@ class TestSimilarity:
         assert "BroadcastNestedLoopJoin" not in explained
         assert "Join" in explained  # candidates come from a real equi-join
 
+    def test_lsh_banding_scales_with_threshold(self, embs):
+        # ADVICE r2: the band count must track the caller's threshold so
+        # low-threshold calls don't silently run at ~0.97 recall
+        import warnings as _w
+
+        low = similarity._auto_bands(0.35, 2, 0.999)
+        high = similarity._auto_bands(0.9, 2, 0.999)
+        assert low > high  # lower threshold -> more bands
+        assert similarity.lsh_recall(0.35, low, 2) >= 0.999
+        assert similarity.lsh_recall(0.9, high, 2) >= 0.999
+        # explicit under-provisioned bands warn with the achieved bound
+        with _w.catch_warnings(record=True) as caught:
+            _w.simplefilter("always")
+            similarity.threshold_pairs(
+                embs, threshold=0.35, bands=2, rows_per_band=2
+            )
+            assert any("recall" in str(c.message) for c in caught)
+        # auto-derived bands stay quiet
+        with _w.catch_warnings(record=True) as caught:
+            _w.simplefilter("always")
+            similarity.threshold_pairs(embs, threshold=0.35)
+            assert not caught
+
     def test_ivf_stratified_centroids_cover_clusters(self, spark):
         # adversarial fixture: ids are insertion-ordered, the first C ids
         # all live in cluster A — first-C-by-id init would put every
