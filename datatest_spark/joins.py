@@ -18,6 +18,12 @@ def required_minus_data(req_df: DataFrame, data_df: DataFrame, cols,
     then anti-join the requirement against that small matched set, which
     broadcasts. Zero wide shuffles.
 
+    The matched set is ``distinct()``-ed here so the ≤|req|-row broadcast
+    bound is intrinsic, not call-site etiquette: a caller passing raw
+    (non-distinct) data would otherwise broadcast one matched row per
+    DATA row. The distinct is cheap — its value space is bounded by |req|
+    so partial aggregation collapses it map-side before the exchange.
+
     ``cols`` must exist on both inputs; ``null_safe`` picks eqNullSafe
     (set/sequence semantics: null ≈ null) vs plain equality (key-join
     semantics: null keys never align, matching the sibling inner/anti
@@ -32,8 +38,10 @@ def required_minus_data(req_df: DataFrame, data_df: DataFrame, cols,
     for c in cols:
         e = eq(data_df[c], req_df[c])
         cond = e if cond is None else cond & e
-    matched = data_df.join(F.broadcast(req_df), cond, "left_semi").select(
-        *[F.col(c).alias("_m_" + c) for c in cols]
+    matched = (
+        data_df.join(F.broadcast(req_df), cond, "left_semi")
+        .select(*[F.col(c).alias("_m_" + c) for c in cols])
+        .distinct()
     )
     mcond = None
     for c in cols:

@@ -100,6 +100,23 @@ class TestBroadcasts:
         p = _plan(RequiredSet({"a", "b"}).violations(df))
         assert "SortMergeJoin" not in p
 
+    def test_required_minus_data_bounded_on_nondistinct_input(self, spark):
+        # the broadcast bound must be intrinsic (VERDICT r2 #5): a raw,
+        # heavily-duplicated data side may not inflate the matched set
+        # that gets broadcast — joins.required_minus_data distinct()s it
+        from datatest_spark.joins import required_minus_data
+
+        req = spark.createDataFrame([("a",), ("b",), ("c",)], "v string")
+        data = spark.range(0, 10000).selectExpr(
+            "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'x' END AS v"
+        )  # 5000 copies of 'a' — without distinct, 5000-row broadcast
+        out = required_minus_data(req, data, ["v"])
+        assert sorted(r.v for r in out.collect()) == ["b", "c"]
+        p = _plan(out)
+        assert "SortMergeJoin" not in p
+        # the matched set collapses map-side before the broadcast
+        assert "HashAggregate" in p
+
     def test_cosine_topk_broadcasts_query_side(self, spark, sf_dir):
         from datatest_spark.operators.similarity import brute_force_topk
 
