@@ -363,6 +363,7 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 20,
         .persist()
     )
     labels = persisted
+    changed = 0
     try:
         for it in range(max_iters):
             neighbor_min = (
@@ -398,6 +399,22 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 20,
             labels = updated.drop("_changed")
             if changed == 0:
                 break
+        if changed != 0:
+            # min-label propagation needs ~graph-diameter iterations; a
+            # long chain component exhausting max_iters would otherwise
+            # return wrong cluster_ids with no signal (the loop already
+            # knows changed != 0 here — surface it, don't discard it)
+            import warnings
+
+            warnings.warn(
+                "dedup_clusters did not converge in {0} iterations "
+                "({1} labels still changing) — cluster_ids are NOT final; "
+                "raise max_iters (need ~graph diameter)".format(
+                    max_iters, changed
+                ),
+                RuntimeWarning,
+                stacklevel=2,
+            )
         # hand the caller a frame that stays valid after every cache below
         # is released: a final file checkpoint (no pinned block storage)
         return labels.checkpoint(eager=True)
@@ -408,16 +425,28 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 20,
 
 def _ensure_checkpoint_dir(spark):
     """Set a context checkpoint dir if the session has none (local runs);
-    production jobs set a durable dir (HDFS/S3) via sc.setCheckpointDir."""
+    production jobs set a durable dir (HDFS/S3) via sc.setCheckpointDir.
+
+    Side effect: ``setCheckpointDir`` mutates the SHARED SparkContext, so
+    every later ``checkpoint()`` in the session (any caller) writes under
+    the dir chosen here. The temp dir we create is removed at interpreter
+    exit — checkpoint files are only read through frames alive in this
+    process, so atexit is the earliest provably-safe point to reclaim
+    them (checkpointed frames returned to callers stay valid for the
+    whole session)."""
     sc = spark.sparkContext
     try:
         has_dir = sc.getCheckpointDir() is not None
     except Exception:
         has_dir = False
     if not has_dir:
+        import atexit
+        import shutil
         import tempfile
 
-        sc.setCheckpointDir(tempfile.mkdtemp(prefix="datatest_spark_ckpt_"))
+        d = tempfile.mkdtemp(prefix="datatest_spark_ckpt_")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        sc.setCheckpointDir(d)
 
 
 def drop_near_duplicates(

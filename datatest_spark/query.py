@@ -65,7 +65,12 @@ class Select(object):
     """
 
     def __init__(self, source, spark: SparkSession | None = None, **reader_opts):
-        from .sources.external import is_dbapi_cursor, load_dbapi, load_excel
+        from .sources.external import (
+            is_dbapi_cursor,
+            load_dbapi,
+            load_dbf,
+            load_excel,
+        )
 
         if isinstance(source, DataFrame):
             self._df = source
@@ -90,6 +95,8 @@ class Select(object):
                 self._df = spark.read.options(**reader_opts).json(s)
             elif s.endswith((".xlsx", ".xls")):
                 self._df = load_excel(spark, s, **reader_opts)
+            elif s.endswith(".dbf"):
+                self._df = load_dbf(spark, s, **reader_opts)
             elif s.endswith(".orc"):
                 # options(): DataFrameReader.orc() itself only accepts a
                 # fixed keyword set and would TypeError on anything else

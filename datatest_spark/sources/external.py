@@ -40,14 +40,20 @@ def load_excel(spark: SparkSession, path, sheet_name=0, **pandas_opts) -> DataFr
 
 
 def load_dbapi(spark: SparkSession, cursor, arraysize: int = 10_000,
-               schema=None) -> DataFrame:
+               schema=None, spill_threshold: int = 500_000) -> DataFrame:
     """Normalize an already-executed DBAPI2 cursor into a DataFrame (S3).
 
     Column names come from ``cursor.description``; rows are drained in
-    ``fetchmany(arraysize)`` batches (never ``fetchall`` — bounded driver
-    memory per batch). ``schema`` (DDL string or StructType) pins types
-    for empty result sets or lossy drivers; otherwise types are inferred
-    from the data.
+    ``fetchmany(arraysize)`` batches. Result sets up to
+    ``spill_threshold`` rows are held in one driver-side list (the
+    dimension/lookup-table case this path exists for). Beyond the
+    threshold the drain switches to a spill file: each batch is appended
+    to a temp parquet file through an Arrow ``ParquetWriter`` (so driver
+    memory holds ONE batch at a time, not the full result set) and the
+    frame is read back through the distributed parquet reader. ``schema``
+    (DDL string or StructType) pins types for empty result sets or lossy
+    drivers; otherwise types are inferred from the data (in the spill
+    case, from the first spilled chunk).
     """
     if cursor.description is None:
         raise ValueError(
@@ -60,6 +66,9 @@ def load_dbapi(spark: SparkSession, cursor, arraysize: int = 10_000,
         if not batch:
             break
         rows.extend(tuple(r) for r in batch)
+        if len(rows) > spill_threshold:
+            return _spill_cursor_to_parquet(spark, cursor, cols, rows,
+                                            arraysize, schema)
     if schema is not None:
         return spark.createDataFrame(rows, schema)
     if not rows:
@@ -73,6 +82,126 @@ def load_dbapi(spark: SparkSession, cursor, arraysize: int = 10_000,
         )
         return spark.createDataFrame(rows, struct)
     return spark.createDataFrame(rows, cols)
+
+
+def _spill_cursor_to_parquet(spark, cursor, cols, pending, arraysize, schema):
+    """Drain the rest of ``cursor`` through a temp parquet file so driver
+    memory stays bounded at one fetchmany batch (+ the pre-threshold
+    ``pending`` rows, written first). The Arrow schema is fixed by the
+    first written chunk; later chunks are cast to it, so a column that is
+    all-null early and typed later fails loudly rather than silently
+    widening. Passing ``schema`` pins the Spark-side types regardless."""
+    import atexit
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tmpdir = tempfile.mkdtemp(prefix="datatest_spark_dbapi_")
+    atexit.register(shutil.rmtree, tmpdir, ignore_errors=True)
+    path = tmpdir + "/spill.parquet"
+    writer = None
+    try:
+        chunk = pending
+        while chunk:
+            table = pa.table(
+                {c: [r[i] for r in chunk] for i, c in enumerate(cols)}
+            )
+            if writer is None:
+                writer = pq.ParquetWriter(path, table.schema)
+            else:
+                table = table.cast(writer.schema)
+            writer.write_table(table)
+            chunk = [tuple(r) for r in cursor.fetchmany(arraysize)]
+    finally:
+        if writer is not None:
+            writer.close()
+    df = spark.read.parquet(path)
+    if schema is not None:
+        target = spark.createDataFrame([], schema).schema
+        df = df.select(
+            *[df[f.name].cast(f.dataType).alias(f.name) for f in target]
+        )
+    return df
+
+
+def load_dbf(spark: SparkSession, path, encoding: str = "cp1252") -> DataFrame:
+    """Read a dBase .dbf table (``Select('f.dbf')`` parity — the last
+    format in the reference's ``get_reader`` matrix,
+    ref:datatest/_load/get_reader.py, which used the optional ``dbfread``
+    dep). Pure-Python, no optional dependency: the dBase III layout is a
+    fixed 32-byte header + 32-byte field descriptors + fixed-width ASCII
+    records, documented publicly for four decades.
+
+    Driver-side by nature (a .dbf is a small legacy artifact, not a
+    splittable source) — dimension/lookup tables only, like Excel above.
+    Types map C→string, N/F→long/double (by decimal count), L→boolean,
+    D→date; deleted rows (0x2A flag) are skipped.
+    """
+    import datetime
+
+    from pyspark.sql import types as T
+
+    with open(path, "rb") as fh:
+        head = fh.read(32)
+        if len(head) < 32:
+            raise ValueError("not a dbf file (truncated header): %s" % path)
+        nrec = int.from_bytes(head[4:8], "little")
+        hlen = int.from_bytes(head[8:10], "little")
+        rlen = int.from_bytes(head[10:12], "little")
+        fields = []
+        for _ in range((hlen - 33) // 32):
+            fd = fh.read(32)
+            if fd[:1] == b"\r":
+                break
+            name = fd[:11].split(b"\x00")[0].decode("ascii").strip()
+            fields.append((name, chr(fd[11]), fd[16], fd[17]))
+        if sum(f[2] for f in fields) + 1 != rlen:
+            raise ValueError(
+                "dbf field widths don't add up to the declared record "
+                "length — unsupported variant or corrupt file: %s" % path
+            )
+        fh.seek(hlen)
+        rows = []
+        for _ in range(nrec):
+            rec = fh.read(rlen)
+            if len(rec) < rlen or rec[:1] == b"\x1a":
+                break
+            if rec[:1] == b"*":  # deleted-row flag
+                continue
+            off, vals = 1, []
+            for _name, ftype, flen, fdec in fields:
+                raw, off = rec[off:off + flen], off + flen
+                vals.append(_dbf_value(raw, ftype, fdec, encoding, datetime))
+            rows.append(tuple(vals))
+
+    def spark_type(ftype, fdec):
+        if ftype == "L":
+            return T.BooleanType()
+        if ftype == "D":
+            return T.DateType()
+        if ftype in ("N", "F"):
+            return T.LongType() if (ftype == "N" and fdec == 0) else T.DoubleType()
+        return T.StringType()
+
+    struct = T.StructType(
+        [T.StructField(n, spark_type(t, d), True) for n, t, _l, d in fields]
+    )
+    return spark.createDataFrame(rows, struct)
+
+
+def _dbf_value(raw, ftype, fdec, encoding, datetime):
+    text = raw.decode(encoding, errors="replace").strip()
+    if ftype == "L":
+        return (True if text in "TtYy" else False) if text and text != "?" else None
+    if not text or set(text) == {"*"}:  # blank / asterisk fill = null
+        return None
+    if ftype == "D":
+        return datetime.date(int(text[:4]), int(text[4:6]), int(text[6:8]))
+    if ftype in ("N", "F"):
+        return float(text) if (ftype == "F" or fdec > 0 or "." in text) else int(text)
+    return text
 
 
 def load_jdbc(spark: SparkSession, url: str, table: str,

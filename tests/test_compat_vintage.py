@@ -162,3 +162,101 @@ class TestExcelDispatch:
         p.write_bytes(b"not a real workbook")
         with pytest.raises(ImportError, match="openpyxl"):
             Select(str(p), spark=spark)
+
+
+def _write_dbf(path, fields, records):
+    """Synthesize a minimal dBase III file: 32-byte header, 32-byte field
+    descriptors, 0x0D terminator, fixed-width records, 0x1A EOF."""
+    import struct
+
+    rlen = 1 + sum(f[2] for f in fields)
+    hlen = 32 + 32 * len(fields) + 1
+    buf = bytearray(struct.pack("<B3BIHH20x", 3, 24, 1, 1, len(records), hlen, rlen))
+    for name, ftype, flen, fdec in fields:
+        fd = bytearray(32)
+        fd[: len(name)] = name.encode("ascii")
+        fd[11], fd[16], fd[17] = ord(ftype), flen, fdec
+        buf += fd
+    buf += b"\r"
+    for rec in records:
+        assert len(rec) == rlen
+        buf += rec
+    buf += b"\x1a"
+    path.write_bytes(bytes(buf))
+
+
+class TestDbfSource:
+    FIELDS = [("NAME", "C", 8, 0), ("QTY", "N", 5, 0),
+              ("PRICE", "N", 8, 2), ("OK", "L", 1, 0), ("DT", "D", 8, 0)]
+
+    def _fixture(self, tmp_path):
+        p = tmp_path / "legacy.dbf"
+        _write_dbf(p, self.FIELDS, [
+            b" " + b"alpha   " + b"   12" + b"   19.99" + b"T" + b"20240115",
+            b"*" + b"ghost   " + b"    1" + b"    0.01" + b"F" + b"20240101",
+            b" " + b"beta    " + b"   -3" + b"  100.50" + b"N" + b"20231231",
+            b" " + b"        " + b"     " + b"        " + b"?" + b"        ",
+        ])
+        return p
+
+    def test_load_dbf_values_and_types(self, spark, tmp_path):
+        import datetime
+
+        from datatest_spark.sources.external import load_dbf
+
+        df = load_dbf(spark, str(self._fixture(tmp_path)))
+        assert [f.simpleString() for f in df.schema.fields] == [
+            "NAME:string", "QTY:bigint", "PRICE:double", "OK:boolean", "DT:date"
+        ]
+        rows = df.collect()
+        assert len(rows) == 3  # deleted row skipped
+        assert tuple(rows[0]) == ("alpha", 12, 19.99, True,
+                                  datetime.date(2024, 1, 15))
+        assert tuple(rows[1]) == ("beta", -3, 100.50, False,
+                                  datetime.date(2023, 12, 31))
+        assert tuple(rows[2]) == (None, None, None, None, None)
+
+    def test_select_dispatches_dbf(self, spark, tmp_path):
+        sel = Select(str(self._fixture(tmp_path)), spark=spark)
+        assert sel.fieldnames == ["NAME", "QTY", "PRICE", "OK", "DT"]
+        assert sel("QTY").sum().execute() == 9
+
+    def test_load_dbf_rejects_width_mismatch(self, spark, tmp_path):
+        p = tmp_path / "bad.dbf"
+        _write_dbf(p, self.FIELDS, [])
+        raw = bytearray(p.read_bytes())
+        raw[10:12] = (99).to_bytes(2, "little")  # corrupt declared rlen
+        p.write_bytes(bytes(raw))
+        from datatest_spark.sources.external import load_dbf
+
+        with pytest.raises(ValueError, match="record"):
+            load_dbf(spark, str(p))
+
+
+class TestDbapiSpill:
+    def test_spill_path_bounds_driver_memory(self, spark):
+        """Past the threshold the drain goes through a parquet spill file
+        (one fetchmany batch in memory at a time), and the result must be
+        identical to the in-memory path — including NULLs."""
+        con = sqlite3.connect(":memory:")
+        con.execute("CREATE TABLE t (x INTEGER, s TEXT)")
+        con.executemany(
+            "INSERT INTO t VALUES (?, ?)",
+            [(i, None if i % 7 == 0 else "s%d" % i) for i in range(1000)],
+        )
+        cur = con.execute("SELECT x, s FROM t ORDER BY x")
+        df = load_dbapi(spark, cur, arraysize=37, spill_threshold=100)
+        assert df.count() == 1000
+        got = df.orderBy("x").collect()
+        assert got[0]["x"] == 0 and got[0]["s"] is None
+        assert got[999]["x"] == 999 and got[999]["s"] == "s999"
+        assert df.filter("s IS NULL").count() == 1000 // 7 + 1
+
+    def test_spill_path_honors_schema(self, spark):
+        con = sqlite3.connect(":memory:")
+        con.execute("CREATE TABLE t (x INTEGER)")
+        con.executemany("INSERT INTO t VALUES (?)", [(i,) for i in range(50)])
+        cur = con.execute("SELECT x FROM t")
+        df = load_dbapi(spark, cur, arraysize=10, spill_threshold=5,
+                        schema="x int")
+        assert df.dtypes == [("x", "int")] and df.count() == 50

@@ -461,3 +461,23 @@ class TestDedupClusters:
         assert after <= before
         # the returned frame stays valid after all caches are gone
         assert labels.count() == len(rows)
+
+
+class TestDedupConvergenceSignal:
+    def test_unconverged_labels_warn(self, spark):
+        # a 7-node chain needs several propagation rounds; max_iters=1
+        # must not return partial labels silently (r2 advisory)
+        chain = spark.createDataFrame(
+            [(i, i + 1) for i in range(1, 7)], "doc_a long, doc_b long"
+        )
+        with pytest.warns(RuntimeWarning, match="did not converge"):
+            dedup.dedup_clusters(chain, max_iters=1)
+
+    def test_converged_run_does_not_warn(self, spark):
+        import warnings
+
+        pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+        with warnings.catch_warnings():
+            warnings.simplefilter("error", RuntimeWarning)
+            labels = dedup.dedup_clusters(pairs)
+            assert {r["cluster_id"] for r in labels.collect()} == {1}
