@@ -481,3 +481,21 @@ class TestDedupConvergenceSignal:
             warnings.simplefilter("error", RuntimeWarning)
             labels = dedup.dedup_clusters(pairs)
             assert {r["cluster_id"] for r in labels.collect()} == {1}
+
+    def test_pointer_jump_converges_long_chain(self, spark):
+        # a 60-node chain has diameter 59: one-hop propagation can't
+        # finish in 10 iterations, path-halving must (O(log D) rounds)
+        import warnings
+
+        chain = spark.createDataFrame(
+            [(i, i + 1) for i in range(1, 60)], "doc_a long, doc_b long"
+        )
+        with pytest.warns(RuntimeWarning, match="did not converge"):
+            dedup.dedup_clusters(chain, max_iters=10)
+        with warnings.catch_warnings():
+            warnings.simplefilter("error", RuntimeWarning)
+            labels = dedup.dedup_clusters(chain, max_iters=10,
+                                          pointer_jump=True)
+            rows = labels.collect()
+        assert {r["cluster_id"] for r in rows} == {1}
+        assert len(rows) == 60
