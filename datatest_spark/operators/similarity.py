@@ -260,22 +260,44 @@ def ivf_assign(
         ).where(F.lit(False))
 
     def _norm(xs):
+        # a null vector / null element means the centroid can never win
+        # (its sim is null, and the argmax prefers any non-null sim) —
+        # mirror that instead of crashing float(None) at plan build
+        if xs is None:
+            return None
         acc = 0.0
         for x in xs:
+            if x is None:
+                return None
             acc += float(x) * float(x)
         return math.sqrt(acc)
+
+    def _cv_lit(xs):
+        if xs is None:
+            return F.lit(None).cast("array<double>")
+        return F.array(
+            *[
+                F.lit(None).cast("double") if x is None else F.lit(float(x))
+                for x in xs
+            ]
+        )
 
     cent_arr = F.array(
         *[
             F.struct(
                 F.lit(int(r["centroid_id"])).alias("cid"),
-                F.array(*[F.lit(float(x)) for x in r["cv"]]).alias("cv"),
-                F.lit(_norm(r["cv"])).alias("cn"),
+                _cv_lit(r["cv"]).alias("cv"),
+                F.lit(_norm(r["cv"])).cast("double").alias("cn"),
             )
             for r in rows
         ]
     )
-    vn = l2_norm(F.col("v"))
+    # the row norm is a per-row constant: evaluate it ONCE in a projected
+    # column rather than inside the per-centroid lambda (higher-order
+    # lambdas get no common-subexpression elimination, so the inline form
+    # recomputes this O(D) aggregate C times per row)
+    v = v.withColumn("_vn", l2_norm(F.col("v")))
+    vn = F.col("_vn")
     sims = F.transform(
         cent_arr,
         lambda c: F.struct(

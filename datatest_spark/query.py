@@ -95,7 +95,8 @@ class Select(object):
                 self._df = spark.read.options(**reader_opts).json(s)
             elif s.endswith((".xlsx", ".xls")):
                 self._df = load_excel(spark, s, **reader_opts)
-            elif s.endswith(".dbf"):
+            elif s.lower().endswith(".dbf"):
+                # case-insensitive: DOS-era 8.3 names are uppercase (DATA.DBF)
                 self._df = load_dbf(spark, s, **reader_opts)
             elif s.endswith(".orc"):
                 # options(): DataFrameReader.orc() itself only accepts a

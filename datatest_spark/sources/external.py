@@ -87,16 +87,43 @@ def load_dbapi(spark: SparkSession, cursor, arraysize: int = 10_000,
 def _spill_cursor_to_parquet(spark, cursor, cols, pending, arraysize, schema):
     """Drain the rest of ``cursor`` through a temp parquet file so driver
     memory stays bounded at one fetchmany batch (+ the pre-threshold
-    ``pending`` rows, written first). The Arrow schema is fixed by the
-    first written chunk; later chunks are cast to it, so a column that is
-    all-null early and typed later fails loudly rather than silently
-    widening. Passing ``schema`` pins the Spark-side types regardless."""
+    ``pending`` rows, written first). When ``schema`` is given, the Arrow
+    writer schema is derived from it up front (to_arrow_schema), so an
+    all-null-early column cannot mis-fix the file schema as ``null``;
+    without it the schema is fixed by the first written chunk and later
+    chunks are cast to it, so a column that is all-null early and typed
+    later fails loudly rather than silently widening. Duplicate cursor
+    column names (``SELECT a, b AS a``) are written under mangled names
+    and aliased back after the read — parquet/Spark reject duplicates,
+    and a dict-keyed table build would silently drop a column."""
     import atexit
     import shutil
     import tempfile
 
     import pyarrow as pa
     import pyarrow.parquet as pq
+
+    # mangle duplicate column names for the parquet roundtrip only
+    seen, safe_cols = {}, []
+    for c in cols:
+        n = seen.get(c, 0)
+        seen[c] = n + 1
+        safe_cols.append(c if n == 0 else "%s__dup%d" % (c, n))
+
+    arrow_schema = None
+    if schema is not None:
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        target = spark.createDataFrame([], schema).schema
+        if len(target) != len(cols):
+            raise ValueError(
+                "schema has %d fields but cursor returns %d columns"
+                % (len(target), len(cols))
+            )
+        arrow_schema = to_arrow_schema(target)
+        arrow_schema = pa.schema(
+            [f.with_name(n) for f, n in zip(arrow_schema, safe_cols)]
+        )
 
     tmpdir = tempfile.mkdtemp(prefix="datatest_spark_dbapi_")
     atexit.register(shutil.rmtree, tmpdir, ignore_errors=True)
@@ -105,12 +132,17 @@ def _spill_cursor_to_parquet(spark, cursor, cols, pending, arraysize, schema):
     try:
         chunk = pending
         while chunk:
-            table = pa.table(
-                {c: [r[i] for r in chunk] for i, c in enumerate(cols)}
-            )
+            arrays = [
+                pa.array(
+                    [r[i] for r in chunk],
+                    type=None if arrow_schema is None else arrow_schema.types[i],
+                )
+                for i in range(len(cols))
+            ]
+            table = pa.Table.from_arrays(arrays, names=safe_cols)
             if writer is None:
-                writer = pq.ParquetWriter(path, table.schema)
-            else:
+                writer = pq.ParquetWriter(path, arrow_schema or table.schema)
+            if table.schema != writer.schema:
                 table = table.cast(writer.schema)
             writer.write_table(table)
             chunk = [tuple(r) for r in cursor.fetchmany(arraysize)]
@@ -119,9 +151,15 @@ def _spill_cursor_to_parquet(spark, cursor, cols, pending, arraysize, schema):
             writer.close()
     df = spark.read.parquet(path)
     if schema is not None:
-        target = spark.createDataFrame([], schema).schema
         df = df.select(
-            *[df[f.name].cast(f.dataType).alias(f.name) for f in target]
+            *[
+                df[s].cast(f.dataType).alias(f.name)
+                for s, f in zip(safe_cols, target)
+            ]
+        )
+    else:
+        df = df.select(
+            *[df[s].alias(c) for s, c in zip(safe_cols, cols)]
         )
     return df
 
@@ -195,11 +233,18 @@ def _dbf_value(raw, ftype, fdec, encoding, datetime):
     text = raw.decode(encoding, errors="replace").strip()
     if ftype == "L":
         return (True if text in "TtYy" else False) if text and text != "?" else None
-    if not text or set(text) == {"*"}:  # blank / asterisk fill = null
+    if not text:
         return None
     if ftype == "D":
-        return datetime.date(int(text[:4]), int(text[4:6]), int(text[6:8]))
+        # '00000000' is the common null-date convention; truncated or
+        # corrupt residue ('2021', '') likewise reads as NULL, not a crash
+        try:
+            return datetime.date(int(text[:4]), int(text[4:6]), int(text[6:8]))
+        except ValueError:
+            return None
     if ftype in ("N", "F"):
+        if set(text) == {"*"}:  # asterisk fill = numeric-overflow null
+            return None
         return float(text) if (ftype == "F" or fdec > 0 or "." in text) else int(text)
     return text
 

@@ -31,8 +31,20 @@ def _tree_files():
     return out
 
 
+def _build_zip():
+    import sys
+
+    sys.path.insert(0, REPO)
+    from tools.package import build
+
+    return build
+
+
 def test_artifact_matches_tree():
-    assert os.path.exists(ZIP), "dist/datatest_spark.zip missing - run tools/package.py"
+    if not os.path.exists(ZIP):
+        # fresh clone: dist/ is gitignored — build the artifact rather
+        # than fail on a missing file that says nothing about freshness
+        _build_zip()(ZIP)
     tree = _tree_files()
     with zipfile.ZipFile(ZIP) as z:
         names = set(z.namelist())
@@ -45,11 +57,15 @@ def test_artifact_matches_tree():
 
 
 def test_packager_is_deterministic(tmp_path):
-    import sys
+    build = _build_zip()
 
-    sys.path.insert(0, REPO)
-    from tools.package import build
-
-    out = build(str(tmp_path / "a.zip"))
-    with zipfile.ZipFile(out) as z:
+    a = build(str(tmp_path / "a.zip"))
+    b = build(str(tmp_path / "b.zip"))
+    with open(a, "rb") as fa, open(b, "rb") as fb:
+        assert fa.read() == fb.read(), (
+            "two builds of the same tree differ byte-for-byte - the "
+            "freshness check in test_artifact_matches_tree relies on "
+            "deterministic output"
+        )
+    with zipfile.ZipFile(a) as z:
         assert "datatest_spark/__init__.py" in z.namelist()

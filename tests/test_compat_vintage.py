@@ -221,6 +221,33 @@ class TestDbfSource:
         assert sel.fieldnames == ["NAME", "QTY", "PRICE", "OK", "DT"]
         assert sel("QTY").sum().execute() == 9
 
+    def test_dbf_null_date_and_asterisk_semantics(self, spark, tmp_path):
+        """'00000000' dates (the dBase null-date convention) and truncated
+        date residue read as NULL; asterisk fill nulls only NUMERIC
+        fields — a C field of literal asterisks is real data."""
+        import datetime
+
+        from datatest_spark.sources.external import load_dbf
+
+        p = tmp_path / "edge.dbf"
+        _write_dbf(p, self.FIELDS, [
+            b" " + b"****    " + b"*****" + b"********" + b"T" + b"00000000",
+            b" " + b"ok      " + b"    7" + b"    1.25" + b"T" + b"2024    ",
+        ])
+        rows = load_dbf(spark, str(p)).collect()
+        assert tuple(rows[0]) == ("****", None, None, True, None)
+        assert tuple(rows[1]) == ("ok", 7, 1.25, True, None)
+        assert rows[0]["DT"] is None  # not a ValueError crash
+
+    def test_select_dispatches_uppercase_dbf(self, spark, tmp_path):
+        # DOS-era 8.3 names are uppercase: LEGACY.DBF must dispatch too
+        import shutil
+
+        up = tmp_path / "LEGACY.DBF"
+        shutil.copy(str(self._fixture(tmp_path)), str(up))
+        sel = Select(str(up), spark=spark)
+        assert sel.fieldnames == ["NAME", "QTY", "PRICE", "OK", "DT"]
+
     def test_load_dbf_rejects_width_mismatch(self, spark, tmp_path):
         p = tmp_path / "bad.dbf"
         _write_dbf(p, self.FIELDS, [])
@@ -260,3 +287,34 @@ class TestDbapiSpill:
         df = load_dbapi(spark, cur, arraysize=10, spill_threshold=5,
                         schema="x int")
         assert df.dtypes == [("x", "int")] and df.count() == 50
+
+    def test_spill_schema_pins_all_null_early_column(self, spark):
+        """A column that is NULL for every pre-threshold row must not fix
+        the Arrow writer schema as `null` when the caller passed a schema
+        — that is the exact lossy case the schema param exists for."""
+        con = sqlite3.connect(":memory:")
+        con.execute("CREATE TABLE t (x INTEGER, note TEXT)")
+        con.executemany(
+            "INSERT INTO t VALUES (?, ?)",
+            [(i, None if i < 80 else "n%d" % i) for i in range(100)],
+        )
+        cur = con.execute("SELECT x, note FROM t ORDER BY x")
+        df = load_dbapi(spark, cur, arraysize=20, spill_threshold=30,
+                        schema="x long, note string")
+        assert df.count() == 100
+        assert df.filter("note IS NOT NULL").count() == 20
+        assert df.orderBy("x").collect()[99]["note"] == "n99"
+
+    def test_spill_preserves_duplicate_column_names(self, spark):
+        """`SELECT a, b AS a` must keep BOTH columns' data through the
+        spill file, matching the in-memory createDataFrame path."""
+        con = sqlite3.connect(":memory:")
+        con.execute("CREATE TABLE t (a INTEGER, b INTEGER)")
+        con.executemany(
+            "INSERT INTO t VALUES (?, ?)", [(i, i * 10) for i in range(60)]
+        )
+        cur = con.execute("SELECT a, b AS a FROM t ORDER BY a")
+        df = load_dbapi(spark, cur, arraysize=15, spill_threshold=20)
+        assert df.columns == ["a", "a"]
+        row = df.collect()[5]
+        assert tuple(row) == (5, 50)

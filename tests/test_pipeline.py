@@ -282,11 +282,12 @@ class TestSimilarity:
                 embs, threshold=0.35, bands=2, rows_per_band=2
             )
             assert any("recall" in str(c.message) for c in caught)
-        # auto-derived bands stay quiet
+        # auto-derived bands stay quiet (about recall — unrelated
+        # pyspark/pandas deprecation warnings must not flake this)
         with _w.catch_warnings(record=True) as caught:
             _w.simplefilter("always")
             similarity.threshold_pairs(embs, threshold=0.35)
-            assert not caught
+            assert not any("recall" in str(c.message) for c in caught)
 
     def test_ivf_stratified_centroids_cover_clusters(self, spark):
         # adversarial fixture: ids are insertion-ordered, the first C ids
@@ -318,6 +319,26 @@ class TestSimilarity:
             ap.setdefault(r["query_id"], set()).add(r["neighbor_id"])
         recalls = [len(ex[k] & ap.get(k, set())) / 5 for k in ex]
         assert sum(recalls) / len(recalls) >= 0.8
+
+    def test_ivf_assign_tolerates_null_centroid_elements(self, spark):
+        """A centroid vector containing a null element (or a fully-null
+        vector) must score a null sim and lose the argmax — the old
+        crossJoin+window form did exactly that; the literal-array form
+        must not crash float(None) at plan-build time."""
+        df = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+            "vec_id long, embedding array<double>",
+        )
+        cents = spark.createDataFrame(
+            [(0, [1.0, None]), (1, None), (2, [0.0, 1.0])],
+            "centroid_id int, cv array<double>",
+        )
+        got = {
+            r["id"]: r["centroid_id"]
+            for r in similarity.ivf_assign(df, cents).collect()
+        }
+        # both rows must land on the only fully-valid centroid
+        assert got == {1: 2, 2: 2}
 
 
 class TestMultimodal:
