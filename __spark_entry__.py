@@ -534,6 +534,39 @@ def q_multimodal_features(spark, sf_dir):
     ).withColumn("feature", F.round(F.col("feature").cast("double"), 4))
 
 
+_MIX_RATES = {"src0": 0.25, "src1": 0.5, "src2": 1.0, "src3": 1.75, "src4": 2.5}
+
+
+def q_mixture_sample(spark, sf_dir):
+    """Deterministic mixture sampling (operators/packing.mixture_sample,
+    md5 mode): per-source keep rates incl. oversampling (2.5 = two full
+    epochs + a deterministic half). Membership is a pure function of
+    (doc_id, epoch), so the DuckDB oracle reproduces the exact kept set
+    — the production variant swaps in xxhash64, same algebra."""
+    from datatest_spark.operators import packing
+
+    d = _t(spark, sf_dir, "documents")
+    out = packing.mixture_sample(
+        d, _MIX_RATES, hash_fn="md5", default_rate=0.1, seed=0
+    )
+    return out.select("doc_id", "source", F.col("epoch").cast("int").alias("epoch"))
+
+
+def q_pack_sequences(spark, sf_dir):
+    """GPT-style sequence packing (operators/packing.pack_sequences):
+    concatenate each source's docs in doc_id order, chop every 2048
+    chars; each doc reports its pack, offset, and how many pack
+    boundaries it spans. Pure window arithmetic — the DuckDB oracle is
+    the same cumsum expressed in ANSI SQL."""
+    from datatest_spark.operators import packing
+
+    d = _t(spark, sf_dir, "documents")
+    return packing.pack_sequences(
+        d, length_col="n_chars", capacity=2048, part_col="source",
+        order_col="doc_id",
+    )
+
+
 # ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -585,6 +618,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann_topk": q_ivf_ann_topk,
         "ivf_md5_topk": q_ivf_md5_topk,
         "multimodal_features": q_multimodal_features,
+        "mixture_sample": q_mixture_sample,
+        "pack_sequences": q_pack_sequences,
     }
 
 
@@ -1196,6 +1231,45 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n
             FROM lineitem
             GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "mixture_sample": """
+            WITH R AS (
+                SELECT doc_id, source,
+                       CASE source
+                           WHEN 'src0' THEN 0.25
+                           WHEN 'src1' THEN 0.5
+                           WHEN 'src2' THEN 1.0
+                           WHEN 'src3' THEN 1.75
+                           WHEN 'src4' THEN 2.5
+                           ELSE 0.1
+                       END AS rate
+                FROM documents
+            ),
+            E AS (
+                SELECT doc_id, source, rate, CAST(e AS INT) AS epoch
+                FROM R, UNNEST(range(3)) AS t(e)
+            )
+            SELECT doc_id, source, epoch
+            FROM E
+            WHERE epoch + (CAST(CONCAT('0x',
+                      substr(md5(doc_id || '#' || epoch || '#0'), 1, 4))
+                      AS INT) / 65536.0) < rate
+        """,
+        "pack_sequences": """
+            WITH C AS (
+                SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n,
+                       SUM(CAST(n_chars AS BIGINT)) OVER (
+                           PARTITION BY source ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) AS cum
+                FROM documents
+            )
+            SELECT doc_id, source,
+                   CAST((cum - n) // 2048 AS BIGINT) AS pack_id,
+                   CAST((cum - n) % 2048 AS INT) AS pack_offset,
+                   CAST(n AS INT) AS seq_len,
+                   CAST((cum - n + GREATEST(n, 1) - 1) // 2048
+                        - (cum - n) // 2048 + 1 AS INT) AS n_packs_spanned
+            FROM C
         """,
         # simhash_pairs / ivf_ann_topk / multimodal_features: xxhash64- or
         # numpy-derived (not expressible in DuckDB) — rows-only checks.

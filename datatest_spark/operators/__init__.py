@@ -1,3 +1,23 @@
-from . import checks, dedup, drift, multimodal, rowpred, similarity, stats, text
+from . import (
+    checks,
+    dedup,
+    drift,
+    multimodal,
+    packing,
+    rowpred,
+    similarity,
+    stats,
+    text,
+)
 
-__all__ = ["checks", "dedup", "drift", "multimodal", "rowpred", "similarity", "stats", "text"]
+__all__ = [
+    "checks",
+    "dedup",
+    "drift",
+    "multimodal",
+    "packing",
+    "rowpred",
+    "similarity",
+    "stats",
+    "text",
+]

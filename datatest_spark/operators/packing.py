@@ -1,0 +1,161 @@
+"""Training-data pipeline composition operators: deterministic mixture
+sampling and sequence packing.
+
+These are the two ops that turn a validated document/sequence corpus
+into an actual pretraining mix: choose how much of each source to keep
+(mixture weights, possibly >1 for oversampling) and pack variable-length
+documents into fixed-capacity training sequences. Both are deterministic
+functions of the input — no RNG state — so reruns, resumed runs, and
+cross-engine oracles (DuckDB) all agree row-for-row.
+
+Scale notes (100 TB):
+- ``mixture_sample`` is MAP-ONLY: a hash filter, plus a bounded explode
+  (ceil(max rate) copies) only when some rate exceeds 1. No shuffle, no
+  driver state; predicate pushdown still reaches the scan because the
+  filter composes as a plain Column expression.
+- ``pack_sequences`` needs a running sum per stream, which is inherently
+  sequential — the distributed form shards each source into
+  ``num_shards`` independent streams (hash of the order key) and packs
+  each shard separately: one window per (source, shard), parallelism =
+  sources x shards, no global sort. The unsharded form (num_shards=None)
+  is the cross-engine-deterministic variant used by the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _uniform01(id_expr, epoch_expr, hash_fn: str, seed: int):
+    """Deterministic uniform [0,1) from (id, epoch). ``xxhash64`` is the
+    production path (one JVM hash, 64-bit resolution); ``md5`` is the
+    oracle path (16-bit resolution from the first 4 hex digits, portable
+    to any engine with md5 — same arithmetic as hex4())."""
+    if hash_fn == "md5":
+        hx = F.substring(
+            F.md5(
+                F.concat(
+                    id_expr.cast("string"),
+                    F.lit("#"),
+                    epoch_expr.cast("string"),
+                    F.lit("#{0}".format(seed)),
+                )
+            ),
+            1,
+            4,
+        )
+        return F.conv(hx, 16, 10).cast("double") / F.lit(65536.0)
+    return (
+        F.pmod(F.xxhash64(id_expr, epoch_expr, F.lit(seed)), F.lit(1 << 20)).cast(
+            "double"
+        )
+        / F.lit(float(1 << 20))
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    rates: dict,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
+    default_rate: float = 0.0,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic weighted mixture over sources — the 'data mixing'
+    stage of a pretraining pipeline.
+
+    ``rates[source]`` is the expected number of copies of each document
+    from that source: 0.25 keeps a quarter of the docs, 1.0 keeps all,
+    2.5 yields two full epochs plus a deterministic half epoch. A doc's
+    copy ``epoch`` (0-based) survives iff ``epoch + u(id, epoch) <
+    rate``, where u is a deterministic uniform hash — so expected copies
+    = sum_e clamp(rate - e, 0, 1) = rate, and membership is a pure
+    function of (id, epoch, seed): stable across reruns and engines.
+
+    Output = input columns + ``epoch`` (int). When every rate <= 1 the
+    plan is a bare filter (no explode, no row blowup); otherwise each row
+    fans out to ceil(max rate) candidate copies first. Map-only either
+    way: zero shuffles at any scale.
+    """
+    if not rates and default_rate <= 0:
+        return df.withColumn("epoch", F.lit(0).cast("int")).where(F.lit(False))
+    rate = F.lit(float(default_rate))
+    for k in sorted(rates, reverse=True):
+        rate = F.when(F.col(source_col) == F.lit(k), F.lit(float(rates[k]))).otherwise(
+            rate
+        )
+    max_rate = max(list(rates.values()) + [default_rate])
+    n_copies = max(1, int(math.ceil(max_rate)))
+    if n_copies == 1:
+        epoch = F.lit(0).cast("int")
+        out = df.withColumn("epoch", epoch)
+    else:
+        out = df.withColumn(
+            "epoch", F.explode(F.sequence(F.lit(0), F.lit(n_copies - 1)))
+        )
+    u = _uniform01(F.col(id_col), F.col("epoch"), hash_fn, seed)
+    return out.where(F.col("epoch").cast("double") + u < rate)
+
+
+def pack_sequences(
+    df: DataFrame,
+    length_col: str = "n_tok",
+    capacity: int = 2048,
+    part_col: str = "source",
+    order_col: str = "doc_id",
+    num_shards: int | None = None,
+) -> DataFrame:
+    """Assign each document to a fixed-capacity training pack —
+    'concatenate the stream, chop every ``capacity`` tokens', the
+    standard GPT-style packing discipline, expressed as a window cumsum.
+
+    Within each stream (``part_col``, deterministically ordered by
+    ``order_col``) a document starting at running offset ``s`` lands in
+    pack ``floor(s / capacity)`` at offset ``s % capacity``. A document
+    longer than the remaining room simply spans into the next pack
+    (``n_packs_spanned`` reports how many boundaries it crosses) — no
+    padding decision is baked in here; padding/truncation policy belongs
+    to the consumer.
+
+    ``num_shards`` splits each source into that many independent streams
+    (hash-sharded on the order key) so the inherently-sequential cumsum
+    parallelizes: one window per (source, shard). ``pack_id`` is then
+    unique per (source, shard) and the output carries ``shard`` so pack
+    keys remain globally unambiguous. The unsharded form is what the
+    cross-engine oracle checks (plain SQL window, identical in DuckDB).
+
+    Output: ``order_col``, ``part_col`` [, ``shard``], ``pack_id``,
+    ``pack_offset``, ``seq_len``.
+    """
+    if capacity <= 0:
+        raise ValueError("capacity must be positive, got %r" % (capacity,))
+    n = F.col(length_col).cast("long")
+    parts = [F.col(part_col)]
+    cols = [F.col(order_col), F.col(part_col)]
+    if num_shards:
+        df = df.withColumn(
+            "shard",
+            F.pmod(F.xxhash64(F.col(order_col)), F.lit(int(num_shards))).cast("int"),
+        )
+        parts.append(F.col("shard"))
+        cols.append(F.col("shard"))
+    w = (
+        Window.partitionBy(*parts)
+        .orderBy(F.col(order_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.sum(n).over(w) - n
+    df = df.withColumn("_start", start)
+    pack = F.floor(F.col("_start") / capacity)
+    end_pack = F.floor((F.col("_start") + F.greatest(n, F.lit(1)) - 1) / capacity)
+    return df.select(
+        *cols,
+        pack.cast("long").alias("pack_id"),
+        (F.col("_start") % capacity).cast("int").alias("pack_offset"),
+        n.cast("int").alias("seq_len"),
+        (end_pack - pack + 1).cast("int").alias("n_packs_spanned"),
+    )

@@ -341,6 +341,98 @@ class TestSimilarity:
         assert got == {1: 2, 2: 2}
 
 
+class TestPackingMixture:
+    def test_pack_sequences_hand_example(self, spark):
+        from datatest_spark.operators import packing
+
+        df = spark.createDataFrame(
+            [(1, "a", 4), (2, "a", 5), (3, "a", 3), (4, "a", 12),
+             (5, "a", 1), (6, "a", 0)],
+            "doc_id long, source string, n long",
+        )
+        got = {
+            r["doc_id"]: (r["pack_id"], r["pack_offset"], r["seq_len"],
+                          r["n_packs_spanned"])
+            for r in packing.pack_sequences(
+                df, length_col="n", capacity=10
+            ).collect()
+        }
+        # stream: 4,5,3,12,1,0 chopped every 10
+        assert got == {
+            1: (0, 0, 4, 1),
+            2: (0, 4, 5, 1),
+            3: (0, 9, 3, 2),   # crosses the 10-boundary
+            4: (1, 2, 12, 2),  # longer than capacity: spans into pack 2
+            5: (2, 4, 1, 1),
+            6: (2, 5, 0, 1),   # zero-length: occupies no room, spans 1
+        }
+
+    def test_pack_sequences_sharded_matches_per_shard_unsharded(self, spark, docs):
+        """Sharded packing == unsharded packing applied to each shard's
+        subset: the scale path changes parallelism, not semantics."""
+        from datatest_spark.operators import packing
+
+        d = docs.select("doc_id", "source", "n_chars")
+        sharded = packing.pack_sequences(
+            d, length_col="n_chars", capacity=512, num_shards=4
+        )
+        for shard in range(4):
+            subset = d.where(
+                F.pmod(F.xxhash64(F.col("doc_id")), F.lit(4)) == shard
+            )
+            plain = packing.pack_sequences(subset, length_col="n_chars",
+                                           capacity=512)
+            a = {tuple(r) for r in sharded.where(F.col("shard") == shard)
+                 .drop("shard").collect()}
+            b = {tuple(r) for r in plain.collect()}
+            assert a == b
+
+    def test_mixture_sample_rates_le_1_is_pure_filter(self, spark, docs):
+        """All rates <= 1: no explode in the plan (map-only filter), and
+        the kept fraction per source tracks the rate."""
+        from datatest_spark.operators import packing
+
+        rates = {"src0": 0.0, "src1": 0.5, "src2": 1.0}
+        out = packing.mixture_sample(docs, rates, default_rate=0.25)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Generate" not in plan and "Exchange" not in plan
+        by_src = {
+            r["source"]: r["n"]
+            for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+        }
+        assert "src0" not in by_src
+        assert by_src["src2"] == docs.where("source = 'src2'").count()
+        n1 = docs.where("source = 'src1'").count()
+        assert 0 < by_src.get("src1", 0) < n1
+
+    def test_mixture_sample_oversampling_deterministic(self, spark, docs):
+        """rate 2.5 -> epochs 0 and 1 complete, epoch 2 partial; the
+        whole kept set is identical across invocations (no RNG)."""
+        from datatest_spark.operators import packing
+
+        rates = {"src3": 2.5}
+        out = packing.mixture_sample(docs, rates, hash_fn="md5")
+        rows = out.select("doc_id", "epoch").collect()
+        n = docs.where("source = 'src3'").count()
+        by_epoch = {}
+        for r in rows:
+            by_epoch[r["epoch"]] = by_epoch.get(r["epoch"], 0) + 1
+        assert by_epoch[0] == n and by_epoch[1] == n
+        assert 0 < by_epoch.get(2, 0) < n  # the fractional half-epoch
+        again = packing.mixture_sample(docs, rates, hash_fn="md5")
+        assert {tuple(r) for r in again.select("doc_id", "epoch").collect()} \
+            == {tuple(r) for r in rows}
+
+    def test_mixture_sample_hash_fns_agree_statistically(self, spark, docs):
+        from datatest_spark.operators import packing
+
+        rates = {s: 0.5 for s in ("src0", "src1", "src2", "src3")}
+        total = docs.where(F.col("source").isin(*rates)).count()
+        for fn in ("xxhash64", "md5"):
+            kept = packing.mixture_sample(docs, rates, hash_fn=fn).count()
+            assert abs(kept / total - 0.5) < 0.15, (fn, kept, total)
+
+
 class TestMultimodal:
     def test_synth_media_deterministic(self, spark):
         a = multimodal.synth_media(spark, 50).collect()

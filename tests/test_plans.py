@@ -138,6 +138,30 @@ class TestBroadcasts:
         assert "Window" not in p and "Join" not in p
 
 
+class TestPackingPlans:
+    def test_mixture_sample_is_map_only(self, docs):
+        # mixture with every rate <= 1: a bare hash filter over the scan
+        # — no explode (Generate), no shuffle, stays in codegen
+        from datatest_spark.operators import packing
+
+        p = _plan(packing.mixture_sample(docs, {"src0": 0.5, "src1": 1.0}))
+        assert _exchanges(p) == 0
+        assert "Generate" not in p and "BatchEvalPython" not in p
+
+    def test_pack_sequences_costs_one_exchange(self, docs):
+        # the window cumsum partitions once on (source[, shard]); any
+        # second exchange would mean the sort or project re-shuffled
+        from datatest_spark.operators import packing
+
+        p = _plan(packing.pack_sequences(docs, length_col="n_chars"))
+        assert _exchanges(p) == 1
+        p_sharded = _plan(
+            packing.pack_sequences(docs, length_col="n_chars", num_shards=8)
+        )
+        assert _exchanges(p_sharded) == 1
+        assert "shard" in p_sharded
+
+
 class TestCodegen:
     def test_row_checks_stay_in_codegen(self, docs):
         # fused row-condition scan: filter + projection in one
