@@ -567,6 +567,48 @@ def q_pack_sequences(spark, sf_dir):
     )
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Exact-N deterministic per-source sample (packing.stratified_sample,
+    md5 mode): hash-ranked row_number <= N, so the kept set is a pure
+    function of (doc_id, seed) and the DuckDB oracle reproduces it
+    row-for-row. The rank filter triggers WindowGroupLimit (partial
+    top-N map-side) — the shuffle carries O(groups x N) rows at scale."""
+    from datatest_spark.operators import packing
+
+    d = _t(spark, sf_dir, "documents")
+    return packing.stratified_sample(d, 7, hash_fn="md5").select(
+        "doc_id", "source"
+    )
+
+
+def q_asof_enrich(spark, sf_dir):
+    """As-of join (operators/temporal.asof_join): each purchase event
+    enriched with the latest signup at-or-before it per user — the
+    union + hash-partition + last(struct) merge plan, one Exchange.
+    DuckDB's native ASOF LEFT JOIN is the oracle; the right side is
+    pre-deduped per (user_id, ts) so tie-breaking is engine-independent.
+    The microsecond delta keeps the comparison TZ-free (NTZ arithmetic,
+    no epoch conversion)."""
+    from datatest_spark.operators import temporal
+
+    e = _t(spark, sf_dir, "events")
+    left = e.where("event_type = 'purchase'").select("event_id", "user_id", "ts")
+    right = (
+        e.where("event_type = 'signup'")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("event_id"))
+    )
+    j = temporal.asof_join(left, right, on="ts", by="user_id")
+    return j.select(
+        "event_id",
+        "user_id",
+        F.col("event_id_r").cast("long").alias("event_id_r"),
+        F.timestamp_diff("MICROSECOND", F.col("ts_r"), F.col("ts"))
+        .cast("long")
+        .alias("usecs_since_signup"),
+    )
+
+
 # ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -620,6 +662,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "mixture_sample": q_mixture_sample,
         "pack_sequences": q_pack_sequences,
+        "stratified_sample": q_stratified_sample,
+        "asof_enrich": q_asof_enrich,
     }
 
 
@@ -1270,6 +1314,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST((cum - n + GREATEST(n, 1) - 1) // 2048
                         - (cum - n) // 2048 + 1 AS INT) AS n_packs_spanned
             FROM C
+        """,
+        "stratified_sample": """
+            SELECT doc_id, source FROM (
+                SELECT doc_id, source,
+                       ROW_NUMBER() OVER (PARTITION BY source
+                           ORDER BY md5(doc_id || '#0'), doc_id) AS rk
+                FROM documents
+            ) WHERE rk <= 7
+        """,
+        "asof_enrich": """
+            WITH L AS (
+                SELECT event_id, user_id, ts FROM events
+                WHERE event_type = 'purchase'
+            ),
+            R AS (
+                SELECT user_id, ts, MAX(event_id) AS event_id_r
+                FROM events WHERE event_type = 'signup'
+                GROUP BY user_id, ts
+            )
+            SELECT l.event_id, l.user_id, r.event_id_r,
+                   CAST(date_diff('microsecond', r.ts, l.ts) AS BIGINT)
+                       AS usecs_since_signup
+            FROM L l ASOF LEFT JOIN R r
+                 ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
         # simhash_pairs / ivf_ann_topk / multimodal_features: xxhash64- or
         # numpy-derived (not expressible in DuckDB) — rows-only checks.

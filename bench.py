@@ -111,6 +111,34 @@ def main():
     timings["token_equality_{0}".format(SYNTH_ROWS)] = round(dt, 3)
     total += dt
 
+    # pipeline-composition stage at scale: deterministic mixture sample
+    # (map-only xxhash64 filter incl. one oversampled source) piped into
+    # sharded sequence packing (one window exchange) over the same
+    # tokenized table — the mixing+packing cost of a pretraining run
+    from datatest_spark.operators import packing
+
+    def _mixture_pack():
+        mixed = packing.mixture_sample(
+            synth,
+            {"web": 0.5, "wiki": 1.5, "books": 1.0, "code": 0.25},
+            default_rate=0.1,
+        )
+        return packing.pack_sequences(
+            mixed, length_col="n_tok", capacity=2048, num_shards=CPUS * 2
+        )
+
+    # noop-write (not count()): a bare count would let Spark prune the
+    # packing window as dead code and time only the mixture filter
+    _force(_mixture_pack())  # warm-up
+    dts = []
+    for _ in range(2):
+        t0 = time.time()
+        _force(_mixture_pack())
+        dts.append(time.time() - t0)
+    dt = min(dts)
+    timings["mixture_pack_{0}".format(SYNTH_ROWS)] = round(dt, 3)
+    total += dt
+
     # flagship: full constraint suite over the synthetic tokenized table.
     # The preceding queries leave cached blocks + heap state that bleed
     # into the first suite run (measured: 15s in-context vs 10.4s

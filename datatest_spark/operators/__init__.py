@@ -7,6 +7,7 @@ from . import (
     rowpred,
     similarity,
     stats,
+    temporal,
     text,
 )
 
@@ -19,5 +20,6 @@ __all__ = [
     "rowpred",
     "similarity",
     "stats",
+    "temporal",
     "text",
 ]

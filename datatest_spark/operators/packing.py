@@ -101,6 +101,51 @@ def mixture_sample(
     return out.where(F.col("epoch").cast("double") + u < rate)
 
 
+def stratified_sample(
+    df: DataFrame,
+    n_per_group,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
+    seed: int = 0,
+) -> DataFrame:
+    """Exact-N deterministic sample per group: rank each group's rows by
+    a uniform hash of the id (id itself as tie-break) and keep the first
+    N. Unlike ``df.sampleBy`` this is (a) exact — every group yields
+    min(N, |group|) rows, never a binomial approximation — and (b) a
+    pure function of (id, seed): reruns, resumed runs, and the DuckDB
+    oracle select the identical rows.
+
+    ``n_per_group`` is an int (same N everywhere) or a dict
+    {group: N} (groups absent from the dict contribute nothing).
+
+    Scale: one hash exchange on ``group_col``; the ``row_number() <= N``
+    filter triggers Spark's WindowGroupLimit, so each map task forwards
+    only its local top-N per group — the shuffle carries O(groups x N)
+    rows, not the full table (plan-pinned in tests/test_plans.py).
+    """
+    if isinstance(n_per_group, dict):
+        n = F.lit(0)
+        for k in sorted(n_per_group, reverse=True):
+            n = F.when(
+                F.col(group_col) == F.lit(k), F.lit(int(n_per_group[k]))
+            ).otherwise(n)
+    else:
+        n = F.lit(int(n_per_group))
+    if hash_fn == "md5":
+        order = F.md5(
+            F.concat(F.col(id_col).cast("string"), F.lit("#{0}".format(seed)))
+        )
+    else:
+        order = F.xxhash64(F.col(id_col), F.lit(seed))
+    w = Window.partitionBy(group_col).orderBy(order.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= n)
+        .drop("_rk")
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     length_col: str = "n_tok",

@@ -1,0 +1,102 @@
+"""Temporal joins — as-of enrichment over event streams.
+
+``asof_join`` matches each left row to the nearest right row per key at
+or before (``backward``) / at or after (``forward``) its timestamp — the
+join every event-enrichment pipeline needs (latest signup before a
+purchase, next heartbeat after an error) and one Spark has no built-in
+for.
+
+Spark-first plan: NOT a range join (O(n*m) blowup) and NOT a per-key
+collect. Both sides are tagged and unioned, hash-partitioned once on the
+key, sorted by (time, tag), and the right payload is carried forward
+with ``last(struct, ignorenulls=True)`` over a running window — the
+classic distributed merge-as-of. One Exchange total (plan-pinned in
+tests/test_plans.py); skewed keys shard like any single-key window.
+
+The right payload rides in ONE struct column, so every matched field
+comes from the SAME right row (per-column ``last(ignorenulls)`` would
+mix rows when a payload column is legitimately null).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: str = "user_id",
+    direction: str = "backward",
+    suffix: str = "_r",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Left as-of join: every left row, plus the right row nearest in
+    ``on`` (inclusive) per ``by`` key — or nulls when no right row
+    qualifies.
+
+    Output = all left columns, then each right payload column renamed
+    ``<name><suffix>``, then ``<on><suffix>`` (the matched right
+    timestamp, for tolerance filtering by the caller — e.g.
+    ``timestamp_diff`` bounds, which stay TZ-free on NTZ columns).
+
+    Equal timestamps match (a right row AT the left row's time wins over
+    an earlier one). Duplicate right rows on (by, on) are broken by
+    ``tiebreak_col`` when given (largest wins, deterministic) — without
+    it Spark's sort leaves the winner unspecified, same as most engines'
+    ASOF. ``direction='forward'`` picks the nearest row at-or-after
+    instead.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+    lpay = [c for c in left.columns if c != by]
+    rpay = [c for c in right.columns if c not in (by, on)]
+    clash = set(lpay) & {c + suffix for c in rpay} | {on + suffix} & set(lpay)
+    if clash:
+        raise ValueError("suffixed right columns collide with left: %s"
+                         % sorted(clash))
+
+    rstruct = F.struct(
+        F.col(on).alias("_on"), *[F.col(c).alias(c) for c in rpay]
+    )
+    tb = (F.col(tiebreak_col) if tiebreak_col is not None
+          else F.lit(None).cast("long"))
+    tagged_r = right.select(
+        F.col(by).alias("_by"),
+        F.col(on).alias("_t"),
+        F.lit(0).alias("_tag"),
+        tb.cast("string").alias("_tb"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lpay],
+        rstruct.alias("_r"),
+    )
+    null_struct = F.lit(None).cast(
+        tagged_r.schema["_r"].dataType.simpleString()
+    )
+    tagged_l = left.select(
+        F.col(by).alias("_by"),
+        F.col(on).alias("_t"),
+        F.lit(1).alias("_tag"),
+        F.lit(None).cast("string").alias("_tb"),
+        *[F.col(c) for c in lpay],
+        null_struct.alias("_r"),
+    )
+    u = tagged_l.unionByName(tagged_r)
+    t_order = F.col("_t").asc() if direction == "backward" else F.col("_t").desc()
+    w = (
+        Window.partitionBy("_by")
+        # at equal _t right rows (_tag 0) precede left rows, so an
+        # exact-time right row is visible to the left row's last();
+        # among equal right rows the largest _tb sorts last and wins
+        .orderBy(t_order, F.col("_tag").asc(), F.col("_tb").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    m = F.last("_r", ignorenulls=True).over(w)
+    out = u.withColumn("_m", m).where(F.col("_tag") == 1)
+    return out.select(
+        F.col("_by").alias(by),
+        *[F.col(c) for c in lpay],
+        *[F.col("_m")[c].alias(c + suffix) for c in rpay],
+        F.col("_m")["_on"].alias(on + suffix),
+    )

@@ -433,6 +433,111 @@ class TestPackingMixture:
             assert abs(kept / total - 0.5) < 0.15, (fn, kept, total)
 
 
+class TestAsofJoin:
+    def _frames(self, spark):
+        left = spark.createDataFrame(
+            [(1, 100, 10), (2, 100, 25), (3, 200, 5)],
+            "event_id long, user_id long, t long",
+        )
+        right = spark.createDataFrame(
+            [(100, 10, "a"), (100, 20, "b"), (300, 1, "z")],
+            "user_id long, t long, tag string",
+        )
+        return left, right
+
+    def test_backward_inclusive_and_no_match(self, spark):
+        from datatest_spark.operators import temporal
+
+        left, right = self._frames(spark)
+        got = {
+            r["event_id"]: (r["tag_r"], r["t_r"])
+            for r in temporal.asof_join(left, right, on="t", by="user_id").collect()
+        }
+        assert got == {
+            1: ("a", 10),   # equal timestamp matches (inclusive)
+            2: ("b", 20),   # latest at-or-before 25
+            3: (None, None),  # user 200 has no right rows
+        }
+
+    def test_forward_direction(self, spark):
+        from datatest_spark.operators import temporal
+
+        left, right = self._frames(spark)
+        got = {
+            r["event_id"]: r["t_r"]
+            for r in temporal.asof_join(
+                left, right, on="t", by="user_id", direction="forward"
+            ).collect()
+        }
+        assert got == {1: 10, 2: None, 3: None}  # nearest at-or-after
+
+    def test_matched_fields_come_from_one_row(self, spark):
+        """Right payload columns with interleaved nulls: the matched
+        (a, b) must both come from the nearest row — a per-column
+        last(ignorenulls) would stitch values from different rows."""
+        from datatest_spark.operators import temporal
+
+        left = spark.createDataFrame([(1, 1, 30)], "event_id long, k long, t long")
+        right = spark.createDataFrame(
+            [(1, 10, 7, None), (1, 20, None, 8)],
+            "k long, t long, a int, b int",
+        )
+        row = temporal.asof_join(left, right, on="t", by="k").collect()[0]
+        assert (row["a_r"], row["b_r"], row["t_r"]) == (None, 8, 20)
+
+    def test_tiebreak_deterministic(self, spark):
+        from datatest_spark.operators import temporal
+
+        left = spark.createDataFrame([(1, 1, 10)], "event_id long, k long, t long")
+        right = spark.createDataFrame(
+            [(1, 10, 100, "x"), (1, 10, 200, "y")],
+            "k long, t long, rid long, tag string",
+        )
+        row = temporal.asof_join(
+            left, right, on="t", by="k", tiebreak_col="rid"
+        ).collect()[0]
+        assert (row["rid_r"], row["tag_r"]) == (200, "y")  # largest rid wins
+
+    def test_suffix_collision_raises(self, spark):
+        from datatest_spark.operators import temporal
+
+        left = spark.createDataFrame([(1, 1, "l")], "k long, t long, tag_r string")
+        right = spark.createDataFrame([(1, 1, "r")], "k long, t long, tag string")
+        with pytest.raises(ValueError, match="collide"):
+            temporal.asof_join(left, right, on="t", by="k")
+
+
+class TestStratifiedSample:
+    def test_exact_counts_and_determinism(self, spark, docs):
+        from datatest_spark.operators import packing
+
+        out = packing.stratified_sample(docs, 7)
+        counts = {
+            r["source"]: r["n"]
+            for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+        }
+        per_group = {
+            r["source"]: r["n"]
+            for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+        }
+        assert counts == {s: min(7, n) for s, n in per_group.items()}
+        again = packing.stratified_sample(docs, 7)
+        assert {r["doc_id"] for r in again.select("doc_id").collect()} \
+            == {r["doc_id"] for r in out.select("doc_id").collect()}
+
+    def test_dict_rates_and_md5(self, spark, docs):
+        from datatest_spark.operators import packing
+
+        out = packing.stratified_sample(
+            docs, {"src0": 3, "src1": 5}, hash_fn="md5"
+        )
+        counts = {
+            r["source"]: r["n"]
+            for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+        }
+        assert counts == {"src0": 3, "src1": 5}  # absent groups -> nothing
+
+
 class TestMultimodal:
     def test_synth_media_deterministic(self, spark):
         a = multimodal.synth_media(spark, 50).collect()

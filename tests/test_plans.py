@@ -162,6 +162,29 @@ class TestPackingPlans:
         assert "shard" in p_sharded
 
 
+class TestTemporalSamplingPlans:
+    def test_asof_join_costs_one_exchange(self, spark, sf_dir):
+        # union + single hash partition on the key + running last():
+        # no range-join blowup, no second shuffle
+        from datatest_spark.operators import temporal
+
+        e = spark.read.parquet(sf_dir + "/events.parquet")
+        left = e.where("event_type = 'purchase'").select("event_id", "user_id", "ts")
+        right = e.where("event_type = 'signup'").select("user_id", "ts", "value")
+        p = _plan(temporal.asof_join(left, right, on="ts", by="user_id"))
+        assert _exchanges(p) == 1
+        assert "CartesianProduct" not in p and "SortMergeJoin" not in p
+
+    def test_stratified_sample_uses_window_group_limit(self, docs):
+        # the rank<=N filter must push a partial top-N below the shuffle
+        # so the exchange carries O(groups x N) rows, not the table
+        from datatest_spark.operators import packing
+
+        p = _plan(packing.stratified_sample(docs, 7))
+        assert _exchanges(p) == 1
+        assert "WindowGroupLimit" in p
+
+
 class TestCodegen:
     def test_row_checks_stay_in_codegen(self, docs):
         # fused row-condition scan: filter + projection in one
