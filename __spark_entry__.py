@@ -609,6 +609,76 @@ def q_asof_enrich(spark, sf_dir):
     )
 
 
+def q_contamination_hits(spark, sf_dir):
+    """Benchmark decontamination (operators/decontam.contamination):
+    docs with doc_id % 7 == 0 play the held-out eval set; every other
+    doc sharing a 4-word shingle with it is flagged with its hit counts.
+    Plan: eval shingles distinct + BROADCAST, corpus shingles explode →
+    broadcast inner join → one doc_id aggregation. The corpus side never
+    shuffles before the join — the 10^12-doc shape."""
+    from datatest_spark.operators import decontam
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.where("doc_id % 7 = 0")
+    corpus = d.where("doc_id % 7 <> 0")
+    return decontam.contamination(corpus, bench, k=4).select(
+        "doc_id",
+        F.col("n_hits").cast("long").alias("n_hits"),
+        F.col("n_bench_docs").cast("long").alias("n_bench_docs"),
+    )
+
+
+def q_decontam_survivors(spark, sf_dir):
+    """decontaminate() end-to-end: the corpus minus every doc flagged by
+    q_contamination_hits (left_anti on doc_id; AQE downgrades the
+    exchange to broadcast when the flagged set is small)."""
+    from datatest_spark.operators import decontam
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.where("doc_id % 7 = 0")
+    corpus = d.where("doc_id % 7 <> 0")
+    return decontam.decontaminate(corpus, bench, k=4).select(
+        "doc_id", "source"
+    )
+
+
+def q_repetition_profile(spark, sf_dir):
+    """Gopher-style per-doc 3-gram repetition signals
+    (operators/text.repetition_signals): modal-n-gram fraction and
+    duplicated-occurrence fraction. Explode → two map-side-combinable
+    aggregations; no window, no Python."""
+    from datatest_spark.operators import text as t
+
+    d = _t(spark, sf_dir, "documents")
+    return t.repetition_signals(d, n=3)
+
+
+def q_token_run_quality(spark, sf_dir):
+    """Repeated-token run stats (operators/text.token_run_stats) over a
+    deterministic tokenization (token id = word length, so the DuckDB
+    oracle reproduces it exactly): longest equal-consecutive-token run
+    per sequence via ONE F.aggregate pass — map-only, no explode, no
+    exchange before the final projection. The gaps-and-islands window
+    the SQL oracle needs is exactly the shuffle this plan avoids."""
+    from datatest_spark.operators import text as t
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.transform(
+            F.split(F.col("text"), " "), lambda w: F.length(w)
+        ).alias("tokens"),
+    )
+    r = t.token_run_stats(toks)
+    return r.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_distinct_tokens").cast("long").alias("n_distinct_tokens"),
+        F.col("max_run").cast("long").alias("max_run"),
+        "max_run_frac",
+    )
+
+
 # ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -664,6 +734,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "stratified_sample": q_stratified_sample,
         "asof_enrich": q_asof_enrich,
+        "contamination_hits": q_contamination_hits,
+        "decontam_survivors": q_decontam_survivors,
+        "repetition_profile": q_repetition_profile,
+        "token_run_quality": q_token_run_quality,
     }
 
 
@@ -1338,6 +1412,106 @@ def oracle_sql() -> dict[str, str]:
                        AS usecs_since_signup
             FROM L l ASOF LEFT JOIN R r
                  ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "contamination_hits": """
+            WITH WB AS (
+                SELECT doc_id, string_split(text, ' ') AS w FROM documents
+                WHERE doc_id % 7 = 0
+            ),
+            SB AS (
+                SELECT DISTINCT doc_id AS bdoc,
+                       array_to_string(w[i : i + 3], ' ') AS sh
+                FROM WB, UNNEST(range(1, GREATEST(len(w) - 2, 2))) AS t(i)
+            ),
+            WC AS (
+                SELECT doc_id, string_split(text, ' ') AS w FROM documents
+                WHERE doc_id % 7 <> 0
+            ),
+            SC AS (
+                SELECT DISTINCT doc_id,
+                       array_to_string(w[i : i + 3], ' ') AS sh
+                FROM WC, UNNEST(range(1, GREATEST(len(w) - 2, 2))) AS t(i)
+            )
+            SELECT c.doc_id,
+                   COUNT(DISTINCT c.sh) AS n_hits,
+                   COUNT(DISTINCT b.bdoc) AS n_bench_docs
+            FROM SC c JOIN SB b ON c.sh = b.sh
+            GROUP BY c.doc_id
+        """,
+        "decontam_survivors": """
+            WITH WB AS (
+                SELECT doc_id, string_split(text, ' ') AS w FROM documents
+                WHERE doc_id % 7 = 0
+            ),
+            SB AS (
+                SELECT DISTINCT array_to_string(w[i : i + 3], ' ') AS sh
+                FROM WB, UNNEST(range(1, GREATEST(len(w) - 2, 2))) AS t(i)
+            ),
+            WC AS (
+                SELECT doc_id, string_split(text, ' ') AS w FROM documents
+                WHERE doc_id % 7 <> 0
+            ),
+            SC AS (
+                SELECT DISTINCT doc_id,
+                       array_to_string(w[i : i + 3], ' ') AS sh
+                FROM WC, UNNEST(range(1, GREATEST(len(w) - 2, 2))) AS t(i)
+            ),
+            FLAGGED AS (
+                SELECT DISTINCT doc_id FROM SC WHERE sh IN (SELECT sh FROM SB)
+            )
+            SELECT d.doc_id, d.source FROM documents d
+            WHERE d.doc_id % 7 <> 0
+              AND d.doc_id NOT IN (SELECT doc_id FROM FLAGGED)
+        """,
+        "repetition_profile": """
+            WITH W AS (
+                SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            ),
+            G AS (
+                SELECT doc_id, array_to_string(w[i : i + 2], ' ') AS g
+                FROM W, UNNEST(range(1, GREATEST(len(w) - 1, 2))) AS t(i)
+            ),
+            PC AS (
+                SELECT doc_id, g, COUNT(*) AS c FROM G GROUP BY doc_id, g
+            )
+            SELECT doc_id,
+                   CAST(SUM(c) AS BIGINT) AS n_ngrams,
+                   ROUND(MAX(c) * 1.0 / SUM(c), 4) AS top_ngram_frac,
+                   ROUND(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) * 1.0
+                         / SUM(c), 4) AS dup_ngram_frac
+            FROM PC GROUP BY doc_id
+        """,
+        "token_run_quality": """
+            WITH W AS (
+                SELECT doc_id,
+                       list_transform(string_split(text, ' '),
+                                      x -> length(x)) AS toks
+                FROM documents
+            ),
+            U AS (
+                SELECT doc_id, UNNEST(toks) AS tok,
+                       UNNEST(range(1, len(toks) + 1)) AS i
+                FROM W
+            ),
+            R AS (
+                SELECT doc_id, tok, i,
+                       i - ROW_NUMBER() OVER (PARTITION BY doc_id, tok
+                                              ORDER BY i) AS grp
+                FROM U
+            ),
+            RUNS AS (
+                SELECT doc_id, COUNT(*) AS run_len
+                FROM R GROUP BY doc_id, tok, grp
+            ),
+            MX AS (SELECT doc_id, MAX(run_len) AS max_run FROM RUNS
+                   GROUP BY doc_id)
+            SELECT w.doc_id,
+                   CAST(len(w.toks) AS BIGINT) AS n_tokens,
+                   CAST(len(list_distinct(w.toks)) AS BIGINT)
+                       AS n_distinct_tokens,
+                   CAST(m.max_run AS BIGINT) AS max_run,
+                   ROUND(m.max_run * 1.0 / len(w.toks), 4) AS max_run_frac
+            FROM W w JOIN MX m ON w.doc_id = m.doc_id
         """,
         # simhash_pairs / ivf_ann_topk / multimodal_features: xxhash64- or
         # numpy-derived (not expressible in DuckDB) — rows-only checks.

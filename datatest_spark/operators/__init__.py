@@ -1,5 +1,6 @@
 from . import (
     checks,
+    decontam,
     dedup,
     drift,
     multimodal,
@@ -13,6 +14,7 @@ from . import (
 
 __all__ = [
     "checks",
+    "decontam",
     "dedup",
     "drift",
     "multimodal",

@@ -140,3 +140,92 @@ def text_profile(df: DataFrame, text_col="text", group_col="source") -> DataFram
             F.round(F.avg("_q"), 4).alias("avg_quality"),
         )
     )
+
+
+def repetition_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Per-document n-gram repetition profile (Gopher-style quality
+    filter, Rae et al. 2021 §A1.1 — public): highly repetitive documents
+    are low-quality training data.
+
+    Returns one row per doc: ``n_ngrams`` (total n-gram occurrences,
+    duplicates counted), ``top_ngram_frac`` (occurrences of the modal
+    n-gram / total) and ``dup_ngram_frac`` (fraction of occurrences
+    whose n-gram appears >= 2x in the doc). Docs too short for one
+    n-gram get (1, 1.0, 0.0) from the degenerate whole-text shingle.
+
+    Scale shape: explode fans out ~n_words rows per doc, but the first
+    consumer is groupBy(doc, ngram) — map-side partial aggregation
+    collapses repeats before the (doc_id, ngram)-hash exchange; the
+    second groupBy(doc_id) reuses hash partitioning on a prefix-subset
+    key (one more exchange, rows already ~distinct n-grams per doc).
+    """
+    words = F.split(F.col(text_col), " ")
+    nn = F.size(words)
+    idx = F.sequence(F.lit(1), F.greatest(nn - (n - 1), F.lit(1)))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(words, i, n), " "))
+    per_gram = (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return per_gram.groupBy("doc_id").agg(
+        F.sum("c").alias("n_ngrams"),
+        F.round(F.max("c") / F.sum("c"), 4).alias("top_ngram_frac"),
+        F.round(
+            F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(F.lit(0)))
+            / F.sum("c"),
+            4,
+        ).alias("dup_ngram_frac"),
+    )
+
+
+def token_run_stats(
+    df: DataFrame, tokens_col: str = "tokens", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-sequence repeated-token run statistics — the tokenized twin
+    of the repetition filter: a pretokenized sequence whose longest run
+    of one token id is huge (whitespace floods, degenerate loops) is a
+    training-data defect no schema check catches.
+
+    Returns (id, n_tokens, n_distinct_tokens, max_run, max_run_frac)
+    where max_run is the longest run of equal consecutive token ids.
+
+    Scale shape: MAP-ONLY. One ``F.aggregate`` pass per row inside
+    whole-stage codegen — no explode, no exchange, no Python. At 10^12
+    sequences this is the difference between a scan-speed pass and a
+    shuffle of 10^15 exploded tokens.
+    """
+    toks = F.col(tokens_col)
+    zero = F.struct(
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+        F.lit(None).cast("int").alias("prev"),
+    )
+    acc = F.aggregate(
+        toks,
+        zero,
+        lambda a, t: F.struct(
+            F.when(t.eqNullSafe(a["prev"]), a["run"] + 1)
+            .otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(
+                a["best"],
+                F.when(t.eqNullSafe(a["prev"]), a["run"] + 1).otherwise(
+                    F.lit(1)
+                ),
+            ).alias("best"),
+            t.alias("prev"),
+        ),
+    )
+    n = F.size(toks)
+    return df.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        acc["best"].alias("max_run"),
+        F.when(n > 0, F.round(acc["best"] / n, 4))
+        .otherwise(F.lit(None).cast("double"))
+        .alias("max_run_frac"),
+    )

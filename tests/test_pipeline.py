@@ -717,3 +717,134 @@ class TestDedupConvergenceSignal:
             rows = labels.collect()
         assert {r["cluster_id"] for r in rows} == {1}
         assert len(rows) == 60
+
+
+class TestDecontamination:
+    @pytest.fixture()
+    def corpus_bench(self, spark):
+        corpus = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma delta epsilon zeta"),
+                (2, "nothing here overlaps the benchmark at all"),
+                (3, "alpha beta gamma delta shared prefix too"),
+                (4, None),
+            ],
+            "doc_id long, text string",
+        )
+        bench = spark.createDataFrame(
+            [(100, "alpha beta gamma delta"), (101, "beta gamma delta epsilon")],
+            "doc_id long, text string",
+        )
+        return corpus, bench
+
+    def test_contamination_counts(self, spark, corpus_bench):
+        from datatest_spark.operators import decontam
+
+        corpus, bench = corpus_bench
+        rows = {
+            r["doc_id"]: (r["n_hits"], r["n_bench_docs"])
+            for r in decontam.contamination(corpus, bench, k=4).collect()
+        }
+        # doc 1 shares "alpha beta gamma delta" (bench 100) and
+        # "beta gamma delta epsilon" (bench 101); doc 3 only the first
+        assert rows == {1: (2, 2), 3: (1, 1)}
+
+    def test_decontaminate_keeps_clean_docs(self, spark, corpus_bench):
+        from datatest_spark.operators import decontam
+
+        corpus, bench = corpus_bench
+        kept = sorted(
+            r["doc_id"]
+            for r in decontam.decontaminate(corpus, bench, k=4).collect()
+        )
+        assert kept == [2, 4]  # null text is never contaminated
+
+    def test_min_hits_threshold(self, spark, corpus_bench):
+        from datatest_spark.operators import decontam
+
+        corpus, bench = corpus_bench
+        flagged = [
+            r["doc_id"]
+            for r in decontam.contamination(
+                corpus, bench, k=4, min_hits=2
+            ).collect()
+        ]
+        assert flagged == [1]
+
+    def test_broadcast_only_plan(self, spark, corpus_bench):
+        from datatest_spark.operators import decontam
+
+        corpus, bench = corpus_bench
+        plan = (
+            decontam.contamination(corpus, bench, k=4)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+
+class TestRepetitionSignals:
+    def test_hand_example(self, spark):
+        from datatest_spark.operators import text as t
+
+        df = spark.createDataFrame(
+            [(1, "a b c a b c a b"), (2, "x y z w v u")],
+            "doc_id long, text string",
+        )
+        rows = {r["doc_id"]: r for r in t.repetition_signals(df, n=2).collect()}
+        # doc 1 bigrams: ab bc ca ab bc ca ab -> 7 total; "a b" x3 modal;
+        # every occurrence duplicated
+        assert rows[1]["n_ngrams"] == 7
+        assert rows[1]["top_ngram_frac"] == pytest.approx(3 / 7, abs=1e-4)
+        assert rows[1]["dup_ngram_frac"] == 1.0
+        assert rows[2]["dup_ngram_frac"] == 0.0
+
+    def test_short_doc_degenerate(self, spark):
+        from datatest_spark.operators import text as t
+
+        df = spark.createDataFrame([(1, "word")], "doc_id long, text string")
+        r = t.repetition_signals(df, n=3).collect()[0]
+        assert (r["n_ngrams"], r["top_ngram_frac"], r["dup_ngram_frac"]) == (
+            1,
+            1.0,
+            0.0,
+        )
+
+
+class TestTokenRunStats:
+    def test_runs(self, spark):
+        from datatest_spark.operators import text as t
+
+        df = spark.createDataFrame(
+            [
+                (1, [5, 5, 5, 1, 2, 2]),
+                (2, []),
+                (3, [7]),
+                (4, None),
+                (5, [None, None, 3]),
+            ],
+            "doc_id long, tokens array<int>",
+        )
+        rows = {r["doc_id"]: r for r in t.token_run_stats(df).collect()}
+        assert rows[1]["max_run"] == 3 and rows[1]["max_run_frac"] == 0.5
+        assert rows[1]["n_distinct_tokens"] == 3
+        assert rows[2]["max_run"] == 0 and rows[2]["max_run_frac"] is None
+        assert rows[3]["max_run"] == 1 and rows[3]["max_run_frac"] == 1.0
+        assert rows[4]["max_run"] is None
+        # null tokens count as a run of equal values (eqNullSafe)
+        assert rows[5]["max_run"] == 2
+
+    def test_map_only_plan(self, spark):
+        from datatest_spark.operators import text as t
+
+        df = spark.range(10).select(
+            F.col("id").alias("doc_id"),
+            F.array(F.lit(1), F.lit(1), F.lit(2)).alias("tokens"),
+        )
+        plan = (
+            t.token_run_stats(df)._jdf.queryExecution()
+            .executedPlan().toString()
+        )
+        assert "Exchange" not in plan
