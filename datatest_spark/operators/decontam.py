@@ -100,5 +100,6 @@ def decontaminate(
         bench_id_col=bench_id_col,
         k=k,
         min_hits=min_hits,
-    ).select(id_col)
+    ).select(F.col("doc_id").alias(id_col))  # contamination normalizes the
+    # id column name to doc_id; restore the caller's name for the join
     return corpus.join(flagged, id_col, "left_anti")

@@ -89,6 +89,9 @@ def lsh_recall(threshold: float, bands: int, rows_per_band: int) -> float:
     return 1.0 - (1.0 - p ** rows_per_band) ** bands
 
 
+IVF_LITERAL_MAX_ELEMS = 100_000
+
+
 def _auto_bands(threshold: float, rows_per_band: int, target_recall: float,
                 max_bands: int = 64) -> int:
     """Smallest band count whose worst-case recall meets ``target_recall``
@@ -99,7 +102,10 @@ def _auto_bands(threshold: float, rows_per_band: int, target_recall: float,
     pr = p ** rows_per_band
     if pr >= 1.0:
         return 1
-    if pr <= 0.0:
+    # recall of exactly 1.0 is unreachable for pr<1 (log1p(-1) = -inf);
+    # the caller asking for exhaustive recall gets the cap plus the
+    # under-target warning downstream, not a domain-error crash
+    if pr <= 0.0 or target_recall >= 1.0:
         return max_bands
     need = math.ceil(math.log1p(-target_recall) / math.log1p(-pr))
     return max(1, min(max_bands, int(need)))
@@ -282,16 +288,46 @@ def ivf_assign(
             ]
         )
 
-    cent_arr = F.array(
-        *[
-            F.struct(
-                F.lit(int(r["centroid_id"])).alias("cid"),
-                _cv_lit(r["cv"]).alias("cv"),
-                F.lit(_norm(r["cv"])).cast("double").alias("cn"),
-            )
-            for r in rows
-        ]
-    )
+    # Two same-semantics carriers for the centroid array, picked by
+    # size. Small C*D: inline literal expressions — zero extra plan
+    # nodes at runtime, zero joins. Large C*D (e.g. C=4096, D=512):
+    # per-element F.lit would build millions of expression nodes —
+    # minutes of driver-side analysis and a plan shipped per task — so
+    # the centroids are collapsed to ONE row holding the sorted
+    # array<struct> and attached via crossJoin(broadcast): a
+    # BroadcastNestedLoopJoin against a single row is map-only (no
+    # shuffle of the vector side; the array ships once per executor).
+    n_elems = sum(len(r["cv"] or ()) for r in rows)
+    if n_elems <= IVF_LITERAL_MAX_ELEMS:
+        cent_arr = F.array(
+            *[
+                F.struct(
+                    F.lit(int(r["centroid_id"])).alias("cid"),
+                    _cv_lit(r["cv"]).alias("cv"),
+                    F.lit(_norm(r["cv"])).cast("double").alias("cn"),
+                )
+                for r in rows
+            ]
+        )
+    else:
+        spark = vectors.sparkSession
+        one = spark.createDataFrame(
+            [
+                (
+                    [
+                        (int(r["centroid_id"]),
+                         None if r["cv"] is None
+                         else [None if x is None else float(x)
+                               for x in r["cv"]],
+                         _norm(r["cv"]))
+                        for r in rows
+                    ],
+                )
+            ],
+            "_carr array<struct<cid:int,cv:array<double>,cn:double>>",
+        )
+        v = v.crossJoin(F.broadcast(one))
+        cent_arr = F.col("_carr")
     # the row norm is a per-row constant: evaluate it ONCE in a projected
     # column rather than inside the per-centroid lambda (higher-order
     # lambdas get no common-subexpression elimination, so the inline form

@@ -61,13 +61,22 @@ def asof_join(
     rstruct = F.struct(
         F.col(on).alias("_on"), *[F.col(c).alias(c) for c in rpay]
     )
+    # tiebreak keeps its NATIVE type (casting to string would order
+    # numerics lexicographically: '9' > '100'); the left side unions a
+    # same-typed null
+    tb_type = (right.schema[tiebreak_col].dataType
+               if tiebreak_col is not None else "long")
     tb = (F.col(tiebreak_col) if tiebreak_col is not None
           else F.lit(None).cast("long"))
-    tagged_r = right.select(
+    # a right row with a null timestamp can never be anyone's as-of
+    # match (ASOF semantics everywhere, incl. the DuckDB oracle) — but
+    # asc ordering sorts NULL first, so last(ignorenulls) would pick it
+    # for left rows with no real predecessor. Exclude up front.
+    tagged_r = right.where(F.col(on).isNotNull()).select(
         F.col(by).alias("_by"),
         F.col(on).alias("_t"),
         F.lit(0).alias("_tag"),
-        tb.cast("string").alias("_tb"),
+        tb.alias("_tb"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lpay],
         rstruct.alias("_r"),
     )
@@ -78,7 +87,7 @@ def asof_join(
         F.col(by).alias("_by"),
         F.col(on).alias("_t"),
         F.lit(1).alias("_tag"),
-        F.lit(None).cast("string").alias("_tb"),
+        F.lit(None).cast(tb_type).alias("_tb"),
         *[F.col(c) for c in lpay],
         null_struct.alias("_r"),
     )
@@ -92,7 +101,12 @@ def asof_join(
         .orderBy(t_order, F.col("_tag").asc(), F.col("_tb").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    m = F.last("_r", ignorenulls=True).over(w)
+    # a left row with a null timestamp matches nothing (under forward's
+    # desc order null-_t lefts sort last and would otherwise "match"
+    # the minimum right timestamp)
+    m = F.when(
+        F.col("_t").isNotNull(), F.last("_r", ignorenulls=True).over(w)
+    )
     out = u.withColumn("_m", m).where(F.col("_tag") == 1)
     return out.select(
         F.col("_by").alias(by),

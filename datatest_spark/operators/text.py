@@ -166,7 +166,11 @@ def repetition_signals(
     idx = F.sequence(F.lit(1), F.greatest(nn - (n - 1), F.lit(1)))
     grams = F.transform(idx, lambda i: F.array_join(F.slice(words, i, n), " "))
     per_gram = (
-        df.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("g"))
+        # null text yields grams=[null] whose null element SURVIVES
+        # explode and would profile as a legit one-gram doc; absent text
+        # has no repetition profile — drop those docs entirely
+        df.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("g"))
         .groupBy("doc_id", "g")
         .agg(F.count(F.lit(1)).alias("c"))
     )
@@ -198,10 +202,14 @@ def token_run_stats(
     shuffle of 10^15 exploded tokens.
     """
     toks = F.col(tokens_col)
+    # the accumulator's prev field must carry the array's OWN element
+    # type: pinning it to int makes array<bigint> (Python ints infer to
+    # bigint) fail analysis when the merge lambda returns a bigint prev
+    elem_type = df.select(toks).schema[0].dataType.elementType
     zero = F.struct(
         F.lit(0).alias("run"),
         F.lit(0).alias("best"),
-        F.lit(None).cast("int").alias("prev"),
+        F.lit(None).cast(elem_type).alias("prev"),
     )
     acc = F.aggregate(
         toks,

@@ -40,7 +40,8 @@ def load_excel(spark: SparkSession, path, sheet_name=0, **pandas_opts) -> DataFr
 
 
 def load_dbapi(spark: SparkSession, cursor, arraysize: int = 10_000,
-               schema=None, spill_threshold: int = 500_000) -> DataFrame:
+               schema=None, spill_threshold: int = 500_000,
+               spill_dir=None) -> DataFrame:
     """Normalize an already-executed DBAPI2 cursor into a DataFrame (S3).
 
     Column names come from ``cursor.description``; rows are drained in
@@ -48,12 +49,19 @@ def load_dbapi(spark: SparkSession, cursor, arraysize: int = 10_000,
     ``spill_threshold`` rows are held in one driver-side list (the
     dimension/lookup-table case this path exists for). Beyond the
     threshold the drain switches to a spill file: each batch is appended
-    to a temp parquet file through an Arrow ``ParquetWriter`` (so driver
+    to a spill parquet file through an Arrow ``ParquetWriter`` (so driver
     memory holds ONE batch at a time, not the full result set) and the
     frame is read back through the distributed parquet reader. ``schema``
     (DDL string or StructType) pins types for empty result sets or lossy
     drivers; otherwise types are inferred from the data (in the spill
     case, from the first spilled chunk).
+
+    ``spill_dir`` is where the spill file lands. The default (a
+    driver-local temp dir) only works when executors share the driver's
+    filesystem — local mode, or single-node standalone. ON A REAL
+    CLUSTER pass a path on shared storage (HDFS/S3/NFS) writable by the
+    driver and readable by executors; a driver-local default there
+    fails at first action with FileNotFoundException on the executors.
     """
     if cursor.description is None:
         raise ValueError(
@@ -68,7 +76,7 @@ def load_dbapi(spark: SparkSession, cursor, arraysize: int = 10_000,
         rows.extend(tuple(r) for r in batch)
         if len(rows) > spill_threshold:
             return _spill_cursor_to_parquet(spark, cursor, cols, rows,
-                                            arraysize, schema)
+                                            arraysize, schema, spill_dir)
     if schema is not None:
         return spark.createDataFrame(rows, schema)
     if not rows:
@@ -84,7 +92,8 @@ def load_dbapi(spark: SparkSession, cursor, arraysize: int = 10_000,
     return spark.createDataFrame(rows, cols)
 
 
-def _spill_cursor_to_parquet(spark, cursor, cols, pending, arraysize, schema):
+def _spill_cursor_to_parquet(spark, cursor, cols, pending, arraysize, schema,
+                             spill_dir=None):
     """Drain the rest of ``cursor`` through a temp parquet file so driver
     memory stays bounded at one fetchmany batch (+ the pre-threshold
     ``pending`` rows, written first). When ``schema`` is given, the Arrow
@@ -97,6 +106,7 @@ def _spill_cursor_to_parquet(spark, cursor, cols, pending, arraysize, schema):
     and aliased back after the read — parquet/Spark reject duplicates,
     and a dict-keyed table build would silently drop a column."""
     import atexit
+    import os
     import shutil
     import tempfile
 
@@ -125,7 +135,13 @@ def _spill_cursor_to_parquet(spark, cursor, cols, pending, arraysize, schema):
             [f.with_name(n) for f, n in zip(arrow_schema, safe_cols)]
         )
 
-    tmpdir = tempfile.mkdtemp(prefix="datatest_spark_dbapi_")
+    if spill_dir is not None:
+        # caller-provided shared storage (required on multi-node
+        # clusters): driver writes via Arrow, executors read via Spark
+        os.makedirs(spill_dir, exist_ok=True)
+        tmpdir = tempfile.mkdtemp(prefix="dbapi_", dir=spill_dir)
+    else:
+        tmpdir = tempfile.mkdtemp(prefix="datatest_spark_dbapi_")
     atexit.register(shutil.rmtree, tmpdir, ignore_errors=True)
     path = tmpdir + "/spill.parquet"
     writer = None
@@ -245,7 +261,15 @@ def _dbf_value(raw, ftype, fdec, encoding, datetime):
     if ftype in ("N", "F"):
         if set(text) == {"*"}:  # asterisk fill = numeric-overflow null
             return None
-        return float(text) if (ftype == "F" or fdec > 0 or "." in text) else int(text)
+        try:
+            if ftype == "F" or fdec > 0:
+                return float(text)
+            # N with 0 declared decimals maps to LongType (spark_type);
+            # a sloppy writer's '3.5' must coerce (truncate), not hand a
+            # float to a long column and crash createDataFrame
+            return int(text) if "." not in text else int(float(text))
+        except ValueError:
+            return None  # garbage residue reads as NULL, per lenient policy
     return text
 
 

@@ -318,3 +318,41 @@ class TestDbapiSpill:
         assert df.columns == ["a", "a"]
         row = df.collect()[5]
         assert tuple(row) == (5, 50)
+
+
+class TestDbfLenientNumerics:
+    FIELDS = TestDbfSource.FIELDS
+
+    def test_integer_field_with_decimal_residue_truncates(self, spark, tmp_path):
+        # N(5,0) declared integer but a sloppy writer emitted '  3.5':
+        # the LongType column coerces by truncation instead of crashing
+        # createDataFrame with a float
+        p = tmp_path / "sloppy.dbf"
+        _write_dbf(p, self.FIELDS, [
+            b" " + b"s1      " + b"  3.5" + b"   19.99" + b"T" + b"20240115",
+            b" " + b"s2      " + b"  bad" + b"    junk" + b"F" + b"20240101",
+        ])
+        from datatest_spark.sources.external import load_dbf
+
+        rows = load_dbf(spark, str(p)).collect()
+        assert rows[0]["QTY"] == 3
+        # unparseable numeric residue reads as NULL, per the lenient policy
+        assert rows[1]["QTY"] is None and rows[1]["PRICE"] is None
+
+
+class TestDbapiSpillDir:
+    def test_spill_dir_param_places_file(self, spark, tmp_path):
+        import sqlite3
+
+        from datatest_spark.sources.external import load_dbapi
+
+        con = sqlite3.connect(":memory:")
+        con.execute("CREATE TABLE t (a INTEGER)")
+        con.executemany("INSERT INTO t VALUES (?)", [(i,) for i in range(50)])
+        cur = con.execute("SELECT a FROM t ORDER BY a")
+        out = load_dbapi(spark, cur, arraysize=10, spill_threshold=5,
+                         spill_dir=str(tmp_path / "shared"))
+        assert out.count() == 50
+        import os
+        spills = os.listdir(tmp_path / "shared")
+        assert len(spills) == 1 and spills[0].startswith("dbapi_")

@@ -848,3 +848,95 @@ class TestTokenRunStats:
             .executedPlan().toString()
         )
         assert "Exchange" not in plan
+
+
+class TestReviewFixesR3:
+    def test_asof_numeric_tiebreak_not_lexicographic(self, spark):
+        from datatest_spark.operators import temporal
+
+        left = spark.createDataFrame([(1, 10, "L")],
+                                     "user_id long, ts long, tag string")
+        right = spark.createDataFrame(
+            [(1, 10, 9, "nine"), (1, 10, 100, "hundred")],
+            "user_id long, ts long, pri long, val string",
+        )
+        out = temporal.asof_join(left, right, on="ts", by="user_id",
+                                 tiebreak_col="pri").collect()[0]
+        # '9' > '100' lexicographically; numerically 100 wins
+        assert out["val_r"] == "hundred"
+
+    def test_asof_null_right_timestamp_never_matches(self, spark):
+        from datatest_spark.operators import temporal
+
+        left = spark.createDataFrame([(1, 5)], "user_id long, ts long")
+        right = spark.createDataFrame([(1, None, "ghost")],
+                                      "user_id long, ts long, val string")
+        out = temporal.asof_join(left, right, on="ts", by="user_id").collect()[0]
+        assert out["val_r"] is None and out["ts_r"] is None
+
+    def test_asof_null_left_timestamp_no_match_forward(self, spark):
+        from datatest_spark.operators import temporal
+
+        left = spark.createDataFrame([(1, None)], "user_id long, ts long")
+        right = spark.createDataFrame([(1, 3, "x")],
+                                      "user_id long, ts long, val string")
+        out = temporal.asof_join(left, right, on="ts", by="user_id",
+                                 direction="forward").collect()[0]
+        assert out["val_r"] is None
+
+    def test_decontaminate_custom_id_col(self, spark):
+        from datatest_spark.operators import decontam
+
+        corpus = spark.createDataFrame(
+            [(1, "alpha beta gamma delta"), (2, "all clean here friend")],
+            "id long, text string",
+        )
+        bench = spark.createDataFrame([(9, "alpha beta gamma delta")],
+                                      "id long, text string")
+        kept = decontam.decontaminate(corpus, bench, id_col="id", k=4)
+        assert [r["id"] for r in kept.collect()] == [2]
+
+    def test_token_run_stats_bigint_arrays(self, spark):
+        from datatest_spark.operators import text as t
+
+        # Python int lists infer array<bigint>; the accumulator must
+        # adopt the element type instead of failing analysis
+        df = spark.createDataFrame([(1, [5, 5, 3])], ["doc_id", "tokens"])
+        assert dict(df.dtypes)["tokens"] == "array<bigint>"
+        r = t.token_run_stats(df).collect()[0]
+        assert r["max_run"] == 2
+
+    def test_repetition_signals_null_text_absent(self, spark):
+        from datatest_spark.operators import text as t
+
+        df = spark.createDataFrame([(1, None), (2, "a b")],
+                                   "doc_id long, text string")
+        rows = t.repetition_signals(df, n=2).collect()
+        assert [r["doc_id"] for r in rows] == [2]
+
+    def test_auto_bands_full_recall_clamps(self):
+        from datatest_spark.operators.similarity import _auto_bands
+
+        assert _auto_bands(0.8, 2, 1.0) == 64  # no math-domain crash
+
+    def test_ivf_assign_broadcast_path_matches_literal(self, spark, monkeypatch):
+        import datatest_spark.operators.similarity as sim
+
+        vecs = spark.createDataFrame(
+            [(i, [float(i % 4), float((i * 7) % 5), 1.0]) for i in range(40)],
+            "vec_id long, embedding array<float>",
+        )
+        cents = sim._centroids_from_sample(
+            vecs.select(F.col("vec_id").alias("id"),
+                        sim.as_double(F.col("embedding")).alias("v")),
+            "v", 4, "id",
+        )
+        lit_path = sim.ivf_assign(vecs, cents).collect()
+        monkeypatch.setattr(sim, "IVF_LITERAL_MAX_ELEMS", 0)
+        bc_path = sim.ivf_assign(vecs, cents).collect()
+        key = lambda rows: sorted((r["id"], r["centroid_id"]) for r in rows)
+        assert key(lit_path) == key(bc_path)
+        # broadcast path stays shuffle-free on the vector side
+        plan = (sim.ivf_assign(vecs, cents)._jdf.queryExecution()
+                .executedPlan().toString())
+        assert "Exchange hashpartitioning" not in plan
