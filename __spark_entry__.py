@@ -609,6 +609,37 @@ def q_asof_enrich(spark, sf_dir):
     )
 
 
+def q_range_join_windows(spark, sf_dir):
+    """Bucketized interval join (operators/temporal.range_join): every
+    purchase inside a [signup, signup+24h] window per user. The interval
+    side explodes to ~25 one-hour buckets; both sides equi-join on
+    (user, bucket) then the exact BETWEEN filter — no theta-join. NTZ
+    arithmetic throughout (timestamp_add + epoch_ms), so the result is
+    session-TZ-independent."""
+    from datatest_spark.operators import temporal
+
+    e = _t(spark, sf_dir, "events")
+    left = e.where("event_type = 'purchase'").select("event_id", "user_id", "ts")
+    right = (
+        e.where("event_type = 'signup'")
+        .select(
+            F.col("event_id").alias("signup_id"),
+            "user_id",
+            F.col("ts").alias("start"),
+            F.timestamp_add("HOUR", F.lit(24), F.col("ts")).alias("end"),
+        )
+    )
+    j = temporal.range_join(left, right, on="ts", by="user_id")
+    return j.select(
+        "event_id",
+        "user_id",
+        F.col("signup_id_r").alias("signup_id"),
+        F.timestamp_diff("MICROSECOND", F.col("start_r"), F.col("ts"))
+        .cast("long")
+        .alias("usecs_after_signup"),
+    )
+
+
 def q_contamination_hits(spark, sf_dir):
     """Benchmark decontamination (operators/decontam.contamination):
     docs with doc_id % 7 == 0 play the held-out eval set; every other
@@ -734,6 +765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "stratified_sample": q_stratified_sample,
         "asof_enrich": q_asof_enrich,
+        "range_join_windows": q_range_join_windows,
         "contamination_hits": q_contamination_hits,
         "decontam_survivors": q_decontam_survivors,
         "repetition_profile": q_repetition_profile,
@@ -1412,6 +1444,17 @@ def oracle_sql() -> dict[str, str]:
                        AS usecs_since_signup
             FROM L l ASOF LEFT JOIN R r
                  ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "range_join_windows": """
+            SELECT l.event_id, l.user_id, r.event_id AS signup_id,
+                   CAST(date_diff('microsecond', r.ts, l.ts) AS BIGINT)
+                       AS usecs_after_signup
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'purchase') l
+            JOIN (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'signup') r
+              ON l.user_id = r.user_id
+             AND l.ts >= r.ts AND l.ts <= r.ts + INTERVAL 24 HOUR
         """,
         "contamination_hits": """
             WITH WB AS (

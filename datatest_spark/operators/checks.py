@@ -495,6 +495,31 @@ class TokenEqualityCheck(BaseCheck):
         return out.select(*_CORE_WITH_PK)
 
 
+
+def epoch_ms(df, ts_col):
+    """Session-timezone-free epoch millis for a timestamp/date/numeric column.
+
+    TIMESTAMP_NTZ columns must NOT round-trip through LTZ (the cast
+    applies the session timezone, so the same data yields different
+    results under different sessions); the NTZ->NTZ ``timestamp_diff``
+    from the epoch literal is TZ-free. LTZ columns are instants, so
+    ``unix_millis`` is already TZ-free for them. Numeric columns are
+    taken as epoch millis directly.
+    """
+    dt = dict(df.dtypes).get(ts_col, "")
+    c = F.col(ts_col)
+    if dt == "timestamp_ntz" or dt == "date":
+        # date -> NTZ lands on midnight independent of the session TZ
+        # (date -> LTZ would shift by the session offset)
+        return F.timestamp_diff(
+            "MILLISECOND",
+            F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+            c.cast("timestamp_ntz"),
+        )
+    if dt.startswith("timestamp"):
+        return F.unix_millis(c.cast("timestamp"))
+    return c.cast("long")
+
 class FreshnessCheck(BaseCheck):
     """Temporal freshness gate (engine extension; datetime support §1.2):
     per partition, max(ts) must be no older than ``max_age`` relative to
@@ -515,28 +540,7 @@ class FreshnessCheck(BaseCheck):
 
     @staticmethod
     def _epoch_ms(df, ts_col):
-        """Session-timezone-free epoch millis.
-
-        TIMESTAMP_NTZ columns must NOT round-trip through LTZ (the cast
-        applies the session timezone, so the same data yields different
-        staleness verdicts under different sessions); the NTZ→NTZ
-        ``timestamp_diff`` from the epoch literal is TZ-free. LTZ columns
-        are instants, so ``unix_millis`` is already TZ-free for them.
-        Numeric columns are taken as epoch millis directly.
-        """
-        dt = dict(df.dtypes).get(ts_col, "")
-        c = F.col(ts_col)
-        if dt == "timestamp_ntz" or dt == "date":
-            # date -> NTZ lands on midnight independent of the session TZ
-            # (date -> LTZ would shift by the session offset)
-            return F.timestamp_diff(
-                "MILLISECOND",
-                F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
-                c.cast("timestamp_ntz"),
-            )
-        if dt.startswith("timestamp"):
-            return F.unix_millis(c.cast("timestamp"))
-        return c.cast("long")
+        return epoch_ms(df, ts_col)
 
     def violations(self, df):
         ms = self._epoch_ms(df, self.ts_col)

@@ -114,3 +114,86 @@ def asof_join(
         *[F.col("_m")[c].alias(c + suffix) for c in rpay],
         F.col("_m")["_on"].alias(on + suffix),
     )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    start: str = "start",
+    end: str = "end",
+    by: str | None = None,
+    bucket_ms: int = 3_600_000,
+    suffix: str = "_r",
+    max_span_buckets: int = 10_000,
+) -> DataFrame:
+    """Interval join: left rows whose ``on`` falls inside a right row's
+    ``[start, end]`` (inclusive both ends) — the other temporal join
+    Spark has no built-in for. A naive theta-join is O(|L| x |R|); this
+    plan is the standard bucketized range join: every right interval is
+    exploded to the coarse ``bucket_ms`` buckets it spans, each left row
+    maps to its single bucket, and the two sides meet in an EQUI-join on
+    (``by``?, bucket) followed by the exact inequality filter. A (left,
+    right) pair shares exactly one bucket — the left row's — so no
+    dedup pass is needed. Shuffle is one hash exchange per side on the
+    join key; interval fan-out is bounded by span/bucket_ms (an interval
+    spanning more than ``max_span_buckets`` raises rather than silently
+    exploding the stage — pick a coarser bucket_ms for long intervals).
+
+    Timestamps go through :func:`datatest_spark.operators.checks.epoch_ms`
+    (NTZ-safe, session-TZ-free); plain numeric columns join on their raw
+    values with ``bucket_ms`` as the bucket width. Null ``on``/``start``/
+    ``end`` never match. Output: all left columns, then every right
+    column suffixed.
+    """
+    from .checks import epoch_ms
+
+    clash = {c + suffix for c in right.columns} & set(left.columns)
+    if clash:
+        raise ValueError(
+            "suffixed right columns collide with left: %s" % sorted(clash)
+        )
+    l_ms = epoch_ms(left, on)
+    s_ms = epoch_ms(right, start)
+    e_ms = epoch_ms(right, end)
+    lb = F.floor(l_ms / bucket_ms)
+    sb = F.floor(s_ms / bucket_ms)
+    eb = F.floor(e_ms / bucket_ms)
+    span = eb - sb + 1
+    guard = F.when(
+        span > max_span_buckets,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "range_join interval spans more than %d buckets of "
+                    "%d ms (start=" % (max_span_buckets, bucket_ms)
+                ),
+                F.col(start).cast("string"),
+                F.lit("); raise bucket_ms or max_span_buckets"),
+            )
+        ).cast("long"),
+    ).otherwise(sb)
+    r = right.select(
+        *[F.col(c).alias(c + suffix) for c in right.columns],
+        F.explode(
+            F.when(
+                F.col(start).isNotNull() & F.col(end).isNotNull() & (sb <= eb),
+                F.sequence(guard, eb),
+            )
+        ).alias("_bkt"),
+    )
+    l = left.withColumn("_bkt", lb).where(F.col(on).isNotNull())
+    cond = l["_bkt"] == r["_bkt"]
+    if by is not None:
+        cond = cond & (l[by] == r[by + suffix])
+    joined = l.join(r, cond, "inner")
+    # re-derive the ms expressions against the JOINED frame's suffixed
+    # names (the pre-join Columns would resolve against the wrong lineage)
+    lj_ms = epoch_ms(joined, on)
+    sj_ms = epoch_ms(joined, start + suffix)
+    ej_ms = epoch_ms(joined, end + suffix)
+    out = joined.where((lj_ms >= sj_ms) & (lj_ms <= ej_ms))
+    return out.select(
+        *[F.col(c) for c in left.columns],
+        *[F.col(c + suffix) for c in right.columns],
+    )

@@ -940,3 +940,68 @@ class TestReviewFixesR3:
         plan = (sim.ivf_assign(vecs, cents)._jdf.queryExecution()
                 .executedPlan().toString())
         assert "Exchange hashpartitioning" not in plan
+
+
+class TestRangeJoin:
+    def test_inclusive_bounds_and_nulls(self, spark):
+        import datetime as dt
+
+        from datatest_spark.operators import temporal
+
+        T = dt.datetime
+        left = spark.createDataFrame(
+            [(1, T(2024, 1, 1, 10, 30)), (2, T(2024, 1, 1, 13, 0)),
+             (3, None)],
+            "event_id long, ts timestamp_ntz",
+        )
+        right = spark.createDataFrame(
+            [(100, T(2024, 1, 1, 10, 0), T(2024, 1, 1, 11, 0)),
+             (101, T(2024, 1, 1, 9, 0), T(2024, 1, 1, 13, 0)),  # end == l2.ts
+             (102, None, T(2024, 1, 5, 0, 0))],
+            "win_id long, start timestamp_ntz, end timestamp_ntz",
+        )
+        got = sorted(
+            (r["event_id"], r["win_id_r"])
+            for r in temporal.range_join(left, right).collect()
+        )
+        assert got == [(1, 100), (1, 101), (2, 101)]
+
+    def test_keyed_numeric_ranges(self, spark):
+        from datatest_spark.operators import temporal
+
+        ln = spark.createDataFrame([(1, 5, 7), (2, 50, 7)],
+                                   "id long, x long, user_id long")
+        rn = spark.createDataFrame(
+            [(9, 0, 10, 7), (10, 0, 100, 8)],
+            "rid long, s long, e long, user_id long",
+        )
+        got = [
+            (r["id"], r["rid_r"])
+            for r in temporal.range_join(
+                ln, rn, on="x", start="s", end="e", by="user_id",
+                bucket_ms=16,
+            ).collect()
+        ]
+        assert got == [(1, 9)]  # user mismatch excludes (2, 10)
+
+    def test_span_guard_raises(self, spark):
+        from datatest_spark.operators import temporal
+
+        left = spark.createDataFrame([(1, 0)], "id long, x long")
+        right = spark.createDataFrame([(9, 0, 10_000_000)],
+                                      "rid long, s long, e long")
+        import pyspark.errors
+
+        with pytest.raises(Exception, match="spans more than"):
+            temporal.range_join(
+                left, right, on="x", start="s", end="e",
+                bucket_ms=10, max_span_buckets=100,
+            ).collect()
+
+    def test_suffix_collision_raises(self, spark):
+        from datatest_spark.operators import temporal
+
+        left = spark.createDataFrame([(1, 0, "z")], "id long, ts long, s_r string")
+        right = spark.createDataFrame([(9, 0, 10)], "rid long, s long, end long")
+        with pytest.raises(ValueError, match="collide"):
+            temporal.range_join(left, right, on="ts", start="s", end="end")
