@@ -538,12 +538,9 @@ class FreshnessCheck(BaseCheck):
         self.max_age_ms = int(max_age_ms)
         self.min_ts_ms = min_ts_ms
 
-    @staticmethod
-    def _epoch_ms(df, ts_col):
-        return epoch_ms(df, ts_col)
 
     def violations(self, df):
-        ms = self._epoch_ms(df, self.ts_col)
+        ms = epoch_ms(df, self.ts_col)
         agg = df.groupBy("partition_key").agg(
             F.max(ms).alias("_max_ms"), F.min(ms).alias("_min_ms")
         )

@@ -148,11 +148,38 @@ def range_join(
     """
     from .checks import epoch_ms
 
+    if bucket_ms <= 0:
+        raise ValueError("bucket_ms must be positive, got %r" % bucket_ms)
     clash = {c + suffix for c in right.columns} & set(left.columns)
     if clash:
         raise ValueError(
             "suffixed right columns collide with left: %s" % sorted(clash)
         )
+    reserved = {"_bkt"}
+    taken = set(left.columns) | {c + suffix for c in right.columns}
+    if reserved & taken:
+        raise ValueError(
+            "column name _bkt is reserved by range_join; rename it"
+        )
+
+    def _exact(df, col):
+        # the post-join filter must compare at FULL resolution: epoch_ms
+        # truncates to milliseconds, so a left row in the same ms as an
+        # interval boundary would falsely match despite being
+        # microseconds outside [start, end]. Timestamps compare in
+        # microseconds; numerics compare raw (same unit the bucketing
+        # used). Mixed numeric/timestamp sides are not supported.
+        dt = dict(df.dtypes).get(col, "")
+        c = F.col(col)
+        if dt == "timestamp_ntz" or dt == "date":
+            return F.timestamp_diff(
+                "MICROSECOND",
+                F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+                c.cast("timestamp_ntz"),
+            )
+        if dt.startswith("timestamp"):
+            return F.unix_micros(c.cast("timestamp"))
+        return c
     l_ms = epoch_ms(left, on)
     s_ms = epoch_ms(right, start)
     e_ms = epoch_ms(right, end)
@@ -187,12 +214,12 @@ def range_join(
     if by is not None:
         cond = cond & (l[by] == r[by + suffix])
     joined = l.join(r, cond, "inner")
-    # re-derive the ms expressions against the JOINED frame's suffixed
+    # re-derive the expressions against the JOINED frame's suffixed
     # names (the pre-join Columns would resolve against the wrong lineage)
-    lj_ms = epoch_ms(joined, on)
-    sj_ms = epoch_ms(joined, start + suffix)
-    ej_ms = epoch_ms(joined, end + suffix)
-    out = joined.where((lj_ms >= sj_ms) & (lj_ms <= ej_ms))
+    lj = _exact(joined, on)
+    sj = _exact(joined, start + suffix)
+    ej = _exact(joined, end + suffix)
+    out = joined.where((lj >= sj) & (lj <= ej))
     return out.select(
         *[F.col(c) for c in left.columns],
         *[F.col(c + suffix) for c in right.columns],

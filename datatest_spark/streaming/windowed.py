@@ -147,11 +147,11 @@ def stateful_freshness(
     """
     import pandas as pd  # noqa: F401 (annotation resolution inside Spark)
 
-    from ..operators.checks import FreshnessCheck
+    from ..operators.checks import epoch_ms
 
-    # FreshnessCheck._epoch_ms carries the TZ-free type dispatch
+    # checks.epoch_ms carries the TZ-free type dispatch
     # (NTZ/date via timestamp_diff, LTZ via unix_millis, numeric as-is)
-    ms_expr = FreshnessCheck._epoch_ms(stream, ts_col)
+    ms_expr = epoch_ms(stream, ts_col)
     prepared = stream.select(
         F.col(group_col).cast("string").alias("source"), ms_expr.alias("ts_ms")
     )

@@ -990,8 +990,6 @@ class TestRangeJoin:
         left = spark.createDataFrame([(1, 0)], "id long, x long")
         right = spark.createDataFrame([(9, 0, 10_000_000)],
                                       "rid long, s long, e long")
-        import pyspark.errors
-
         with pytest.raises(Exception, match="spans more than"):
             temporal.range_join(
                 left, right, on="x", start="s", end="e",
@@ -1005,3 +1003,60 @@ class TestRangeJoin:
         right = spark.createDataFrame([(9, 0, 10)], "rid long, s long, end long")
         with pytest.raises(ValueError, match="collide"):
             temporal.range_join(left, right, on="ts", start="s", end="end")
+
+    def test_microsecond_boundary_exact(self, spark):
+        # the exact filter must compare at full resolution: a left row in
+        # the same MILLISECOND as a boundary but microseconds outside
+        # [start, end] must NOT match (epoch_ms truncation would let it)
+        import datetime as dt
+
+        from datatest_spark.operators import temporal
+
+        T = dt.datetime
+        left = spark.createDataFrame(
+            [(1, T(2024, 1, 1, 10, 0, 0, 200)),    # 200us: before 500us start
+             (2, T(2024, 1, 1, 10, 0, 0, 999950))],  # after 999900us end
+            "event_id long, ts timestamp_ntz",
+        )
+        right = spark.createDataFrame(
+            [(9, T(2024, 1, 1, 10, 0, 0, 500), T(2024, 1, 1, 10, 0, 0, 999900))],
+            "win_id long, start timestamp_ntz, end timestamp_ntz",
+        )
+        assert temporal.range_join(left, right).count() == 0
+        # and exact microsecond boundaries DO match (inclusive)
+        left2 = spark.createDataFrame(
+            [(3, T(2024, 1, 1, 10, 0, 0, 500))], "event_id long, ts timestamp_ntz"
+        )
+        assert temporal.range_join(left2, right).count() == 1
+
+    def test_bucket_ms_validated(self, spark):
+        from datatest_spark.operators import temporal
+
+        l = spark.createDataFrame([(1, 0)], "id long, x long")
+        r = spark.createDataFrame([(9, 0, 1)], "rid long, s long, e long")
+        with pytest.raises(ValueError, match="bucket_ms"):
+            temporal.range_join(l, r, on="x", start="s", end="e", bucket_ms=0)
+
+    def test_reserved_bkt_column_raises(self, spark):
+        from datatest_spark.operators import temporal
+
+        l = spark.createDataFrame([(1, 0, 5)], "id long, ts long, _bkt long")
+        r = spark.createDataFrame([(9, 0, 1)], "rid long, start long, end long")
+        with pytest.raises(ValueError, match="_bkt"):
+            temporal.range_join(l, r)
+
+    def test_equi_join_plan_not_theta(self, spark):
+        from datatest_spark.operators import temporal
+
+        l = spark.createDataFrame([(1, 5, 7)], "id long, x long, user_id long")
+        r = spark.createDataFrame([(9, 0, 10, 7)],
+                                  "rid long, s long, e long, user_id long")
+        plan = (
+            temporal.range_join(l, r, on="x", start="s", end="e",
+                                by="user_id", bucket_ms=16)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        # the whole point: an EQUI-join on (key, bucket), never a
+        # nested-loop/cartesian theta-join
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
