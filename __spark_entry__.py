@@ -710,6 +710,42 @@ def q_token_run_quality(spark, sf_dir):
     )
 
 
+def q_vocab_topk(spark, sf_dir):
+    """Per-source token-frequency audit (operators/text.vocab_topk) over
+    the deterministic word-length tokenization: top-5 token ids per
+    source, ties by token asc. Explode → map-side-combinable (source,
+    token) agg → rank window with WindowGroupLimit partial top-k."""
+    from datatest_spark.operators import text as t
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.transform(
+            F.split(F.col("text"), " "), lambda w: F.length(w)
+        ).alias("tokens"),
+    )
+    r = t.vocab_topk(toks, k=5)
+    return r.select(
+        F.col("group").alias("source"),
+        F.col("token").cast("long").alias("token"),
+        F.col("n").cast("long").alias("n"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def q_ks_drift(spark, sf_dir):
+    """Binned two-sample KS per source vs src0 baseline
+    (operators/drift.ks_from_histogram) on n_chars: dense bucket grid,
+    integer cumulative counts, one division — so DuckDB reproduces the
+    doubles exactly. The scale-safe KS (exact KS needs a global sort)."""
+    from datatest_spark.operators import drift
+
+    d = _t(spark, sf_dir, "documents")
+    return drift.ks_from_histogram(
+        d, "n_chars", "source", "src0", lo=0.0, hi=1000.0, nbins=10
+    ).select(F.col("group").alias("source"), "ks")
+
+
 # ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -770,6 +806,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_survivors": q_decontam_survivors,
         "repetition_profile": q_repetition_profile,
         "token_run_quality": q_token_run_quality,
+        "vocab_topk": q_vocab_topk,
+        "ks_drift": q_ks_drift,
     }
 
 
@@ -1555,6 +1593,62 @@ def oracle_sql() -> dict[str, str]:
                    CAST(m.max_run AS BIGINT) AS max_run,
                    ROUND(m.max_run * 1.0 / len(w.toks), 4) AS max_run_frac
             FROM W w JOIN MX m ON w.doc_id = m.doc_id
+        """,
+        "vocab_topk": """
+            WITH T AS (
+                SELECT source,
+                       UNNEST(list_transform(string_split(text, ' '),
+                                             x -> length(x))) AS token
+                FROM documents
+            ),
+            C AS (SELECT source, token, COUNT(*) AS n FROM T GROUP BY 1, 2),
+            R AS (
+                SELECT source, token, n,
+                       ROW_NUMBER() OVER (PARTITION BY source
+                           ORDER BY n DESC, token ASC) AS rank
+                FROM C
+            )
+            SELECT source, CAST(token AS BIGINT) AS token,
+                   CAST(n AS BIGINT) AS n, CAST(rank AS BIGINT) AS rank
+            FROM R WHERE rank <= 5
+        """,
+        "ks_drift": """
+            WITH C AS (
+                -- DuckDB has no width_bucket; mirror Spark's Postgres
+                -- semantics (0 = underflow, nbins+1 = overflow, else
+                -- floor((v-lo)*n/(hi-lo))+1 — exact for these integers)
+                SELECT source AS grp,
+                       CASE WHEN CAST(n_chars AS DOUBLE) < 0.0 THEN 0
+                            WHEN CAST(n_chars AS DOUBLE) >= 1000.0 THEN 11
+                            ELSE CAST(FLOOR(CAST(n_chars AS DOUBLE) * 10.0
+                                            / 1000.0) AS INT) + 1
+                       END AS bucket,
+                       COUNT(*) AS n
+                FROM documents WHERE n_chars IS NOT NULL
+                GROUP BY 1, 2
+            ),
+            G AS (SELECT DISTINCT grp FROM C),
+            B AS (SELECT UNNEST(range(0, 12)) AS bucket),
+            D AS (
+                SELECT g.grp, b.bucket, COALESCE(c.n, 0) AS n
+                FROM G g CROSS JOIN B b
+                LEFT JOIN C c ON c.grp = g.grp AND c.bucket = b.bucket
+            ),
+            CU AS (
+                SELECT grp, bucket,
+                       SUM(n) OVER (PARTITION BY grp ORDER BY bucket) AS cum_n
+                FROM D
+            ),
+            TT AS (SELECT grp, MAX(cum_n) AS tot FROM CU GROUP BY grp),
+            CD AS (
+                SELECT cu.grp, cu.bucket, cum_n * 1.0 / tot AS cdf
+                FROM CU cu JOIN TT USING (grp)
+            ),
+            BASE AS (SELECT bucket, cdf AS base_cdf FROM CD
+                     WHERE grp = 'src0')
+            SELECT cd.grp AS source, ROUND(MAX(ABS(cd.cdf - base_cdf)), 4)
+                       AS ks
+            FROM CD cd JOIN BASE USING (bucket) GROUP BY 1
         """,
         # simhash_pairs / ivf_ann_topk / multimodal_features: xxhash64- or
         # numpy-derived (not expressible in DuckDB) — rows-only checks.

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .checks import BaseCheck
@@ -187,3 +187,70 @@ class DriftCheck(BaseCheck):
                 )
             )
         return out
+
+
+def ks_from_histogram(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    baseline_group: str,
+    lo: float,
+    hi: float,
+    nbins: int = 10,
+) -> DataFrame:
+    """Binned two-sample Kolmogorov–Smirnov statistic per group vs a
+    baseline group: max over bin boundaries of |CDF_g − CDF_base|.
+
+    The exact KS needs a global sort (one-partition window — not a
+    10^12-row shape); the binned variant is the scale-safe companion to
+    KL/PSI above: one (group, bucket) aggregation, then all arithmetic on
+    a DENSE grid of at most |groups| x (nbins+2) rows (zero-count
+    buckets materialized — a missing bucket's CDF must carry the
+    previous value, which a sparse join would get wrong). Cumulative
+    sums run on integer counts with ONE division at the end, so the
+    cross-engine oracle reproduces the doubles bit-for-bit.
+
+    Returns (group, ks) for every group including the baseline (its ks
+    is 0.0 by construction — a cheap self-test).
+    """
+    v = F.col(value_col).cast("double")
+    counts = (
+        df.filter(v.isNotNull())
+        .select(
+            F.coalesce(F.col(group_col).cast("string"), F.lit("__null__"))
+            .alias("group"),
+            F.width_bucket(v, F.lit(lo), F.lit(hi), F.lit(nbins))
+            .alias("bucket"),
+        )
+        .groupBy("group", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    spark = df.sparkSession
+    grid = (
+        counts.select("group").distinct()
+        .crossJoin(
+            spark.range(0, nbins + 2).select(
+                F.col("id").cast("int").alias("bucket")
+            )
+        )
+    )
+    dense = grid.join(counts, ["group", "bucket"], "left").select(
+        "group", "bucket", F.coalesce(F.col("n"), F.lit(0)).alias("n")
+    )
+    w = Window.partitionBy("group").orderBy("bucket")
+    cum = dense.withColumn("cum_n", F.sum("n").over(w))
+    totals = cum.groupBy("group").agg(F.max("cum_n").alias("_tot"))
+    cdf = cum.join(totals, "group").select(
+        "group", "bucket", (F.col("cum_n") / F.col("_tot")).alias("cdf")
+    )
+    base = cdf.where(F.col("group") == baseline_group).select(
+        "bucket", F.col("cdf").alias("_base_cdf")
+    )
+    return (
+        cdf.join(F.broadcast(base), "bucket")
+        .groupBy("group")
+        .agg(
+            F.round(F.max(F.abs(F.col("cdf") - F.col("_base_cdf"))), 4)
+            .alias("ks")
+        )
+    )

@@ -12,7 +12,7 @@ heuristic), document fingerprinting (content hash + positional sample).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # tiny per-language stopword sets for the n-gram/stopword heuristic —
@@ -236,4 +236,37 @@ def token_run_stats(
         F.when(n > 0, F.round(acc["best"] / n, 4))
         .otherwise(F.lit(None).cast("double"))
         .alias("max_run_frac"),
+    )
+
+
+def vocab_topk(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    group_col: str = "source",
+    k: int = 10,
+) -> DataFrame:
+    """Most frequent token ids per group — the vocabulary audit every
+    tokenized corpus needs (a token id dominating one source is a
+    tokenizer or extraction defect). Returns (group, token, n, rank).
+
+    Scale shape: explode fans out ~n_tok rows, but groupBy(group, token)
+    partially aggregates map-side before its exchange; the top-k filter
+    is a rank window whose ``rank <= k`` predicate triggers
+    WindowGroupLimit (each task forwards only its local top-k per
+    group). Ties break on token id ascending — deterministic, oracle-
+    reproducible."""
+    counts = (
+        df.select(
+            F.col(group_col).alias("group"),
+            F.explode(F.col(tokens_col)).alias("token"),
+        )
+        .groupBy("group", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("group").orderBy(
+        F.col("n").desc(), F.col("token").asc()
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
     )

@@ -1060,3 +1060,55 @@ class TestRangeJoin:
         # nested-loop/cartesian theta-join
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestVocabAndKs:
+    def test_vocab_topk_counts_and_ties(self, spark):
+        from datatest_spark.operators import text as t
+
+        df = spark.createDataFrame(
+            [("a", [1, 1, 2, 3]), ("a", [1, 2]), ("b", [9])],
+            "source string, tokens array<int>",
+        )
+        rows = sorted(
+            (r["group"], r["token"], r["n"], r["rank"])
+            for r in t.vocab_topk(df, k=2).collect()
+        )
+        # source a: token 1 x3, then tie 2x2... token 2 appears twice,
+        # 3 once -> top2 = [1 (3), 2 (2)]
+        assert rows == [("a", 1, 3, 1), ("a", 2, 2, 2), ("b", 9, 1, 1)]
+
+    def test_ks_identical_and_disjoint(self, spark):
+        from datatest_spark.operators import drift
+
+        base = [("base", float(v)) for v in range(10)]
+        same = [("same", float(v)) for v in range(10)]
+        far = [("far", 900.0 + v) for v in range(10)]
+        df = spark.createDataFrame(base + same + far, "source string, x double")
+        ks = {
+            r["group"]: r["ks"]
+            for r in drift.ks_from_histogram(
+                df, "x", "source", "base", lo=0.0, hi=1000.0, nbins=10
+            ).collect()
+        }
+        assert ks["base"] == 0.0  # self-comparison
+        assert ks["same"] == 0.0  # identical distribution
+        assert ks["far"] == 1.0  # fully separated CDFs
+
+    def test_ks_missing_bucket_carries_cdf(self, spark):
+        from datatest_spark.operators import drift
+
+        # group 'g' occupies bucket 1 only; baseline spreads over 1 and 10.
+        # At buckets 2..9 g's CDF must carry 1.0 (dense grid), giving
+        # ks = 0.5 (|1.0 - 0.5| at the gap), not 0.0 from a sparse join.
+        df = spark.createDataFrame(
+            [("b", 50.0), ("b", 950.0), ("g", 50.0), ("g", 60.0)],
+            "source string, x double",
+        )
+        ks = {
+            r["group"]: r["ks"]
+            for r in drift.ks_from_histogram(
+                df, "x", "source", "b", lo=0.0, hi=1000.0, nbins=10
+            ).collect()
+        }
+        assert ks["g"] == 0.5
