@@ -1617,7 +1617,7 @@ def oracle_sql() -> dict[str, str]:
                 -- DuckDB has no width_bucket; mirror Spark's Postgres
                 -- semantics (0 = underflow, nbins+1 = overflow, else
                 -- floor((v-lo)*n/(hi-lo))+1 — exact for these integers)
-                SELECT source AS grp,
+                SELECT COALESCE(source, '__null__') AS grp,
                        CASE WHEN CAST(n_chars AS DOUBLE) < 0.0 THEN 0
                             WHEN CAST(n_chars AS DOUBLE) >= 1000.0 THEN 11
                             ELSE CAST(FLOOR(CAST(n_chars AS DOUBLE) * 10.0

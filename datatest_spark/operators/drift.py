@@ -213,17 +213,10 @@ def ks_from_histogram(
     Returns (group, ks) for every group including the baseline (its ks
     is 0.0 by construction — a cheap self-test).
     """
-    v = F.col(value_col).cast("double")
-    counts = (
-        df.filter(v.isNotNull())
-        .select(
-            F.coalesce(F.col(group_col).cast("string"), F.lit("__null__"))
-            .alias("group"),
-            F.width_bucket(v, F.lit(lo), F.lit(hi), F.lit(nbins))
-            .alias("bucket"),
-        )
-        .groupBy("group", "bucket")
-        .agg(F.count(F.lit(1)).alias("n"))
+    # same bucketing/null-group convention as every drift operator —
+    # the extra p column is one division over the tiny groups x bins set
+    counts = histogram(df, value_col, group_col, lo, hi, nbins).select(
+        "group", "bucket", "n"
     )
     spark = df.sparkSession
     grid = (
@@ -246,11 +239,25 @@ def ks_from_histogram(
     base = cdf.where(F.col("group") == baseline_group).select(
         "bucket", F.col("cdf").alias("_base_cdf")
     )
+    # LEFT join + execution-time guard: if the baseline group is absent
+    # (misspelled, or all-null values), every _base_cdf is null — an
+    # inner join would silently return ZERO rows and a drift monitor
+    # would read 'no drift anywhere'. raise_error fires inside the one
+    # existing action; checking eagerly would cost a second full scan.
+    guarded = F.when(
+        F.col("_base_cdf").isNull(),
+        F.raise_error(
+            F.lit(
+                "ks_from_histogram: baseline_group %r has no bucketed "
+                "rows (misspelled group, or all values null?)"
+                % baseline_group
+            )
+        ).cast("double"),
+    ).otherwise(F.col("_base_cdf"))
     return (
-        cdf.join(F.broadcast(base), "bucket")
+        cdf.join(F.broadcast(base), "bucket", "left")
         .groupBy("group")
         .agg(
-            F.round(F.max(F.abs(F.col("cdf") - F.col("_base_cdf"))), 4)
-            .alias("ks")
+            F.round(F.max(F.abs(F.col("cdf") - guarded)), 4).alias("ks")
         )
     )

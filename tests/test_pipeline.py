@@ -1112,3 +1112,12 @@ class TestVocabAndKs:
             ).collect()
         }
         assert ks["g"] == 0.5
+
+    def test_ks_missing_baseline_raises(self, spark):
+        from datatest_spark.operators import drift
+
+        df = spark.createDataFrame([("a", 1.0)], "source string, x double")
+        with pytest.raises(Exception, match="baseline_group"):
+            drift.ks_from_histogram(
+                df, "x", "source", "nope", lo=0.0, hi=10.0, nbins=5
+            ).collect()

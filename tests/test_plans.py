@@ -184,6 +184,22 @@ class TestTemporalSamplingPlans:
         assert _exchanges(p) == 1
         assert "WindowGroupLimit" in p
 
+    def test_vocab_topk_uses_window_group_limit(self, docs):
+        # same contract as stratified_sample: the rank<=k filter must
+        # trigger the partial top-k rewrite, or every (group, token) row
+        # shuffles at 10^12 scale
+        from pyspark.sql import functions as F
+
+        from datatest_spark.operators import text
+
+        toks = docs.select(
+            "source",
+            F.transform(F.split(F.col("text"), " "),
+                        lambda w: F.length(w)).alias("tokens"),
+        )
+        p = _plan(text.vocab_topk(toks, k=5))
+        assert "WindowGroupLimit" in p
+
 
 class TestCodegen:
     def test_row_checks_stay_in_codegen(self, docs):
