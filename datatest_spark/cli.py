@@ -1,0 +1,115 @@
+"""spark-submit entrypoint for the north-star validation job.
+
+The production deployment unit (north rule): run the full constraint
+suite over an Iceberg/parquet table of pre-tokenized training sequences
+on a multi-executor cluster, resumable via the checkpoint manifest —
+
+    spark-submit --py-files dist/datatest_spark.zip \
+        jobs/validate_tokens.py \
+        --input s3://bucket/tokenized --allowed-sources web,wiki,books \
+        --manifest-dir s3://bucket/manifests --run-id nightly-2026-08-17 \
+        --violations-sink s3://bucket/violations
+
+or locally: ``python -m datatest_spark --input /path/parquet ...``.
+
+No ``master`` / resource conf is set here: spark-submit owns that, so
+the same script runs at N and 4N executors unchanged (the scaling
+criterion's two cluster sizes). Exit code 1 on any failed partition
+verdict; a one-line JSON summary goes to stdout either way. A fully
+resumed run (every partition already in the manifest) validates nothing
+and reports ``partitions: 0, status: pass``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="datatest_spark",
+        description="Distributed constraint-validation suite over a "
+        "tokenized-sequence table (doc_id, tokens, n_tok, source).",
+    )
+    p.add_argument("--input", required=True,
+                   help="parquet path or catalog table name")
+    p.add_argument("--format", default="parquet",
+                   choices=["parquet", "table"],
+                   help="'table' reads --input via spark.table() "
+                   "(Iceberg/catalog); 'parquet' via the path reader")
+    p.add_argument("--allowed-sources", required=True,
+                   help="comma-separated allowed source values, or "
+                   "@/path/to/file with one value per line")
+    p.add_argument("--run-id", default=None)
+    p.add_argument("--manifest-dir", default=None,
+                   help="checkpoint-manifest dir; with --run-id already "
+                   "present there, completed partitions are skipped")
+    p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--violations-sink", default=None,
+                   help="directory; violations land under run_id=<id>/")
+    p.add_argument("--vocab-size", type=int, default=50257)
+    p.add_argument("--max-null-rate", type=float, default=0.01)
+    p.add_argument("--n-tok-min", type=float, default=1.0)
+    p.add_argument("--n-tok-max", type=float, default=4096.0)
+    p.add_argument("--fail-limit", type=int, default=20,
+                   help="failed-partition sample size in the summary")
+    return p
+
+
+def _read_allowed(spec: str) -> list[str]:
+    if spec.startswith("@"):
+        with open(spec[1:]) as fh:
+            return [ln.strip() for ln in fh if ln.strip()]
+    return [s for s in (t.strip() for t in spec.split(",")) if s]
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    from pyspark.sql import SparkSession
+
+    from datatest_spark.plans.suite import north_star_suite
+
+    spark = SparkSession.builder.appName("datatest_spark.validate").getOrCreate()
+    if args.format == "table":
+        df = spark.table(args.input)
+    else:
+        df = spark.read.parquet(args.input)
+
+    suite = north_star_suite(
+        _read_allowed(args.allowed_sources),
+        vocab_size=args.vocab_size,
+        max_null_rate=args.max_null_rate,
+        n_tok_bounds=(args.n_tok_min, args.n_tok_max),
+    )
+    res = suite.run(
+        df,
+        run_id=args.run_id,
+        manifest_dir=args.manifest_dir,
+        resume=not args.no_resume,
+        violations_sink=args.violations_sink,
+    )
+    # verdict rows are per (partition, check); summarize per partition
+    verdicts = [r.asDict() for r in res.verdicts.collect()]
+    failed = [v for v in verdicts if v["status"] == "fail"]
+    summary = {
+        "run_id": res.run_id,
+        "n_rows": res.n_rows_total,
+        "wall_ms": res.wall_ms,
+        "partitions": len({v["partition_key"] for v in verdicts}),
+        "failed_partitions": len({v["partition_key"] for v in failed}),
+        "failed_sample": [
+            {k: v[k] for k in
+             ("partition_key", "check_id", "n_violations") if k in v}
+            for v in failed[: args.fail_limit]
+        ],
+        "status": "fail" if failed else "pass",
+    }
+    print(json.dumps(summary))
+    res.unpersist()
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
