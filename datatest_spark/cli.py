@@ -15,9 +15,10 @@ or locally: ``python -m datatest_spark --input /path/parquet ...``.
 No ``master`` / resource conf is set here: spark-submit owns that, so
 the same script runs at N and 4N executors unchanged (the scaling
 criterion's two cluster sizes). Exit code 1 on any failed partition
-verdict; a one-line JSON summary goes to stdout either way. A fully
-resumed run (every partition already in the manifest) validates nothing
-and reports ``partitions: 0, status: pass``.
+verdict; a one-line JSON summary goes to stdout either way. A resumed
+run validates only incomplete partitions but re-emits the RECORDED
+verdicts for completed ones from the manifest, so retrying a failed
+run-id still exits 1 (no false pass on CI retries).
 """
 
 from __future__ import annotations
@@ -54,7 +55,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--n-tok-min", type=float, default=1.0)
     p.add_argument("--n-tok-max", type=float, default=4096.0)
     p.add_argument("--fail-limit", type=int, default=20,
-                   help="failed-partition sample size in the summary")
+                   help="max failed (partition, check) verdict rows "
+                   "sampled into the summary")
     return p
 
 
@@ -66,7 +68,16 @@ def _read_allowed(spec: str) -> list[str]:
 
 
 def main(argv=None) -> int:
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    try:
+        allowed = _read_allowed(args.allowed_sources)
+    except OSError as e:
+        # usage error, not a data-quality failure: argparse exits 2,
+        # keeping exit 1 unambiguous for 'failed partition verdict'
+        parser.error("cannot read --allowed-sources file: %s" % e)
+    if not allowed:
+        parser.error("--allowed-sources resolved to an empty list")
     from pyspark.sql import SparkSession
 
     from datatest_spark.plans.suite import north_star_suite
@@ -78,7 +89,7 @@ def main(argv=None) -> int:
         df = spark.read.parquet(args.input)
 
     suite = north_star_suite(
-        _read_allowed(args.allowed_sources),
+        allowed,
         vocab_size=args.vocab_size,
         max_null_rate=args.max_null_rate,
         n_tok_bounds=(args.n_tok_min, args.n_tok_max),
@@ -90,15 +101,23 @@ def main(argv=None) -> int:
         resume=not args.no_resume,
         violations_sink=args.violations_sink,
     )
-    # verdict rows are per (partition, check); summarize per partition
+    # verdict rows are per (partition, check); summarize per partition.
+    # '__global__' is the pseudo-partition for table-global violations
+    # (schema conformance, required-missing rows) — counted separately
+    # so 'partitions' matches the table's real partition count.
     verdicts = [r.asDict() for r in res.verdicts.collect()]
     failed = [v for v in verdicts if v["status"] == "fail"]
+    real = lambda vs: {v["partition_key"] for v in vs
+                       if v["partition_key"] != "__global__"}
     summary = {
         "run_id": res.run_id,
         "n_rows": res.n_rows_total,
         "wall_ms": res.wall_ms,
-        "partitions": len({v["partition_key"] for v in verdicts}),
-        "failed_partitions": len({v["partition_key"] for v in failed}),
+        "partitions": len(real(verdicts)),
+        "failed_partitions": len(real(failed)),
+        "global_fail": any(
+            v["partition_key"] == "__global__" for v in failed
+        ),
         "failed_sample": [
             {k: v[k] for k in
              ("partition_key", "check_id", "n_violations") if k in v}

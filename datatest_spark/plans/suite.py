@@ -87,18 +87,28 @@ class ValidationSuite(object):
         return os.path.join(manifest_dir, "run_id={0}".format(run_id))
 
     def completed_partitions(self, spark, manifest_dir, run_id):
+        return set(self.completed_partition_metrics(spark, manifest_dir,
+                                                    run_id))
+
+    def completed_partition_metrics(self, spark, manifest_dir, run_id):
+        """{partition_key: metrics map} for partitions whose recorded
+        ``checks_done`` covers this suite's checks (latest manifest row
+        per partition wins — the file is append-only across resumes)."""
         path = self._manifest_path(manifest_dir, run_id)
         try:
             mdf = spark.read.schema(MANIFEST_SCHEMA).parquet(path)
         except Exception:
-            return set()
+            return {}
         check_ids = set(c.check_id for c in self.checks)
-        rows = mdf.select("partition_key", "checks_done").collect()
-        return {
-            r["partition_key"]
-            for r in rows
-            if check_ids <= set(r["checks_done"] or [])
-        }
+        rows = mdf.select(
+            "partition_key", "checks_done", "metrics", "completed_at"
+        ).collect()
+        out = {}
+        for r in sorted(rows, key=lambda r: (r["completed_at"] is not None,
+                                             r["completed_at"])):
+            if check_ids <= set(r["checks_done"] or []):
+                out[r["partition_key"]] = dict(r["metrics"] or {})
+        return out
 
     def _write_manifest(self, spark, manifest_dir, run_id, partition_rows,
                         input_files_hash):
@@ -144,11 +154,16 @@ class ValidationSuite(object):
         except Exception:
             pass
 
-        skipped = set()
+        skipped_metrics = {}
         if resume and manifest_dir:
-            skipped = self.completed_partitions(spark, manifest_dir, run_id)
-            if skipped:
-                keyed = keyed.filter(~F.col("partition_key").isin(list(skipped)))
+            skipped_metrics = self.completed_partition_metrics(
+                spark, manifest_dir, run_id
+            )
+            if skipped_metrics:
+                keyed = keyed.filter(
+                    ~F.col("partition_key").isin(list(skipped_metrics))
+                )
+        skipped = set(skipped_metrics)
 
         # (a) the single wide aggregation pass (C1) — or the salted
         # two-phase variant (C2) when configured.
@@ -293,6 +308,34 @@ class ValidationSuite(object):
                         n_rows_by_pk.get(pk), wall_ms,
                     )
                 )
+        # resumed partitions re-emit their RECORDED verdicts from the
+        # manifest metrics — without this, re-running a failed run_id
+        # with resume on would skip the failed partition and report a
+        # clean pass (false-pass on CI retries). Per-check counts come
+        # from the n_violations__<check_id> keys (written below); older
+        # manifests without them fall back to one aggregate
+        # '__resumed__' row. 'accepted' granularity is not stored, so a
+        # fully-accepted resumed check reads 'pass'.
+        for pk in sorted(skipped):
+            m = skipped_metrics.get(pk) or {}
+            nrows = int(m.get("n_rows") or 0)
+            per_check = [
+                (c.check_id, m.get("n_violations__" + c.check_id))
+                for c in self.checks
+            ]
+            if all(v is not None for _c, v in per_check):
+                for cid, v in per_check:
+                    nv = int(v)
+                    verdict_rows.append(
+                        (run_id, pk, cid, "fail" if nv else "pass", nv,
+                         nrows, wall_ms)
+                    )
+            else:
+                nv = int(m.get("n_violations") or 0)
+                verdict_rows.append(
+                    (run_id, pk, "__resumed__", "fail" if nv else "pass",
+                     nv, nrows, wall_ms)
+                )
         from ..schema import VERDICT_SCHEMA
 
         verdicts = spark.createDataFrame(verdict_rows, VERDICT_SCHEMA)
@@ -301,17 +344,25 @@ class ValidationSuite(object):
             partition_rows = [
                 (
                     pk,
-                    {
-                        "n_rows": float(n_rows_by_pk.get(pk) or 0),
-                        "n_violations": float(
-                            sum(
-                                v
-                                for (p, _c), v in post_counts.items()
-                                if p == pk
+                    dict(
+                        {
+                            "n_rows": float(n_rows_by_pk.get(pk) or 0),
+                            "n_violations": float(
+                                sum(
+                                    v
+                                    for (p, _c), v in post_counts.items()
+                                    if p == pk
+                                )
+                            ),
+                            "wall_ms": float(wall_ms),
+                        },
+                        **{
+                            "n_violations__" + c.check_id: float(
+                                post_counts.get((pk, c.check_id), 0)
                             )
-                        ),
-                        "wall_ms": float(wall_ms),
-                    },
+                            for c in self.checks
+                        }
+                    ),
                 )
                 for pk in all_partitions
             ]

@@ -51,7 +51,11 @@ class TestValidateJob:
         rc1, s1 = _run(capsys, argv)
         rc2, s2 = _run(capsys, argv)
         assert (rc1, rc2) == (0, 0)
-        assert s1["partitions"] == 2 and s2["partitions"] == 0
+        # the resumed run validates nothing but re-emits the recorded
+        # verdicts from the manifest, so the summary still covers both
+        # partitions (and a recorded failure would still exit 1)
+        assert s1["partitions"] == 2 and s2["partitions"] == 2
+        assert s2["status"] == "pass"
 
     def test_allowed_sources_file(self, spark, token_table, tmp_path, capsys):
         f = tmp_path / "allowed.txt"
@@ -65,3 +69,72 @@ class TestValidateJob:
     def test_parser_rejects_missing_input(self):
         with pytest.raises(SystemExit):
             build_parser().parse_args(["--allowed-sources", "a"])
+
+
+class TestCliReviewFixes:
+    def test_resume_of_failed_run_still_fails(self, spark, token_table,
+                                              tmp_path, capsys):
+        # the CI-retry contract: re-running a failed run-id with resume
+        # must re-emit the recorded failure from the manifest, not skip
+        # the partition and report pass
+        argv = [
+            "--input", token_table, "--allowed-sources", "web",
+            "--run-id", "t-refail", "--manifest-dir", str(tmp_path / "m"),
+        ]
+        rc1, s1 = _run(capsys, argv)
+        rc2, s2 = _run(capsys, argv)
+        assert (rc1, rc2) == (1, 1)
+        assert s2["status"] == "fail" and s2["failed_partitions"] == 1
+        # the resumed verdicts carry the per-check breakdown
+        assert any(v["check_id"] == "referential"
+                   for v in s2["failed_sample"])
+
+    def test_table_format_reads_temp_view(self, spark, token_table, capsys):
+        spark.read.parquet(token_table).createOrReplaceTempView("cli_tokens")
+        rc, s = _run(capsys, [
+            "--input", "cli_tokens", "--format", "table",
+            "--allowed-sources", "web,wiki", "--run-id", "t-table",
+        ])
+        assert rc == 0 and s["partitions"] == 2
+
+    def test_violations_sink_written(self, spark, token_table, tmp_path,
+                                     capsys):
+        sink = tmp_path / "sink"
+        rc, s = _run(capsys, [
+            "--input", token_table, "--allowed-sources", "web",
+            "--run-id", "t-sink", "--violations-sink", str(sink),
+        ])
+        assert rc == 1
+        out = spark.read.parquet(str(sink / "run_id=t-sink"))
+        assert out.count() == 50  # 50 wiki rows rejected
+
+    def test_no_resume_revalidates(self, spark, token_table, tmp_path,
+                                   capsys):
+        argv = [
+            "--input", token_table, "--allowed-sources", "web,wiki",
+            "--run-id", "t-norsm", "--manifest-dir", str(tmp_path / "m"),
+        ]
+        _run(capsys, argv)
+        rc, s = _run(capsys, argv + ["--no-resume"])
+        assert rc == 0 and s["partitions"] == 2  # nothing skipped
+
+    def test_missing_sources_file_exits_2(self, token_table, capsys):
+        with pytest.raises(SystemExit) as exc:
+            main(["--input", token_table,
+                  "--allowed-sources", "@/no/such/file"])
+        assert exc.value.code == 2
+
+    def test_global_fail_not_counted_as_partition(self, spark, tmp_path,
+                                                  capsys):
+        # a table with a wrong column TYPE fails the global schema
+        # check: partitions stays the real count, global_fail flips on
+        path = str(tmp_path / "noschema")
+        spark.createDataFrame(
+            [("1", [1], 1.5, "web")],
+            "doc_id string, tokens array<int>, n_tok double, source string",
+        ).write.parquet(path)
+        rc, s = _run(capsys, [
+            "--input", path, "--allowed-sources", "web",
+            "--run-id", "t-glob",
+        ])
+        assert rc == 1 and s["global_fail"] is True
