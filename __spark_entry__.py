@@ -746,6 +746,52 @@ def q_ks_drift(spark, sf_dir):
     ).select(F.col("group").alias("source"), "ks")
 
 
+def q_chi2_drift(spark, sf_dir):
+    """Pearson chi-square drift per source vs src0 baseline
+    (operators/drift.chi2_from_histogram) on n_chars: expected counts
+    scale the baseline histogram to each group's total; terms are pure
+    IEEE multiply/divide over integer counts summed in bucket order, so
+    DuckDB reproduces the doubles bit-for-bit. Completes the drift
+    family: KL/PSI (mass-weighted), KS (worst boundary), chi2 (testable
+    null distribution)."""
+    from datatest_spark.operators import drift
+
+    d = _t(spark, sf_dir, "documents")
+    return drift.chi2_from_histogram(
+        d, "n_chars", "source", "src0", lo=0.0, hi=1000.0, nbins=10
+    ).select(F.col("group").alias("source"), "chi2", "dof", "novel_buckets")
+
+
+def q_token_entropy(spark, sf_dir):
+    """Per-sequence unigram entropy + type-token ratio
+    (operators/text.token_entropy) over the deterministic word-length
+    tokenization: sort the token array, ONE F.aggregate pass turns
+    equal-token runs into counts — map-only, no explode, no exchange.
+    The sorted pass fixes the fp summation order to ascending token id,
+    which the oracle mirrors with SUM(c*log2(c) ORDER BY tok)."""
+    from datatest_spark.operators import text as t
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.transform(
+            F.split(F.col("text"), " "), lambda w: F.length(w)
+        ).alias("tokens"),
+    )
+    return t.token_entropy(toks)
+
+
+def q_source_shares(spark, sf_dir):
+    """Corpus mixture audit (operators/stats.group_shares): per-source
+    row share, cumulative share and rank over documents. Integer counts
+    with single divisions; the rank window runs on the already-
+    aggregated |sources| rows."""
+    from datatest_spark.operators.stats import group_shares
+
+    d = _t(spark, sf_dir, "documents")
+    return group_shares(d, "source", n_alias="n_docs")
+
+
 # ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -808,6 +854,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_run_quality": q_token_run_quality,
         "vocab_topk": q_vocab_topk,
         "ks_drift": q_ks_drift,
+        "chi2_drift": q_chi2_drift,
+        "token_entropy": q_token_entropy,
+        "source_shares": q_source_shares,
     }
 
 
@@ -1649,6 +1698,101 @@ def oracle_sql() -> dict[str, str]:
             SELECT cd.grp AS source, ROUND(MAX(ABS(cd.cdf - base_cdf)), 4)
                        AS ks
             FROM CD cd JOIN BASE USING (bucket) GROUP BY 1
+        """,
+        "chi2_drift": """
+            WITH C AS (
+                SELECT COALESCE(source, '__null__') AS grp,
+                       CASE WHEN CAST(n_chars AS DOUBLE) < 0.0 THEN 0
+                            WHEN CAST(n_chars AS DOUBLE) >= 1000.0 THEN 11
+                            ELSE CAST(FLOOR(CAST(n_chars AS DOUBLE) * 10.0
+                                            / 1000.0) AS INT) + 1
+                       END AS bucket,
+                       COUNT(*) AS n
+                FROM documents WHERE n_chars IS NOT NULL
+                GROUP BY 1, 2
+            ),
+            G AS (SELECT DISTINCT grp FROM C),
+            B AS (SELECT UNNEST(range(0, 12)) AS bucket),
+            D AS (
+                SELECT g.grp, b.bucket, COALESCE(c.n, 0) AS n
+                FROM G g CROSS JOIN B b
+                LEFT JOIN C c ON c.grp = g.grp AND c.bucket = b.bucket
+            ),
+            TT AS (SELECT grp, CAST(SUM(n) AS BIGINT) AS tot
+                   FROM D GROUP BY grp),
+            BASE AS (
+                SELECT d.bucket, d.n AS bn, tt.tot AS bt
+                FROM D d JOIN TT tt USING (grp) WHERE d.grp = 'src0'
+            ),
+            T AS (
+                SELECT d.grp, d.bucket,
+                       CASE WHEN b.bn > 0 THEN
+                           (CAST(d.n AS DOUBLE)
+                            - (CAST(b.bn AS DOUBLE) * tt.tot) / b.bt)
+                         * (CAST(d.n AS DOUBLE)
+                            - (CAST(b.bn AS DOUBLE) * tt.tot) / b.bt)
+                         / ((CAST(b.bn AS DOUBLE) * tt.tot) / b.bt)
+                       ELSE 0.0 END AS term,
+                       CASE WHEN b.bn = 0 AND d.n > 0 THEN 1 ELSE 0 END
+                           AS novel,
+                       CASE WHEN b.bn > 0 THEN 1 ELSE 0 END AS used
+                FROM D d JOIN TT tt USING (grp)
+                JOIN BASE b USING (bucket)
+            )
+            SELECT grp AS source,
+                   ROUND(SUM(term ORDER BY bucket), 4) AS chi2,
+                   CAST(SUM(used) - 1 AS BIGINT) AS dof,
+                   CAST(SUM(novel) AS BIGINT) AS novel_buckets
+            FROM T GROUP BY 1
+        """,
+        "token_entropy": """
+            WITH W AS (
+                SELECT doc_id,
+                       list_transform(string_split(text, ' '),
+                                      x -> length(x)) AS toks
+                FROM documents
+            ),
+            U AS (SELECT doc_id, UNNEST(toks) AS tok FROM W),
+            C AS (
+                SELECT doc_id, tok, COUNT(*) AS c
+                FROM U GROUP BY doc_id, tok
+            ),
+            S AS (
+                SELECT doc_id,
+                       CAST(SUM(c) AS BIGINT) AS n,
+                       CAST(COUNT(*) AS BIGINT) AS d,
+                       SUM(CASE WHEN c > 1
+                                THEN c * log2(CAST(c AS DOUBLE))
+                                ELSE 0.0 END ORDER BY tok) AS s
+                FROM C GROUP BY doc_id
+            )
+            -- LEFT JOIN so a (hypothetical) null-text doc stays a row
+            -- with null stats, exactly like Spark's null-array path
+            SELECT w.doc_id,
+                   s.n AS n_tokens,
+                   s.d AS n_distinct_tokens,
+                   CASE WHEN s.n > 0
+                        THEN ROUND(log2(CAST(s.n AS DOUBLE)) - s.s / s.n, 4)
+                   END AS entropy,
+                   CASE WHEN s.n > 0
+                        THEN ROUND(s.d * 1.0 / s.n, 4)
+                   END AS ttr
+            FROM W w LEFT JOIN S s USING (doc_id)
+        """,
+        "source_shares": """
+            WITH C AS (
+                SELECT COALESCE(source, '__null__') AS grp,
+                       CAST(COUNT(*) AS BIGINT) AS n_docs
+                FROM documents GROUP BY 1
+            ),
+            T AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS tot FROM C)
+            SELECT grp AS "group", n_docs,
+                   ROUND(n_docs * 1.0 / tot, 6) AS share,
+                   ROUND(SUM(n_docs) OVER (ORDER BY n_docs DESC, grp ASC)
+                         * 1.0 / tot, 6) AS cum_share,
+                   CAST(ROW_NUMBER() OVER (ORDER BY n_docs DESC, grp ASC)
+                        AS INT) AS rank
+            FROM C CROSS JOIN T
         """,
         # simhash_pairs / ivf_ann_topk / multimodal_features: xxhash64- or
         # numpy-derived (not expressible in DuckDB) — rows-only checks.

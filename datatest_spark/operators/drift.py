@@ -261,3 +261,98 @@ def ks_from_histogram(
             F.round(F.max(F.abs(F.col("cdf") - guarded)), 4).alias("ks")
         )
     )
+
+
+def chi2_from_histogram(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    baseline_group: str,
+    lo: float,
+    hi: float,
+    nbins: int = 10,
+) -> DataFrame:
+    """Pearson chi-square statistic per group vs a baseline group's
+    histogram — the third drift lens next to KL/PSI (mass-weighted) and
+    KS (worst single boundary): chi-square is the one with a known null
+    distribution, so a monitor can turn it into a p-value threshold.
+
+    Expected counts scale the baseline to the group's total:
+    ``e_b = base_n_b * tot_g / tot_base``; the statistic sums
+    ``(o_b - e_b)^2 / e_b`` over buckets where the baseline has mass.
+    Buckets the baseline never saw but the group has (``novel_buckets``)
+    are reported separately instead of contributing an infinite term.
+
+    Cross-engine determinism: every term is built from integer counts
+    with only IEEE multiply/divide (no transcendentals), and the terms
+    are summed in BUCKET ORDER on both engines (here: aggregate over a
+    bucket-sorted array; DuckDB: ``SUM(term ORDER BY bucket)``), so the
+    doubles match bit-for-bit before the final round.
+
+    Scale shape: same as ``ks_from_histogram`` — one (group, bucket)
+    aggregation over the scan, then all arithmetic on the dense
+    |groups| x (nbins+2) grid; per-group arrays are at most nbins+2
+    elements. Returns (group, chi2, dof, novel_buckets); the baseline
+    group's own chi2 is 0.0 by construction.
+    """
+    counts = histogram(df, value_col, group_col, lo, hi, nbins).select(
+        "group", "bucket", "n"
+    )
+    spark = df.sparkSession
+    grid = (
+        counts.select("group").distinct()
+        .crossJoin(
+            spark.range(0, nbins + 2).select(
+                F.col("id").cast("int").alias("bucket")
+            )
+        )
+    )
+    dense = grid.join(counts, ["group", "bucket"], "left").select(
+        "group", "bucket", F.coalesce(F.col("n"), F.lit(0)).alias("n")
+    )
+    totals = dense.groupBy("group").agg(F.sum("n").alias("_tot"))
+    withtot = dense.join(F.broadcast(totals), "group")
+    base = withtot.where(F.col("group") == baseline_group).select(
+        "bucket",
+        F.col("n").alias("_bn"),
+        F.col("_tot").alias("_bt"),
+    )
+    # LEFT join + execution-time guard, same contract as
+    # ks_from_histogram: an absent baseline must raise, not silently
+    # drop every group to zero rows.
+    joined = withtot.join(F.broadcast(base), "bucket", "left")
+    bn = F.when(
+        F.col("_bn").isNull(),
+        F.raise_error(
+            F.lit(
+                "chi2_from_histogram: baseline_group %r has no bucketed "
+                "rows (misspelled group, or all values null?)"
+                % baseline_group
+            )
+        ).cast("long"),
+    ).otherwise(F.col("_bn"))
+    # e is double-exact given the same op order on both engines:
+    # (bn as double * tot_g) / tot_base, all exact int->double converts
+    e = (bn.cast("double") * F.col("_tot")) / F.col("_bt")
+    o = F.col("n").cast("double")
+    term = F.when(bn > 0, (o - e) * (o - e) / e).otherwise(F.lit(0.0))
+    per = joined.select(
+        "group",
+        F.struct(F.col("bucket"), term.alias("term")).alias("_bt_term"),
+        F.when((F.col("_bn") == 0) & (F.col("n") > 0), 1)
+        .otherwise(0)
+        .alias("_novel"),
+        F.when(bn > 0, 1).otherwise(0).alias("_used"),
+    )
+    return per.groupBy("group").agg(
+        F.round(
+            F.aggregate(
+                F.array_sort(F.collect_list("_bt_term")),
+                F.lit(0.0),
+                lambda a, x: a + x["term"],
+            ),
+            4,
+        ).alias("chi2"),
+        (F.sum("_used") - F.lit(1)).cast("long").alias("dof"),
+        F.sum("_novel").cast("long").alias("novel_buckets"),
+    )

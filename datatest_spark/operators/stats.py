@@ -166,3 +166,53 @@ def column_stats_salted(
                 F.col(c + "__sum") / (F.col("n_rows") - F.col(c + "__nulls")),
             )
     return p2
+
+
+def group_shares(
+    df: DataFrame, group_col: str = "source", n_alias: str = "n"
+) -> DataFrame:
+    """Corpus mixture audit: per-group row share and cumulative share,
+    ranked by count — the first question about any training mixture
+    ("what fraction is web, and how top-heavy is the blend?") and the
+    input a mixture-weight rebalance needs.
+
+    Returns (group, n, share, cum_share, rank) ordered by n desc with
+    group-asc tie-break (deterministic, oracle-reproducible). Shares are
+    single divisions over integer counts and the cumulative sum runs on
+    integers before its one division, so a cross-engine oracle
+    reproduces the doubles bit-for-bit.
+
+    Scale shape: one map-side-combinable ``groupBy(group)`` over the
+    scan; the rank window is single-partition but runs on the already-
+    aggregated |groups| rows (a mixture has tens of sources, not 10^12).
+    Null groups coalesce to '__null__', same convention as histogram().
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        df.select(
+            F.coalesce(
+                F.col(group_col).cast("string"), F.lit("__null__")
+            ).alias("group")
+        )
+        .groupBy("group")
+        .agg(F.count(F.lit(1)).alias(n_alias))
+    )
+    w = Window.orderBy(F.col(n_alias).desc(), F.col("group").asc())
+    tot = counts.agg(F.sum(n_alias).alias("_tot"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "group",
+            n_alias,
+            F.round(F.col(n_alias) / F.col("_tot"), 6).alias("share"),
+            F.round(
+                F.sum(n_alias).over(
+                    w.rowsBetween(Window.unboundedPreceding, 0)
+                )
+                / F.col("_tot"),
+                6,
+            ).alias("cum_share"),
+            F.row_number().over(w).alias("rank"),
+        )
+    )

@@ -239,6 +239,98 @@ def token_run_stats(
     )
 
 
+def token_entropy(
+    df: DataFrame, tokens_col: str = "tokens", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-sequence unigram Shannon entropy (bits) and type-token ratio
+    over a token-id array — the information-density quality gate: a
+    sequence with near-zero entropy is a degenerate repetition no schema
+    check catches, and an anomalously high TTR flags hash-garbage.
+
+    Uses the identity ``H = log2(n) - (sum_t c_t*log2(c_t)) / n`` so all
+    inputs to the transcendentals are integer run lengths. Returns
+    (id, n_tokens, n_distinct_tokens, entropy, ttr); empty/null arrays
+    yield null entropy/ttr.
+
+    Scale shape: MAP-ONLY, like ``token_run_stats`` — sort the array,
+    then ONE ``F.aggregate`` pass turns equal-token runs into counts; no
+    explode, no exchange, no Python. The sorted pass also fixes the
+    floating-point summation order (ascending token id), which is
+    exactly what a DuckDB oracle reproduces with
+    ``SUM(c*log2(c) ORDER BY tok)`` — bit-identical before the round.
+
+    Null token elements are dropped before counting (DuckDB's UNNEST +
+    GROUP BY would count NULL as a token value; Spark's eqNullSafe run
+    logic would too, but they'd sort to opposite ends — excluding them
+    keeps the two engines' summation order identical).
+    """
+    toks = F.array_sort(
+        F.filter(F.col(tokens_col), lambda t: t.isNotNull())
+    )
+    elem_type = (
+        df.select(F.col(tokens_col)).schema[0].dataType.elementType
+    )
+    zero = F.struct(
+        F.lit(None).cast(elem_type).alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0.0).alias("s"),
+        F.lit(0).cast("long").alias("d"),
+    )
+    # closing a run adds run*log2(run); run==1 adds exactly 0.0 in both
+    # engines, so singleton tokens cost nothing and drift nothing
+    close = F.when(
+        F.col("_acc")["run"] > 0,
+        F.col("_acc")["run"].cast("double")
+        * F.log2(F.col("_acc")["run"]),
+    ).otherwise(F.lit(0.0))
+    acc = F.aggregate(
+        toks,
+        zero,
+        lambda a, t: F.struct(
+            t.alias("prev"),
+            F.when(t.eqNullSafe(a["prev"]), a["run"] + 1)
+            .otherwise(F.lit(1).cast("long"))
+            .alias("run"),
+            F.when(
+                t.eqNullSafe(a["prev"]), a["s"]
+            )
+            .otherwise(
+                a["s"]
+                + F.when(
+                    a["run"] > 0,
+                    a["run"].cast("double") * F.log2(a["run"]),
+                ).otherwise(F.lit(0.0))
+            )
+            .alias("s"),
+            F.when(t.eqNullSafe(a["prev"]), a["d"])
+            .otherwise(a["d"] + 1)
+            .alias("d"),
+        ),
+    )
+    out = df.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tokens"),
+        acc.alias("_acc"),
+    ).select(
+        id_col,
+        "n_tokens",
+        (F.col("_acc")["d"]).alias("n_distinct_tokens"),
+        (F.col("_acc")["s"] + close).alias("_s"),
+    )
+    n = F.col("n_tokens")
+    return out.select(
+        id_col,
+        "n_tokens",
+        "n_distinct_tokens",
+        F.when(n > 0, F.round(F.log2(n) - F.col("_s") / n, 4))
+        .otherwise(F.lit(None).cast("double"))
+        .alias("entropy"),
+        F.when(n > 0, F.round(F.col("n_distinct_tokens") / n, 4))
+        .otherwise(F.lit(None).cast("double"))
+        .alias("ttr"),
+    )
+
+
 def vocab_topk(
     df: DataFrame,
     tokens_col: str = "tokens",

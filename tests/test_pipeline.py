@@ -850,6 +850,123 @@ class TestTokenRunStats:
         assert "Exchange" not in plan
 
 
+class TestTokenEntropy:
+    def test_values(self, spark):
+        from datatest_spark.operators import text as t
+
+        df = spark.createDataFrame(
+            [
+                (1, [1, 1, 2, 3]),   # H = 2 - (2*1)/4 = 1.5
+                (2, [5, 5, 5, 5]),   # H = 0
+                (3, []),
+                (4, [7]),
+                (5, None),
+                (6, [2, None, 2]),   # nulls dropped -> n=2, H=0
+            ],
+            "doc_id long, tokens array<int>",
+        )
+        rows = {r["doc_id"]: r for r in t.token_entropy(df).collect()}
+        assert rows[1]["entropy"] == 1.5 and rows[1]["ttr"] == 0.75
+        assert rows[1]["n_distinct_tokens"] == 3
+        assert rows[2]["entropy"] == 0.0 and rows[2]["ttr"] == 0.25
+        assert rows[3]["entropy"] is None and rows[3]["n_tokens"] == 0
+        assert rows[4]["entropy"] == 0.0 and rows[4]["ttr"] == 1.0
+        assert rows[5]["n_tokens"] is None
+        assert rows[6]["n_tokens"] == 2 and rows[6]["entropy"] == 0.0
+
+    def test_uniform_max_entropy(self, spark):
+        # k distinct singletons -> H = log2(k) exactly
+        from datatest_spark.operators import text as t
+
+        df = spark.createDataFrame(
+            [(1, list(range(8)))], "doc_id long, tokens array<int>"
+        )
+        r = t.token_entropy(df).collect()[0]
+        assert r["entropy"] == 3.0 and r["ttr"] == 1.0
+
+    def test_map_only_plan(self, spark):
+        from datatest_spark.operators import text as t
+
+        df = spark.range(10).select(
+            F.col("id").alias("doc_id"),
+            F.array(F.lit(1), F.lit(1), F.lit(2)).alias("tokens"),
+        )
+        plan = (
+            t.token_entropy(df)._jdf.queryExecution()
+            .executedPlan().toString()
+        )
+        assert "Exchange" not in plan
+
+
+class TestChi2Drift:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "g string, v double")
+
+    def test_hand_value(self, spark):
+        from datatest_spark.operators.drift import chi2_from_histogram
+
+        rows = ([("a", 1.0)] * 10 + [("a", 3.0)] * 10
+                + [("b", 1.0)] * 30 + [("b", 3.0)] * 10)
+        out = {
+            r["group"]: r
+            for r in chi2_from_histogram(
+                self._df(spark, rows), "v", "g", "a", 0.0, 4.0, nbins=2
+            ).collect()
+        }
+        # b: tot=40 base tot=20 -> e=(20,20); (30-20)^2/20+(10-20)^2/20
+        assert out["b"]["chi2"] == 10.0
+        assert out["a"]["chi2"] == 0.0  # baseline vs itself
+        assert out["a"]["dof"] == 1 and out["b"]["dof"] == 1
+        assert out["b"]["novel_buckets"] == 0
+
+    def test_novel_bucket_not_infinite(self, spark):
+        from datatest_spark.operators.drift import chi2_from_histogram
+
+        rows = [("a", 1.0)] * 4 + [("b", 1.0)] * 2 + [("b", 3.0)] * 2
+        out = {
+            r["group"]: r
+            for r in chi2_from_histogram(
+                self._df(spark, rows), "v", "g", "a", 0.0, 4.0, nbins=2
+            ).collect()
+        }
+        # bucket 2 has baseline mass 0 but group mass 2: excluded from
+        # the statistic, surfaced in novel_buckets instead
+        assert out["b"]["novel_buckets"] == 1
+        assert out["b"]["dof"] == 0
+        # remaining term: e = 4*4/4 = 4, o=2 -> (2-4)^2/4 = 1.0
+        assert out["b"]["chi2"] == 1.0
+
+    def test_absent_baseline_raises(self, spark):
+        from datatest_spark.operators.drift import chi2_from_histogram
+
+        df = self._df(spark, [("a", 1.0)])
+        with pytest.raises(Exception, match="baseline_group"):
+            chi2_from_histogram(
+                df, "v", "g", "nope", 0.0, 4.0, nbins=2
+            ).collect()
+
+
+class TestGroupShares:
+    def test_shares_and_null_group(self, spark):
+        from datatest_spark.operators.stats import group_shares
+
+        df = spark.createDataFrame(
+            [("w",)] * 6 + [("x",)] * 3 + [(None,)], "s string"
+        )
+        rows = group_shares(df, "s", n_alias="n_docs").collect()
+        assert [r["group"] for r in rows] == ["w", "x", "__null__"]
+        assert [r["rank"] for r in rows] == [1, 2, 3]
+        assert rows[0]["share"] == 0.6 and rows[0]["cum_share"] == 0.6
+        assert rows[2]["cum_share"] == 1.0
+
+    def test_tie_breaks_on_group_asc(self, spark):
+        from datatest_spark.operators.stats import group_shares
+
+        df = spark.createDataFrame([("b",), ("a",)], "s string")
+        rows = group_shares(df, "s").collect()
+        assert [r["group"] for r in rows] == ["a", "b"]
+
+
 class TestReviewFixesR3:
     def test_asof_numeric_tiebreak_not_lexicographic(self, spark):
         from datatest_spark.operators import temporal
