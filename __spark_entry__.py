@@ -792,6 +792,35 @@ def q_source_shares(spark, sf_dir):
     return group_shares(d, "source", n_alias="n_docs")
 
 
+def q_pii_scan(spark, sf_dir):
+    """PII audit (operators/text.pii_scan): per-doc email/phone/ipv4
+    match counts + has_pii flag — map-only regexp_count inside codegen.
+    The synthetic corpus contains no natural PII, so the query derives
+    its input by appending a deterministic contact line to every 10th
+    doc (same doc_id-keyed derivation trick as the tokenization
+    queries); patterns are RE2 ∩ java.util.regex so DuckDB counts the
+    identical matches."""
+    from datatest_spark.operators import text as t
+
+    d = _t(spark, sf_dir, "documents")
+    seeded = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id"),
+                F.lit("@example.com or 555-867-5309 from 10.0.0."),
+                (F.col("doc_id") % 256).cast("string"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return t.pii_scan(seeded)
+
+
 # ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -857,6 +886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chi2_drift": q_chi2_drift,
         "token_entropy": q_token_entropy,
         "source_shares": q_source_shares,
+        "pii_scan": q_pii_scan,
     }
 
 
@@ -1778,6 +1808,35 @@ def oracle_sql() -> dict[str, str]:
                         THEN ROUND(s.d * 1.0 / s.n, 4)
                    END AS ttr
             FROM W w LEFT JOIN S s USING (doc_id)
+        """,
+        "pii_scan": """
+            WITH S AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 10 = 0 THEN
+                           text || ' contact user' || doc_id
+                           || '@example.com or 555-867-5309 from 10.0.0.'
+                           || CAST(doc_id % 256 AS VARCHAR)
+                       ELSE text END AS text
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'
+                   )) AS BIGINT) AS n_email,
+                   CAST(len(regexp_extract_all(text,
+                       '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'
+                   )) AS BIGINT) AS n_ipv4,
+                   CAST(len(regexp_extract_all(text,
+                       '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b'
+                   )) AS BIGINT) AS n_phone,
+                   (len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                    + len(regexp_extract_all(text,
+                       '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
+                    + len(regexp_extract_all(text,
+                       '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b'))) > 0
+                       AS has_pii
+            FROM S
         """,
         "source_shares": """
             WITH C AS (

@@ -239,6 +239,48 @@ def token_run_stats(
     )
 
 
+# PII patterns shared by pii_scan and its oracle: restricted to RE2 ∩
+# java.util.regex syntax (character classes, bounded repetition, ASCII
+# \b / \d) so Spark and DuckDB count identical matches. No lookaround —
+# RE2 has none.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def pii_scan(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    patterns: dict | None = None,
+) -> DataFrame:
+    """Per-document PII pattern counts — the scrub-before-training gate:
+    returns (id, n_<kind>... , has_pii) with one match count per pattern
+    kind (default email / phone / ipv4).
+
+    Scale shape: MAP-ONLY — ``regexp_count`` per pattern inside
+    whole-stage codegen, no Python, no exchange; a 10^12-row scan stays
+    a scan. Null text yields zero counts (a null is not a leak).
+
+    A production scrubber would follow with ``regexp_replace`` using the
+    same patterns; the counts here are the audit/verdict surface.
+    """
+    pats = PII_PATTERNS if patterns is None else patterns
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    counts = [
+        F.regexp_count(text, F.lit(p)).cast("long").alias("n_" + k)
+        for k, p in sorted(pats.items())
+    ]
+    out = df.select(F.col(id_col), *counts)
+    total = None
+    for k in sorted(pats):
+        c = F.col("n_" + k)
+        total = c if total is None else total + c
+    return out.withColumn("has_pii", (total > 0).cast("boolean"))
+
+
 def token_entropy(
     df: DataFrame, tokens_col: str = "tokens", id_col: str = "doc_id"
 ) -> DataFrame:

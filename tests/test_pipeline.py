@@ -898,6 +898,37 @@ class TestTokenEntropy:
         assert "Exchange" not in plan
 
 
+class TestPiiScan:
+    def test_counts_and_flag(self, spark):
+        from datatest_spark.operators import text as t
+
+        df = spark.createDataFrame(
+            [
+                (1, "mail me at a.b+c@ex-site.org or x@y.io thanks"),
+                (2, "call 555-867-5309 from 10.0.0.1 and 8.8.8.8"),
+                (3, "clean text with no identifiers at all"),
+                (4, None),
+            ],
+            "doc_id long, text string",
+        )
+        rows = {r["doc_id"]: r for r in t.pii_scan(df).collect()}
+        assert rows[1]["n_email"] == 2 and rows[1]["has_pii"] is True
+        assert rows[2]["n_phone"] == 1 and rows[2]["n_ipv4"] == 2
+        assert rows[3]["has_pii"] is False
+        assert rows[4]["n_email"] == 0 and rows[4]["has_pii"] is False
+
+    def test_map_only_plan(self, spark):
+        from datatest_spark.operators import text as t
+
+        df = spark.range(5).select(
+            F.col("id").alias("doc_id"), F.lit("x@y.io").alias("text")
+        )
+        plan = (
+            t.pii_scan(df)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan
+
+
 class TestChi2Drift:
     def _df(self, spark, rows):
         return spark.createDataFrame(rows, "g string, v double")
