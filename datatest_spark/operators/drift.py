@@ -189,6 +189,47 @@ class DriftCheck(BaseCheck):
         return out
 
 
+def _dense_counts(df, value_col, group_col, lo, hi, nbins):
+    """Dense per-group bucket counts: every (group, bucket) cell of the
+    |groups| x (nbins+2) grid materialized with zero-filled counts.
+    Shared by the binned KS and chi-square drift statistics — both get
+    bucket arithmetic wrong on a sparse frame (a missing bucket must
+    carry the previous CDF value / contribute its expected count)."""
+    counts = histogram(df, value_col, group_col, lo, hi, nbins).select(
+        "group", "bucket", "n"
+    )
+    spark = df.sparkSession
+    grid = (
+        counts.select("group").distinct()
+        .crossJoin(
+            spark.range(0, nbins + 2).select(
+                F.col("id").cast("int").alias("bucket")
+            )
+        )
+    )
+    return grid.join(counts, ["group", "bucket"], "left").select(
+        "group", "bucket", F.coalesce(F.col("n"), F.lit(0)).alias("n")
+    )
+
+
+def _absent_baseline_guard(col, baseline_group, fn_name, cast_type):
+    """Execution-time guard for the baseline LEFT join: if the baseline
+    group is absent (misspelled, or all-null values), every joined
+    baseline column is null — an inner join would silently return ZERO
+    rows and a drift monitor would read 'no drift anywhere'. raise_error
+    fires inside the one existing action; checking eagerly would cost a
+    second full scan."""
+    return F.when(
+        col.isNull(),
+        F.raise_error(
+            F.lit(
+                "%s: baseline_group %r has no bucketed rows (misspelled "
+                "group, or all values null?)" % (fn_name, baseline_group)
+            )
+        ).cast(cast_type),
+    ).otherwise(col)
+
+
 def ks_from_histogram(
     df: DataFrame,
     value_col: str,
@@ -213,23 +254,7 @@ def ks_from_histogram(
     Returns (group, ks) for every group including the baseline (its ks
     is 0.0 by construction — a cheap self-test).
     """
-    # same bucketing/null-group convention as every drift operator —
-    # the extra p column is one division over the tiny groups x bins set
-    counts = histogram(df, value_col, group_col, lo, hi, nbins).select(
-        "group", "bucket", "n"
-    )
-    spark = df.sparkSession
-    grid = (
-        counts.select("group").distinct()
-        .crossJoin(
-            spark.range(0, nbins + 2).select(
-                F.col("id").cast("int").alias("bucket")
-            )
-        )
-    )
-    dense = grid.join(counts, ["group", "bucket"], "left").select(
-        "group", "bucket", F.coalesce(F.col("n"), F.lit(0)).alias("n")
-    )
+    dense = _dense_counts(df, value_col, group_col, lo, hi, nbins)
     w = Window.partitionBy("group").orderBy("bucket")
     cum = dense.withColumn("cum_n", F.sum("n").over(w))
     totals = cum.groupBy("group").agg(F.max("cum_n").alias("_tot"))
@@ -239,21 +264,9 @@ def ks_from_histogram(
     base = cdf.where(F.col("group") == baseline_group).select(
         "bucket", F.col("cdf").alias("_base_cdf")
     )
-    # LEFT join + execution-time guard: if the baseline group is absent
-    # (misspelled, or all-null values), every _base_cdf is null — an
-    # inner join would silently return ZERO rows and a drift monitor
-    # would read 'no drift anywhere'. raise_error fires inside the one
-    # existing action; checking eagerly would cost a second full scan.
-    guarded = F.when(
-        F.col("_base_cdf").isNull(),
-        F.raise_error(
-            F.lit(
-                "ks_from_histogram: baseline_group %r has no bucketed "
-                "rows (misspelled group, or all values null?)"
-                % baseline_group
-            )
-        ).cast("double"),
-    ).otherwise(F.col("_base_cdf"))
+    guarded = _absent_baseline_guard(
+        F.col("_base_cdf"), baseline_group, "ks_from_histogram", "double"
+    )
     return (
         cdf.join(F.broadcast(base), "bucket", "left")
         .groupBy("group")
@@ -295,21 +308,7 @@ def chi2_from_histogram(
     elements. Returns (group, chi2, dof, novel_buckets); the baseline
     group's own chi2 is 0.0 by construction.
     """
-    counts = histogram(df, value_col, group_col, lo, hi, nbins).select(
-        "group", "bucket", "n"
-    )
-    spark = df.sparkSession
-    grid = (
-        counts.select("group").distinct()
-        .crossJoin(
-            spark.range(0, nbins + 2).select(
-                F.col("id").cast("int").alias("bucket")
-            )
-        )
-    )
-    dense = grid.join(counts, ["group", "bucket"], "left").select(
-        "group", "bucket", F.coalesce(F.col("n"), F.lit(0)).alias("n")
-    )
+    dense = _dense_counts(df, value_col, group_col, lo, hi, nbins)
     totals = dense.groupBy("group").agg(F.sum("n").alias("_tot"))
     withtot = dense.join(F.broadcast(totals), "group")
     base = withtot.where(F.col("group") == baseline_group).select(
@@ -317,20 +316,10 @@ def chi2_from_histogram(
         F.col("n").alias("_bn"),
         F.col("_tot").alias("_bt"),
     )
-    # LEFT join + execution-time guard, same contract as
-    # ks_from_histogram: an absent baseline must raise, not silently
-    # drop every group to zero rows.
     joined = withtot.join(F.broadcast(base), "bucket", "left")
-    bn = F.when(
-        F.col("_bn").isNull(),
-        F.raise_error(
-            F.lit(
-                "chi2_from_histogram: baseline_group %r has no bucketed "
-                "rows (misspelled group, or all values null?)"
-                % baseline_group
-            )
-        ).cast("long"),
-    ).otherwise(F.col("_bn"))
+    bn = _absent_baseline_guard(
+        F.col("_bn"), baseline_group, "chi2_from_histogram", "long"
+    )
     # e is double-exact given the same op order on both engines:
     # (bn as double * tot_g) / tot_base, all exact int->double converts
     e = (bn.cast("double") * F.col("_tot")) / F.col("_bt")

@@ -268,6 +268,8 @@ def pii_scan(
     same patterns; the counts here are the audit/verdict surface.
     """
     pats = PII_PATTERNS if patterns is None else patterns
+    if not pats:
+        raise ValueError("pii_scan: patterns must be a non-empty dict")
     text = F.coalesce(F.col(text_col), F.lit(""))
     counts = [
         F.regexp_count(text, F.lit(p)).cast("long").alias("n_" + k)

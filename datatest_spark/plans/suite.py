@@ -110,6 +110,20 @@ class ValidationSuite(object):
                 out[r["partition_key"]] = dict(r["metrics"] or {})
         return out
 
+    def _recorded_input_hashes(self, spark, manifest_dir, run_id):
+        """Distinct non-null input_files_hash values recorded for run_id
+        (empty set when no manifest exists yet)."""
+        path = self._manifest_path(manifest_dir, run_id)
+        try:
+            mdf = spark.read.schema(MANIFEST_SCHEMA).parquet(path)
+        except Exception:
+            return set()
+        return {
+            r["input_files_hash"]
+            for r in mdf.select("input_files_hash").distinct().collect()
+            if r["input_files_hash"] is not None
+        }
+
     def _write_manifest(self, spark, manifest_dir, run_id, partition_rows,
                         input_files_hash):
         import datetime
@@ -156,6 +170,24 @@ class ValidationSuite(object):
 
         skipped_metrics = {}
         if resume and manifest_dir:
+            # a resumed run_id must be the SAME dataset: re-emitting
+            # recorded verdicts for different input would be a false
+            # pass on data that was never validated. Unhashable inputs
+            # (no files — e.g. in-memory frames) skip the guard.
+            recorded = self._recorded_input_hashes(
+                spark, manifest_dir, run_id
+            )
+            if recorded and input_files_hash and (
+                recorded != {input_files_hash}
+            ):
+                raise ValueError(
+                    "resume refused for run_id %r: manifest records input "
+                    "hash %s but the current input hashes to %s — pass "
+                    "resume=False (CLI: --no-resume) or a new run_id to "
+                    "validate different data" % (
+                        run_id, sorted(recorded), input_files_hash,
+                    )
+                )
             skipped_metrics = self.completed_partition_metrics(
                 spark, manifest_dir, run_id
             )
@@ -164,6 +196,9 @@ class ValidationSuite(object):
                     ~F.col("partition_key").isin(list(skipped_metrics))
                 )
         skipped = set(skipped_metrics)
+        resumed_rows = sum(
+            int(m.get("n_rows") or 0) for m in skipped_metrics.values()
+        )
 
         # (a) the single wide aggregation pass (C1) — or the salted
         # two-phase variant (C2) when configured.
@@ -187,7 +222,10 @@ class ValidationSuite(object):
                 .agg(*_stat_exprs(df, stats_cols, self.quantiles))
                 .collect()
             ]
-        n_rows_total = sum(r["n_rows"] for r in stats_rows)
+        # resumed partitions count toward the total: a monitor comparing
+        # n_rows against the expected table size must not false-alarm on
+        # every resumed run
+        n_rows_total = sum(r["n_rows"] for r in stats_rows) + resumed_rows
         all_partitions = sorted(r["partition_key"] for r in stats_rows)
 
         # (b)+(c) violation plans per check. Row-level checks that expose
@@ -283,8 +321,19 @@ class ValidationSuite(object):
         )
 
         if violations_sink:
+            # partitioned + DYNAMIC overwrite: only partitions with new
+            # violation rows are replaced. A resumed retry (empty or
+            # partial accepted_df) must not wipe the violation evidence
+            # recorded by the original failed run — the exit code points
+            # auditors at this path. Null partition_key (table-global
+            # rows) lands in the default partition and reads back null.
             out = os.path.join(violations_sink, "run_id={0}".format(run_id))
-            accepted_df.write.mode("overwrite").parquet(out)
+            (
+                accepted_df.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("partition_key")
+                .parquet(out)
+            )
 
         # per-partition verdicts (C4)
         wall_ms = int((time.time() - t0) * 1000)
@@ -311,14 +360,16 @@ class ValidationSuite(object):
         # resumed partitions re-emit their RECORDED verdicts from the
         # manifest metrics — without this, re-running a failed run_id
         # with resume on would skip the failed partition and report a
-        # clean pass (false-pass on CI retries). Per-check counts come
-        # from the n_violations__<check_id> keys (written below); older
-        # manifests without them fall back to one aggregate
-        # '__resumed__' row. 'accepted' granularity is not stored, so a
-        # fully-accepted resumed check reads 'pass'.
+        # clean pass (false-pass on CI retries). Per-check post/pre
+        # counts come from the n_violations__/n_violations_pre__ keys
+        # (written below), reproducing the original pass/accepted/fail
+        # status and the original wall_ms; older manifests without them
+        # fall back to one aggregate '__resumed__' row (and pre-count-
+        # less manifests read a fully-accepted check as 'pass').
         for pk in sorted(skipped):
             m = skipped_metrics.get(pk) or {}
             nrows = int(m.get("n_rows") or 0)
+            rec_wall = int(m.get("wall_ms") or wall_ms)
             per_check = [
                 (c.check_id, m.get("n_violations__" + c.check_id))
                 for c in self.checks
@@ -326,15 +377,20 @@ class ValidationSuite(object):
             if all(v is not None for _c, v in per_check):
                 for cid, v in per_check:
                     nv = int(v)
+                    pre = m.get("n_violations_pre__" + cid)
+                    pre = nv if pre is None else int(pre)
+                    status = (
+                        "fail" if nv
+                        else ("accepted" if pre else "pass")
+                    )
                     verdict_rows.append(
-                        (run_id, pk, cid, "fail" if nv else "pass", nv,
-                         nrows, wall_ms)
+                        (run_id, pk, cid, status, nv, nrows, rec_wall)
                     )
             else:
                 nv = int(m.get("n_violations") or 0)
                 verdict_rows.append(
                     (run_id, pk, "__resumed__", "fail" if nv else "pass",
-                     nv, nrows, wall_ms)
+                     nv, nrows, rec_wall)
                 )
         from ..schema import VERDICT_SCHEMA
 
@@ -357,10 +413,29 @@ class ValidationSuite(object):
                             "wall_ms": float(wall_ms),
                         },
                         **{
-                            "n_violations__" + c.check_id: float(
-                                post_counts.get((pk, c.check_id), 0)
-                            )
+                            k: v
                             for c in self.checks
+                            for k, v in (
+                                (
+                                    "n_violations__" + c.check_id,
+                                    float(
+                                        post_counts.get(
+                                            (pk, c.check_id), 0
+                                        )
+                                    ),
+                                ),
+                                # pre-acceptance count so a resumed
+                                # fully-accepted check re-reads as
+                                # 'accepted', not 'pass'
+                                (
+                                    "n_violations_pre__" + c.check_id,
+                                    float(
+                                        pre_counts.get(
+                                            (pk, c.check_id), 0
+                                        )
+                                    ),
+                                ),
+                            )
                         }
                     ),
                 )

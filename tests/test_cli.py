@@ -118,6 +118,48 @@ class TestCliReviewFixes:
         rc, s = _run(capsys, argv + ["--no-resume"])
         assert rc == 0 and s["partitions"] == 2  # nothing skipped
 
+    def test_resumed_retry_preserves_sink_evidence(self, spark, token_table,
+                                                   tmp_path, capsys):
+        # the sink uses dynamic partition overwrite: a resumed retry
+        # (nothing revalidated, empty accepted frame) must not wipe the
+        # violation rows the original failed run recorded
+        sink = tmp_path / "sink"
+        argv = [
+            "--input", token_table, "--allowed-sources", "web",
+            "--run-id", "t-keep", "--manifest-dir", str(tmp_path / "m"),
+            "--violations-sink", str(sink),
+        ]
+        rc1, _ = _run(capsys, argv)
+        assert spark.read.parquet(str(sink / "run_id=t-keep")).count() == 50
+        rc2, s2 = _run(capsys, argv)
+        assert (rc1, rc2) == (1, 1)
+        assert spark.read.parquet(str(sink / "run_id=t-keep")).count() == 50
+
+    def test_resumed_summary_keeps_n_rows(self, spark, token_table,
+                                          tmp_path, capsys):
+        argv = [
+            "--input", token_table, "--allowed-sources", "web,wiki",
+            "--run-id", "t-nrows", "--manifest-dir", str(tmp_path / "m"),
+        ]
+        _run(capsys, argv)
+        rc, s = _run(capsys, argv)
+        assert rc == 0 and s["n_rows"] == 100
+
+    def test_resume_refuses_different_input(self, spark, token_table,
+                                            tmp_path, capsys):
+        # same run-id, different dataset: re-emitting recorded verdicts
+        # would be a false pass on never-validated data
+        other = str(tmp_path / "other")
+        spark.read.parquet(token_table).limit(10).write.parquet(other)
+        argv = ["--allowed-sources", "web,wiki", "--run-id", "t-hash",
+                "--manifest-dir", str(tmp_path / "m")]
+        _run(capsys, ["--input", token_table] + argv)
+        with pytest.raises(ValueError, match="resume refused"):
+            main(["--input", other] + argv)
+        # --no-resume revalidates the new input instead
+        rc, s = _run(capsys, ["--input", other, "--no-resume"] + argv)
+        assert rc == 0 and s["n_rows"] == 10
+
     def test_missing_sources_file_exits_2(self, token_table, capsys):
         with pytest.raises(SystemExit) as exc:
             main(["--input", token_table,
