@@ -821,6 +821,27 @@ def q_pii_scan(spark, sf_dir):
     return t.pii_scan(seeded)
 
 
+def q_unigram_logloss(spark, sf_dir):
+    """CCNet-style unigram LM quality score
+    (operators/text.unigram_logloss): per-doc cross-entropy in
+    bits/token against a corpus unigram model over the deterministic
+    word-length tokenization. The model stores FIXED-POINT log-probs
+    (floor(log2(c/T)*2^20) as bigint), so per-doc sums are associative
+    integers — map-side combinable at scale AND bit-identical to the
+    single-threaded DuckDB oracle; scoring itself is map-only
+    (broadcast model map + one F.aggregate pass, no explode)."""
+    from datatest_spark.operators import text as t
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.transform(
+            F.split(F.col("text"), " "), lambda w: F.length(w)
+        ).alias("tokens"),
+    )
+    return t.unigram_logloss(toks)
+
+
 # ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -887,6 +908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_entropy": q_token_entropy,
         "source_shares": q_source_shares,
         "pii_scan": q_pii_scan,
+        "unigram_logloss": q_unigram_logloss,
     }
 
 
@@ -1807,6 +1829,39 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN s.n > 0
                         THEN ROUND(s.d * 1.0 / s.n, 4)
                    END AS ttr
+            FROM W w LEFT JOIN S s USING (doc_id)
+        """,
+        "unigram_logloss": """
+            WITH W AS (
+                SELECT doc_id,
+                       list_transform(string_split(text, ' '),
+                                      x -> length(x)) AS toks
+                FROM documents
+            ),
+            U AS (SELECT doc_id, UNNEST(toks) AS tok FROM W),
+            C AS (SELECT tok, COUNT(*) AS c FROM U GROUP BY tok),
+            T AS (SELECT CAST(SUM(c) AS BIGINT) AS tt FROM C),
+            -- fixed-point log-probs: integer per-doc sums are
+            -- order-free, so SUM needs no ORDER BY to match Spark
+            LP AS (
+                SELECT tok,
+                       CAST(FLOOR((log2(CAST(c AS DOUBLE))
+                                   - log2(CAST(tt AS DOUBLE)))
+                                  * 1048576.0) AS BIGINT) AS lp
+                FROM C CROSS JOIN T
+            ),
+            S AS (
+                SELECT u.doc_id, CAST(SUM(lp.lp) AS BIGINT) AS s,
+                       CAST(COUNT(*) AS BIGINT) AS k
+                FROM U u JOIN LP lp USING (tok) GROUP BY u.doc_id
+            )
+            SELECT w.doc_id,
+                   CAST(len(w.toks) AS BIGINT) AS n_tokens,
+                   CAST(len(w.toks) - COALESCE(s.k, 0) AS BIGINT)
+                       AS n_oov,
+                   CASE WHEN s.k > 0 THEN
+                       ROUND((-CAST(s.s AS DOUBLE) / 1048576.0) / s.k, 4)
+                   END AS bits_per_token
             FROM W w LEFT JOIN S s USING (doc_id)
         """,
         "pii_scan": """

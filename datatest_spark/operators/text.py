@@ -239,6 +239,136 @@ def token_run_stats(
     )
 
 
+# above this size, a literal map in the plan would build millions of
+# expression nodes; the model rides a one-row broadcast instead (same
+# carrier trick as similarity.IVF_LITERAL_MAX_ELEMS)
+LM_LITERAL_MAX_ENTRIES = 10_000
+
+
+def unigram_model(
+    df: DataFrame, tokens_col: str = "tokens", scale_bits: int = 20
+) -> DataFrame:
+    """Corpus unigram LM as FIXED-POINT log-probs: (token, lp_fixed)
+    with ``lp_fixed = floor(log2(c/T) * 2^scale_bits)`` as bigint.
+
+    Fixed-point is the determinism trick that makes LM scoring both
+    scale-correct and oracle-exact: per-document scores sum *integers*,
+    so the sum is associative — Spark can partially aggregate map-side
+    in any order and still match a single-threaded oracle bit-for-bit.
+    Summing raw double log-probs would tie the result to reduction
+    order. At 2^-20 granularity the quantization error is < 1e-6 bits
+    per token — far below any filtering threshold.
+
+    Scale shape: explode + one vocab-bounded groupBy (the exchange
+    carries |vocab| rows after map-side combine, not corpus rows).
+    """
+    s = float(1 << scale_bits)
+    # null elements are not a vocabulary entry (scoring drops them too,
+    # and a null map key is unrepresentable in the literal-map carrier)
+    counts = (
+        df.select(F.explode(F.col(tokens_col)).alias("token"))
+        .where(F.col("token").isNotNull())
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = counts.agg(F.sum("c").alias("_T"))
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "token",
+        F.floor((F.log2("c") - F.log2("_T")) * F.lit(s))
+        .cast("long")
+        .alias("lp_fixed"),
+    )
+
+
+def unigram_logloss(
+    df: DataFrame,
+    model: DataFrame | None = None,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    scale_bits: int = 20,
+) -> DataFrame:
+    """Per-sequence unigram cross-entropy (bits/token) against a
+    broadcast LM — the CCNet-style LM quality filter: sequences whose
+    tokens are improbable under the corpus (or a clean reference)
+    model are extraction garbage; improbably LOW logloss is boilerplate.
+
+    ``model`` is a (token, lp_fixed) frame from :func:`unigram_model`
+    (defaults to a model of ``df`` itself). Returns
+    (id, n_tokens, n_oov, bits_per_token); tokens absent from the model
+    are counted in ``n_oov`` and skipped, null elements are dropped,
+    empty/null arrays yield null bits_per_token.
+
+    Scale shape: the model is vocab-bounded — collected once and
+    carried as a literal map (small vocab) or a one-row broadcast map
+    (large vocab), then scoring is MAP-ONLY: one ``F.aggregate`` pass
+    per row sums bigint fixed-point log-probs inside codegen; no
+    explode, no exchange, no Python on the corpus side.
+    """
+    if model is None:
+        model = unigram_model(df, tokens_col, scale_bits)
+    rows = model.collect()
+    out = df
+    if not rows:
+        # empty model: every token is OOV, nothing is scorable
+        n0 = F.size(
+            F.filter(F.col(tokens_col), lambda t: t.isNotNull())
+        ).cast("long")
+        return df.select(
+            F.col(id_col),
+            n0.alias("n_tokens"),
+            n0.alias("n_oov"),
+            F.lit(None).cast("double").alias("bits_per_token"),
+        )
+    if len(rows) <= LM_LITERAL_MAX_ENTRIES:
+        args = []
+        for r in rows:
+            args.append(F.lit(r["token"]))
+            args.append(F.lit(int(r["lp_fixed"])))
+        lp_map = F.create_map(*args)
+    else:
+        spark = df.sparkSession
+        elem_type = (
+            model.select("token").schema[0].dataType.simpleString()
+        )
+        one = spark.createDataFrame(
+            [({r["token"]: int(r["lp_fixed"]) for r in rows},)],
+            "_lpm map<{0},bigint>".format(elem_type),
+        )
+        out = out.crossJoin(F.broadcast(one))
+        lp_map = F.col("_lpm")
+    toks = F.filter(F.col(tokens_col), lambda t: t.isNotNull())
+    zero = F.struct(
+        F.lit(0).cast("long").alias("s"),
+        F.lit(0).cast("long").alias("k"),
+    )
+
+    def _merge(a, t):
+        lp = F.try_element_at(lp_map, t)
+        return F.struct(
+            F.when(lp.isNull(), a["s"]).otherwise(a["s"] + lp).alias("s"),
+            F.when(lp.isNull(), a["k"]).otherwise(a["k"] + 1).alias("k"),
+        )
+
+    acc = F.aggregate(toks, zero, _merge)
+    n = F.size(toks).cast("long")
+    k = acc["k"]
+    return out.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        (n - k).alias("n_oov"),
+        F.when(
+            k > 0,
+            F.round(
+                (-(acc["s"].cast("double")) / F.lit(float(1 << scale_bits)))
+                / k,
+                4,
+            ),
+        )
+        .otherwise(F.lit(None).cast("double"))
+        .alias("bits_per_token"),
+    )
+
+
 # PII patterns shared by pii_scan and its oracle: restricted to RE2 ∩
 # java.util.regex syntax (character classes, bounded repetition, ASCII
 # \b / \d) so Spark and DuckDB count identical matches. No lookaround —

@@ -898,6 +898,73 @@ class TestTokenEntropy:
         assert "Exchange" not in plan
 
 
+class TestUnigramLogloss:
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [(1, [1, 1, 2]), (2, [2, 3, None]), (3, []), (4, None)],
+            "doc_id long, tokens array<int>",
+        )
+
+    def test_self_model_values(self, spark):
+        from datatest_spark.operators.text import unigram_logloss
+
+        # counts: 1->2, 2->2, 3->1, T=5
+        # doc1: log2(5/2)=1.3219; doc2: (log2(5/2)+log2(5))/2=1.8219
+        rows = {
+            r["doc_id"]: r
+            for r in unigram_logloss(self._df(spark)).collect()
+        }
+        assert rows[1]["bits_per_token"] == 1.3219
+        assert rows[2]["bits_per_token"] == 1.8219
+        assert rows[2]["n_tokens"] == 2  # null element dropped
+        assert rows[3]["bits_per_token"] is None
+        assert rows[4]["n_tokens"] is None
+
+    def test_oov_skipped_and_counted(self, spark):
+        from datatest_spark.operators.text import (
+            unigram_logloss, unigram_model,
+        )
+
+        m = unigram_model(
+            spark.createDataFrame(
+                [(1, [1, 1, 2, 2])], "doc_id long, tokens array<int>"
+            )
+        )
+        rows = {
+            r["doc_id"]: r
+            for r in unigram_logloss(self._df(spark), model=m).collect()
+        }
+        # token 3 is OOV: skipped from the score, surfaced in n_oov
+        assert rows[2]["n_oov"] == 1 and rows[2]["bits_per_token"] == 1.0
+        assert rows[1]["n_oov"] == 0 and rows[1]["bits_per_token"] == 1.0
+
+    def test_empty_model(self, spark):
+        from datatest_spark.operators.text import (
+            unigram_logloss, unigram_model,
+        )
+
+        df = self._df(spark)
+        m = unigram_model(df.where("doc_id < 0"))
+        rows = {
+            r["doc_id"]: r
+            for r in unigram_logloss(df, model=m).collect()
+        }
+        assert rows[1]["n_oov"] == 3 and rows[1]["bits_per_token"] is None
+
+    def test_scoring_plan_map_only(self, spark):
+        from datatest_spark.operators.text import (
+            unigram_logloss, unigram_model,
+        )
+
+        df = self._df(spark)
+        m = unigram_model(df)
+        plan = (
+            unigram_logloss(df, model=m)._jdf.queryExecution()
+            .executedPlan().toString()
+        )
+        assert "Exchange" not in plan
+
+
 class TestPiiScan:
     def test_counts_and_flag(self, spark):
         from datatest_spark.operators import text as t
