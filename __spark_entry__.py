@@ -842,6 +842,44 @@ def q_unigram_logloss(spark, sf_dir):
     return t.unigram_logloss(toks)
 
 
+def q_quality_gate(spark, sf_dir):
+    """End-to-end quality filter composition — the shape of a real
+    training-data cleaning pass: the two MAP-ONLY gates (PII scan,
+    token-run stats) CHAIN through their passthrough columns into one
+    scan projection — no doc_id self-join between them; only the Gopher
+    repetition signals (inherently explode + agg) join back. Survivors
+    = docs with max_run_frac <= 0.5, dup_ngram_frac <= 0.6, no PII, and
+    10..200 tokens; returned with their gate signals so a downstream
+    mixture sampler can re-weight on them."""
+    from datatest_spark.operators import text as t
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "text",
+        F.transform(
+            F.split(F.col("text"), " "), lambda w: F.length(w)
+        ).alias("tokens"),
+    )
+    signals = t.token_run_stats(
+        t.pii_scan(toks, passthrough=("tokens",)),
+        passthrough=("has_pii",),
+    )
+    rep = t.repetition_signals(d, n=3)
+    gated = signals.join(rep, "doc_id").where(
+        (F.col("max_run_frac") <= 0.1)
+        & (F.col("dup_ngram_frac") <= 0.6)
+        & (~F.col("has_pii"))
+        & (F.col("n_tokens").between(20, 200))
+    )
+    return gated.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "max_run_frac",
+        "dup_ngram_frac",
+    )
+
+
 # ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -909,6 +947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_shares": q_source_shares,
         "pii_scan": q_pii_scan,
         "unigram_logloss": q_unigram_logloss,
+        "quality_gate_survivors": q_quality_gate,
     }
 
 
@@ -1830,6 +1869,69 @@ def oracle_sql() -> dict[str, str]:
                         THEN ROUND(s.d * 1.0 / s.n, 4)
                    END AS ttr
             FROM W w LEFT JOIN S s USING (doc_id)
+        """,
+        "quality_gate_survivors": """
+            WITH W AS (
+                SELECT doc_id, text,
+                       list_transform(string_split(text, ' '),
+                                      x -> length(x)) AS toks
+                FROM documents
+            ),
+            U AS (
+                SELECT doc_id, UNNEST(toks) AS tok,
+                       UNNEST(range(1, len(toks) + 1)) AS i
+                FROM W
+            ),
+            R AS (
+                SELECT doc_id, tok, i,
+                       i - ROW_NUMBER() OVER (PARTITION BY doc_id, tok
+                                              ORDER BY i) AS grp
+                FROM U
+            ),
+            RUNS AS (
+                SELECT doc_id, COUNT(*) AS run_len
+                FROM R GROUP BY doc_id, tok, grp
+            ),
+            MX AS (SELECT doc_id, MAX(run_len) AS max_run FROM RUNS
+                   GROUP BY doc_id),
+            NG AS (
+                SELECT doc_id, array_to_string(w[i : i + 2], ' ') AS g
+                FROM (SELECT doc_id, string_split(text, ' ') AS w
+                      FROM documents) s,
+                     UNNEST(range(1, GREATEST(len(w) - 1, 2))) AS t(i)
+            ),
+            PC AS (
+                SELECT doc_id, g, COUNT(*) AS c FROM NG GROUP BY doc_id, g
+            ),
+            REP AS (
+                SELECT doc_id,
+                       ROUND(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) * 1.0
+                             / SUM(c), 4) AS dup_ngram_frac
+                FROM PC GROUP BY doc_id
+            ),
+            PII AS (
+                SELECT doc_id,
+                       (len(regexp_extract_all(text,
+                          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                        + len(regexp_extract_all(text,
+                          '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
+                        + len(regexp_extract_all(text,
+                          '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b'))) > 0
+                           AS has_pii
+                FROM W
+            )
+            SELECT w.doc_id,
+                   CAST(len(w.toks) AS BIGINT) AS n_tokens,
+                   ROUND(m.max_run * 1.0 / len(w.toks), 4) AS max_run_frac,
+                   r.dup_ngram_frac
+            FROM W w
+            JOIN MX m USING (doc_id)
+            JOIN REP r USING (doc_id)
+            JOIN PII p USING (doc_id)
+            WHERE ROUND(m.max_run * 1.0 / len(w.toks), 4) <= 0.1
+              AND r.dup_ngram_frac <= 0.6
+              AND NOT p.has_pii
+              AND len(w.toks) BETWEEN 20 AND 200
         """,
         "unigram_logloss": """
             WITH W AS (

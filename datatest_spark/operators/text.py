@@ -186,7 +186,8 @@ def repetition_signals(
 
 
 def token_run_stats(
-    df: DataFrame, tokens_col: str = "tokens", id_col: str = "doc_id"
+    df: DataFrame, tokens_col: str = "tokens", id_col: str = "doc_id",
+    passthrough: tuple = (),
 ) -> DataFrame:
     """Per-sequence repeated-token run statistics — the tokenized twin
     of the repetition filter: a pretokenized sequence whose longest run
@@ -230,6 +231,7 @@ def token_run_stats(
     n = F.size(toks)
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in passthrough],
         n.alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
         acc["best"].alias("max_run"),
@@ -385,6 +387,7 @@ def pii_scan(
     text_col: str = "text",
     id_col: str = "doc_id",
     patterns: dict | None = None,
+    passthrough: tuple = (),
 ) -> DataFrame:
     """Per-document PII pattern counts — the scrub-before-training gate:
     returns (id, n_<kind>... , has_pii) with one match count per pattern
@@ -396,6 +399,8 @@ def pii_scan(
 
     A production scrubber would follow with ``regexp_replace`` using the
     same patterns; the counts here are the audit/verdict surface.
+    ``passthrough`` columns are carried along so map-only gates chain
+    into ONE scan projection instead of a doc_id self-join.
     """
     pats = PII_PATTERNS if patterns is None else patterns
     if not pats:
@@ -405,7 +410,9 @@ def pii_scan(
         F.regexp_count(text, F.lit(p)).cast("long").alias("n_" + k)
         for k, p in sorted(pats.items())
     ]
-    out = df.select(F.col(id_col), *counts)
+    out = df.select(
+        F.col(id_col), *[F.col(c) for c in passthrough], *counts
+    )
     total = None
     for k in sorted(pats):
         c = F.col("n_" + k)
