@@ -880,6 +880,20 @@ def q_quality_gate(spark, sf_dir):
     )
 
 
+def q_kmeans_clusters(spark, sf_dir):
+    """Lloyd k-means semantic clustering
+    (operators/similarity.kmeans_assign): k=8, two assign->update
+    rounds from the md5-stratified init. Centroid updates sum
+    FIXED-POINT per-dim values (floor(x*2^20) as bigint) so the means
+    are associative integer sums — parallelism-invariant and
+    reproduced exactly by the chained-CTE DuckDB oracle; assignment is
+    the map-only literal-centroid-array argmin (zero Exchange)."""
+    from datatest_spark.operators.similarity import kmeans_assign
+
+    e = _t(spark, sf_dir, "embeddings")
+    return kmeans_assign(e, k=8, iters=2, hash_fn="md5")
+
+
 # ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -948,6 +962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scan": q_pii_scan,
         "unigram_logloss": q_unigram_logloss,
         "quality_gate_survivors": q_quality_gate,
+        "kmeans_clusters": q_kmeans_clusters,
     }
 
 
@@ -1869,6 +1884,87 @@ def oracle_sql() -> dict[str, str]:
                         THEN ROUND(s.d * 1.0 / s.n, 4)
                    END AS ttr
             FROM W w LEFT JOIN S s USING (doc_id)
+        """,
+        "kmeans_clusters": """
+            WITH V AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings
+                WHERE embedding IS NOT NULL AND len(embedding) = 64
+            ),
+            -- md5-stratified init, same recipe as ivf_md5_topk
+            ST AS (
+                SELECT vec_id, v,
+                       (16 * (strpos('0123456789abcdef',
+                                     substr(md5(CAST(vec_id AS VARCHAR)), 31, 1)) - 1)
+                          + strpos('0123456789abcdef',
+                                   substr(md5(CAST(vec_id AS VARCHAR)), 32, 1)) - 1
+                       ) % 8 AS centroid_id,
+                       md5(CAST(vec_id AS VARCHAR) || '#7') AS salt
+                FROM V
+            ),
+            C0 AS (
+                SELECT centroid_id, cv FROM (
+                    SELECT centroid_id, v AS cv,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY centroid_id ORDER BY salt, vec_id
+                           ) AS r
+                    FROM ST
+                ) WHERE r = 1
+            ),
+            A1 AS (
+                SELECT vec_id, v, centroid_id FROM (
+                    SELECT s.vec_id, s.v, c.centroid_id,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY s.vec_id
+                               ORDER BY list_sum(list_transform(
+                                   range(1, len(s.v) + 1),
+                                   j -> (s.v[j] - c.cv[j])
+                                      * (s.v[j] - c.cv[j]))) ASC,
+                                   c.centroid_id ASC
+                           ) AS r
+                    FROM V s CROSS JOIN C0 c
+                ) WHERE r = 1
+            ),
+            -- fixed-point per-dim sums: associative integers, so no
+            -- ORDER BY is needed to match Spark's map-side combine
+            U1 AS (
+                SELECT a.centroid_id, t.j,
+                       CAST(SUM(CAST(FLOOR(a.v[t.j] * 1048576.0) AS BIGINT))
+                            AS BIGINT) AS sm,
+                       COUNT(*) AS n
+                FROM A1 a, UNNEST(range(1, len(a.v) + 1)) AS t(j)
+                GROUP BY 1, 2
+            ),
+            C1 AS (
+                SELECT c0.centroid_id, COALESCE(u.cv, c0.cv) AS cv
+                FROM C0 c0 LEFT JOIN (
+                    SELECT centroid_id,
+                           list((CAST(sm AS DOUBLE) / n) / 1048576.0
+                                ORDER BY j) AS cv
+                    FROM U1 GROUP BY centroid_id
+                ) u USING (centroid_id)
+            ),
+            A2 AS (
+                SELECT vec_id, centroid_id, d FROM (
+                    SELECT s.vec_id, c.centroid_id,
+                           list_sum(list_transform(
+                               range(1, len(s.v) + 1),
+                               j -> (s.v[j] - c.cv[j])
+                                  * (s.v[j] - c.cv[j]))) AS d,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY s.vec_id
+                               ORDER BY list_sum(list_transform(
+                                   range(1, len(s.v) + 1),
+                                   j -> (s.v[j] - c.cv[j])
+                                      * (s.v[j] - c.cv[j]))) ASC,
+                                   c.centroid_id ASC
+                           ) AS r
+                    FROM V s CROSS JOIN C1 c
+                ) WHERE r = 1
+            )
+            SELECT vec_id, CAST(centroid_id AS INT) AS cluster,
+                   ROUND(d, 4) AS sq_dist
+            FROM A2
         """,
         "quality_gate_survivors": """
             WITH W AS (

@@ -414,6 +414,163 @@ def ivf_topk(
     )
 
 
+def _euclid_assign(v: DataFrame, centroid_map: dict) -> DataFrame:
+    """Map-only nearest-centroid assignment under squared Euclidean
+    distance: same literal / one-row-broadcast carrier discipline as
+    ivf_assign (zero Exchange between scan and assignment). Ties keep
+    the smaller centroid id (strict ``<``); a null distance (null or
+    length-mismatched vector) loses to any non-null one.
+
+    Returns (id, v, cluster, sq_dist)."""
+    items = sorted(centroid_map.items())
+    if not items:
+        return v.select(
+            "id", "v",
+            F.lit(None).cast("int").alias("cluster"),
+            F.lit(None).cast("double").alias("sq_dist"),
+        )
+    base = v
+    n_elems = sum(len(cv) for _, cv in items)
+    if n_elems <= IVF_LITERAL_MAX_ELEMS:
+        cent_arr = F.array(
+            *[
+                F.struct(
+                    F.lit(int(cid)).cast("int").alias("cid"),
+                    F.array(*[F.lit(float(x)) for x in cv]).alias("cv"),
+                )
+                for cid, cv in items
+            ]
+        )
+    else:
+        spark = v.sparkSession
+        one = spark.createDataFrame(
+            [([(int(cid), [float(x) for x in cv]) for cid, cv in items],)],
+            "_carr array<struct<cid:int,cv:array<double>>>",
+        )
+        base = base.crossJoin(F.broadcast(one))
+        cent_arr = F.col("_carr")
+    dists = F.transform(
+        cent_arr,
+        lambda c: F.struct(
+            c["cid"].alias("cid"),
+            F.aggregate(
+                F.zip_with(
+                    F.col("v"), c["cv"], lambda x, y: (x - y) * (x - y)
+                ),
+                F.lit(0.0),
+                lambda a, t: a + t,
+            ).alias("d"),
+        ),
+    )
+    init = F.struct(
+        F.lit(None).cast("int").alias("cid"),
+        F.lit(None).cast("double").alias("d"),
+    )
+    best = F.aggregate(
+        dists,
+        init,
+        lambda acc, c: F.when(
+            acc["cid"].isNull()
+            | (acc["d"].isNull() & c["d"].isNotNull())
+            | (c["d"] < acc["d"]),
+            c,
+        ).otherwise(acc),
+    )
+    return base.select(
+        "id", "v",
+        best["cid"].alias("cluster"),
+        best["d"].alias("sq_dist"),
+    )
+
+
+def kmeans_assign(
+    vectors: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    hash_fn: str = "xxhash64",
+    scale_bits: int = 20,
+) -> DataFrame:
+    """Lloyd k-means over an embedding column — the semantic-clustering
+    primitive (cluster-balanced mixture sampling, per-cluster dedup,
+    topic pruning). Returns the final assignment
+    (id_col, cluster, sq_dist) after ``iters`` assign→update rounds
+    from the deterministic hash-stratified init
+    (:func:`_centroids_from_sample`; ``hash_fn='md5'`` for the
+    SQL-reproducible variant).
+
+    Determinism at any parallelism is the point: centroid UPDATES sum
+    FIXED-POINT per-dimension values (``floor(x * 2^scale_bits)`` as
+    bigint), so the per-cluster mean is an associative integer sum —
+    map-side combinable in any order AND bit-identical to a
+    single-threaded oracle. Summing raw doubles would tie the centroids
+    (and every subsequent assignment) to Spark's reduction order.
+    Quantization moves each centroid coordinate < 2^-scale_bits — far
+    below any clustering-relevant distance. Overflow bound: rows per
+    cluster x 2^(scale_bits + log2 max|x|) must stay under 2^63 (~4e12
+    unit-scale rows at the default 20 bits; lower scale_bits for more).
+
+    Scale shape: per iteration ONE exchange of k groups (the
+    dim-indexed sums partially aggregate map-side) plus a MAP-ONLY
+    assignment pass (literal/broadcast centroid carrier, zero Exchange
+    — same pinned shape as ivf_assign). Centroids live on the driver
+    between iterations (k x dim doubles). Null or length-mismatched
+    vectors are dropped up front.
+    """
+    v = vectors.select(
+        F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
+    )
+    first = (
+        v.where(F.col("v").isNotNull())
+        .select(F.size("v").alias("d"))
+        .first()
+    )
+    if first is None:
+        return v.select(
+            F.col("id").alias(id_col),
+            F.lit(None).cast("int").alias("cluster"),
+            F.lit(None).cast("double").alias("sq_dist"),
+        )
+    dim = int(first["d"])
+    v = v.where(F.col("v").isNotNull() & (F.size("v") == dim))
+    s = float(1 << scale_bits)
+    cents = _centroids_from_sample(v, "v", k, "id", hash_fn=hash_fn)
+    centroid_map = {
+        int(r["centroid_id"]): [float(x) for x in r["cv"]]
+        for r in cents.collect()
+        if r["cv"] is not None
+    }
+    assigned = None
+    for it in range(iters):
+        assigned = _euclid_assign(v, centroid_map)
+        if it == iters - 1:
+            break
+        sums = [
+            F.sum(
+                F.floor(F.element_at(F.col("v"), j + 1) * F.lit(s))
+            ).alias("s{0}".format(j))
+            for j in range(dim)
+        ]
+        agg = assigned.groupBy("cluster").agg(
+            F.count(F.lit(1)).alias("n"), *sums
+        ).collect()
+        for r in agg:
+            if r["cluster"] is None:
+                continue
+            n = int(r["n"])
+            # (int->double exact) / n / 2^bits: plain IEEE division in
+            # the driver — identical in any engine
+            centroid_map[int(r["cluster"])] = [
+                (float(r["s{0}".format(j)]) / n) / s for j in range(dim)
+            ]
+    return assigned.select(
+        F.col("id").alias(id_col),
+        "cluster",
+        F.round("sq_dist", 4).alias("sq_dist"),
+    )
+
+
 def _sign_bits(v, n_planes: int, seed: int):
     """Sign of <v, plane_p> for p in [0, n_planes) as '0'/'1' Columns.
 

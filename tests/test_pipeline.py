@@ -898,6 +898,68 @@ class TestTokenEntropy:
         assert "Exchange" not in plan
 
 
+class TestKmeans:
+    def _vecs(self, spark):
+        import random
+
+        rng = random.Random(5)
+        rows = []
+        # two well-separated blobs in 4d
+        for i in range(40):
+            base = 0.0 if i % 2 == 0 else 10.0
+            rows.append(
+                (i, [base + rng.uniform(-0.5, 0.5) for _ in range(4)])
+            )
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+
+    def test_separated_blobs_recovered(self, spark):
+        from datatest_spark.operators.similarity import kmeans_assign
+
+        out = kmeans_assign(self._vecs(spark), k=2, iters=4).collect()
+        by_parity = {0: set(), 1: set()}
+        for r in out:
+            by_parity[r["vec_id"] % 2].add(r["cluster"])
+        # each blob maps to exactly one cluster, and not the same one
+        assert len(by_parity[0]) == 1 and len(by_parity[1]) == 1
+        assert by_parity[0] != by_parity[1]
+
+    def test_parallelism_invariant(self, spark):
+        from datatest_spark.operators.similarity import kmeans_assign
+
+        df = self._vecs(spark)
+        a = sorted(map(tuple, kmeans_assign(df, k=3, iters=3).collect()))
+        b = sorted(
+            map(tuple, kmeans_assign(df.repartition(7), k=3, iters=3)
+                .collect())
+        )
+        assert a == b
+
+    def test_drops_bad_vectors(self, spark):
+        from datatest_spark.operators.similarity import kmeans_assign
+
+        df = spark.createDataFrame(
+            [(1, [0.0, 0.0]), (2, [1.0, 1.0]), (3, None), (4, [1.0])],
+            "vec_id long, embedding array<double>",
+        )
+        out = kmeans_assign(df, k=2, iters=2).collect()
+        assert sorted(r["vec_id"] for r in out) == [1, 2]
+
+    def test_assignment_plan_map_only(self, spark):
+        from datatest_spark.operators.similarity import _euclid_assign
+
+        df = spark.range(10).select(
+            F.col("id"),
+            F.array(F.lit(0.1), F.lit(0.2)).alias("v"),
+        )
+        plan = (
+            _euclid_assign(df, {0: [0.0, 0.0], 1: [1.0, 1.0]})
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan
+
+
 class TestUnigramLogloss:
     def _df(self, spark):
         return spark.createDataFrame(
