@@ -848,8 +848,8 @@ def q_quality_gate(spark, sf_dir):
     token-run stats) CHAIN through their passthrough columns into one
     scan projection — no doc_id self-join between them; only the Gopher
     repetition signals (inherently explode + agg) join back. Survivors
-    = docs with max_run_frac <= 0.5, dup_ngram_frac <= 0.6, no PII, and
-    10..200 tokens; returned with their gate signals so a downstream
+    = docs with max_run_frac <= 0.1, dup_ngram_frac <= 0.6, no PII, and
+    20..200 tokens; returned with their gate signals so a downstream
     mixture sampler can re-weight on them."""
     from datatest_spark.operators import text as t
 
@@ -1890,6 +1890,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                 FROM embeddings
                 WHERE embedding IS NOT NULL AND len(embedding) = 64
+                  AND len(list_filter(embedding, x -> x IS NULL)) = 0
             ),
             -- md5-stratified init, same recipe as ivf_md5_topk
             ST AS (

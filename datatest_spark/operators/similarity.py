@@ -515,25 +515,35 @@ def kmeans_assign(
     dim-indexed sums partially aggregate map-side) plus a MAP-ONLY
     assignment pass (literal/broadcast centroid carrier, zero Exchange
     — same pinned shape as ivf_assign). Centroids live on the driver
-    between iterations (k x dim doubles). Null or length-mismatched
-    vectors are dropped up front.
+    between iterations (k x dim doubles). Null vectors, vectors with
+    null elements, and length-mismatched vectors are dropped up front
+    (the dimension is the MAJORITY length — deterministic at any
+    partition order, unlike first-row sniffing).
     """
+    if iters < 1:
+        raise ValueError("kmeans_assign: iters must be >= 1")
     v = vectors.select(
         F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
+    ).where(
+        F.col("v").isNotNull()
+        & ~F.exists(F.col("v"), lambda x: x.isNull())
     )
-    first = (
-        v.where(F.col("v").isNotNull())
-        .select(F.size("v").alias("d"))
+    dim_row = (
+        v.groupBy(F.size("v").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("d").asc())
         .first()
     )
-    if first is None:
+    if dim_row is None:
+        # no clusterable vectors: empty frame, same dropped-rows
+        # contract as the main path
         return v.select(
             F.col("id").alias(id_col),
             F.lit(None).cast("int").alias("cluster"),
             F.lit(None).cast("double").alias("sq_dist"),
-        )
-    dim = int(first["d"])
-    v = v.where(F.col("v").isNotNull() & (F.size("v") == dim))
+        ).where(F.lit(False))
+    dim = int(dim_row["d"])
+    v = v.where(F.size("v") == dim)
     s = float(1 << scale_bits)
     cents = _centroids_from_sample(v, "v", k, "id", hash_fn=hash_fn)
     centroid_map = {

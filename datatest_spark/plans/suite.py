@@ -90,19 +90,25 @@ class ValidationSuite(object):
         return set(self.completed_partition_metrics(spark, manifest_dir,
                                                     run_id))
 
-    def completed_partition_metrics(self, spark, manifest_dir, run_id):
-        """{partition_key: metrics map} for partitions whose recorded
-        ``checks_done`` covers this suite's checks (latest manifest row
-        per partition wins — the file is append-only across resumes)."""
+    def _manifest_rows(self, spark, manifest_dir, run_id):
+        """Collected manifest rows for run_id ([] when none exists) —
+        ONE read serving both the resume skip-set and the input-hash
+        guard."""
         path = self._manifest_path(manifest_dir, run_id)
         try:
             mdf = spark.read.schema(MANIFEST_SCHEMA).parquet(path)
         except Exception:
-            return {}
-        check_ids = set(c.check_id for c in self.checks)
-        rows = mdf.select(
-            "partition_key", "checks_done", "metrics", "completed_at"
+            return []
+        return mdf.select(
+            "partition_key", "checks_done", "metrics", "completed_at",
+            "input_files_hash",
         ).collect()
+
+    def _metrics_from_rows(self, rows):
+        """{partition_key: metrics map} for partitions whose recorded
+        ``checks_done`` covers this suite's checks (latest manifest row
+        per partition wins — the file is append-only across resumes)."""
+        check_ids = set(c.check_id for c in self.checks)
         out = {}
         for r in sorted(rows, key=lambda r: (r["completed_at"] is not None,
                                              r["completed_at"])):
@@ -110,17 +116,17 @@ class ValidationSuite(object):
                 out[r["partition_key"]] = dict(r["metrics"] or {})
         return out
 
+    def completed_partition_metrics(self, spark, manifest_dir, run_id):
+        return self._metrics_from_rows(
+            self._manifest_rows(spark, manifest_dir, run_id)
+        )
+
     def _recorded_input_hashes(self, spark, manifest_dir, run_id):
         """Distinct non-null input_files_hash values recorded for run_id
         (empty set when no manifest exists yet)."""
-        path = self._manifest_path(manifest_dir, run_id)
-        try:
-            mdf = spark.read.schema(MANIFEST_SCHEMA).parquet(path)
-        except Exception:
-            return set()
         return {
             r["input_files_hash"]
-            for r in mdf.select("input_files_hash").distinct().collect()
+            for r in self._manifest_rows(spark, manifest_dir, run_id)
             if r["input_files_hash"] is not None
         }
 
@@ -170,13 +176,16 @@ class ValidationSuite(object):
 
         skipped_metrics = {}
         if resume and manifest_dir:
-            # a resumed run_id must be the SAME dataset: re-emitting
-            # recorded verdicts for different input would be a false
-            # pass on data that was never validated. Unhashable inputs
-            # (no files — e.g. in-memory frames) skip the guard.
-            recorded = self._recorded_input_hashes(
-                spark, manifest_dir, run_id
-            )
+            # ONE manifest read serves both the input-hash guard and the
+            # skip-set. A resumed run_id must be the SAME dataset:
+            # re-emitting recorded verdicts for different input would be
+            # a false pass on data that was never validated. Unhashable
+            # inputs (no files — e.g. in-memory frames) skip the guard.
+            mrows = self._manifest_rows(spark, manifest_dir, run_id)
+            recorded = {
+                r["input_files_hash"] for r in mrows
+                if r["input_files_hash"] is not None
+            }
             if recorded and input_files_hash and (
                 recorded != {input_files_hash}
             ):
@@ -188,9 +197,7 @@ class ValidationSuite(object):
                         run_id, sorted(recorded), input_files_hash,
                     )
                 )
-            skipped_metrics = self.completed_partition_metrics(
-                spark, manifest_dir, run_id
-            )
+            skipped_metrics = self._metrics_from_rows(mrows)
             if skipped_metrics:
                 keyed = keyed.filter(
                     ~F.col("partition_key").isin(list(skipped_metrics))
@@ -321,19 +328,23 @@ class ValidationSuite(object):
         )
 
         if violations_sink:
-            # partitioned + DYNAMIC overwrite: only partitions with new
-            # violation rows are replaced. A resumed retry (empty or
-            # partial accepted_df) must not wipe the violation evidence
-            # recorded by the original failed run — the exit code points
-            # auditors at this path. Null partition_key (table-global
-            # rows) lands in the default partition and reads back null.
             out = os.path.join(violations_sink, "run_id={0}".format(run_id))
-            (
-                accepted_df.write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("partition_key")
-                .parquet(out)
-            )
+            if not skipped:
+                # this invocation validated everything: full replace.
+                # Unpartitioned parquet stays schema-bearing even with
+                # zero rows, so a clean run's sink reads back as 0 rows
+                # (a partitioned zero-row write would emit nothing and
+                # the read would fail with UNABLE_TO_INFER_SCHEMA).
+                accepted_df.write.mode("overwrite").parquet(out)
+            else:
+                # resumed run: APPEND only the newly-validated rows — an
+                # overwrite would wipe the violation evidence the
+                # original failed run recorded (the exit code points
+                # auditors at this path). At-least-once: a crash between
+                # this append and the manifest write can duplicate a
+                # partition's rows on the next resume; dedupe on
+                # (partition_key, check_id, doc_id) if exactness matters.
+                accepted_df.write.mode("append").parquet(out)
 
         # per-partition verdicts (C4)
         wall_ms = int((time.time() - t0) * 1000)

@@ -135,6 +135,19 @@ class TestCliReviewFixes:
         assert (rc1, rc2) == (1, 1)
         assert spark.read.parquet(str(sink / "run_id=t-keep")).count() == 50
 
+    def test_clean_run_sink_readable_empty(self, spark, token_table,
+                                           tmp_path, capsys):
+        # zero violations must still leave a schema-bearing parquet dir
+        # (a partitioned zero-row write would emit nothing and the read
+        # would fail with UNABLE_TO_INFER_SCHEMA)
+        sink = tmp_path / "sink"
+        rc, s = _run(capsys, [
+            "--input", token_table, "--allowed-sources", "web,wiki",
+            "--run-id", "t-clean", "--violations-sink", str(sink),
+        ])
+        assert rc == 0
+        assert spark.read.parquet(str(sink / "run_id=t-clean")).count() == 0
+
     def test_resumed_summary_keeps_n_rows(self, spark, token_table,
                                           tmp_path, capsys):
         argv = [

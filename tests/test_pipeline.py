@@ -946,6 +946,51 @@ class TestKmeans:
         out = kmeans_assign(df, k=2, iters=2).collect()
         assert sorted(r["vec_id"] for r in out) == [1, 2]
 
+    def test_null_element_vectors_dropped(self, spark):
+        from datatest_spark.operators.similarity import kmeans_assign
+
+        df = spark.createDataFrame(
+            [(1, [0.0, 0.0]), (2, [10.0, 10.0]), (3, [10.0, None])],
+            "vec_id long, embedding array<double>",
+        )
+        out = kmeans_assign(df, k=2, iters=2).collect()
+        assert sorted(r["vec_id"] for r in out) == [1, 2]
+
+    def test_majority_dim_wins_any_order(self, spark):
+        from datatest_spark.operators.similarity import kmeans_assign
+
+        rows = [(i, [float(i), 0.0, 0.0, 0.0]) for i in range(12)]
+        rows.append((99, [5.0, 5.0]))  # corrupt 2-dim minority
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        for frame in (df, df.repartition(5), df.orderBy(F.desc("vec_id"))):
+            ids = sorted(
+                r["vec_id"]
+                for r in kmeans_assign(frame, k=2, iters=2).collect()
+            )
+            assert ids == list(range(12))
+
+    def test_iters_zero_rejected(self, spark):
+        from datatest_spark.operators.similarity import kmeans_assign
+
+        df = spark.createDataFrame(
+            [(1, [0.0])], "vec_id long, embedding array<double>"
+        )
+        with pytest.raises(ValueError, match="iters"):
+            kmeans_assign(df, k=1, iters=0)
+
+    def test_no_clusterable_vectors_empty_output(self, spark):
+        from datatest_spark.operators.similarity import kmeans_assign
+
+        df = spark.createDataFrame(
+            [(1, None), (2, [1.0, None])],
+            "vec_id long, embedding array<double>",
+        )
+        out = kmeans_assign(df, k=2, iters=2)
+        assert out.count() == 0
+        assert out.columns == ["vec_id", "cluster", "sq_dist"]
+
     def test_assignment_plan_map_only(self, spark):
         from datatest_spark.operators.similarity import _euclid_assign
 
