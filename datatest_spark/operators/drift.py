@@ -73,6 +73,24 @@ def psi(p: dict, q: dict) -> float:
     return total
 
 
+def chi2_stat(counts: dict, q: dict) -> float:
+    """Pearson chi-square of observed bucket COUNTS against baseline
+    proportions ``q`` (epsilon-smoothed like kl/psi, so mass in a bucket
+    the baseline never saw reads as a large-but-finite term rather than
+    an infinity). Unlike KL/PSI this scales with n, so its threshold can
+    be a chi-square critical value for a target p-value."""
+    n = sum(counts.values())
+    if n <= 0:
+        return 0.0
+    buckets = set(counts) | set(q)
+    total = 0.0
+    for b in buckets:
+        e = max(q.get(b, 0.0), _EPS) * n
+        d = counts.get(b, 0) - e
+        total += d * d / e
+    return total
+
+
 class DriftCheck(BaseCheck):
     """Per-source histogram drift vs a baseline (north_star drift check).
 
@@ -137,13 +155,25 @@ class DriftCheck(BaseCheck):
         are the one-sided group sets (each a violation in
         ``drift_violations``)."""
         hist = histogram(df, self.value_col, self.group_col, self.lo, self.hi, self.nbins)
-        cur = {}
+        cur, cur_n = {}, {}
         for r in hist.collect():
             cur.setdefault(r["group"], {})[r["bucket"]] = float(r["p"])
+            cur_n.setdefault(r["group"], {})[r["bucket"]] = int(r["n"])
         base = self._baseline_map()
-        fn = psi if self.metric == "psi" else kl_divergence
+        if self.metric == "chi2":
+            # chi2 consumes observed COUNTS (it scales with n, so the
+            # threshold can be a chi-square critical value); kl/psi
+            # consume proportions
+            metrics = {
+                g: chi2_stat(cur_n[g], base[g]) for g in cur if g in base
+            }
+        else:
+            fn = psi if self.metric == "psi" else kl_divergence
+            metrics = {
+                g: fn(cur[g], base[g]) for g in cur if g in base
+            }
         return (
-            {g: fn(cur[g], base[g]) for g in cur if g in base},
+            metrics,
             set(cur) - set(base),
             set(base) - set(cur),
         )

@@ -149,6 +149,33 @@ class TestDrift:
         assert kl_divergence(p, q) > 0 and psi(p, q) > 0
         assert abs(kl_divergence(p, p)) < 1e-12
 
+    def test_chi2_stat_hand_value(self):
+        from datatest_spark.operators.drift import chi2_stat
+
+        # n=40, e=(20,20): (30-20)^2/20 + (10-20)^2/20 = 10
+        assert abs(chi2_stat({1: 30, 2: 10}, {1: 0.5, 2: 0.5}) - 10.0) < 1e-9
+        assert chi2_stat({}, {1: 1.0}) == 0.0
+        # self-consistent counts -> 0
+        assert abs(chi2_stat({1: 20, 2: 20}, {1: 0.5, 2: 0.5})) < 1e-9
+
+    def test_chi2_metric_in_drift_check(self, spark, seqs):
+        base = histogram(seqs, "n_tok", "source", 0, 2048, 16)
+        # chi2 scales with n: use a 95% critical value for ~17 dof
+        chk = DriftCheck(base, lo=0, hi=2048, nbins=16,
+                         metric="chi2", threshold=27.6)
+        assert chk.drift_violations(seqs) == []
+        shifted = seqs.withColumn(
+            "n_tok",
+            F.when(F.col("source") == "web", F.col("n_tok") + 300)
+            .otherwise(F.col("n_tok")),
+        )
+        viols = chk.drift_violations(shifted)
+        assert any(
+            v["group_key"] == "web" and v["kind"] == "deviation"
+            and v["detail"]["metric"] == "chi2"
+            for v in viols
+        )
+
 
 class TestSuiteEndToEnd:
     def test_full_run(self, spark, seqs, tmp_path):
