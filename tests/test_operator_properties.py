@@ -59,7 +59,8 @@ class TestTokenEntropyProperties:
                 assert abs(r["entropy"] - h) <= 5.1e-5
                 assert abs(r["ttr"] - ttr) <= 5.1e-5
                 assert r["entropy"] >= -1e-9  # entropy is nonnegative
-                assert r["entropy"] <= math.log2(max(k, 1)) + 1e-9
+                # bound holds up to the output's 4-decimal rounding
+                assert r["entropy"] <= math.log2(max(k, 1)) + 5.1e-5
 
 
 class TestChi2Properties:
