@@ -139,6 +139,36 @@ def main():
     timings["mixture_pack_{0}".format(SYNTH_ROWS)] = round(dt, 3)
     total += dt
 
+    # tokenized-payload quality gates at scale, both MAP-ONLY passes:
+    # per-sequence unigram entropy (sorted-run aggregate) and CCNet LM
+    # scoring (broadcast fixed-point model — 50k vocab exercises the
+    # one-row broadcast-map carrier). The model is a reusable artifact
+    # like the reference table, so it is built once outside the timing.
+    from datatest_spark.operators.text import token_entropy, unigram_logloss
+    from datatest_spark.operators.text import unigram_model
+
+    token_entropy(synth).count()  # warm-up
+    dts = []
+    for _ in range(2):
+        t0 = time.time()
+        token_entropy(synth).count()
+        dts.append(time.time() - t0)
+    dt = min(dts)
+    timings["token_entropy_{0}".format(SYNTH_ROWS)] = round(dt, 3)
+    total += dt
+
+    lm = unigram_model(synth).persist()
+    lm.count()  # materialize the model once, outside the timings
+    unigram_logloss(synth, model=lm).count()  # warm-up
+    dts = []
+    for _ in range(2):
+        t0 = time.time()
+        unigram_logloss(synth, model=lm).count()
+        dts.append(time.time() - t0)
+    dt = min(dts)
+    timings["unigram_logloss_{0}".format(SYNTH_ROWS)] = round(dt, 3)
+    total += dt
+
     # flagship: full constraint suite over the synthetic tokenized table.
     # The preceding queries leave cached blocks + heap state that bleed
     # into the first suite run (measured: 15s in-context vs 10.4s
