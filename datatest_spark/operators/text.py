@@ -288,6 +288,7 @@ def unigram_logloss(
     tokens_col: str = "tokens",
     id_col: str = "doc_id",
     scale_bits: int = 20,
+    passthrough: tuple = (),
 ) -> DataFrame:
     """Per-sequence unigram cross-entropy (bits/token) against a
     broadcast LM — the CCNet-style LM quality filter: sequences whose
@@ -317,6 +318,7 @@ def unigram_logloss(
         ).cast("long")
         return df.select(
             F.col(id_col),
+            *[F.col(c) for c in passthrough],
             n0.alias("n_tokens"),
             n0.alias("n_oov"),
             F.lit(None).cast("double").alias("bits_per_token"),
@@ -356,6 +358,7 @@ def unigram_logloss(
     k = acc["k"]
     return out.select(
         F.col(id_col),
+        *[F.col(c) for c in passthrough],
         n.alias("n_tokens"),
         (n - k).alias("n_oov"),
         F.when(
@@ -421,7 +424,8 @@ def pii_scan(
 
 
 def token_entropy(
-    df: DataFrame, tokens_col: str = "tokens", id_col: str = "doc_id"
+    df: DataFrame, tokens_col: str = "tokens", id_col: str = "doc_id",
+    passthrough: tuple = (),
 ) -> DataFrame:
     """Per-sequence unigram Shannon entropy (bits) and type-token ratio
     over a token-id array — the information-density quality gate: a
@@ -490,10 +494,12 @@ def token_entropy(
     )
     out = df.select(
         F.col(id_col),
+        *[F.col(c) for c in passthrough],
         F.size(toks).cast("long").alias("n_tokens"),
         acc.alias("_acc"),
     ).select(
         id_col,
+        *passthrough,
         "n_tokens",
         (F.col("_acc")["d"]).alias("n_distinct_tokens"),
         (F.col("_acc")["s"] + close).alias("_s"),
@@ -501,6 +507,7 @@ def token_entropy(
     n = F.col("n_tokens")
     return out.select(
         id_col,
+        *passthrough,
         "n_tokens",
         "n_distinct_tokens",
         F.when(n > 0, F.round(F.log2(n) - F.col("_s") / n, 4))

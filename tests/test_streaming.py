@@ -263,3 +263,56 @@ def test_streaming_dedup_matches_batch_within_horizon(spark, tmp_path):
 
     kept_texts = [r["text"] for r in kept]
     assert sorted(kept_texts) == sorted(batch_distinct)  # one survivor each
+
+
+def test_map_only_quality_gates_stream_equals_batch(spark, tmp_path):
+    """The map-only quality gates (token entropy, PII scan, LM scoring
+    against a PRE-BUILT broadcast model) are stateless projections, so
+    they run unchanged on a structured stream: availableNow over a file
+    source must produce exactly the batch result. Pins the
+    batch/streaming unification the map-only design buys."""
+    from datatest_spark.operators.text import (
+        pii_scan, token_entropy, unigram_logloss, unigram_model,
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    df = spark.createDataFrame(
+        [
+            (1, "email me at a@b.io now", [1, 1, 2]),
+            (2, "clean text here", [2, 3, 3, 3]),
+            (3, "call 555-867-5309 ok", [5]),
+        ],
+        "doc_id long, text string, tokens array<int>",
+    )
+    df.write.mode("overwrite").parquet(src)
+    model = unigram_model(df).persist()
+    model.count()
+
+    def gates(frame):
+        # the whole gate is ONE chained projection (passthrough
+        # columns), so it is a stateless map over the stream — no
+        # stream-stream self-joins, no state store
+        s1 = pii_scan(frame, passthrough=("tokens",))
+        s2 = unigram_logloss(
+            s1, model=model, passthrough=("tokens", "has_pii")
+        ).select("doc_id", "tokens", "has_pii", "bits_per_token")
+        return token_entropy(
+            s2, passthrough=("has_pii", "bits_per_token")
+        )
+
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = (
+        gates(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    want = sorted(map(tuple, gates(df).collect()))
+    assert got == want and len(got) == 3
