@@ -894,6 +894,30 @@ def q_kmeans_clusters(spark, sf_dir):
     return kmeans_assign(e, k=8, iters=2, hash_fn="md5")
 
 
+def q_token_contamination(spark, sf_dir):
+    """Decontamination over TOKEN-ID arrays
+    (operators/decontam.token_contamination) — the GPT-3 overlap rule
+    applied to the north-star payload directly: k=4 token shingles of
+    the word-length tokenization, benchmark = every 7th doc, portable
+    string shingles (hashed=False) so DuckDB rebuilds them exactly;
+    the production default hashes shingles to xxhash64 bigints (8B per
+    broadcast entry)."""
+    from datatest_spark.operators import decontam
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.transform(
+            F.split(F.col("text"), " "), lambda w: F.length(w)
+        ).alias("tokens"),
+    )
+    bench = toks.where("doc_id % 7 = 0")
+    corpus = toks.where("doc_id % 7 <> 0")
+    return decontam.token_contamination(
+        corpus, bench, k=4, min_hits=1, hashed=False
+    )
+
+
 # ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -963,6 +987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logloss": q_unigram_logloss,
         "quality_gate_survivors": q_quality_gate,
         "kmeans_clusters": q_kmeans_clusters,
+        "token_contamination": q_token_contamination,
     }
 
 
@@ -1884,6 +1909,34 @@ def oracle_sql() -> dict[str, str]:
                         THEN ROUND(s.d * 1.0 / s.n, 4)
                    END AS ttr
             FROM W w LEFT JOIN S s USING (doc_id)
+        """,
+        "token_contamination": """
+            WITH W AS (
+                SELECT doc_id,
+                       list_transform(string_split(text, ' '),
+                                      x -> CAST(length(x) AS VARCHAR))
+                           AS toks
+                FROM documents
+            ),
+            S AS (
+                SELECT doc_id,
+                       array_to_string(toks[CAST(i AS INT)
+                                            : CAST(i AS INT) + 3], ',')
+                           AS sh
+                FROM W,
+                     UNNEST(range(1, GREATEST(len(toks) - 4 + 1, 1) + 1))
+                         AS t(i)
+                WHERE len(toks) > 0
+            ),
+            B AS (SELECT DISTINCT sh, doc_id AS bdoc FROM S
+                  WHERE doc_id % 7 = 0),
+            C AS (SELECT doc_id, sh FROM S WHERE doc_id % 7 <> 0)
+            SELECT c.doc_id,
+                   CAST(COUNT(DISTINCT c.sh) AS BIGINT) AS n_hits,
+                   CAST(COUNT(DISTINCT b.bdoc) AS BIGINT) AS n_bench_docs
+            FROM C c JOIN B b ON c.sh = b.sh
+            GROUP BY c.doc_id
+            HAVING COUNT(DISTINCT c.sh) >= 1
         """,
         "kmeans_clusters": """
             WITH V AS (

@@ -55,14 +55,22 @@ def contamination(
         text_col=bench_text_col or text_col,
         id_col=bench_id_col or id_col,
         k=k,
-    ).select(
+    )
+    corpus_sh = doc_shingles(corpus, text_col=text_col, id_col=id_col, k=k)
+    return _contamination_from_shingles(corpus_sh, bench_sh, min_hits)
+
+
+def _contamination_from_shingles(corpus_sh, bench_sh, min_hits):
+    """Shared broadcast-join skeleton over (doc_id, shingle) frames —
+    steps 1-4 of the module docstring, independent of how the shingles
+    were produced (text words or token ids)."""
+    bench_set = bench_sh.select(
         F.col("shingle").alias("_b_shingle"),
         F.col("doc_id").alias("_b_doc"),
     ).distinct()
-    corpus_sh = doc_shingles(corpus, text_col=text_col, id_col=id_col, k=k)
     hits = corpus_sh.join(
-        F.broadcast(bench_sh),
-        corpus_sh["shingle"] == bench_sh["_b_shingle"],
+        F.broadcast(bench_set),
+        corpus_sh["shingle"] == bench_set["_b_shingle"],
         "inner",
     )
     return (
@@ -73,6 +81,77 @@ def contamination(
         )
         .filter(F.col("n_hits") >= min_hits)
     )
+
+
+def token_shingles(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    k: int = 8,
+    hashed: bool = True,
+) -> DataFrame:
+    """(doc_id, shingle) for every k-token window of a token-id array —
+    the tokenized twin of ``dedup.doc_shingles``: decontamination over a
+    pretokenized corpus must shingle token ids, not re-derived text.
+
+    Sequences shorter than k yield their whole sequence as ONE shingle
+    (a short eval answer must still be matchable); null elements are
+    dropped, empty/null arrays yield no rows. ``hashed=True`` (default)
+    emits xxhash64 of the comma-joined ids — 8 bytes per shingle in the
+    broadcast set instead of a string; ``hashed=False`` keeps the
+    portable string form (cross-engine oracle).
+
+    Scale shape: one explode of ~n_tok rows per doc; the very next
+    operator in the contamination plan is the broadcast semi-join that
+    discards ~99% of the fan-out before any exchange.
+    """
+    toks = F.filter(F.col(tokens_col), lambda t: t.isNotNull())
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1)))
+    windows = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            ",",
+            F.transform(F.slice(toks, i, k), lambda t: t.cast("string")),
+        ),
+    )
+    out = (
+        df.where(n > 0)
+        .select(F.col(id_col).alias("doc_id"),
+                F.explode(windows).alias("shingle"))
+    )
+    if hashed:
+        out = out.select(
+            "doc_id", F.xxhash64(F.col("shingle")).alias("shingle")
+        )
+    return out
+
+
+def token_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    bench_tokens_col: str | None = None,
+    bench_id_col: str | None = None,
+    k: int = 8,
+    min_hits: int = 1,
+    hashed: bool = True,
+) -> DataFrame:
+    """:func:`contamination` over token-id arrays instead of text —
+    same published overlap rule, same broadcast shape, applied to the
+    north-star payload directly (no detokenization round trip)."""
+    bench_sh = token_shingles(
+        benchmark,
+        tokens_col=bench_tokens_col or tokens_col,
+        id_col=bench_id_col or id_col,
+        k=k,
+        hashed=hashed,
+    )
+    corpus_sh = token_shingles(
+        corpus, tokens_col=tokens_col, id_col=id_col, k=k, hashed=hashed
+    )
+    return _contamination_from_shingles(corpus_sh, bench_sh, min_hits)
 
 
 def decontaminate(

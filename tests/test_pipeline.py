@@ -785,6 +785,67 @@ class TestDecontamination:
         assert "SortMergeJoin" not in plan
 
 
+class TestTokenContamination:
+    def _frames(self, spark):
+        corpus = spark.createDataFrame(
+            [
+                (1, [1, 2, 3, 4, 5]),      # contains bench window 2,3,4,5
+                (2, [9, 9, 9, 9]),          # no overlap
+                (3, [2, 3, 4, 5]),          # exactly the bench sequence
+                (4, []),                     # empty: no shingles
+                (5, None),                   # null: no shingles
+            ],
+            "doc_id long, tokens array<int>",
+        )
+        bench = spark.createDataFrame(
+            [(100, [2, 3, 4, 5])], "doc_id long, tokens array<int>"
+        )
+        return corpus, bench
+
+    def test_flags_overlapping_docs(self, spark):
+        from datatest_spark.operators.decontam import token_contamination
+
+        corpus, bench = self._frames(spark)
+        got = {
+            r["doc_id"]: r
+            for r in token_contamination(corpus, bench, k=4).collect()
+        }
+        assert sorted(got) == [1, 3]
+        assert got[3]["n_hits"] == 1 and got[3]["n_bench_docs"] == 1
+
+    def test_hashed_and_string_flag_same_docs(self, spark):
+        from datatest_spark.operators.decontam import token_contamination
+
+        corpus, bench = self._frames(spark)
+        h = {r["doc_id"] for r in
+             token_contamination(corpus, bench, k=4, hashed=True).collect()}
+        s = {r["doc_id"] for r in
+             token_contamination(corpus, bench, k=4, hashed=False).collect()}
+        assert h == s == {1, 3}
+
+    def test_short_sequence_whole_shingle(self, spark):
+        from datatest_spark.operators.decontam import token_shingles
+
+        df = spark.createDataFrame(
+            [(1, [7, 8]), (2, [7])], "doc_id long, tokens array<int>"
+        )
+        rows = {
+            r["doc_id"]: r["shingle"]
+            for r in token_shingles(df, k=4, hashed=False).collect()
+        }
+        assert rows == {1: "7,8", 2: "7"}
+
+    def test_null_elements_dropped_in_shingles(self, spark):
+        from datatest_spark.operators.decontam import token_shingles
+
+        df = spark.createDataFrame(
+            [(1, [1, None, 2])], "doc_id long, tokens array<int>"
+        )
+        got = [r["shingle"] for r in
+               token_shingles(df, k=2, hashed=False).collect()]
+        assert got == ["1,2"]
+
+
 class TestRepetitionSignals:
     def test_hand_example(self, spark):
         from datatest_spark.operators import text as t
