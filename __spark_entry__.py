@@ -891,7 +891,9 @@ def q_kmeans_clusters(spark, sf_dir):
     from datatest_spark.operators.similarity import kmeans_assign
 
     e = _t(spark, sf_dir, "embeddings")
-    return kmeans_assign(e, k=8, iters=2, hash_fn="md5")
+    # dim is a schema fact of the embeddings table: passing it skips
+    # the majority-length inference pass
+    return kmeans_assign(e, k=8, iters=2, hash_fn="md5", dim=64)
 
 
 def q_token_contamination(spark, sf_dir):

@@ -51,10 +51,28 @@ def run_level(threads: int, data: str, runs: int) -> dict:
     return json.loads(line)
 
 
+def _git_head():
+    try:
+        out = subprocess.run(
+            ["git", "-C", REPO, "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, check=True,
+        )
+        return out.stdout.strip()
+    except Exception:
+        return None
+
+
 def pooled_summary(result):
     """Pool timed samples (warm-ups discarded) across every history
     entry with the same workload / rows / levels; per-level pooled
-    median -> pooled efficiency."""
+    median -> pooled efficiency.
+
+    CONTRACT: the workload string is the pool key — when the
+    benchmarked code path changes materially, bump the string so old
+    samples stop contaminating the pool. The pool measures the
+    *scaling ratio*, which is far more stable across code versions
+    than absolute times (both levels run the same code), but each
+    entry records git_head so a reviewer can scope the pool by hand."""
     hist_path = os.path.join(REPO, "BENCH", "scaling_history.jsonl")
     entries = []
     with open(hist_path) as f:
@@ -109,6 +127,10 @@ def main():
             lines = [l for l in f if l.strip()]
         result = json.loads(lines[-1])
         result.pop("pooled_across_history", None)
+        # the entry's own recorded levels drive the summary — the CLI
+        # --levels default would KeyError against history recorded at
+        # different thread counts
+        lo, hi = result["levels_n_4n"]
         _write_outputs(result, lo, hi, result["input_path"],
                        {int(k): v for k, v in result["levels"].items()},
                        result["scaling_efficiency_n_to_4n"], append=False)
@@ -145,6 +167,7 @@ def main():
             "spark.sql.execution.arrow.pyspark.enabled": "true",
             "input_layout": "parquet, 64 files, seed 42",
         },
+        "git_head": _git_head(),
     }
     _write_outputs(result, lo, hi, data, levels, eff, append=True)
 

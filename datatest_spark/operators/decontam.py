@@ -140,17 +140,40 @@ def token_contamination(
 ) -> DataFrame:
     """:func:`contamination` over token-id arrays instead of text —
     same published overlap rule, same broadcast shape, applied to the
-    north-star payload directly (no detokenization round trip)."""
+    north-star payload directly (no detokenization round trip).
+
+    Benchmark docs shorter than k shingle as ONE whole sequence — but a
+    whole-sequence shingle of length L can only string-match another
+    L-window, so the corpus ALSO emits L-windows for every short
+    benchmark length present (a training doc containing a short eval
+    answer verbatim must be flagged). The extra lengths are collected
+    from the benchmark side (tiny by contract — it gets broadcast) and
+    are at most k-1 distinct values, each one more explode over the
+    corpus; a benchmark with no short docs costs nothing extra.
+    """
+    btc = bench_tokens_col or tokens_col
+    bic = bench_id_col or id_col
     bench_sh = token_shingles(
-        benchmark,
-        tokens_col=bench_tokens_col or tokens_col,
-        id_col=bench_id_col or id_col,
-        k=k,
-        hashed=hashed,
+        benchmark, tokens_col=btc, id_col=bic, k=k, hashed=hashed
     )
     corpus_sh = token_shingles(
         corpus, tokens_col=tokens_col, id_col=id_col, k=k, hashed=hashed
     )
+    short = F.size(F.filter(F.col(btc), lambda t: t.isNotNull()))
+    short_lengths = sorted(
+        r["_l"]
+        for r in benchmark.select(short.alias("_l"))
+        .where((F.col("_l") > 0) & (F.col("_l") < k))
+        .distinct()
+        .collect()
+    )
+    for length in short_lengths:
+        corpus_sh = corpus_sh.unionByName(
+            token_shingles(
+                corpus, tokens_col=tokens_col, id_col=id_col,
+                k=int(length), hashed=hashed,
+            )
+        )
     return _contamination_from_shingles(corpus_sh, bench_sh, min_hits)
 
 

@@ -102,6 +102,8 @@ class DriftCheck(BaseCheck):
 
     check_id = "distribution_drift"
 
+    _METRICS = ("psi", "kl", "chi2")
+
     def __init__(
         self,
         baseline,
@@ -111,8 +113,28 @@ class DriftCheck(BaseCheck):
         hi=4096.0,
         nbins=32,
         metric="psi",
-        threshold=0.2,
+        threshold=None,
     ):
+        # a typo'd metric must not silently fall through to KL with a
+        # threshold calibrated for something else — that reads as
+        # "no drift anywhere", the worst failure mode for a monitor
+        if metric not in self._METRICS:
+            raise ValueError(
+                "DriftCheck metric must be one of {0}, got {1!r}".format(
+                    self._METRICS, metric
+                )
+            )
+        if threshold is None:
+            if metric == "chi2":
+                # chi2 scales with n (null expectation ~ dof): the PSI
+                # convention 0.2 would flag every group on every run.
+                # Require the caller's critical value explicitly.
+                raise ValueError(
+                    "DriftCheck(metric='chi2') needs an explicit "
+                    "threshold (a chi-square critical value for your "
+                    "bin count, e.g. 27.6 for ~17 dof at p=0.05)"
+                )
+            threshold = 0.2  # the published PSI alert convention
         self.baseline = baseline
         self.value_col = value_col
         self.group_col = group_col

@@ -491,6 +491,7 @@ def kmeans_assign(
     vec_col: str = "embedding",
     hash_fn: str = "xxhash64",
     scale_bits: int = 20,
+    dim: int | None = None,
 ) -> DataFrame:
     """Lloyd k-means over an embedding column — the semantic-clustering
     primitive (cluster-balanced mixture sampling, per-cluster dedup,
@@ -516,9 +517,12 @@ def kmeans_assign(
     assignment pass (literal/broadcast centroid carrier, zero Exchange
     — same pinned shape as ivf_assign). Centroids live on the driver
     between iterations (k x dim doubles). Null vectors, vectors with
-    null elements, and length-mismatched vectors are dropped up front
-    (the dimension is the MAJORITY length — deterministic at any
-    partition order, unlike first-row sniffing).
+    null elements, and length-mismatched vectors are dropped up front.
+    Pass ``dim`` when the embedding width is known (a schema fact in
+    any real table) to skip the inference pass; when omitted, it is the
+    MAJORITY length — deterministic at any partition order (unlike
+    first-row sniffing) at the cost of one extra aggregation over the
+    input.
     """
     if iters < 1:
         raise ValueError("kmeans_assign: iters must be >= 1")
@@ -528,21 +532,22 @@ def kmeans_assign(
         F.col("v").isNotNull()
         & ~F.exists(F.col("v"), lambda x: x.isNull())
     )
-    dim_row = (
-        v.groupBy(F.size("v").alias("d"))
-        .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy(F.col("n").desc(), F.col("d").asc())
-        .first()
-    )
-    if dim_row is None:
-        # no clusterable vectors: empty frame, same dropped-rows
-        # contract as the main path
-        return v.select(
-            F.col("id").alias(id_col),
-            F.lit(None).cast("int").alias("cluster"),
-            F.lit(None).cast("double").alias("sq_dist"),
-        ).where(F.lit(False))
-    dim = int(dim_row["d"])
+    if dim is None:
+        dim_row = (
+            v.groupBy(F.size("v").alias("d"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.col("n").desc(), F.col("d").asc())
+            .first()
+        )
+        if dim_row is None:
+            # no clusterable vectors: empty frame, same dropped-rows
+            # contract as the main path
+            return v.select(
+                F.col("id").alias(id_col),
+                F.lit(None).cast("int").alias("cluster"),
+                F.lit(None).cast("double").alias("sq_dist"),
+            ).where(F.lit(False))
+        dim = int(dim_row["d"])
     v = v.where(F.size("v") == dim)
     s = float(1 << scale_bits)
     cents = _centroids_from_sample(v, "v", k, "id", hash_fn=hash_fn)

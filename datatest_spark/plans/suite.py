@@ -121,15 +121,6 @@ class ValidationSuite(object):
             self._manifest_rows(spark, manifest_dir, run_id)
         )
 
-    def _recorded_input_hashes(self, spark, manifest_dir, run_id):
-        """Distinct non-null input_files_hash values recorded for run_id
-        (empty set when no manifest exists yet)."""
-        return {
-            r["input_files_hash"]
-            for r in self._manifest_rows(spark, manifest_dir, run_id)
-            if r["input_files_hash"] is not None
-        }
-
     def _write_manifest(self, spark, manifest_dir, run_id, partition_rows,
                         input_files_hash):
         import datetime
@@ -337,14 +328,21 @@ class ValidationSuite(object):
                 # the read would fail with UNABLE_TO_INFER_SCHEMA).
                 accepted_df.write.mode("overwrite").parquet(out)
             else:
-                # resumed run: APPEND only the newly-validated rows — an
-                # overwrite would wipe the violation evidence the
-                # original failed run recorded (the exit code points
-                # auditors at this path). At-least-once: a crash between
-                # this append and the manifest write can duplicate a
-                # partition's rows on the next resume; dedupe on
-                # (partition_key, check_id, doc_id) if exactness matters.
-                accepted_df.write.mode("append").parquet(out)
+                # resumed run: APPEND only rows from NEWLY-validated
+                # partitions — an overwrite would wipe the violation
+                # evidence the original failed run recorded (the exit
+                # code points auditors at this path), and re-derived
+                # table-global rows (schema conformance, drift-vs-
+                # filtered-frame) would otherwise duplicate on every
+                # retry (they were recorded by the original run: the
+                # manifest is only written after the sink, so manifest
+                # rows imply the sink write completed). At-least-once
+                # remains for a crash between this append and the
+                # manifest write; dedupe on (partition_key, check_id,
+                # doc_id) if exactness matters.
+                accepted_df.filter(
+                    F.col("partition_key").isin(list(all_partitions))
+                ).write.mode("append").parquet(out)
 
         # per-partition verdicts (C4)
         wall_ms = int((time.time() - t0) * 1000)

@@ -135,6 +135,21 @@ class TestCliReviewFixes:
         assert (rc1, rc2) == (1, 1)
         assert spark.read.parquet(str(sink / "run_id=t-keep")).count() == 50
 
+    def test_resumed_retry_no_duplicate_rows(self, spark, token_table,
+                                             tmp_path, capsys):
+        # retries must not append re-derived rows: sink row count is
+        # stable across ANY number of resumed retries
+        sink = tmp_path / "sink"
+        argv = [
+            "--input", token_table, "--allowed-sources", "web",
+            "--run-id", "t-nodup", "--manifest-dir", str(tmp_path / "m"),
+            "--violations-sink", str(sink),
+        ]
+        _run(capsys, argv)
+        _run(capsys, argv)
+        _run(capsys, argv)
+        assert spark.read.parquet(str(sink / "run_id=t-nodup")).count() == 50
+
     def test_clean_run_sink_readable_empty(self, spark, token_table,
                                            tmp_path, capsys):
         # zero violations must still leave a schema-bearing parquet dir

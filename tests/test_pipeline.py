@@ -845,6 +845,24 @@ class TestTokenContamination:
                token_shingles(df, k=2, hashed=False).collect()]
         assert got == ["1,2"]
 
+    def test_short_bench_answer_found_in_long_doc(self, spark):
+        # the recall hole: a whole-sequence bench shingle of length L
+        # must match L-windows of LONGER corpus docs, not only other
+        # short docs
+        from datatest_spark.operators.decontam import token_contamination
+
+        corpus = spark.createDataFrame(
+            [(1, [1, 2, 7, 8, 9, 10, 11, 12, 13]),  # contains [7,8]
+             (2, [1, 2, 3, 4, 5, 6, 9, 10, 11])],   # does not
+            "doc_id long, tokens array<int>",
+        )
+        bench = spark.createDataFrame(
+            [(100, [7, 8])], "doc_id long, tokens array<int>"
+        )
+        got = {r["doc_id"] for r in
+               token_contamination(corpus, bench, k=8).collect()}
+        assert got == {1}
+
 
 class TestRepetitionSignals:
     def test_hand_example(self, spark):

@@ -158,6 +158,16 @@ class TestDrift:
         # self-consistent counts -> 0
         assert abs(chi2_stat({1: 20, 2: 20}, {1: 0.5, 2: 0.5})) < 1e-9
 
+    def test_unknown_metric_rejected(self, spark, seqs):
+        base = histogram(seqs, "n_tok", "source", 0, 2048, 16)
+        with pytest.raises(ValueError, match="metric"):
+            DriftCheck(base, metric="chisq", threshold=27.6)
+
+    def test_chi2_requires_explicit_threshold(self, spark, seqs):
+        base = histogram(seqs, "n_tok", "source", 0, 2048, 16)
+        with pytest.raises(ValueError, match="threshold"):
+            DriftCheck(base, metric="chi2")
+
     def test_chi2_metric_in_drift_check(self, spark, seqs):
         base = histogram(seqs, "n_tok", "source", 0, 2048, 16)
         # chi2 scales with n: use a 95% critical value for ~17 dof
