@@ -920,6 +920,20 @@ def q_token_contamination(spark, sf_dir):
     )
 
 
+def q_embedding_drift(spark, sf_dir):
+    """Embedding-space drift per label
+    (operators/similarity.embedding_group_drift): each label's mean
+    embedding vs the corpus mean (L2 displacement + cosine). Fixed-
+    point per-dim sums make both means exact integers-over-n — one
+    map-side-combinable exchange of |labels| rows, then driver-side
+    IEEE arithmetic in dimension order that DuckDB reproduces with
+    SUM(term ORDER BY j)."""
+    from datatest_spark.operators.similarity import embedding_group_drift
+
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_group_drift(e, group_col="label", dim=64)
+
+
 # ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -990,6 +1004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_gate_survivors": q_quality_gate,
         "kmeans_clusters": q_kmeans_clusters,
         "token_contamination": q_token_contamination,
+        "embedding_drift": q_embedding_drift,
     }
 
 
@@ -1911,6 +1926,52 @@ def oracle_sql() -> dict[str, str]:
                         THEN ROUND(s.d * 1.0 / s.n, 4)
                    END AS ttr
             FROM W w LEFT JOIN S s USING (doc_id)
+        """,
+        "embedding_drift": """
+            WITH V AS (
+                SELECT COALESCE(CAST(label AS VARCHAR), '__null__') AS g,
+                       CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings
+                WHERE embedding IS NOT NULL AND len(embedding) = 64
+                  AND len(list_filter(embedding, x -> x IS NULL)) = 0
+            ),
+            S AS (
+                SELECT g, t.j,
+                       CAST(SUM(CAST(FLOOR(v[t.j] * 1048576.0)
+                                     AS BIGINT)) AS BIGINT) AS sm,
+                       COUNT(*) AS n
+                FROM V, UNNEST(range(1, 65)) AS t(j)
+                GROUP BY 1, 2
+            ),
+            GM AS (
+                SELECT g, j, (CAST(sm AS DOUBLE) / n) / 1048576.0 AS gm,
+                       n
+                FROM S
+            ),
+            NT AS (SELECT CAST(COUNT(*) AS BIGINT) AS tn FROM V),
+            CM AS (
+                SELECT j,
+                       (CAST(CAST(SUM(sm) AS BIGINT) AS DOUBLE) / tn)
+                           / 1048576.0 AS cm
+                FROM S CROSS JOIN NT GROUP BY j, tn
+            ),
+            D AS (
+                SELECT gm.g,
+                       MAX(gm.n) AS n,
+                       SUM((gm.gm - cm.cm) * (gm.gm - cm.cm)
+                           ORDER BY gm.j) AS d2,
+                       SUM(gm.gm * cm.cm ORDER BY gm.j) AS dt,
+                       SUM(gm.gm * gm.gm ORDER BY gm.j) AS gn,
+                       SUM(cm.cm * cm.cm ORDER BY gm.j) AS cn
+                FROM GM gm JOIN CM cm USING (j)
+                GROUP BY gm.g
+            )
+            SELECT g AS "group", CAST(n AS BIGINT) AS n_vecs,
+                   ROUND(SQRT(d2), 4) AS l2_dist,
+                   CASE WHEN SQRT(gn) * SQRT(cn) > 0 THEN
+                       ROUND(dt / (SQRT(gn) * SQRT(cn)), 4)
+                   END AS cos_sim
+            FROM D
         """,
         "token_contamination": """
             WITH W AS (

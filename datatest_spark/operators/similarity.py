@@ -586,6 +586,104 @@ def kmeans_assign(
     )
 
 
+def embedding_group_drift(
+    vectors: DataFrame,
+    vec_col: str = "embedding",
+    group_col: str = "label",
+    dim: int | None = None,
+    scale_bits: int = 20,
+) -> DataFrame:
+    """Embedding-space drift: each group's MEAN embedding displacement
+    from the corpus mean — the semantic twin of the scalar histogram
+    drift family (a source whose centroid wanders is changing content
+    even when every scalar stat looks stable).
+
+    Returns (group, n_vecs, l2_dist, cos_sim) where l2_dist/cos_sim
+    compare the group mean against the all-rows mean. Same fixed-point
+    discipline as :func:`kmeans_assign`: per-dimension sums are
+    ``floor(x * 2^scale_bits)`` bigints, so the means (and the corpus
+    mean, the exact integer sum of the group sums) are parallelism-
+    invariant and reproduced bit-for-bit by a SQL oracle; the final
+    distance arithmetic runs on those exact doubles in dimension order.
+
+    Scale shape: ONE map-side-combinable groupBy(group) carrying
+    (count + dim bigint sums) per group — a single exchange of
+    |groups| rows; everything after runs on the driver over the tiny
+    collected matrix. Null groups coalesce to '__null__'; null vectors,
+    null elements and off-dimension vectors are dropped like kmeans.
+    """
+    v = vectors.select(
+        F.coalesce(F.col(group_col).cast("string"), F.lit("__null__"))
+        .alias("g"),
+        as_double(F.col(vec_col)).alias("v"),
+    ).where(
+        F.col("v").isNotNull()
+        & ~F.exists(F.col("v"), lambda x: x.isNull())
+    )
+    if dim is None:
+        dim_row = (
+            v.groupBy(F.size("v").alias("d"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.col("n").desc(), F.col("d").asc())
+            .first()
+        )
+        if dim_row is None:
+            spark = vectors.sparkSession
+            return spark.createDataFrame(
+                [], "group string, n_vecs long, l2_dist double, "
+                    "cos_sim double"
+            )
+        dim = int(dim_row["d"])
+    v = v.where(F.size("v") == dim)
+    s = float(1 << scale_bits)
+    sums = [
+        F.sum(F.floor(F.element_at(F.col("v"), j + 1) * F.lit(s)))
+        .alias("s{0}".format(j))
+        for j in range(dim)
+    ]
+    rows = v.groupBy("g").agg(F.count(F.lit(1)).alias("n"), *sums).collect()
+    spark = vectors.sparkSession
+    if not rows:
+        return spark.createDataFrame(
+            [], "group string, n_vecs long, l2_dist double, cos_sim double"
+        )
+    total_n = sum(int(r["n"]) for r in rows)
+    # corpus mean from the EXACT integer total of the group sums
+    tot = [
+        sum(int(r["s{0}".format(j)]) for r in rows) for j in range(dim)
+    ]
+    cm = [(float(t) / total_n) / s for t in tot]
+    out = []
+    for r in sorted(rows, key=lambda r: r["g"]):
+        n = int(r["n"])
+        gm = [(float(r["s{0}".format(j)]) / n) / s for j in range(dim)]
+        # dimension-order left folds: a SQL oracle reproduces these
+        # with SUM(term ORDER BY j)
+        d2 = 0.0
+        dot_ = 0.0
+        gn = 0.0
+        cn = 0.0
+        for j in range(dim):
+            diff = gm[j] - cm[j]
+            d2 += diff * diff
+            dot_ += gm[j] * cm[j]
+            gn += gm[j] * gm[j]
+            cn += cm[j] * cm[j]
+        denom = math.sqrt(gn) * math.sqrt(cn)
+        cos = dot_ / denom if denom > 0 else None
+        out.append((r["g"], n, math.sqrt(d2), cos))
+    res = spark.createDataFrame(
+        out, "group string, n_vecs long, l2_dist double, cos_sim double"
+    )
+    # rounding happens in SPARK expressions so the half-up semantics
+    # match every other oracle query in the repo
+    return res.select(
+        "group", "n_vecs",
+        F.round("l2_dist", 4).alias("l2_dist"),
+        F.round("cos_sim", 4).alias("cos_sim"),
+    )
+
+
 def _sign_bits(v, n_planes: int, seed: int):
     """Sign of <v, plane_p> for p in [0, n_planes) as '0'/'1' Columns.
 

@@ -1084,6 +1084,66 @@ class TestKmeans:
         assert "Exchange" not in plan
 
 
+class TestEmbeddingGroupDrift:
+    def test_displaced_group_detected(self, spark):
+        from datatest_spark.operators.similarity import (
+            embedding_group_drift,
+        )
+
+        rows = [(i, "a", [0.0, 0.0]) for i in range(10)]
+        rows += [(100 + i, "b", [10.0, 10.0]) for i in range(10)]
+        rows += [(200, "b", None), (201, "a", [1.0, None])]
+        df = spark.createDataFrame(
+            rows, "vec_id long, label string, embedding array<double>"
+        )
+        got = {
+            r["group"]: r
+            for r in embedding_group_drift(df, group_col="label").collect()
+        }
+        # corpus mean = (5,5); both groups displaced by sqrt(50)
+        assert got["a"]["n_vecs"] == 10 and got["b"]["n_vecs"] == 10
+        assert abs(got["a"]["l2_dist"] - 50 ** 0.5) < 1e-3
+        assert abs(got["b"]["l2_dist"] - 50 ** 0.5) < 1e-3
+        # a's mean is the origin: cosine undefined -> null
+        assert got["a"]["cos_sim"] is None
+        assert abs(got["b"]["cos_sim"] - 1.0) < 1e-9
+
+    def test_parallelism_invariant(self, spark):
+        from datatest_spark.operators.similarity import (
+            embedding_group_drift,
+        )
+
+        import random
+
+        rng = random.Random(3)
+        rows = [
+            (i, "s%d" % (i % 3),
+             [rng.uniform(-1, 1) for _ in range(4)])
+            for i in range(60)
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id long, label string, embedding array<double>"
+        )
+        a = sorted(map(tuple, embedding_group_drift(df, group_col="label")
+                       .collect()))
+        b = sorted(map(tuple,
+                       embedding_group_drift(df.repartition(7),
+                                             group_col="label").collect()))
+        assert a == b
+
+    def test_empty_input(self, spark):
+        from datatest_spark.operators.similarity import (
+            embedding_group_drift,
+        )
+
+        df = spark.createDataFrame(
+            [], "vec_id long, label string, embedding array<double>"
+        )
+        out = embedding_group_drift(df, group_col="label")
+        assert out.count() == 0
+        assert out.columns == ["group", "n_vecs", "l2_dist", "cos_sim"]
+
+
 class TestUnigramLogloss:
     def _df(self, spark):
         return spark.createDataFrame(
