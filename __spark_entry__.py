@@ -934,6 +934,24 @@ def q_embedding_drift(spark, sf_dir):
     return embedding_group_drift(e, group_col="label", dim=64)
 
 
+def q_duplicate_spans(spark, sf_dir):
+    """Exact-substring dedup spans (operators/dedup.duplicate_spans):
+    cross-doc repeated k=8 token windows over the word-length
+    tokenization, merged into per-doc cut spans (gaps-and-islands).
+    hashed=False keeps portable string shingles for the oracle; the
+    production default groups on xxhash64 bigints."""
+    from datatest_spark.operators.dedup import duplicate_spans
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.transform(
+            F.split(F.col("text"), " "), lambda w: F.length(w)
+        ).alias("tokens"),
+    )
+    return duplicate_spans(toks, k=8, min_docs=2, hashed=False)
+
+
 # ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1005,6 +1023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_clusters": q_kmeans_clusters,
         "token_contamination": q_token_contamination,
         "embedding_drift": q_embedding_drift,
+        "duplicate_spans": q_duplicate_spans,
     }
 
 
@@ -1926,6 +1945,54 @@ def oracle_sql() -> dict[str, str]:
                         THEN ROUND(s.d * 1.0 / s.n, 4)
                    END AS ttr
             FROM W w LEFT JOIN S s USING (doc_id)
+        """,
+        "duplicate_spans": """
+            WITH W AS (
+                SELECT doc_id,
+                       list_transform(string_split(text, ' '),
+                                      x -> CAST(length(x) AS VARCHAR))
+                           AS toks
+                FROM documents
+            ),
+            P AS (
+                SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+                       array_to_string(toks[CAST(i AS INT)
+                                            : CAST(i AS INT) + 7], ',')
+                           AS sh
+                FROM W,
+                     UNNEST(range(1, GREATEST(len(toks) - 8 + 1, 0) + 1))
+                         AS t(i)
+                WHERE len(toks) >= 8
+            ),
+            C AS (
+                SELECT sh,
+                       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+                FROM P GROUP BY sh
+                HAVING COUNT(DISTINCT doc_id) >= 2
+            ),
+            D AS (
+                SELECT p.doc_id, p.pos, c.n_docs
+                FROM P p JOIN C c USING (sh)
+            ),
+            FL AS (
+                SELECT doc_id, pos, n_docs,
+                       CASE WHEN pos <= LAG(pos) OVER (
+                                PARTITION BY doc_id ORDER BY pos) + 8
+                            THEN 0 ELSE 1 END AS nw
+                FROM D
+            ),
+            ISL AS (
+                SELECT doc_id, pos, n_docs,
+                       SUM(nw) OVER (PARTITION BY doc_id
+                                     ORDER BY pos) AS isl
+                FROM FL
+            )
+            SELECT doc_id,
+                   CAST(MIN(pos) AS INT) AS span_start,
+                   CAST(MAX(pos) + 8 AS INT) AS span_end,
+                   CAST(COUNT(*) AS BIGINT) AS n_windows,
+                   CAST(MAX(n_docs) AS BIGINT) AS max_dup_docs
+            FROM ISL GROUP BY doc_id, isl
         """,
         "embedding_drift": """
             WITH V AS (

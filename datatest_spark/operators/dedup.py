@@ -495,3 +495,103 @@ def drop_near_duplicates(
         F.col("doc_id").alias(id_col)
     )
     return df.join(drop, id_col, "left_anti")
+
+
+def token_windows(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    k: int = 50,
+    hashed: bool = True,
+) -> DataFrame:
+    """(doc_id, pos, shingle) for every k-token window WITH its 0-based
+    start position — the positional sibling of
+    ``decontam.token_shingles`` (which drops positions and whole-
+    shingles short docs for set matching). Here positions matter (the
+    output feeds span merging), so docs shorter than k emit nothing.
+    Null elements are dropped before windowing."""
+    toks = F.filter(F.col(tokens_col), lambda t: t.isNotNull())
+    n = F.size(toks)
+    # greatest() keeps the expression total: the where(n >= k) filter
+    # prunes short docs, but Spark may evaluate the projection in the
+    # same codegen stage and sequence(1, negative) throws on the way
+    idx = F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1)))
+    windows = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            ",",
+            F.transform(F.slice(toks, i, k), lambda t: t.cast("string")),
+        ),
+    )
+    out = (
+        df.where(n >= k)
+        .select(F.col(id_col).alias("doc_id"), windows.alias("_w"))
+        .select("doc_id", F.posexplode(F.col("_w")).alias("pos", "shingle"))
+    )
+    if hashed:
+        out = out.select(
+            "doc_id", "pos", F.xxhash64(F.col("shingle")).alias("shingle")
+        )
+    return out
+
+
+def duplicate_spans(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    k: int = 50,
+    min_docs: int = 2,
+    hashed: bool = True,
+) -> DataFrame:
+    """Cross-document repeated k-token substrings, merged into per-doc
+    cut spans — the fixed-k Spark shape of exact-substring dedup
+    (Lee et al., "Deduplicating Training Data Makes Language Models
+    Better": duplicated spans >= k tokens are removed, not whole docs).
+    A suffix array finds variable-length repeats in one pass; at
+    distributed scale the published practice is k-token windows +
+    grouping, which this implements.
+
+    Returns (doc_id, span_start, span_end, n_windows, max_dup_docs):
+    ``[span_start, span_end)`` in 0-based token positions covers every
+    window of this doc whose k-gram also occurs in >= min_docs distinct
+    documents; overlapping/adjacent duplicate windows merge
+    (gaps-and-islands over positions).
+
+    Scale shape, honestly: one explode of ~n_tok windows per doc, one
+    (shingle) aggregation — map-side combinable, but the exchange
+    carries every distinct k-gram (this is the op's intrinsic cost; the
+    xxhash64 default ships 8B keys), one join back on shingle (AQE
+    picks the strategy), then a per-doc window over ONLY the duplicate
+    positions (a tiny fraction of the corpus after the join filter).
+    """
+    from pyspark.sql import Window
+
+    w = token_windows(df, tokens_col, id_col, k=k, hashed=hashed)
+    counts = (
+        w.groupBy("shingle")
+        .agg(F.count_distinct(F.col("doc_id")).alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+    )
+    dup = w.join(counts, "shingle")
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    flagged = dup.withColumn(
+        "_new",
+        F.when(
+            F.col("pos") <= F.lag("pos").over(win) + k, F.lit(0)
+        ).otherwise(F.lit(1)),
+    ).withColumn(
+        "_island",
+        F.sum("_new").over(
+            win.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        flagged.groupBy("doc_id", "_island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(k)).alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+            F.max("n_docs").alias("max_dup_docs"),
+        )
+        .drop("_island")
+    )

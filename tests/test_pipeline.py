@@ -864,6 +864,61 @@ class TestTokenContamination:
         assert got == {1}
 
 
+class TestDuplicateSpans:
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, [1, 2, 5, 6, 7, 8, 9, 10, 3]),  # shares [5..10] w/ 2
+                (2, [5, 6, 7, 8, 9, 10, 99, 98]),
+                (3, [40, 41, 42, 43, 44]),           # unique
+                (4, [1, 2]),                          # shorter than k
+            ],
+            "doc_id long, tokens array<int>",
+        )
+
+    def test_spans_merged_and_positioned(self, spark):
+        from datatest_spark.operators.dedup import duplicate_spans
+
+        got = {
+            r["doc_id"]: r
+            for r in duplicate_spans(self._df(spark), k=4).collect()
+        }
+        assert sorted(got) == [1, 2]
+        # doc 1: shared run at positions 2..7 -> one span [2, 8) from
+        # 3 overlapping windows
+        assert (got[1]["span_start"], got[1]["span_end"]) == (2, 8)
+        assert got[1]["n_windows"] == 3 and got[1]["max_dup_docs"] == 2
+        assert (got[2]["span_start"], got[2]["span_end"]) == (0, 6)
+
+    def test_disjoint_spans_stay_separate(self, spark):
+        from datatest_spark.operators.dedup import duplicate_spans
+
+        df = spark.createDataFrame(
+            [
+                (1, [1, 2, 3, 4] + [50] * 10 + [5, 6, 7, 8]),
+                (2, [1, 2, 3, 4, 77, 5, 6, 7, 8, 78, 79, 80, 81]),
+            ],
+            "doc_id long, tokens array<int>",
+        )
+        spans = [
+            (r["span_start"], r["span_end"])
+            for r in duplicate_spans(df, k=4).collect()
+            if r["doc_id"] == 1
+        ]
+        # the [50]*10 run is unique to doc 1: two separate spans
+        assert sorted(spans) == [(0, 4), (14, 18)]
+
+    def test_hashed_equals_string_grouping(self, spark):
+        from datatest_spark.operators.dedup import duplicate_spans
+
+        df = self._df(spark)
+        a = sorted(map(tuple,
+                       duplicate_spans(df, k=4, hashed=True).collect()))
+        b = sorted(map(tuple,
+                       duplicate_spans(df, k=4, hashed=False).collect()))
+        assert a == b
+
+
 class TestRepetitionSignals:
     def test_hand_example(self, spark):
         from datatest_spark.operators import text as t
