@@ -89,6 +89,7 @@ def token_shingles(
     id_col: str = "doc_id",
     k: int = 8,
     hashed: bool = True,
+    extra_lengths: tuple = (),
 ) -> DataFrame:
     """(doc_id, shingle) for every k-token window of a token-id array —
     the tokenized twin of ``dedup.doc_shingles``: decontamination over a
@@ -96,29 +97,56 @@ def token_shingles(
 
     Sequences shorter than k yield their whole sequence as ONE shingle
     (a short eval answer must still be matchable); null elements are
-    dropped, empty/null arrays yield no rows. ``hashed=True`` (default)
-    emits xxhash64 of the comma-joined ids — 8 bytes per shingle in the
-    broadcast set instead of a string; ``hashed=False`` keeps the
-    portable string form (cross-engine oracle).
+    dropped, empty/null arrays yield no rows. ``extra_lengths`` ALSO
+    emits exact L-token windows for each L (1 <= L < k) in the SAME
+    single pass — one scan and one explode regardless of how many
+    lengths are requested. ``hashed=True`` (default) emits xxhash64 of
+    the comma-joined ids — 8 bytes per shingle in the broadcast set
+    instead of a string; ``hashed=False`` keeps the portable string
+    form (cross-engine oracle).
 
-    Scale shape: one explode of ~n_tok rows per doc; the very next
-    operator in the contamination plan is the broadcast semi-join that
-    discards ~99% of the fan-out before any exchange.
+    Scale shape: one explode of ~n_tok rows per doc (x(1 + number of
+    extra lengths)); the very next operator in the contamination plan
+    is the broadcast semi-join that discards ~99% of the fan-out before
+    any exchange.
     """
-    toks = F.filter(F.col(tokens_col), lambda t: t.isNotNull())
+    if k < 1:
+        raise ValueError("token_shingles: k must be >= 1")
+    for length in extra_lengths:
+        if not 1 <= int(length) < k:
+            raise ValueError(
+                "token_shingles: extra_lengths must be in [1, k), got "
+                "{0!r}".format(length)
+            )
+    toks = F.transform(
+        F.filter(F.col(tokens_col), lambda t: t.isNotNull()),
+        lambda t: t.cast("string"),
+    )
     n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1)))
-    windows = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            ",",
-            F.transform(F.slice(toks, i, k), lambda t: t.cast("string")),
-        ),
+
+    def _windows(length, whole_short):
+        idx = F.sequence(
+            F.lit(1), F.greatest(n - length + 1, F.lit(1))
+        )
+        arr = F.transform(
+            idx, lambda i: F.concat_ws(",", F.slice(toks, i, length))
+        )
+        if whole_short:
+            return arr  # short docs fall back to one whole shingle
+        return F.when(n >= length, arr).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    all_windows = F.flatten(
+        F.array(
+            _windows(k, whole_short=True),
+            *[_windows(int(x), whole_short=False) for x in extra_lengths]
+        )
     )
     out = (
         df.where(n > 0)
         .select(F.col(id_col).alias("doc_id"),
-                F.explode(windows).alias("shingle"))
+                F.explode(all_windows).alias("shingle"))
     )
     if hashed:
         out = out.select(
@@ -146,34 +174,39 @@ def token_contamination(
     whole-sequence shingle of length L can only string-match another
     L-window, so the corpus ALSO emits L-windows for every short
     benchmark length present (a training doc containing a short eval
-    answer verbatim must be flagged). The extra lengths are collected
-    from the benchmark side (tiny by contract — it gets broadcast) and
-    are at most k-1 distinct values, each one more explode over the
-    corpus; a benchmark with no short docs costs nothing extra.
+    answer verbatim must be flagged). The needed lengths are collected
+    from the benchmark side (tiny by contract — it gets broadcast;
+    note this runs one small Spark job at plan-construction time) and
+    all corpus window lengths are produced in ONE scan + explode via
+    ``token_shingles(extra_lengths=...)``.
+
+    Known asymmetry: the reverse case — a CORPUS doc shorter than k
+    contained verbatim inside a longer benchmark doc — is not flagged
+    (its whole-shingle matches nothing; the benchmark emits no short
+    windows). The published rule only flags training docs carrying a
+    k-gram, and sub-k training docs are below the overlap granularity;
+    closing it would need per-channel tagging so corpus L-windows
+    don't spuriously match benchmark L-windows.
     """
+    if min_hits < 1:
+        raise ValueError("token_contamination: min_hits must be >= 1")
     btc = bench_tokens_col or tokens_col
     bic = bench_id_col or id_col
     bench_sh = token_shingles(
         benchmark, tokens_col=btc, id_col=bic, k=k, hashed=hashed
     )
-    corpus_sh = token_shingles(
-        corpus, tokens_col=tokens_col, id_col=id_col, k=k, hashed=hashed
-    )
     short = F.size(F.filter(F.col(btc), lambda t: t.isNotNull()))
-    short_lengths = sorted(
-        r["_l"]
+    short_lengths = tuple(sorted(
+        int(r["_l"])
         for r in benchmark.select(short.alias("_l"))
         .where((F.col("_l") > 0) & (F.col("_l") < k))
         .distinct()
         .collect()
+    ))
+    corpus_sh = token_shingles(
+        corpus, tokens_col=tokens_col, id_col=id_col, k=k, hashed=hashed,
+        extra_lengths=short_lengths,
     )
-    for length in short_lengths:
-        corpus_sh = corpus_sh.unionByName(
-            token_shingles(
-                corpus, tokens_col=tokens_col, id_col=id_col,
-                k=int(length), hashed=hashed,
-            )
-        )
     return _contamination_from_shingles(corpus_sh, bench_sh, min_hits)
 
 

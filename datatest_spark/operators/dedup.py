@@ -508,20 +508,24 @@ def token_windows(
     start position — the positional sibling of
     ``decontam.token_shingles`` (which drops positions and whole-
     shingles short docs for set matching). Here positions matter (the
-    output feeds span merging), so docs shorter than k emit nothing.
-    Null elements are dropped before windowing."""
-    toks = F.filter(F.col(tokens_col), lambda t: t.isNotNull())
+    output feeds span merging), so docs shorter than k emit nothing —
+    and null ELEMENTS are kept as a 'null' sentinel rather than
+    dropped: positions must index the caller's ORIGINAL array, or the
+    returned cut spans would delete the wrong tokens for every
+    preceding null."""
+    if k < 1:
+        raise ValueError("token_windows: k must be >= 1")
+    toks = F.transform(
+        F.col(tokens_col),
+        lambda t: F.coalesce(t.cast("string"), F.lit("null")),
+    )
     n = F.size(toks)
     # greatest() keeps the expression total: the where(n >= k) filter
     # prunes short docs, but Spark may evaluate the projection in the
     # same codegen stage and sequence(1, negative) throws on the way
     idx = F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1)))
     windows = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            ",",
-            F.transform(F.slice(toks, i, k), lambda t: t.cast("string")),
-        ),
+        idx, lambda i: F.concat_ws(",", F.slice(toks, i, k))
     )
     out = (
         df.where(n >= k)
@@ -542,6 +546,7 @@ def duplicate_spans(
     k: int = 50,
     min_docs: int = 2,
     hashed: bool = True,
+    strategy: str = "window",
 ) -> DataFrame:
     """Cross-document repeated k-token substrings, merged into per-doc
     cut spans — the fixed-k Spark shape of exact-substring dedup
@@ -557,22 +562,46 @@ def duplicate_spans(
     documents; overlapping/adjacent duplicate windows merge
     (gaps-and-islands over positions).
 
-    Scale shape, honestly: one explode of ~n_tok windows per doc, one
-    (shingle) aggregation — map-side combinable, but the exchange
-    carries every distinct k-gram (this is the op's intrinsic cost; the
-    xxhash64 default ships 8B keys), one join back on shingle (AQE
-    picks the strategy), then a per-doc window over ONLY the duplicate
-    positions (a tiny fraction of the corpus after the join filter).
+    Scale shape, honestly: ONE explode of ~n_tok windows per doc and
+    ONE exchange on shingle (this carries every k-gram — the op's
+    intrinsic cost; the xxhash64 default ships 8B keys). The default
+    ``strategy='window'`` computes per-shingle distinct-doc counts with
+    a window over that single exchange — the same idiom the jaccard
+    df_cap measured FASTER than agg+self-join, which would run the
+    explode twice. ``strategy='agg'`` keeps the two-pass
+    aggregate+join form for pathological fan-in (one k-gram shared by
+    millions of docs — e.g. a license header — makes the window buffer
+    that shingle's whole doc set). Then a per-doc window runs over ONLY
+    the duplicate positions (a tiny fraction after the filter).
     """
     from pyspark.sql import Window
 
+    if k < 1:
+        raise ValueError("duplicate_spans: k must be >= 1")
+    if min_docs < 1:
+        raise ValueError("duplicate_spans: min_docs must be >= 1")
     w = token_windows(df, tokens_col, id_col, k=k, hashed=hashed)
-    counts = (
-        w.groupBy("shingle")
-        .agg(F.count_distinct(F.col("doc_id")).alias("n_docs"))
-        .where(F.col("n_docs") >= min_docs)
-    )
-    dup = w.join(counts, "shingle")
+    if strategy == "window":
+        win_s = Window.partitionBy("shingle")
+        dup = (
+            w.withColumn(
+                "n_docs",
+                F.size(F.collect_set("doc_id").over(win_s)).cast("long"),
+            )
+            .where(F.col("n_docs") >= min_docs)
+        )
+    elif strategy == "agg":
+        counts = (
+            w.groupBy("shingle")
+            .agg(F.count_distinct(F.col("doc_id")).alias("n_docs"))
+            .where(F.col("n_docs") >= min_docs)
+        )
+        dup = w.join(counts, "shingle")
+    else:
+        raise ValueError(
+            "duplicate_spans: strategy must be 'window' or 'agg', got "
+            "{0!r}".format(strategy)
+        )
     win = Window.partitionBy("doc_id").orderBy("pos")
     flagged = dup.withColumn(
         "_new",

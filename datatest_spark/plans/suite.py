@@ -327,22 +327,29 @@ class ValidationSuite(object):
                 # (a partitioned zero-row write would emit nothing and
                 # the read would fail with UNABLE_TO_INFER_SCHEMA).
                 accepted_df.write.mode("overwrite").parquet(out)
-            else:
-                # resumed run: APPEND only rows from NEWLY-validated
-                # partitions — an overwrite would wipe the violation
-                # evidence the original failed run recorded (the exit
-                # code points auditors at this path), and re-derived
-                # table-global rows (schema conformance, drift-vs-
-                # filtered-frame) would otherwise duplicate on every
-                # retry (they were recorded by the original run: the
-                # manifest is only written after the sink, so manifest
-                # rows imply the sink write completed). At-least-once
-                # remains for a crash between this append and the
-                # manifest write; dedupe on (partition_key, check_id,
-                # doc_id) if exactness matters.
+            elif all_partitions:
+                # partial resume: APPEND rows that do NOT belong to
+                # already-completed partitions — an overwrite would wipe
+                # the violation evidence the original failed run
+                # recorded (the exit code points auditors at this
+                # path). The filter is by EXCLUSION of the skipped set,
+                # not inclusion of all_partitions, because drift checks
+                # key their rows by their own group_col ('lang=en'),
+                # which is a different key space from the suite
+                # partitions. Null-partition_key rows (schema
+                # conformance, require_all) are frame-independent
+                # re-derivations already recorded by the original run
+                # (the manifest is only written after the sink), so
+                # they are dropped rather than duplicated per retry.
+                # At-least-once remains for a crash between this append
+                # and the manifest write; dedupe on (partition_key,
+                # check_id, doc_id) if exactness matters.
                 accepted_df.filter(
-                    F.col("partition_key").isin(list(all_partitions))
+                    F.col("partition_key").isNotNull()
+                    & ~F.col("partition_key").isin(list(skipped))
                 ).write.mode("append").parquet(out)
+            # full-skip retry (skipped everything, validated nothing):
+            # no write at all — the original run's evidence stands
 
         # per-partition verdicts (C4)
         wall_ms = int((time.time() - t0) * 1000)

@@ -845,6 +845,29 @@ class TestTokenContamination:
                token_shingles(df, k=2, hashed=False).collect()]
         assert got == ["1,2"]
 
+    def test_extra_lengths_single_pass_and_validated(self, spark):
+        from datatest_spark.operators.decontam import token_shingles
+
+        df = spark.createDataFrame(
+            [(1, [1, 2, 3])], "doc_id long, tokens array<int>"
+        )
+        got = sorted(
+            r["shingle"]
+            for r in token_shingles(df, k=2, hashed=False,
+                                    extra_lengths=(1,)).collect()
+        )
+        assert got == ["1", "1,2", "2", "2,3", "3"]
+        # ONE explode in the plan regardless of extra lengths
+        plan = (
+            token_shingles(df, k=3, hashed=False, extra_lengths=(1, 2))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan.count("Generate explode") == 1
+        with pytest.raises(ValueError, match="extra_lengths"):
+            token_shingles(df, k=3, extra_lengths=(3,))
+        with pytest.raises(ValueError, match="k must"):
+            token_shingles(df, k=0)
+
     def test_short_bench_answer_found_in_long_doc(self, spark):
         # the recall hole: a whole-sequence bench shingle of length L
         # must match L-windows of LONGER corpus docs, not only other
@@ -917,6 +940,41 @@ class TestDuplicateSpans:
         b = sorted(map(tuple,
                        duplicate_spans(df, k=4, hashed=False).collect()))
         assert a == b
+
+    def test_agg_strategy_equals_window(self, spark):
+        from datatest_spark.operators.dedup import duplicate_spans
+
+        df = self._df(spark)
+        a = sorted(map(tuple,
+                       duplicate_spans(df, k=4,
+                                       strategy="window").collect()))
+        b = sorted(map(tuple,
+                       duplicate_spans(df, k=4, strategy="agg").collect()))
+        assert a == b
+
+    def test_positions_index_original_array(self, spark):
+        # null elements must NOT shift span positions: the caller cuts
+        # [span_start, span_end) out of its ORIGINAL tokens array
+        from datatest_spark.operators.dedup import duplicate_spans
+
+        df = spark.createDataFrame(
+            [(1, [None, 5, 6, 7, 8, 9]), (2, [5, 6, 7, 8, 55, 56])],
+            "doc_id long, tokens array<int>",
+        )
+        got = {r["doc_id"]: r for r in duplicate_spans(df, k=4).collect()}
+        assert (got[1]["span_start"], got[1]["span_end"]) == (1, 5)
+        assert (got[2]["span_start"], got[2]["span_end"]) == (0, 4)
+
+    def test_invalid_params_rejected(self, spark):
+        from datatest_spark.operators.dedup import duplicate_spans
+
+        df = self._df(spark)
+        with pytest.raises(ValueError, match="k must"):
+            duplicate_spans(df, k=0)
+        with pytest.raises(ValueError, match="min_docs"):
+            duplicate_spans(df, k=4, min_docs=0)
+        with pytest.raises(ValueError, match="strategy"):
+            duplicate_spans(df, k=4, strategy="nope")
 
 
 class TestRepetitionSignals:

@@ -249,6 +249,37 @@ class TestSuiteEndToEnd:
         assert res2.stats_rows == []
         assert res2.n_rows_total == res1.n_rows_total
 
+    def test_partial_resume_appends_only_new_partition_rows(
+        self, spark, seqs, tmp_path
+    ):
+        # run 1 records violations for its partitions; a partial resume
+        # (new partition appears) must append the NEW partition's rows
+        # without wiping or duplicating the recorded ones
+        mdir = str(tmp_path / "m")
+        sink = str(tmp_path / "v")
+        suite = north_star_suite(ALLOWED_SOURCES)
+        r1 = suite.run(seqs, run_id="pr", manifest_dir=mdir,
+                       violations_sink=sink)
+        base = spark.read.parquet(sink + "/run_id=pr")
+        n1 = base.count()
+        assert n1 > 0
+        grown = seqs.unionByName(
+            tokenized_sequences(spark, 200, seed=77, dup_rate=0,
+                                len_mismatch_rate=0, bad_source_rate=0,
+                                null_rate=0)
+            .withColumn("source", F.lit("newsrc"))  # genuinely new
+        )
+        r2 = suite.run(grown, run_id="pr", manifest_dir=mdir,
+                       violations_sink=sink)
+        after = spark.read.parquet(sink + "/run_id=pr")
+        # strictly grew (new bad-source partition rows appended), and
+        # the original partitions' rows were not duplicated
+        assert after.count() > n1
+        pre = {tuple(r) for r in base.drop("detail").collect()}
+        post = [tuple(r) for r in after.drop("detail").collect()
+                if tuple(r) in pre]
+        assert len(post) == len(pre)
+
     def test_resume_preserves_accepted_status(self, spark, seqs, tmp_path):
         from datatest_spark.differences import Extra
 
