@@ -976,6 +976,23 @@ class TestDuplicateSpans:
         with pytest.raises(ValueError, match="strategy"):
             duplicate_spans(df, k=4, strategy="nope")
 
+    def test_window_strategy_single_explode_plan(self, spark):
+        # the default strategy's whole point: the dominant explode runs
+        # ONCE (agg+self-join runs it twice — no ReusedExchange)
+        from datatest_spark.operators.dedup import duplicate_spans
+
+        df = self._df(spark)
+        plan = (
+            duplicate_spans(df, k=4)._jdf.queryExecution()
+            .executedPlan().toString()
+        )
+        assert plan.count("Generate posexplode") == 1
+        agg_plan = (
+            duplicate_spans(df, k=4, strategy="agg")._jdf.queryExecution()
+            .executedPlan().toString()
+        )
+        assert agg_plan.count("Generate posexplode") == 2
+
 
 class TestRepetitionSignals:
     def test_hand_example(self, spark):
