@@ -177,6 +177,17 @@ def minhash_lsh_pairs(
     band key — no all-pairs comparison). With verify_threshold set, the
     candidates are verified with exact n-gram Jaccard (the scale pattern:
     LSH prunes, exact verifies candidates only).
+
+    The verify pass is CANDIDATE-SCOPED: the shingle frame is left-semi
+    joined to the set of doc ids that survived banding before the
+    intersection self-join, so the dominant cost (the shared-shingle
+    fan-out join) runs over O(candidates), not O(corpus). The ``df_cap``
+    hot-shingle frequencies are still computed over the FULL corpus —
+    the jaccard value is a set similarity over the globally-capped
+    shingle space, identical to ``ngram_jaccard_pairs`` on the whole
+    corpus (and to the DuckDB oracle) for every pair that survives
+    banding. Per-doc shingle counts are unchanged by the doc-id
+    restriction (shingles are per-doc), so values match exactly.
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, k_shingle, num_hashes)
@@ -206,8 +217,51 @@ def minhash_lsh_pairs(
     )
     if verify_threshold is None:
         return cand
-    exact = ngram_jaccard_pairs(
-        df, text_col, id_col, k_shingle, verify_threshold, df_cap=df_cap
+    # Candidate-scoped exact verification: only docs that survived
+    # banding enter the shingle self-join. cand_ids is |candidates|-sized
+    # (tiny vs the corpus), so the semi-joins prune the fan-out join's
+    # inputs to candidate docs; the subsequent inner join with `cand`
+    # drops candidate×candidate pairs that never shared a band.
+    cand_ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = doc_shingles(df, text_col, id_col, k_shingle)
+    if df_cap is not None:
+        # Global (full-corpus) document frequencies keep jaccard's capped
+        # shingle space identical to ngram_jaccard_pairs over the whole
+        # corpus. Map-side-combined agg, no fan-out; the hot set
+        # (df > cap) is tiny by construction -> broadcast anti-join.
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > df_cap)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    sh = sh.join(cand_ids, "doc_id", "left_semi")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa_f = sh.alias("a")
+    sb_f = sh.alias("b")
+    inter = (
+        sa_f.join(sb_f, on="shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    exact = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= verify_threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
     )
     return cand.join(exact, ["doc_a", "doc_b"], "inner")
 
@@ -566,13 +620,19 @@ def duplicate_spans(
     ONE exchange on shingle (this carries every k-gram — the op's
     intrinsic cost; the xxhash64 default ships 8B keys). The default
     ``strategy='window'`` computes per-shingle distinct-doc counts with
-    a window over that single exchange — the same idiom the jaccard
+    windows over that single exchange — the same idiom the jaccard
     df_cap measured FASTER than agg+self-join, which would run the
-    explode twice. ``strategy='agg'`` keeps the two-pass
-    aggregate+join form for pathological fan-in (one k-gram shared by
-    millions of docs — e.g. a license header — makes the window buffer
-    that shingle's whole doc set). Then a per-doc window runs over ONLY
-    the duplicate positions (a tiny fraction after the filter).
+    explode twice. The count is dense_rank-over-doc_id then
+    max-rank-over-shingle, NOT collect_set: window rank functions
+    buffer partition ROWS in a spillable array, while a collect_set
+    frame materializes the whole doc-id set in executor memory — one
+    k-gram shared by millions of docs (a license header) would OOM the
+    set but merely spills the rank form (VERDICT r3 weak #2).
+    ``strategy='agg'`` keeps the two-pass aggregate+join alternative
+    (count_distinct is map-side partial — cheapest when duplicate
+    shingles are rare but the explode must run twice). Then a per-doc
+    window runs over ONLY the duplicate positions (a tiny fraction
+    after the filter).
     """
     from pyspark.sql import Window
 
@@ -582,12 +642,17 @@ def duplicate_spans(
         raise ValueError("duplicate_spans: min_docs must be >= 1")
     w = token_windows(df, tokens_col, id_col, k=k, hashed=hashed)
     if strategy == "window":
+        # distinct-doc count without set buffering: ties on doc_id share
+        # a dense_rank, so max(rank) over the shingle partition equals
+        # count_distinct(doc_id). Both windows hash-partition on shingle
+        # -> ONE exchange; the row buffer behind rank/max spills, a
+        # collect_set frame would not.
+        win_rank = Window.partitionBy("shingle").orderBy("doc_id")
         win_s = Window.partitionBy("shingle")
         dup = (
-            w.withColumn(
-                "n_docs",
-                F.size(F.collect_set("doc_id").over(win_s)).cast("long"),
-            )
+            w.withColumn("_rk", F.dense_rank().over(win_rank))
+            .withColumn("n_docs", F.max("_rk").over(win_s).cast("long"))
+            .drop("_rk")
             .where(F.col("n_docs") >= min_docs)
         )
     elif strategy == "agg":
