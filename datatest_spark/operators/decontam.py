@@ -165,6 +165,7 @@ def token_contamination(
     k: int = 8,
     min_hits: int = 1,
     hashed: bool = True,
+    short_lengths: tuple[int, ...] | None = None,
 ) -> DataFrame:
     """:func:`contamination` over token-id arrays instead of text —
     same published overlap rule, same broadcast shape, applied to the
@@ -179,6 +180,13 @@ def token_contamination(
     note this runs one small Spark job at plan-construction time) and
     all corpus window lengths are produced in ONE scan + explode via
     ``token_shingles(extra_lengths=...)``.
+
+    Pass ``short_lengths`` to skip that eager collect — every other
+    operator here is a pure plan builder, and callers composing plans
+    lazily (or against a benchmark frame that isn't materializable yet)
+    can precompute the distinct sub-k benchmark lengths themselves and
+    keep this one lazy too. ``short_lengths=()`` disables short-window
+    matching entirely (pure fixed-k overlap).
 
     Known asymmetry: the reverse case — a CORPUS doc shorter than k
     contained verbatim inside a longer benchmark doc — is not flagged
@@ -195,14 +203,23 @@ def token_contamination(
     bench_sh = token_shingles(
         benchmark, tokens_col=btc, id_col=bic, k=k, hashed=hashed
     )
-    short = F.size(F.filter(F.col(btc), lambda t: t.isNotNull()))
-    short_lengths = tuple(sorted(
-        int(r["_l"])
-        for r in benchmark.select(short.alias("_l"))
-        .where((F.col("_l") > 0) & (F.col("_l") < k))
-        .distinct()
-        .collect()
-    ))
+    if short_lengths is None:
+        short = F.size(F.filter(F.col(btc), lambda t: t.isNotNull()))
+        short_lengths = tuple(sorted(
+            int(r["_l"])
+            for r in benchmark.select(short.alias("_l"))
+            .where((F.col("_l") > 0) & (F.col("_l") < k))
+            .distinct()
+            .collect()
+        ))
+    else:
+        bad = [l for l in short_lengths if not (0 < int(l) < k)]
+        if bad:
+            raise ValueError(
+                "token_contamination: short_lengths must lie in (0, k); "
+                "got %r" % (bad,)
+            )
+        short_lengths = tuple(sorted(int(l) for l in set(short_lengths)))
     corpus_sh = token_shingles(
         corpus, tokens_col=tokens_col, id_col=id_col, k=k, hashed=hashed,
         extra_lengths=short_lengths,

@@ -173,11 +173,22 @@ def pack_sequences(
     keys remain globally unambiguous. The unsharded form is what the
     cross-engine oracle checks (plain SQL window, identical in DuckDB).
 
+    Rows whose ``length_col`` is NULL or negative are DROPPED up front
+    (the same drop-invalid-rows contract as ``kmeans_assign``): a null
+    length would hand the row a pack_id with null seq_len while the
+    window cumsum skips it, and a negative length would corrupt the
+    running offset of every later document in its stream. Zero-length
+    rows are kept — they occupy a position at the current offset and
+    consume no capacity.
+
     Output: ``order_col``, ``part_col`` [, ``shard``], ``pack_id``,
     ``pack_offset``, ``seq_len``.
     """
     if capacity <= 0:
         raise ValueError("capacity must be positive, got %r" % (capacity,))
+    df = df.where(
+        F.col(length_col).isNotNull() & (F.col(length_col) >= 0)
+    )
     n = F.col(length_col).cast("long")
     parts = [F.col(part_col)]
     cols = [F.col(order_col), F.col(part_col)]

@@ -71,8 +71,15 @@ def asof_join(
     # a right row with a null timestamp can never be anyone's as-of
     # match (ASOF semantics everywhere, incl. the DuckDB oracle) — but
     # asc ordering sorts NULL first, so last(ignorenulls) would pick it
-    # for left rows with no real predecessor. Exclude up front.
-    tagged_r = right.where(F.col(on).isNotNull()).select(
+    # for left rows with no real predecessor. Same for a null BY key:
+    # equi-join semantics never match NULL = NULL, but the window
+    # partitioning groups null keys together and would silently enrich
+    # a null-key left row from an unrelated null-key right row.
+    # Exclude both up front (left rows keep flowing — they just get a
+    # null match, standard left-ASOF).
+    tagged_r = right.where(
+        F.col(on).isNotNull() & F.col(by).isNotNull()
+    ).select(
         F.col(by).alias("_by"),
         F.col(on).alias("_t"),
         F.lit(0).alias("_tag"),

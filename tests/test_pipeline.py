@@ -387,6 +387,25 @@ class TestPackingMixture:
             6: (2, 5, 0, 1),   # zero-length: occupies no room, spans 1
         }
 
+    def test_pack_sequences_drops_null_and_negative_lengths(self, spark):
+        # a null length would get a pack_id with null seq_len while the
+        # cumsum skips it; a negative one corrupts every later offset in
+        # the stream — both are dropped up front (documented contract)
+        from datatest_spark.operators import packing
+
+        df = spark.createDataFrame(
+            [(1, "a", 4), (2, "a", None), (3, "a", -7), (4, "a", 8)],
+            "doc_id long, source string, n long",
+        )
+        got = {
+            r["doc_id"]: (r["pack_id"], r["pack_offset"], r["seq_len"])
+            for r in packing.pack_sequences(
+                df, length_col="n", capacity=10
+            ).collect()
+        }
+        # docs 2 and 3 gone; doc 4 packs as if they never existed
+        assert got == {1: (0, 0, 4), 4: (0, 4, 8)}
+
     def test_pack_sequences_sharded_matches_per_shard_unsharded(self, spark, docs):
         """Sharded packing == unsharded packing applied to each shard's
         subset: the scale path changes parallelism, not semantics."""
@@ -478,6 +497,27 @@ class TestAsofJoin:
             2: ("b", 20),   # latest at-or-before 25
             3: (None, None),  # user 200 has no right rows
         }
+
+    def test_null_by_keys_never_match(self, spark):
+        # equi/ASOF semantics: NULL = NULL is not a match. A null-key
+        # left row must come back unenriched even when a null-key right
+        # row precedes it in time (the window partitioning would
+        # otherwise group them together).
+        from datatest_spark.operators import temporal
+
+        left = spark.createDataFrame(
+            [(1, None, 10), (2, 100, 10)],
+            "event_id long, user_id long, t long",
+        )
+        right = spark.createDataFrame(
+            [(None, 5, "ghost"), (100, 5, "real")],
+            "user_id long, t long, tag string",
+        )
+        got = {
+            r["event_id"]: r["tag_r"]
+            for r in temporal.asof_join(left, right, on="t", by="user_id").collect()
+        }
+        assert got == {1: None, 2: "real"}
 
     def test_forward_direction(self, spark):
         from datatest_spark.operators import temporal
@@ -905,6 +945,52 @@ class TestTokenContamination:
         got = {r["doc_id"] for r in
                token_contamination(corpus, bench, k=8).collect()}
         assert got == {1}
+
+    def test_precomputed_short_lengths_skip_eager_job(self, spark):
+        # short_lengths= keeps token_contamination a PURE plan builder:
+        # no Spark job may run at construction time, and the result must
+        # equal the collect-at-build default
+        from datatest_spark.operators.decontam import token_contamination
+
+        corpus = spark.createDataFrame(
+            [(1, [1, 2, 7, 8, 9, 10, 11, 12, 13]),
+             (2, [1, 2, 3, 4, 5, 6, 9, 10, 11])],
+            "doc_id long, tokens array<int>",
+        )
+        bench = spark.createDataFrame(
+            [(100, [7, 8])], "doc_id long, tokens array<int>"
+        )
+        sc = spark.sparkContext
+        sc.setJobGroup("lazy-build-probe", "plan construction only")
+        try:
+            plan = token_contamination(corpus, bench, k=8,
+                                       short_lengths=(2,))
+        finally:
+            sc.setJobGroup("lazy-build-probe-done", "")
+        jobs = sc.statusTracker().getJobIdsForGroup("lazy-build-probe")
+        assert list(jobs) == []
+        default = {tuple(r) for r in
+                   token_contamination(corpus, bench, k=8).collect()}
+        assert {tuple(r) for r in plan.collect()} == default
+        # () disables short-window matching: the [7,8] bench doc can no
+        # longer hit anything (every corpus doc is longer than 2)
+        assert token_contamination(
+            corpus, bench, k=8, short_lengths=()
+        ).count() == 0
+
+    def test_short_lengths_validated(self, spark):
+        from datatest_spark.operators.decontam import token_contamination
+
+        corpus = spark.createDataFrame(
+            [(1, [1, 2, 3])], "doc_id long, tokens array<int>"
+        )
+        bench = spark.createDataFrame(
+            [(100, [7, 8])], "doc_id long, tokens array<int>"
+        )
+        with pytest.raises(ValueError, match="short_lengths"):
+            token_contamination(corpus, bench, k=8, short_lengths=(0,))
+        with pytest.raises(ValueError, match="short_lengths"):
+            token_contamination(corpus, bench, k=8, short_lengths=(8,))
 
 
 class TestDuplicateSpans:
