@@ -952,6 +952,54 @@ def q_duplicate_spans(spark, sf_dir):
     return duplicate_spans(toks, k=8, min_docs=2, hashed=False)
 
 
+def q_order_violations(spark, sf_dir):
+    """O1 RequiredOrder (ref: datatest RequiredOrder / assertValid order
+    semantics): positional sequence compare of region names ordered by
+    r_regionkey vs an expected list with two planted mismatches ->
+    Extra((index, actual)) / Missing((index, expected)) rows. The
+    engine emits the (index, value) pair as a JSON payload in the core
+    violation schema; re-typed here into (kind, idx, val) columns so
+    the cross-engine value compare is format-free."""
+    from datatest_spark.requirements import RequiredOrder
+
+    r = _t(spark, sf_dir, "region")
+    expected = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MOONBASE",
+                "ATLANTIS"]
+    v = RequiredOrder(expected, order_by="r_regionkey").violations(
+        r.select("r_regionkey", "r_name"), columns=["r_name"]
+    )
+    return v.select(
+        "kind",
+        F.get_json_object("value", "$.index").cast("int").alias("idx"),
+        F.get_json_object("value", "$.value").alias("val"),
+    )
+
+
+def q_accepted_count_budget(spark, sf_dir):
+    """T10 accepted.count(n) distributed: a RequiredInterval(lower=0)
+    pass over customer balances yields Deviation rows; a global budget
+    of 100 absorbs the first 100 in the engine's stable order
+    (kind, group_key, value, expected, deviation, doc_id — C5) and the
+    remainder surfaces. Exercises AcceptedCount._apply_budgeted's
+    row_number-over-stable-order plan end-to-end."""
+    from datatest_spark.acceptances import accepted
+    from datatest_spark.requirements import RequiredInterval
+
+    c = _t(spark, sf_dir, "customer")
+    v = RequiredInterval(lower=0.0).violations(
+        c.select("c_custkey", "c_acctbal"),
+        columns=["c_acctbal"],
+        id_col="c_custkey",
+    )
+    out = accepted.count(100).apply(v)
+    return out.select(
+        "kind",
+        "doc_id",
+        F.col("value").cast("double").alias("value"),
+        F.round("deviation", 4).alias("deviation"),
+    )
+
+
 # ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1024,6 +1072,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_contamination": q_token_contamination,
         "embedding_drift": q_embedding_drift,
         "duplicate_spans": q_duplicate_spans,
+        "order_violations": q_order_violations,
+        "accepted_count_budget": q_accepted_count_budget,
     }
 
 
@@ -2289,6 +2339,61 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROW_NUMBER() OVER (ORDER BY n_docs DESC, grp ASC)
                         AS INT) AS rank
             FROM C CROSS JOIN T
+        """,
+        "order_violations": """
+            WITH d AS (
+                SELECT ROW_NUMBER() OVER (ORDER BY r_regionkey) - 1 AS idx,
+                       r_name AS actual
+                FROM region
+            ),
+            req(idx, expected) AS (
+                VALUES (0, 'AFRICA'), (1, 'AMERICA'), (2, 'ASIA'),
+                       (3, 'EUROPE'), (4, 'MOONBASE'), (5, 'ATLANTIS')
+            ),
+            j AS (
+                SELECT COALESCE(d.idx, req.idx) AS idx, d.actual,
+                       req.expected,
+                       d.idx IS NOT NULL AS has_a,
+                       req.idx IS NOT NULL AS has_b
+                FROM d FULL OUTER JOIN req ON d.idx = req.idx
+            ),
+            m AS (
+                SELECT * FROM j
+                WHERE has_a <> has_b
+                   OR (has_a AND has_b
+                       AND actual IS DISTINCT FROM expected)
+            )
+            SELECT 'extra' AS kind, CAST(idx AS INT) AS idx,
+                   actual AS val
+            FROM m WHERE has_a
+            UNION ALL
+            SELECT 'missing' AS kind, CAST(idx AS INT) AS idx,
+                   expected AS val
+            FROM m WHERE has_b
+        """,
+        "accepted_count_budget": """
+            WITH v AS (
+                SELECT 'deviation' AS kind,
+                       CAST(c_custkey AS VARCHAR) AS doc_id,
+                       CAST(c_acctbal AS VARCHAR) AS value_s,
+                       CAST(c_acctbal AS DOUBLE) AS value_d,
+                       CAST(c_acctbal AS DOUBLE) - 0.0 AS deviation
+                FROM customer
+                WHERE NOT COALESCE(c_acctbal >= 0, FALSE)
+            ),
+            r AS (
+                SELECT *,
+                       ROW_NUMBER() OVER (
+                           ORDER BY kind ASC NULLS LAST,
+                                    value_s ASC NULLS LAST,
+                                    deviation ASC NULLS LAST,
+                                    doc_id ASC NULLS LAST
+                       ) AS rn
+                FROM v
+            )
+            SELECT kind, doc_id, value_d AS value,
+                   ROUND(deviation, 4) AS deviation
+            FROM r WHERE rn > 100
         """,
         # simhash_pairs / ivf_ann_topk / multimodal_features: xxhash64- or
         # numpy-derived (not expressible in DuckDB) — rows-only checks.
