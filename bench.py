@@ -34,7 +34,39 @@ def _force(df):
     df.write.mode("overwrite").format("noop").save()
 
 
+def _loadavg_1m():
+    try:
+        with open("/proc/loadavg") as fh:
+            return float(fh.read().split()[0])
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def _wait_for_quiet(threshold=4.0, max_wait=None, poll=15):
+    """This box swings 1.5-2x on sub-2s queries under its own load
+    (BENCH/BASELINE.md); a bench started at loadavg >= ~4 measures the
+    neighbors, not the code (r03's driver artifact ran at 16.8 and its
+    one guard flag was pure contention). Wait for a quiet window up to
+    BENCH_LOAD_WAIT seconds (default 300; 0 disables), then run anyway
+    — annotated, never refused, so the driver always gets its JSON."""
+    if max_wait is None:
+        max_wait = int(os.environ.get("BENCH_LOAD_WAIT", "300"))
+    la = _loadavg_1m()
+    waited = 0
+    while la is not None and la >= threshold and waited < max_wait:
+        print(
+            "bench: loadavg {0:.2f} >= {1} — waiting for a quiet window "
+            "({2}/{3}s)".format(la, threshold, waited, max_wait),
+            file=sys.stderr,
+        )
+        time.sleep(poll)
+        waited += poll
+        la = _loadavg_1m()
+    return la
+
+
 def main():
+    loadavg_start = _wait_for_quiet()
     # keep the spark-submit artifact in lockstep with the tree: the zip is
     # the production deployment unit and silently drifted once (r2 judge
     # finding #1); rebuilding here makes every driver bench run refresh it
@@ -214,6 +246,12 @@ def main():
             out["loadavg"] = [float(x) for x in fh.read().split()[:3]]
     except (OSError, ValueError):
         pass
+    # contention verdict keys on the START reading only: the end-of-run
+    # loadavg (kept above for continuity) includes the bench's own
+    # local[CPUS] threads and would flag every healthy run
+    if loadavg_start is not None:
+        out["loadavg_start"] = loadavg_start
+        out["contended"] = bool(loadavg_start >= 4.0)
 
     # round-over-round continuity: flag per-query regressions vs the BEST
     # (minimum) prior recording of that query across ALL BENCH_r{N}.json —

@@ -143,11 +143,64 @@ class ValidationSuite(object):
         mdf.coalesce(1).write.mode("append").parquet(path)
 
     # -- main entry ---------------------------------------------------------
+    @staticmethod
+    def _lock_path(manifest_dir, run_id):
+        return os.path.join(manifest_dir, "run_id={0}.lock".format(run_id))
+
     def run(self, df: DataFrame, run_id=None, manifest_dir=None, resume=True,
             violations_sink=None) -> SuiteResult:
+        """Single-writer contract per (manifest_dir, run_id): the resume
+        skip-set is read at the start and the sink append / manifest
+        write happen at the end, so two invocations of the SAME run_id
+        racing would each see the other's partitions as un-validated and
+        duplicate their violation rows. A lock file (atomic O_EXCL
+        create) in the manifest dir serializes them; a second concurrent
+        invocation fails fast with instructions. Only local/POSIX
+        manifest dirs are lockable — object-store paths (`://`) skip the
+        lock and the single-writer discipline falls to the orchestrator
+        (documented, same as Delta-less parquet sinks everywhere)."""
+        run_id = run_id or uuid.uuid4().hex[:12]
+        lock_path = None
+        lock_fd = None
+        if manifest_dir and "://" not in str(manifest_dir):
+            os.makedirs(manifest_dir, exist_ok=True)
+            lock_path = self._lock_path(manifest_dir, run_id)
+            try:
+                lock_fd = os.open(
+                    lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY
+                )
+            except FileExistsError:
+                raise RuntimeError(
+                    "run_id {0!r} is already being validated (lock file "
+                    "{1} exists): manifest + violations-sink writes are "
+                    "single-writer per run_id — a concurrent resume would "
+                    "duplicate violation rows. If the other run crashed, "
+                    "delete the lock file and retry.".format(
+                        run_id, lock_path
+                    )
+                )
+            os.write(
+                lock_fd,
+                "pid={0} ts={1}\n".format(
+                    os.getpid(), int(time.time())
+                ).encode(),
+            )
+        try:
+            return self._run_impl(
+                df, run_id, manifest_dir, resume, violations_sink
+            )
+        finally:
+            if lock_fd is not None:
+                os.close(lock_fd)
+                try:
+                    os.unlink(lock_path)
+                except OSError:
+                    pass
+
+    def _run_impl(self, df, run_id, manifest_dir, resume,
+                  violations_sink) -> SuiteResult:
         spark = df.sparkSession
         t0 = time.time()
-        run_id = run_id or uuid.uuid4().hex[:12]
 
         keyed = df.withColumn(
             "partition_key", partition_key_col(self.partition_cols)

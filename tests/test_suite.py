@@ -249,6 +249,47 @@ class TestSuiteEndToEnd:
         assert res2.stats_rows == []
         assert res2.n_rows_total == res1.n_rows_total
 
+    def test_concurrent_resume_refused_by_lock(self, spark, seqs, tmp_path):
+        # single-writer contract: a second invocation of the same run_id
+        # while the lock file exists must fail fast — two racing resumes
+        # would each read the same skip-set and append duplicate
+        # violation rows to the sink
+        import os
+
+        mdir = str(tmp_path / "manifest")
+        suite = north_star_suite(ALLOWED_SOURCES)
+        suite.run(seqs, run_id="lk", manifest_dir=mdir)
+        # lock released after a clean run
+        lock = suite._lock_path(mdir, "lk")
+        assert not os.path.exists(lock)
+        # simulate a concurrent holder
+        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.close(fd)
+        with pytest.raises(RuntimeError, match="single-writer"):
+            suite.run(seqs, run_id="lk", manifest_dir=mdir, resume=True)
+        os.unlink(lock)
+        # after the holder finishes, the resume proceeds normally
+        res = suite.run(seqs, run_id="lk", manifest_dir=mdir, resume=True)
+        assert res.stats_rows == []
+
+    def test_lock_released_when_run_raises(self, spark, seqs, tmp_path,
+                                           monkeypatch):
+        # an exception inside the run (failed stats job, refused resume,
+        # broken sink) must not leave the lock behind — otherwise every
+        # CI retry needs manual cleanup
+        import os
+
+        mdir = str(tmp_path / "manifest")
+        suite = north_star_suite(ALLOWED_SOURCES)
+
+        def boom(*a, **k):
+            raise RuntimeError("boom")
+
+        monkeypatch.setattr(suite, "_run_impl", boom)
+        with pytest.raises(RuntimeError, match="boom"):
+            suite.run(seqs, run_id="lk2", manifest_dir=mdir)
+        assert not os.path.exists(suite._lock_path(mdir, "lk2"))
+
     def test_partial_resume_appends_only_new_partition_rows(
         self, spark, seqs, tmp_path
     ):
