@@ -246,6 +246,13 @@ def token_run_stats(
 # carrier trick as similarity.IVF_LITERAL_MAX_ELEMS)
 LM_LITERAL_MAX_ENTRIES = 10_000
 
+# dense-integer vocabularies (BPE ids 0..~50k/~250k) ride a positional
+# ARRAY carrier instead of a map: element_at on an array is O(1) while
+# a map lookup scans entries. Ceiling bounds the broadcast at 32 MB of
+# longs; the density guard refuses id spaces sparser than 4x the vocab
+# (a sparse array would broadcast mostly nulls for no win).
+LM_ARRAY_CARRIER_MAX_ID = 1 << 22
+
 
 def unigram_model(
     df: DataFrame, tokens_col: str = "tokens", scale_bits: int = 20
@@ -302,9 +309,11 @@ def unigram_logloss(
     empty/null arrays yield null bits_per_token.
 
     Scale shape: the model is vocab-bounded — collected once and
-    carried as a literal map (small vocab) or a one-row broadcast map
-    (large vocab), then scoring is MAP-ONLY: one ``F.aggregate`` pass
-    per row sums bigint fixed-point log-probs inside codegen; no
+    carried as a positional array (dense integer ids: O(1) element_at,
+    the BPE-vocab fast path), a literal map (small vocab), or a one-row
+    broadcast map (large non-dense vocab — map lookups scan entries,
+    the slowest carrier), then scoring is MAP-ONLY: one ``F.aggregate``
+    pass per row sums bigint fixed-point log-probs inside codegen; no
     explode, no exchange, no Python on the corpus side.
     """
     if model is None:
@@ -323,23 +332,62 @@ def unigram_logloss(
             n0.alias("n_oov"),
             F.lit(None).cast("double").alias("bits_per_token"),
         )
-    if len(rows) <= LM_LITERAL_MAX_ENTRIES:
-        args = []
+    from pyspark.sql import types as _T
+
+    tok_type = model.select("token").schema[0].dataType
+    int_ids = isinstance(
+        tok_type, (_T.ByteType, _T.ShortType, _T.IntegerType, _T.LongType)
+    )
+    lo = hi = None
+    if int_ids:
+        ids = [int(r["token"]) for r in rows]
+        lo, hi = min(ids), max(ids)
+    if (
+        int_ids
+        and lo >= 0
+        and hi < LM_ARRAY_CARRIER_MAX_ID
+        and (hi + 1) <= max(4 * len(rows), 65536)
+    ):
+        # dense-id fast path: positional array, O(1) lookup in codegen.
+        # try_element_at wraps NEGATIVE indices (counts from the end),
+        # so out-of-vocab negative ids must be guarded to null = OOV.
+        vals = [None] * (hi + 1)
         for r in rows:
-            args.append(F.lit(r["token"]))
-            args.append(F.lit(int(r["lp_fixed"])))
-        lp_map = F.create_map(*args)
+            vals[int(r["token"])] = int(r["lp_fixed"])
+        if hi + 1 <= LM_LITERAL_MAX_ENTRIES:
+            # literal array: zero Exchange, whole plan stays map-only
+            lp_arr = F.array(
+                *[F.lit(v).cast("long") for v in vals]
+            )
+        else:
+            spark = df.sparkSession
+            one = spark.createDataFrame([(vals,)], "_lpa array<bigint>")
+            out = out.crossJoin(F.broadcast(one))
+            lp_arr = F.col("_lpa")
+
+        def _lp_of(t):
+            return F.when(t >= 0, F.try_element_at(lp_arr, t + F.lit(1)))
+
     else:
-        spark = df.sparkSession
-        elem_type = (
-            model.select("token").schema[0].dataType.simpleString()
-        )
-        one = spark.createDataFrame(
-            [({r["token"]: int(r["lp_fixed"]) for r in rows},)],
-            "_lpm map<{0},bigint>".format(elem_type),
-        )
-        out = out.crossJoin(F.broadcast(one))
-        lp_map = F.col("_lpm")
+        if len(rows) <= LM_LITERAL_MAX_ENTRIES:
+            args = []
+            for r in rows:
+                args.append(F.lit(r["token"]))
+                args.append(F.lit(int(r["lp_fixed"])))
+            lp_map = F.create_map(*args)
+        else:
+            spark = df.sparkSession
+            elem_type = tok_type.simpleString()
+            one = spark.createDataFrame(
+                [({r["token"]: int(r["lp_fixed"]) for r in rows},)],
+                "_lpm map<{0},bigint>".format(elem_type),
+            )
+            out = out.crossJoin(F.broadcast(one))
+            lp_map = F.col("_lpm")
+
+        def _lp_of(t):
+            return F.try_element_at(lp_map, t)
+
     toks = F.filter(F.col(tokens_col), lambda t: t.isNotNull())
     zero = F.struct(
         F.lit(0).cast("long").alias("s"),
@@ -347,7 +395,7 @@ def unigram_logloss(
     )
 
     def _merge(a, t):
-        lp = F.try_element_at(lp_map, t)
+        lp = _lp_of(t)
         return F.struct(
             F.when(lp.isNull(), a["s"]).otherwise(a["s"] + lp).alias("s"),
             F.when(lp.isNull(), a["k"]).otherwise(a["k"] + 1).alias("k"),

@@ -1457,6 +1457,39 @@ class TestUnigramLogloss:
         assert rows[2]["n_oov"] == 1 and rows[2]["bits_per_token"] == 1.0
         assert rows[1]["n_oov"] == 0 and rows[1]["bits_per_token"] == 1.0
 
+    def test_carriers_agree_and_guard_negative_ids(self, spark, monkeypatch):
+        # the three model carriers (positional array for dense ids,
+        # literal map, broadcast map) must score identically — including
+        # NEGATIVE and past-the-end ids, which try_element_at on the
+        # array carrier would otherwise wrap from the array's end
+        import datatest_spark.operators.text as T
+
+        df = spark.createDataFrame(
+            [(1, [0, 1, 5]), (2, [-2, 2, 99]), (3, [1, None, 2])],
+            "doc_id long, tokens array<int>",
+        )
+        m = T.unigram_model(
+            spark.createDataFrame(
+                [(1, [0, 0, 1, 2, 5])], "doc_id long, tokens array<int>"
+            )
+        )
+        base = sorted(
+            map(tuple, T.unigram_logloss(df, model=m).collect())
+        )
+        # force the map carriers by disabling the dense-array path
+        monkeypatch.setattr(T, "LM_ARRAY_CARRIER_MAX_ID", 0)
+        lit_map = sorted(
+            map(tuple, T.unigram_logloss(df, model=m).collect())
+        )
+        monkeypatch.setattr(T, "LM_LITERAL_MAX_ENTRIES", 0)
+        bcast_map = sorted(
+            map(tuple, T.unigram_logloss(df, model=m).collect())
+        )
+        assert base == lit_map == bcast_map
+        by_id = {r[0]: r for r in base}
+        # doc 2: -2 and 99 are both OOV (not wrapped into the vocab)
+        assert by_id[2][2] == 2  # n_oov
+
     def test_empty_model(self, spark):
         from datatest_spark.operators.text import (
             unigram_logloss, unigram_model,
