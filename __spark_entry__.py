@@ -1000,6 +1000,65 @@ def q_accepted_count_budget(spark, sf_dir):
     )
 
 
+def q_bigram_logloss(spark, sf_dir):
+    """n=2 LM fluency filter (operators/text.bigram_logloss): per-doc
+    bigram cross-entropy over word tokens against the corpus's own
+    conditional bigram model. Join-based scoring (the model is corpus-
+    sized, never broadcast by construction); fixed-point bigint sums
+    make the result parallelism-invariant and oracle-exact."""
+    from datatest_spark.operators.text import bigram_logloss
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split(F.col("text"), " ").alias("tokens"))
+    return bigram_logloss(toks)
+
+
+def q_context_length_profile(spark, sf_dir):
+    """Pre-packing context-window diagnostics
+    (operators/stats.context_length_profile): per-source length
+    percentiles, overflow share past capacity, and the concat-and-chop
+    pack floor."""
+    from datatest_spark.operators.stats import context_length_profile
+
+    d = _t(spark, sf_dir, "documents")
+    return context_length_profile(
+        d, length_col="n_chars", group_col="source", capacity=512
+    )
+
+
+def q_mixture_plan(spark, sf_dir):
+    """Token-budget mixture solver (operators/packing.mixture_plan):
+    per-source sampling rates hitting target token counts; rates > 1
+    are oversampling epochs consumable by mixture_sample."""
+    from datatest_spark.operators.packing import mixture_plan
+
+    d = _t(spark, sf_dir, "documents")
+    return mixture_plan(
+        d,
+        {"src0": 4000, "src1": 20000, "src2": 0},
+        length_col="n_chars",
+        source_col="source",
+    )
+
+
+def q_self_repetition_spans(spark, sf_dir):
+    """Intra-document exact-substring repetition
+    (operators/dedup.self_repetition_spans): merged cut spans of k=5
+    windows whose k-gram already occurred EARLIER in the same doc
+    (first occurrence survives). hashed=False keeps portable string
+    shingles for the oracle."""
+    from datatest_spark.operators.dedup import self_repetition_spans
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.transform(
+            F.split(F.col("text"), " "), lambda w: F.length(w)
+        ).alias("tokens"),
+    )
+    return self_repetition_spans(toks, k=5, hashed=False)
+
+
 # ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1074,6 +1133,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_spans": q_duplicate_spans,
         "order_violations": q_order_violations,
         "accepted_count_budget": q_accepted_count_budget,
+        "bigram_logloss": q_bigram_logloss,
+        "context_length_profile": q_context_length_profile,
+        "mixture_plan": q_mixture_plan,
+        "self_repetition_spans": q_self_repetition_spans,
     }
 
 
@@ -2394,6 +2457,133 @@ def oracle_sql() -> dict[str, str]:
             SELECT kind, doc_id, value_d AS value,
                    ROUND(deviation, 4) AS deviation
             FROM r WHERE rn > 100
+        """,
+        "bigram_logloss": """
+            WITH T AS (
+                SELECT doc_id, string_split(text, ' ') AS tk
+                FROM documents
+            ),
+            P AS (
+                SELECT doc_id,
+                       tk[CAST(i AS INT)] AS t1,
+                       tk[CAST(i AS INT) + 1] AS t2
+                FROM T,
+                     UNNEST(range(1, GREATEST(len(tk) - 1, 0) + 1))
+                         AS u(i)
+                WHERE len(tk) >= 2
+            ),
+            M AS (
+                SELECT t1, t2,
+                       CAST(FLOOR((LOG2(COUNT(*))
+                                   - LOG2(SUM(COUNT(*))
+                                          OVER (PARTITION BY t1)))
+                                  * 1048576.0) AS BIGINT) AS lp
+                FROM P GROUP BY t1, t2
+            ),
+            S AS (
+                SELECT p.doc_id,
+                       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                       CAST(COUNT(m.lp) AS BIGINT) AS k,
+                       CAST(SUM(m.lp) AS BIGINT) AS s
+                FROM P p
+                LEFT JOIN M m ON p.t1 = m.t1 AND p.t2 = m.t2
+                GROUP BY p.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(s.n_pairs, 0) AS BIGINT) AS n_pairs,
+                   CAST(COALESCE(s.n_pairs, 0) - COALESCE(s.k, 0)
+                        AS BIGINT) AS n_oov_pairs,
+                   CASE WHEN s.k > 0
+                        THEN ROUND((-(CAST(s.s AS DOUBLE)) / 1048576.0)
+                                   / s.k, 4)
+                   END AS bits_per_pair
+            FROM documents d LEFT JOIN S s USING (doc_id)
+        """,
+        "context_length_profile": """
+            SELECT COALESCE(source, '__null__') AS "group",
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS total_tokens,
+                   CAST(MAX(n_chars) AS BIGINT) AS max_len,
+                   ROUND(quantile_cont(n_chars, 0.5), 4) AS p50_len,
+                   ROUND(quantile_cont(n_chars, 0.95), 4) AS p95_len,
+                   CAST(SUM(CASE WHEN n_chars > 512 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_over,
+                   ROUND(CAST(SUM(GREATEST(n_chars - 512, 0)) AS DOUBLE)
+                         / CAST(SUM(n_chars) AS DOUBLE), 6)
+                       AS overflow_token_frac,
+                   CAST(CEIL(CAST(SUM(n_chars) AS DOUBLE) / 512.0)
+                        AS BIGINT) AS packs_needed
+            FROM documents
+            WHERE n_chars IS NOT NULL AND n_chars >= 0
+            GROUP BY 1
+        """,
+        "mixture_plan": """
+            WITH A AS (
+                SELECT COALESCE(source, '__null__') AS source,
+                       CAST(COUNT(*) AS BIGINT) AS n_docs,
+                       CAST(SUM(n_chars) AS BIGINT) AS available_tokens
+                FROM documents
+                WHERE n_chars IS NOT NULL AND n_chars >= 0
+                GROUP BY 1
+            ),
+            T(source, target_tokens) AS (
+                VALUES ('src0', 4000), ('src1', 20000), ('src2', 0)
+            )
+            SELECT a.source, a.n_docs, a.available_tokens,
+                   CAST(COALESCE(t.target_tokens, 0) AS BIGINT)
+                       AS target_tokens,
+                   CASE WHEN a.available_tokens > 0
+                        THEN ROUND(COALESCE(
+                            CAST(t.target_tokens AS DOUBLE)
+                            / a.available_tokens, 0.0), 6)
+                        ELSE 0.0
+                   END AS rate
+            FROM A a LEFT JOIN T t USING (source)
+        """,
+        "self_repetition_spans": """
+            WITH W AS (
+                SELECT doc_id,
+                       list_transform(string_split(text, ' '),
+                                      x -> CAST(length(x) AS VARCHAR))
+                           AS toks
+                FROM documents
+            ),
+            P AS (
+                SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+                       array_to_string(toks[CAST(i AS INT)
+                                            : CAST(i AS INT) + 4], ',')
+                           AS sh
+                FROM W,
+                     UNNEST(range(1, GREATEST(len(toks) - 5 + 1, 0) + 1))
+                         AS t(i)
+                WHERE len(toks) >= 5
+            ),
+            D AS (
+                SELECT doc_id, pos FROM (
+                    SELECT doc_id, pos,
+                           MIN(pos) OVER (PARTITION BY doc_id, sh)
+                               AS first_pos
+                    FROM P
+                ) WHERE pos > first_pos
+            ),
+            FL AS (
+                SELECT doc_id, pos,
+                       CASE WHEN pos <= LAG(pos) OVER (
+                                PARTITION BY doc_id ORDER BY pos) + 5
+                            THEN 0 ELSE 1 END AS nw
+                FROM D
+            ),
+            ISL AS (
+                SELECT doc_id, pos,
+                       SUM(nw) OVER (PARTITION BY doc_id
+                                     ORDER BY pos) AS isl
+                FROM FL
+            )
+            SELECT doc_id,
+                   CAST(MIN(pos) AS INT) AS span_start,
+                   CAST(MAX(pos) + 5 AS INT) AS span_end,
+                   CAST(COUNT(*) AS BIGINT) AS n_windows
+            FROM ISL GROUP BY doc_id, isl
         """,
         # simhash_pairs / ivf_ann_topk / multimodal_features: xxhash64- or
         # numpy-derived (not expressible in DuckDB) — rows-only checks.

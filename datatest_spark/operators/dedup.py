@@ -667,6 +667,16 @@ def duplicate_spans(
             "duplicate_spans: strategy must be 'window' or 'agg', got "
             "{0!r}".format(strategy)
         )
+    return _merge_spans(dup, k, (F.max("n_docs").alias("max_dup_docs"),))
+
+
+def _merge_spans(dup, k: int, extra_aggs=()):
+    """Gaps-and-islands merge of flagged k-token window positions into
+    per-doc ``[span_start, span_end)`` spans: windows whose starts are
+    within k of the previous flagged start overlap/abut and fuse into
+    one island. Shared tail of duplicate_spans / self_repetition_spans."""
+    from pyspark.sql import Window
+
     win = Window.partitionBy("doc_id").orderBy("pos")
     flagged = dup.withColumn(
         "_new",
@@ -685,7 +695,53 @@ def duplicate_spans(
             F.min("pos").alias("span_start"),
             (F.max("pos") + F.lit(k)).alias("span_end"),
             F.count(F.lit(1)).alias("n_windows"),
-            F.max("n_docs").alias("max_dup_docs"),
+            *extra_aggs,
         )
         .drop("_island")
     )
+
+
+def self_repetition_spans(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    k: int = 10,
+    hashed: bool = True,
+    keep_first: bool = True,
+) -> DataFrame:
+    """Intra-document repeated k-token substrings merged into per-doc
+    cut spans — the WITHIN-doc sibling of :func:`duplicate_spans`
+    (boilerplate headers, navigation loops, or a chorus repeating
+    inside one document; the self-repetition half of exact-substring
+    dedup, complementing text.repetition_signals' scalar ratios with
+    actual cuttable positions).
+
+    A window is flagged when its k-gram occurred at an EARLIER position
+    in the same document (``keep_first=True``, the cut-the-copies
+    policy: the first occurrence survives). ``keep_first=False`` flags
+    every occurrence of any repeated k-gram instead (report mode).
+    Returns (doc_id, span_start, span_end, n_windows); spans index the
+    original token array, nulls kept as sentinels.
+
+    Scale shape: ONE explode and ONE exchange (hash on doc_id) — the
+    occurrence flag sorts by (shingle, pos) and the island merge
+    re-sorts by pos inside the SAME doc_id partitioning, so Catalyst
+    inserts a Sort but no second Exchange. Per-partition memory is
+    bounded by the longest document's window count (spillable rows,
+    no set buffering)."""
+    if k < 1:
+        raise ValueError("self_repetition_spans: k must be >= 1")
+    from pyspark.sql import Window
+
+    w = token_windows(df, tokens_col, id_col, k=k, hashed=hashed)
+    occ = Window.partitionBy("doc_id").orderBy("shingle", "pos")
+    prev_same = F.col("shingle").eqNullSafe(F.lag("shingle").over(occ))
+    if keep_first:
+        flag = prev_same
+    else:
+        next_same = F.col("shingle").eqNullSafe(
+            F.lead("shingle").over(occ)
+        )
+        flag = prev_same | next_same
+    dup = w.withColumn("_rep", flag).where(F.col("_rep")).drop("_rep")
+    return _merge_spans(dup, k)

@@ -101,6 +101,77 @@ def mixture_sample(
     return out.where(F.col("epoch").cast("double") + u < rate)
 
 
+def mixture_plan(
+    df: DataFrame,
+    targets: dict,
+    length_col: str = "n_tok",
+    source_col: str = "source",
+    max_rate: float | None = None,
+) -> DataFrame:
+    """Token-budget mixture solver: per-source sampling rates that hit
+    target TOKEN counts — the step before :func:`mixture_sample`, which
+    thinks in document rates. ``targets[source]`` is the desired token
+    budget; the rate is ``target / available`` (rates above 1 mean
+    oversampling epochs, which mixture_sample supports), optionally
+    clamped at ``max_rate``.
+
+    Returns (source, n_docs, available_tokens, target_tokens, rate)
+    for every source PRESENT in the corpus; sources without a target
+    get rate 0 (dropped by the sample), targets naming absent sources
+    are ignored (they have nothing to sample from). Null/negative
+    lengths are dropped (pack_sequences' contract); null sources
+    group under '__null__' and are targetable by that name.
+
+    Scale shape: one map-side-combinable groupBy over the scan plus a
+    |sources|-row broadcast join. The collected plan is |sources| rows
+    — feed ``{r['source']: r['rate']}`` straight into mixture_sample.
+    """
+    if max_rate is not None and max_rate <= 0:
+        raise ValueError("max_rate must be positive, got %r" % (max_rate,))
+    for s, t in targets.items():
+        if t is None or float(t) < 0:
+            raise ValueError(
+                "target for source %r must be >= 0, got %r" % (s, t)
+            )
+    L = F.col(length_col).cast("long")
+    g = F.coalesce(F.col(source_col).cast("string"), F.lit("__null__"))
+    avail = (
+        df.where(L.isNotNull() & (L >= 0))
+        .groupBy(g.alias("source"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(L).alias("available_tokens"),
+        )
+    )
+    spark = df.sparkSession
+    tdf = spark.createDataFrame(
+        [(str(s), int(t)) for s, t in sorted(targets.items())],
+        "source string, target_tokens long",
+    )
+    rate = F.col("target_tokens") / F.col("available_tokens")
+    if max_rate is not None:
+        rate = F.least(rate, F.lit(float(max_rate)))
+    return (
+        avail.join(F.broadcast(tdf), "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "available_tokens",
+            F.coalesce(F.col("target_tokens"), F.lit(0)).alias(
+                "target_tokens"
+            ),
+            F.when(
+                F.col("available_tokens") > 0,
+                F.round(
+                    F.coalesce(rate, F.lit(0.0)), 6
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("rate"),
+        )
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     n_per_group,

@@ -216,3 +216,54 @@ def group_shares(
             F.row_number().over(w).alias("rank"),
         )
     )
+
+
+def context_length_profile(
+    df: DataFrame,
+    length_col: str = "n_tok",
+    group_col: str = "source",
+    capacity: int = 2048,
+) -> DataFrame:
+    """Per-group sequence-length diagnostics against a training context
+    window — the pre-packing question: how much of each source exceeds
+    the context, how many tokens truncation would burn, and how many
+    packs concatenation needs.
+
+    Returns per group: ``n_docs``, ``total_tokens``, ``max_len``,
+    exact ``p50_len``/``p95_len``, ``n_over`` (docs longer than
+    capacity), ``overflow_token_frac`` (share of tokens past the
+    capacity boundary, = the loss of truncate-at-capacity), and
+    ``packs_needed`` (ceil(total/capacity), the concatenate-and-chop
+    floor). Rows with null lengths are dropped (pack_sequences'
+    contract); negative lengths are dropped with them.
+
+    Scale shape: ONE groupBy over the scan; sums/counts/max combine
+    map-side, the exact percentiles buffer per-group values (bounded by
+    the largest source — use approx via column_stats for 10^12-row
+    groups; exactness here buys the cross-engine oracle).
+    """
+    if capacity <= 0:
+        raise ValueError("capacity must be positive, got %r" % (capacity,))
+    L = F.col(length_col).cast("long")
+    g = F.coalesce(F.col(group_col).cast("string"), F.lit("__null__"))
+    return (
+        df.where(L.isNotNull() & (L >= 0))
+        .groupBy(g.alias("group"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(L).alias("total_tokens"),
+            F.max(L).alias("max_len"),
+            F.round(F.percentile(L, F.lit(0.5)), 4).alias("p50_len"),
+            F.round(F.percentile(L, F.lit(0.95)), 4).alias("p95_len"),
+            F.sum(
+                F.when(L > capacity, F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_over"),
+            F.round(
+                F.sum(F.greatest(L - capacity, F.lit(0)))
+                / F.sum(L),
+                6,
+            ).alias("overflow_token_frac"),
+            F.ceil(F.sum(L) / F.lit(float(capacity))).cast("long")
+            .alias("packs_needed"),
+        )
+    )

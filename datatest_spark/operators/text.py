@@ -422,6 +422,124 @@ def unigram_logloss(
     )
 
 
+def _adjacent_pairs(tokens_col):
+    """(t1, t2) structs for every adjacent pair of the null-filtered
+    token array. Filtering nulls FIRST means adjacency is over the
+    surviving tokens (a null between two tokens does not break the
+    pair) — the same drop-nulls reading unigram scoring uses."""
+    toks = F.filter(F.col(tokens_col), lambda t: t.isNotNull())
+    n = F.size(toks)
+    # CASE branches evaluate lazily per row, so sequence(1, n-1) never
+    # runs for n < 2 (where it would throw) and ANSI element_at only
+    # sees in-bounds ordinals; null/short arrays yield an empty list
+    idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(
+        idx,
+        lambda i: F.struct(
+            F.element_at(toks, i).alias("t1"),
+            F.element_at(toks, i + 1).alias("t2"),
+        ),
+    )
+
+
+def bigram_model(
+    df: DataFrame, tokens_col: str = "tokens", scale_bits: int = 20
+) -> DataFrame:
+    """Corpus bigram LM as fixed-point CONDITIONAL log-probs:
+    (t1, t2, lp_fixed) with ``lp_fixed = floor(log2(c(t1,t2) /
+    c(t1,·)) * 2^scale_bits)`` as bigint — the n=2 KenLM-style step up
+    from :func:`unigram_model`, catching word-salad documents whose
+    unigram distribution looks fine.
+
+    Unlike the unigram model, the bigram vocabulary is corpus-sized
+    (up to one entry per distinct adjacent pair), so the model STAYS a
+    DataFrame — never collected to the driver, never broadcast by
+    construction; :func:`bigram_logloss` scores with a join and AQE
+    downgrades it to broadcast when the model happens to be small.
+
+    Scale shape: one explode + one (t1, t2) groupBy; the context
+    totals c(t1,·) re-aggregate the pair counts (|bigrams| rows, NOT a
+    second corpus pass)."""
+    s = float(1 << scale_bits)
+    p = (
+        df.select(F.explode(_adjacent_pairs(tokens_col)).alias("p"))
+        .select(F.col("p.t1").alias("t1"), F.col("p.t2").alias("t2"))
+    )
+    counts = p.groupBy("t1", "t2").agg(F.count(F.lit(1)).alias("_c"))
+    ctx = counts.groupBy("t1").agg(F.sum("_c").alias("_ct"))
+    return counts.join(ctx, "t1").select(
+        "t1",
+        "t2",
+        F.floor((F.log2("_c") - F.log2("_ct")) * F.lit(s))
+        .cast("long")
+        .alias("lp_fixed"),
+    )
+
+
+def bigram_logloss(
+    df: DataFrame,
+    model: DataFrame | None = None,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    scale_bits: int = 20,
+) -> DataFrame:
+    """Per-sequence bigram cross-entropy (bits/pair) against a bigram
+    LM — the n=2 fluency filter: scores how predictable each adjacent
+    pair is given its left context. Returns (id, n_pairs, n_oov_pairs,
+    bits_per_pair); pairs absent from the model count as OOV and are
+    skipped, documents with fewer than 2 non-null tokens yield null
+    bits_per_pair.
+
+    Scale shape, honestly: the model is corpus-sized so scoring is
+    JOIN-based, not broadcast-carried — one explode, one equi-join on
+    (t1, t2), one groupBy on the id. Three exchanges is the intrinsic
+    cost of an unbounded conditional model; fixed-point bigint sums
+    keep the result parallelism-invariant and oracle-exact (same trick
+    as unigram_logloss)."""
+    if model is None:
+        model = bigram_model(df, tokens_col, scale_bits)
+    pe = df.select(
+        F.col(id_col),
+        F.explode_outer(_adjacent_pairs(tokens_col)).alias("p"),
+    ).select(
+        F.col(id_col),
+        F.col("p.t1").alias("_a1"),
+        F.col("p.t2").alias("_a2"),
+    )
+    joined = pe.join(
+        model,
+        on=[pe["_a1"] == model["t1"], pe["_a2"] == model["t2"]],
+        how="left",
+    )
+    # pair tokens are non-null by construction (nulls filtered before
+    # pairing), so count(_a1) counts real pairs; explode_outer's null
+    # row for pair-less docs contributes zero
+    agg = joined.groupBy(id_col).agg(
+        F.count("_a1").alias("n_pairs"),
+        F.count("lp_fixed").alias("_k"),
+        F.sum("lp_fixed").alias("_s"),
+    )
+    k = F.col("_k")
+    return agg.select(
+        F.col(id_col),
+        F.col("n_pairs"),
+        (F.col("n_pairs") - k).alias("n_oov_pairs"),
+        F.when(
+            k > 0,
+            F.round(
+                (-(F.col("_s").cast("double"))
+                 / F.lit(float(1 << scale_bits)))
+                / k,
+                4,
+            ),
+        )
+        .otherwise(F.lit(None).cast("double"))
+        .alias("bits_per_pair"),
+    )
+
+
 # PII patterns shared by pii_scan and its oracle: restricted to RE2 ∩
 # java.util.regex syntax (character classes, bounded repetition, ASCII
 # \b / \d) so Spark and DuckDB count identical matches. No lookaround —

@@ -1888,3 +1888,192 @@ class TestVocabAndKs:
             drift.ks_from_histogram(
                 df, "x", "source", "nope", lo=0.0, hi=10.0, nbins=5
             ).collect()
+
+
+class TestBigramLM:
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [(1, ["a", "a", "b"]), (2, ["a", "b"])],
+            "doc_id long, tokens array<string>",
+        )
+
+    def test_self_model_values(self, spark):
+        import math
+
+        # pair counts: (a,a): 1, (a,b): 2; context a: 3
+        s = 1 << 20
+        lp_aa = math.floor(math.log2(1 / 3) * s)
+        lp_ab = math.floor(math.log2(2 / 3) * s)
+        rows = {
+            r["doc_id"]: r
+            for r in text.bigram_logloss(self._df(spark)).collect()
+        }
+        assert rows[1]["n_pairs"] == 2 and rows[1]["n_oov_pairs"] == 0
+        assert rows[1]["bits_per_pair"] == round(-(lp_aa + lp_ab) / s / 2, 4)
+        assert rows[2]["bits_per_pair"] == round(-lp_ab / s, 4)
+
+    def test_nulls_short_and_missing_arrays(self, spark):
+        df = spark.createDataFrame(
+            [(1, ["a", None, "b"]), (2, ["a"]), (3, []), (4, None),
+             (5, ["a", "b"])],
+            "doc_id long, tokens array<string>",
+        )
+        rows = {
+            r["doc_id"]: r for r in text.bigram_logloss(df).collect()
+        }
+        # null element dropped BEFORE pairing: doc 1 pairs (a, b)
+        assert rows[1]["n_pairs"] == 1
+        assert rows[1]["bits_per_pair"] == rows[5]["bits_per_pair"]
+        for d in (2, 3, 4):
+            assert rows[d]["n_pairs"] == 0
+            assert rows[d]["bits_per_pair"] is None
+
+    def test_oov_pairs_counted_not_scored(self, spark):
+        model = text.bigram_model(self._df(spark))
+        score = spark.createDataFrame(
+            [(9, ["a", "b", "z"])], "doc_id long, tokens array<string>"
+        )
+        r = text.bigram_logloss(score, model=model).collect()[0]
+        # (a,b) known; (b,z) OOV
+        assert r["n_pairs"] == 2 and r["n_oov_pairs"] == 1
+        assert r["bits_per_pair"] is not None
+
+
+class TestContextLengthProfile:
+    def test_hand_example(self, spark):
+        from datatest_spark.operators.stats import context_length_profile
+
+        df = spark.createDataFrame(
+            [(1, "a", 10), (2, "a", 20), (3, "a", 50), (4, "b", 100),
+             (5, "a", None), (6, "a", -5), (7, None, 30)],
+            "doc_id long, source string, n long",
+        )
+        rows = {
+            r["group"]: r
+            for r in context_length_profile(
+                df, length_col="n", group_col="source", capacity=30
+            ).collect()
+        }
+        a = rows["a"]
+        assert a["n_docs"] == 3  # null and negative lengths dropped
+        assert a["total_tokens"] == 80 and a["max_len"] == 50
+        assert a["p50_len"] == 20.0
+        assert a["n_over"] == 1
+        assert a["overflow_token_frac"] == round(20 / 80, 6)
+        assert a["packs_needed"] == 3  # ceil(80/30)
+        assert rows["__null__"]["n_docs"] == 1
+        assert rows["b"]["overflow_token_frac"] == 0.7
+
+    def test_invalid_capacity(self, spark):
+        from datatest_spark.operators.stats import context_length_profile
+
+        df = spark.createDataFrame([(1, "a", 5)],
+                                   "doc_id long, source string, n long")
+        with pytest.raises(ValueError, match="capacity"):
+            context_length_profile(df, length_col="n", capacity=0)
+
+
+class TestMixturePlan:
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [(1, "web", 100), (2, "web", 300), (3, "wiki", 50),
+             (4, None, 25), (5, "web", None)],
+            "doc_id long, source string, n_tok long",
+        )
+
+    def test_rates_hit_token_targets(self, spark):
+        from datatest_spark.operators.packing import mixture_plan
+
+        rows = {
+            r["source"]: r
+            for r in mixture_plan(
+                self._df(spark),
+                {"web": 100, "wiki": 100, "ghost": 10},
+            ).collect()
+        }
+        assert rows["web"]["available_tokens"] == 400
+        assert rows["web"]["rate"] == 0.25
+        assert rows["wiki"]["rate"] == 2.0  # oversample epochs
+        assert rows["__null__"]["rate"] == 0.0  # no target
+        assert "ghost" not in rows  # absent source ignored
+
+    def test_max_rate_clamps(self, spark):
+        from datatest_spark.operators.packing import mixture_plan
+
+        rows = {
+            r["source"]: r["rate"]
+            for r in mixture_plan(
+                self._df(spark), {"wiki": 500}, max_rate=4.0
+            ).collect()
+        }
+        assert rows["wiki"] == 4.0
+
+    def test_feeds_mixture_sample(self, spark):
+        from datatest_spark.operators.packing import (
+            mixture_plan, mixture_sample,
+        )
+
+        df = self._df(spark).where(F.col("n_tok").isNotNull())
+        plan = {
+            r["source"]: r["rate"]
+            for r in mixture_plan(df, {"web": 200}).collect()
+        }
+        kept = mixture_sample(df, plan).groupBy("source").count().collect()
+        assert all(r["source"] == "web" for r in kept)
+
+    def test_invalid_targets_rejected(self, spark):
+        from datatest_spark.operators.packing import mixture_plan
+
+        with pytest.raises(ValueError, match="target"):
+            mixture_plan(self._df(spark), {"web": -1})
+        with pytest.raises(ValueError, match="max_rate"):
+            mixture_plan(self._df(spark), {"web": 1}, max_rate=0)
+
+
+class TestSelfRepetitionSpans:
+    def test_second_occurrence_cut(self, spark):
+        df = spark.createDataFrame(
+            [(1, [1, 2, 3, 1, 2, 3, 9]), (2, [4, 5, 6, 7])],
+            "doc_id long, tokens array<int>",
+        )
+        rows = dedup.self_repetition_spans(df, k=3).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert r["doc_id"] == 1
+        assert (r["span_start"], r["span_end"], r["n_windows"]) == (3, 6, 1)
+
+    def test_report_mode_merges_both_occurrences(self, spark):
+        df = spark.createDataFrame(
+            [(1, [1, 2, 3, 1, 2, 3, 9])], "doc_id long, tokens array<int>"
+        )
+        r = dedup.self_repetition_spans(df, k=3, keep_first=False).collect()
+        assert len(r) == 1
+        assert (r[0]["span_start"], r[0]["span_end"],
+                r[0]["n_windows"]) == (0, 6, 2)
+
+    def test_hashed_equals_strings(self, spark):
+        df = spark.createDataFrame(
+            [(1, [1, 2, 1, 2, 1, 2]), (2, [9, 9, 9, 9])],
+            "doc_id long, tokens array<int>",
+        )
+        a = sorted(map(tuple,
+                       dedup.self_repetition_spans(df, k=2,
+                                                   hashed=True).collect()))
+        b = sorted(map(tuple,
+                       dedup.self_repetition_spans(df, k=2,
+                                                   hashed=False).collect()))
+        assert a == b and len(a) == 2
+
+    def test_single_exchange_plan(self, spark):
+        df = spark.createDataFrame(
+            [(1, [1, 2, 1, 2])], "doc_id long, tokens array<int>"
+        )
+        plan = (
+            dedup.self_repetition_spans(df, k=2)._jdf.queryExecution()
+            .executedPlan().toString()
+        )
+        import re
+        # one explode, one hash exchange on doc_id (the occurrence flag
+        # and the island merge share it; only a Sort separates them)
+        assert plan.count("Generate posexplode") == 1
+        assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
