@@ -420,6 +420,95 @@ class ConsistencyCheck(BaseCheck):
         return dev.unionByName(inv)
 
 
+class LengthBoundCheck(BaseCheck):
+    """Row-level context-window conformance: ``min_len <= length_col <=
+    max_len``. Too-long sequences would silently truncate at pack time;
+    zero/negative lengths are extraction failures. Out-of-bound rows
+    are Deviations vs the violated bound (same convention as
+    RequiredInterval); null lengths are Invalid (no numeric deviation).
+
+    Fusable: ``row_conditions`` folds into the suite's single scan with
+    every other row check — the marginal cost at 10^12 rows is one
+    comparison per row, not a pass."""
+
+    check_id = "length_bound"
+
+    def __init__(self, length_col="n_tok", min_len=1, max_len=None,
+                 id_col="doc_id"):
+        if max_len is None and min_len is None:
+            raise ValueError("length bound requires at least one bound")
+        if (max_len is not None and min_len is not None
+                and max_len < min_len):
+            raise ValueError(
+                "max_len %r < min_len %r" % (max_len, min_len)
+            )
+        self.length_col = length_col
+        self.min_len = min_len
+        self.max_len = max_len
+        self.id_col = id_col
+
+    def _bounds(self):
+        lo = self.min_len
+        hi = self.max_len
+        label = "[{0},{1}]".format(
+            lo if lo is not None else "-inf",
+            hi if hi is not None else "inf",
+        )
+        return lo, hi, label
+
+    def _out_of_bounds(self, lc):
+        lo, hi, _ = self._bounds()
+        cond = F.lit(False)
+        if lo is not None:
+            cond = cond | (lc < lo)
+        if hi is not None:
+            cond = cond | (lc > hi)
+        return cond
+
+    def _nearest(self, lc):
+        lo, hi, _ = self._bounds()
+        if lo is not None and hi is not None:
+            return F.when(lc < lo, F.lit(lo)).otherwise(F.lit(hi))
+        return F.lit(lo if lo is not None else hi)
+
+    def row_conditions(self, df):
+        lc = F.col(self.length_col)
+        _lo, _hi, label = self._bounds()
+        nearest = self._nearest(lc)
+        return [
+            dict(
+                cond=lc.isNotNull() & self._out_of_bounds(lc),
+                kind="deviation",
+                value=lc,
+                expected=F.lit(label),
+                deviation=lc.cast("double") - nearest.cast("double"),
+            ),
+            dict(
+                cond=lc.isNull(),
+                kind="invalid",
+                value=lc,
+                expected=F.lit(label),
+            ),
+        ]
+
+    def violations(self, df):
+        lc = F.col(self.length_col)
+        _lo, _hi, label = self._bounds()
+        nearest = self._nearest(lc)
+        dev = _sel(
+            df.filter(lc.isNotNull() & self._out_of_bounds(lc)),
+            self.check_id, "deviation", lc, expected=F.lit(label),
+            deviation=lc.cast("double") - nearest.cast("double"),
+            doc_id=F.col(self.id_col).cast("string"),
+        )
+        inv = _sel(
+            df.filter(lc.isNull()),
+            self.check_id, "invalid", lc, expected=F.lit(label),
+            doc_id=F.col(self.id_col).cast("string"),
+        )
+        return dev.unionByName(inv)
+
+
 class TokenRangeCheck(BaseCheck):
     """Every token id within [0, vocab): native forall over the array —
     no UDF, stays in codegen."""

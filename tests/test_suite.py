@@ -588,3 +588,70 @@ class TestDriftBaselineKeySpace:
                          lo=0.0, hi=10.0, nbins=10)
         with pytest.raises(ValueError, match="null bucket"):
             chk.compute(df)
+
+
+class TestLengthBoundCheck:
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [(1, "web", 10), (2, "web", 5000), (3, "web", 0),
+             (4, "wiki", None), (5, "wiki", 2048)],
+            "doc_id long, source string, n_tok long",
+        )
+
+    def test_deviations_and_invalid(self, spark):
+        from datatest_spark.operators.checks import LengthBoundCheck
+
+        suite = ValidationSuite(
+            [LengthBoundCheck(min_len=1, max_len=4096)],
+            partition_cols=("source",),
+            stats_columns=["n_tok"],
+        )
+        res = suite.run(self._df(spark), run_id="lb1")
+        rows = {r["doc_id"]: r for r in res.violations.collect()}
+        assert sorted(rows) == ["2", "3", "4"]
+        assert rows["2"]["kind"] == "deviation"
+        assert rows["2"]["deviation"] == 904.0  # 5000 - 4096
+        assert rows["3"]["deviation"] == -1.0   # 0 - 1
+        assert rows["4"]["kind"] == "invalid"
+        assert rows["2"]["expected"] == "[1,4096]"
+        assert res.failed
+
+    def test_fused_equals_standalone(self, spark):
+        from datatest_spark.operators.checks import (
+            LengthBoundCheck, fuse_row_checks,
+        )
+        from datatest_spark.operators.stats import partition_key_col
+
+        df = self._df(spark).withColumn(
+            "partition_key", partition_key_col(["source"])
+        )
+        check = LengthBoundCheck(min_len=1, max_len=4096)
+        fused = fuse_row_checks(df, [check])
+        a = sorted(map(tuple, fused.drop("detail").collect()))
+        b = sorted(map(tuple, check.violations(df).drop("detail").collect()))
+        assert a == b and len(a) == 3
+
+    def test_bounds_validated(self, spark):
+        from datatest_spark.operators.checks import LengthBoundCheck
+
+        with pytest.raises(ValueError, match="max_len"):
+            LengthBoundCheck(min_len=10, max_len=5)
+        with pytest.raises(ValueError, match="at least one bound"):
+            LengthBoundCheck(min_len=None, max_len=None)
+
+    def test_one_sided_upper(self, spark):
+        from datatest_spark.operators.checks import LengthBoundCheck
+        from datatest_spark.operators.stats import partition_key_col
+
+        df = self._df(spark).withColumn(
+            "partition_key", partition_key_col(["source"])
+        )
+        rows = {
+            r["doc_id"]: r
+            for r in LengthBoundCheck(
+                min_len=None, max_len=100
+            ).violations(df).collect()
+        }
+        assert sorted(rows) == ["2", "4", "5"]
+        assert rows["5"]["deviation"] == 2048.0 - 100.0
+        assert rows["5"]["expected"] == "[-inf,100]"
