@@ -34,6 +34,12 @@ def _force(df):
     df.write.mode("overwrite").format("noop").save()
 
 
+# above this 1-min loadavg the box's own contention dominates sub-2s
+# query timings; used by both the quiet-window wait and the contended
+# verdict so the two can never disagree
+LOAD_THRESHOLD = 4.0
+
+
 def _loadavg_1m():
     try:
         with open("/proc/loadavg") as fh:
@@ -42,7 +48,7 @@ def _loadavg_1m():
         return None
 
 
-def _wait_for_quiet(threshold=4.0, max_wait=None, poll=15):
+def _wait_for_quiet(threshold=LOAD_THRESHOLD, max_wait=None, poll=15):
     """This box swings 1.5-2x on sub-2s queries under its own load
     (BENCH/BASELINE.md); a bench started at loadavg >= ~4 measures the
     neighbors, not the code (r03's driver artifact ran at 16.8 and its
@@ -251,7 +257,7 @@ def main():
     # local[CPUS] threads and would flag every healthy run
     if loadavg_start is not None:
         out["loadavg_start"] = loadavg_start
-        out["contended"] = bool(loadavg_start >= 4.0)
+        out["contended"] = bool(loadavg_start >= LOAD_THRESHOLD)
 
     # round-over-round continuity: flag per-query regressions vs the BEST
     # (minimum) prior recording of that query across ALL BENCH_r{N}.json —

@@ -332,7 +332,10 @@ class ReferentialCheck(BaseCheck):
     def row_conditions(self, df):
         # literal allowed sets fuse into the single row-scan via isin;
         # DataFrame-valued sets need the broadcast join path (violations()).
-        if isinstance(self.allowed, DataFrame) or self.require_all:
+        # Custom id columns also fall back: the fused scan attributes
+        # violations via the frame's literal 'doc_id' column.
+        if (isinstance(self.allowed, DataFrame) or self.require_all
+                or self.id_col != "doc_id"):
             return None
         c = F.col(self.column)
         return [
@@ -380,6 +383,8 @@ class ConsistencyCheck(BaseCheck):
         self.id_col = id_col
 
     def row_conditions(self, df):
+        if self.id_col != "doc_id":  # fused scan attributes via doc_id
+            return None
         lc, ac = F.col(self.length_col), F.col(self.array_col)
         return [
             dict(
@@ -472,6 +477,12 @@ class LengthBoundCheck(BaseCheck):
         return F.lit(lo if lo is not None else hi)
 
     def row_conditions(self, df):
+        # the fused scan attributes violations via the frame's literal
+        # 'doc_id' column; with a custom id column the fused rows would
+        # be unattributable (or wrongly attributed) — keep a dedicated
+        # plan in that case
+        if self.id_col != "doc_id":
+            return None
         lc = F.col(self.length_col)
         _lo, _hi, label = self._bounds()
         nearest = self._nearest(lc)
@@ -521,6 +532,8 @@ class TokenRangeCheck(BaseCheck):
         self.id_col = id_col
 
     def row_conditions(self, df):
+        if self.id_col != "doc_id":  # fused scan attributes via doc_id
+            return None
         ac = F.col(self.array_col)
         in_range = F.forall(
             ac, lambda t: t.isNotNull() & (t >= 0) & (t < self.vocab)

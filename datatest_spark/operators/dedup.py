@@ -113,6 +113,15 @@ def ngram_jaccard_pairs(
                 .select("shingle")
             )
             sh = sh.join(F.broadcast(freq), "shingle", "left_anti")
+    return _jaccard_from_shingles(sh, threshold)
+
+
+def _jaccard_from_shingles(sh: DataFrame, threshold: float) -> DataFrame:
+    """Exact pairwise Jaccard from a prepared (doc_id, shingle) frame:
+    shared-shingle self-join intersection + per-doc sizes. Shared core
+    of ngram_jaccard_pairs (whole corpus, after the df_cap) and the
+    candidate-scoped verify inside minhash_lsh_pairs — one definition
+    keeps the two value-identical (and oracle-identical)."""
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -241,28 +250,7 @@ def minhash_lsh_pairs(
         )
         sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     sh = sh.join(cand_ids, "doc_id", "left_semi")
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    sa_f = sh.alias("a")
-    sb_f = sh.alias("b")
-    inter = (
-        sa_f.join(sb_f, on="shingle")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
-    exact = (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn(
-            "jaccard",
-            F.col("n_inter").cast("double")
-            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
-        )
-        .filter(F.col("jaccard") >= verify_threshold)
-        .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
-    )
+    exact = _jaccard_from_shingles(sh, verify_threshold)
     return cand.join(exact, ["doc_a", "doc_b"], "inner")
 
 
@@ -646,12 +634,21 @@ def duplicate_spans(
         # a dense_rank, so max(rank) over the shingle partition equals
         # count_distinct(doc_id). Both windows hash-partition on shingle
         # -> ONE exchange; the row buffer behind rank/max spills, a
-        # collect_set frame would not.
+        # collect_set frame would not. A null doc_id sorts first and
+        # takes rank 1, but count_distinct (and the 'agg' strategy, and
+        # the old collect_set) exclude nulls — subtract its presence so
+        # both strategies agree at the min_docs boundary.
         win_rank = Window.partitionBy("shingle").orderBy("doc_id")
         win_s = Window.partitionBy("shingle")
+        has_null = F.max(
+            F.when(F.col("doc_id").isNull(), 1).otherwise(0)
+        ).over(win_s)
         dup = (
             w.withColumn("_rk", F.dense_rank().over(win_rank))
-            .withColumn("n_docs", F.max("_rk").over(win_s).cast("long"))
+            .withColumn(
+                "n_docs",
+                (F.max("_rk").over(win_s) - has_null).cast("long"),
+            )
             .drop("_rk")
             .where(F.col("n_docs") >= min_docs)
         )

@@ -145,10 +145,15 @@ def mixture_plan(
     )
     spark = df.sparkSession
     tdf = spark.createDataFrame(
-        [(str(s), int(t)) for s, t in sorted(targets.items())],
+        sorted((str(s), int(t)) for s, t in targets.items()),
         "source string, target_tokens long",
     )
-    rate = F.col("target_tokens") / F.col("available_tokens")
+    # coalesce the no-target null to 0 BEFORE any clamp: F.least skips
+    # nulls, so least(null, max_rate) would hand max_rate to every
+    # source without a target instead of the documented rate 0
+    rate = F.coalesce(
+        F.col("target_tokens") / F.col("available_tokens"), F.lit(0.0)
+    )
     if max_rate is not None:
         rate = F.least(rate, F.lit(float(max_rate)))
     return (
@@ -160,12 +165,7 @@ def mixture_plan(
             F.coalesce(F.col("target_tokens"), F.lit(0)).alias(
                 "target_tokens"
             ),
-            F.when(
-                F.col("available_tokens") > 0,
-                F.round(
-                    F.coalesce(rate, F.lit(0.0)), 6
-                ),
-            )
+            F.when(F.col("available_tokens") > 0, F.round(rate, 6))
             .otherwise(F.lit(0.0))
             .alias("rate"),
         )

@@ -179,13 +179,16 @@ class ValidationSuite(object):
                         run_id, lock_path
                     )
                 )
-            os.write(
-                lock_fd,
-                "pid={0} ts={1}\n".format(
-                    os.getpid(), int(time.time())
-                ).encode(),
-            )
         try:
+            if lock_fd is not None:
+                # inside the try: a failed write (ENOSPC) must still
+                # release the lock, or every retry needs manual cleanup
+                os.write(
+                    lock_fd,
+                    "pid={0} ts={1}\n".format(
+                        os.getpid(), int(time.time())
+                    ).encode(),
+                )
             return self._run_impl(
                 df, run_id, manifest_dir, resume, violations_sink
             )

@@ -1114,6 +1114,22 @@ class TestDuplicateSpans:
         assert "collect_set" not in plan
         assert "dense_rank" in plan
 
+    def test_null_doc_id_not_a_distinct_doc(self, spark):
+        # a null-id row sharing a k-gram with exactly ONE real doc must
+        # not push n_docs to min_docs (count_distinct, the agg strategy,
+        # and the old collect_set all exclude nulls; dense_rank would
+        # count the null group without the correction)
+        from datatest_spark.operators.dedup import duplicate_spans
+
+        df = spark.createDataFrame(
+            [(1, [5, 6, 7, 8]), (None, [5, 6, 7, 8])],
+            "doc_id long, tokens array<int>",
+        )
+        for strat in ("window", "agg"):
+            assert duplicate_spans(
+                df, k=4, strategy=strat
+            ).count() == 0, strat
+
     def test_default_survives_universal_shingle(self, spark):
         # adversarial fan-in: the SAME k-token run in all 3000 docs ->
         # one window partition holding every doc. Must complete and
@@ -2007,6 +2023,26 @@ class TestMixturePlan:
             ).collect()
         }
         assert rows["wiki"] == 4.0
+        # sources WITHOUT a target must stay 0 under max_rate too —
+        # F.least skips nulls, so an unclamped null rate would become
+        # max_rate and mixture_sample would keep 4 epochs of a source
+        # that should be dropped
+        assert rows["web"] == 0.0 and rows["__null__"] == 0.0
+
+    def test_mixed_type_target_keys(self, spark):
+        from datatest_spark.operators.packing import mixture_plan
+
+        df = spark.createDataFrame(
+            [(1, 7, 100), (2, None, 50)],
+            "doc_id long, source long, n_tok long",
+        )
+        rows = {
+            r["source"]: r["rate"]
+            for r in mixture_plan(
+                df, {7: 50, "__null__": 100}
+            ).collect()
+        }
+        assert rows["7"] == 0.5 and rows["__null__"] == 2.0
 
     def test_feeds_mixture_sample(self, spark):
         from datatest_spark.operators.packing import (
