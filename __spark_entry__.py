@@ -1059,6 +1059,29 @@ def q_self_repetition_spans(spark, sf_dir):
     return self_repetition_spans(toks, k=5, hashed=False)
 
 
+def q_length_bound_violations(spark, sf_dir):
+    """Row-level context-window conformance
+    (operators/checks.LengthBoundCheck): documents whose n_chars falls
+    outside [150, 400] surface as Deviations against the violated bound,
+    nulls as Invalid; partition-attributed via the suite's
+    partition_key convention."""
+    from datatest_spark.operators.checks import LengthBoundCheck
+    from datatest_spark.operators.stats import partition_key_col
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "partition_key", partition_key_col(["source"])
+    )
+    v = LengthBoundCheck(
+        length_col="n_chars", min_len=150, max_len=400
+    ).violations(d)
+    return v.select(
+        "check_id", "kind", "partition_key", "doc_id",
+        F.col("value").cast("long").alias("value"),
+        "expected",
+        F.round("deviation", 4).alias("deviation"),
+    )
+
+
 # ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1137,6 +1160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "context_length_profile": q_context_length_profile,
         "mixture_plan": q_mixture_plan,
         "self_repetition_spans": q_self_repetition_spans,
+        "length_bound_violations": q_length_bound_violations,
     }
 
 
@@ -2584,6 +2608,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(pos) + 5 AS INT) AS span_end,
                    CAST(COUNT(*) AS BIGINT) AS n_windows
             FROM ISL GROUP BY doc_id, isl
+        """,
+        "length_bound_violations": """
+            SELECT 'length_bound' AS check_id,
+                   CASE WHEN n_chars IS NULL THEN 'invalid'
+                        ELSE 'deviation' END AS kind,
+                   'source=' || COALESCE(source, '__null__')
+                       AS partition_key,
+                   CAST(doc_id AS VARCHAR) AS doc_id,
+                   CAST(n_chars AS BIGINT) AS value,
+                   '[150,400]' AS expected,
+                   CASE WHEN n_chars IS NULL THEN NULL
+                        WHEN n_chars < 150
+                            THEN ROUND(CAST(n_chars AS DOUBLE) - 150.0, 4)
+                        ELSE ROUND(CAST(n_chars AS DOUBLE) - 400.0, 4)
+                   END AS deviation
+            FROM documents
+            WHERE n_chars IS NULL OR n_chars < 150 OR n_chars > 400
         """,
         # simhash_pairs / ivf_ann_topk / multimodal_features: xxhash64- or
         # numpy-derived (not expressible in DuckDB) — rows-only checks.
