@@ -1082,6 +1082,28 @@ def q_length_bound_violations(spark, sf_dir):
     )
 
 
+def q_hash_split(spark, sf_dir):
+    """Deterministic train/val/test split (operators/packing.hash_split):
+    membership is a pure function of (doc_id, seed) — reproducible
+    across engines and partitionings, unlike randomSplit. md5 variant
+    for the oracle; dyadic weights (0.75/0.125/0.125) keep the
+    cumulative bounds exact in binary on both engines."""
+    from datatest_spark.operators.packing import hash_split
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return hash_split(
+        d, {"train": 0.75, "val": 0.125, "test": 0.125}, hash_fn="md5"
+    )
+
+
+def q_containment_pairs(spark, sf_dir):
+    """Asymmetric near-dup containment
+    (operators/dedup.containment_pairs): |A∩B|/|A| catches short docs
+    embedded in longer ones that Jaccard misses."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.containment_pairs(d, k=5, threshold=0.5)
+
+
 # ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1161,6 +1183,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_plan": q_mixture_plan,
         "self_repetition_spans": q_self_repetition_spans,
         "length_bound_violations": q_length_bound_violations,
+        "hash_split": q_hash_split,
+        "containment_pairs": q_containment_pairs,
     }
 
 
@@ -2626,6 +2650,47 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE n_chars IS NULL OR n_chars < 150 OR n_chars > 400
         """,
+        "hash_split": """
+            WITH U AS (
+                SELECT doc_id,
+                       CAST(CONCAT('0x',
+                           substr(md5(doc_id || '#0#0'), 1, 4))
+                           AS INT) / 65536.0 AS u
+                FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN u < 0.75 THEN 'train'
+                        WHEN u < 0.875 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM U
+        """,
+        "containment_pairs": """
+            WITH {cte},
+            SC AS (
+                SELECT doc_id, shingle FROM S
+                WHERE shingle IN (SELECT shingle FROM S
+                                  GROUP BY shingle HAVING COUNT(*) <= 1000)
+            ),
+            SZ AS (SELECT doc_id, COUNT(*) AS n_sh FROM SC GROUP BY doc_id),
+            INTER AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       COUNT(*) AS n_inter
+                FROM SC a JOIN SC b ON a.shingle = b.shingle
+                                   AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+                   ROUND(n_inter * 1.0 / sa.n_sh, 4) AS containment_ab,
+                   ROUND(n_inter * 1.0 / sb.n_sh, 4) AS containment_ba,
+                   ROUND(n_inter * 1.0
+                         / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE),
+                         4) AS jaccard
+            FROM INTER
+            JOIN SZ sa ON sa.doc_id = doc_a
+            JOIN SZ sb ON sb.doc_id = doc_b
+            WHERE n_inter * 1.0 / sa.n_sh >= 0.5
+               OR n_inter * 1.0 / sb.n_sh >= 0.5
+        """.format(cte=_SHINGLE_CTE),
         # simhash_pairs / ivf_ann_topk / multimodal_features: xxhash64- or
         # numpy-derived (not expressible in DuckDB) — rows-only checks.
     }

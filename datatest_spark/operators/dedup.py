@@ -116,12 +116,11 @@ def ngram_jaccard_pairs(
     return _jaccard_from_shingles(sh, threshold)
 
 
-def _jaccard_from_shingles(sh: DataFrame, threshold: float) -> DataFrame:
-    """Exact pairwise Jaccard from a prepared (doc_id, shingle) frame:
-    shared-shingle self-join intersection + per-doc sizes. Shared core
-    of ngram_jaccard_pairs (whole corpus, after the df_cap) and the
-    candidate-scoped verify inside minhash_lsh_pairs — one definition
-    keeps the two value-identical (and oracle-identical)."""
+def _pair_overlap(sh: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, n_inter, n_a, n_b) for every doc pair sharing at
+    least one shingle of a prepared (doc_id, shingle) frame: the
+    shared-shingle self-join intersection + per-doc sizes that both
+    Jaccard and containment derive from."""
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -133,9 +132,16 @@ def _jaccard_from_shingles(sh: DataFrame, threshold: float) -> DataFrame:
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return inter.join(sa, "doc_a").join(sb, "doc_b")
+
+
+def _jaccard_from_shingles(sh: DataFrame, threshold: float) -> DataFrame:
+    """Exact pairwise Jaccard from a prepared (doc_id, shingle) frame.
+    Shared core of ngram_jaccard_pairs (whole corpus, after the df_cap)
+    and the candidate-scoped verify inside minhash_lsh_pairs — one
+    definition keeps the two value-identical (and oracle-identical)."""
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        _pair_overlap(sh)
         .withColumn(
             "jaccard",
             F.col("n_inter").cast("double")
@@ -143,6 +149,57 @@ def _jaccard_from_shingles(sh: DataFrame, threshold: float) -> DataFrame:
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col="text",
+    id_col="doc_id",
+    k: int = 5,
+    threshold: float = 0.8,
+    df_cap: int | None = 1000,
+) -> DataFrame:
+    """Asymmetric near-dup pairs by shingle CONTAINMENT
+    (Broder's other resemblance measure): ``c_ab = |A∩B| / |A|`` — the
+    fraction of A's k-shingles that also occur in B. Catches the case
+    Jaccard misses: a short document wholly embedded in a much longer
+    one (quote farms, scraped-with-boilerplate copies) scores c_ab ≈ 1
+    while Jaccard ≈ |A|/|B| ≈ 0.
+
+    Returns (doc_a, doc_b, containment_ab, containment_ba, jaccard) for
+    pairs where EITHER direction reaches ``threshold``. Same df_cap
+    hot-shingle guard and self-join shape as ngram_jaccard_pairs (one
+    shared overlap core), so the cost model is identical."""
+    sh = doc_shingles(df, text_col, id_col, k)
+    if df_cap is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > df_cap)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    ov = _pair_overlap(sh)
+    ni = F.col("n_inter").cast("double")
+    return (
+        ov.withColumn("containment_ab", ni / F.col("n_a").cast("double"))
+        .withColumn("containment_ba", ni / F.col("n_b").cast("double"))
+        .filter(
+            (F.col("containment_ab") >= threshold)
+            | (F.col("containment_ba") >= threshold)
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round("containment_ab", 4).alias("containment_ab"),
+            F.round("containment_ba", 4).alias("containment_ba"),
+            F.round(
+                ni / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+                .cast("double"),
+                4,
+            ).alias("jaccard"),
+        )
     )
 
 

@@ -101,6 +101,52 @@ def mixture_sample(
     return out.where(F.col("epoch").cast("double") + u < rate)
 
 
+def hash_split(
+    df: DataFrame,
+    weights: dict,
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
+    seed: int = 0,
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: each row's split is the
+    bucket of ``u(id, seed)`` in the cumulative-weight intervals (dict
+    insertion order). Membership is a pure function of (id, seed) —
+    stable across reruns, engines, and partitionings, and adding rows
+    never reassigns existing ones. (Spark's ``randomSplit`` re-deals
+    per partition layout; this is the reproducible-pipeline form.)
+
+    ``weights`` need not sum to 1 (normalized internally). Null ids
+    hash like any value (xxhash64(null) is defined; the md5 oracle form
+    casts to string, so null ids land deterministically too).
+
+    Scale shape: MAP-ONLY — one hash + when-chain per row, zero
+    shuffles, stays in codegen.
+    """
+    if not weights:
+        raise ValueError("hash_split: weights must be non-empty")
+    names = list(weights)
+    vals = [float(weights[n]) for n in names]
+    if any(v < 0 for v in vals):
+        raise ValueError("hash_split: weights must be >= 0")
+    tot = sum(vals)
+    if tot <= 0:
+        raise ValueError("hash_split: weights must sum to > 0")
+    u = _uniform01(F.col(id_col), F.lit(0), hash_fn, seed)
+    bounds = []
+    cum = 0.0
+    for n, v in zip(names, vals):
+        cum += v
+        bounds.append((n, cum / tot))
+    col = None
+    for n, ub in bounds[:-1]:
+        col = (F.when(u < F.lit(ub), F.lit(n)) if col is None
+               else col.when(u < F.lit(ub), F.lit(n)))
+    last = F.lit(bounds[-1][0])
+    col = last if col is None else col.otherwise(last)
+    return df.withColumn(split_col, col)
+
+
 def mixture_plan(
     df: DataFrame,
     targets: dict,

@@ -2113,3 +2113,91 @@ class TestSelfRepetitionSpans:
         # and the island merge share it; only a Sort separates them)
         assert plan.count("Generate posexplode") == 1
         assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+class TestHashSplit:
+    def test_partition_and_stability(self, spark):
+        from datatest_spark.operators.packing import hash_split
+
+        df = spark.range(2000).select(F.col("id").alias("doc_id"))
+        out = hash_split(df, {"train": 0.8, "val": 0.1, "test": 0.1})
+        counts = {r["split"]: r["n"] for r in
+                  out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+        assert set(counts) == {"train", "val", "test"}
+        assert sum(counts.values()) == 2000
+        assert 0.7 < counts["train"] / 2000 < 0.9
+        # growing the corpus never reassigns existing rows
+        grown = hash_split(
+            spark.range(4000).select(F.col("id").alias("doc_id")),
+            {"train": 0.8, "val": 0.1, "test": 0.1},
+        )
+        a = {r["doc_id"]: r["split"] for r in out.collect()}
+        b = {r["doc_id"]: r["split"]
+             for r in grown.where("doc_id < 2000").collect()}
+        assert a == b
+
+    def test_md5_variant_engine_portable_and_weights_normalized(self, spark):
+        from datatest_spark.operators.packing import hash_split
+
+        df = spark.range(500).select(F.col("id").alias("doc_id"))
+        a = hash_split(df, {"x": 2, "y": 2}, hash_fn="md5").collect()
+        b = hash_split(df, {"x": 0.5, "y": 0.5}, hash_fn="md5").collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    def test_single_bucket_and_validation(self, spark):
+        from datatest_spark.operators.packing import hash_split
+
+        df = spark.range(10).select(F.col("id").alias("doc_id"))
+        assert all(r["split"] == "all"
+                   for r in hash_split(df, {"all": 1.0}).collect())
+        with pytest.raises(ValueError, match="non-empty"):
+            hash_split(df, {})
+        with pytest.raises(ValueError, match=">= 0"):
+            hash_split(df, {"a": -1})
+        with pytest.raises(ValueError, match="sum"):
+            hash_split(df, {"a": 0.0})
+
+    def test_map_only_plan(self, spark):
+        from datatest_spark.operators.packing import hash_split
+
+        df = spark.range(10).select(F.col("id").alias("doc_id"))
+        plan = (
+            hash_split(df, {"a": 1, "b": 1})._jdf.queryExecution()
+            .executedPlan().toString()
+        )
+        assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+class TestContainmentPairs:
+    def test_embedded_short_doc(self, spark):
+        long_words = " ".join("w{0}".format(i) for i in range(60))
+        short_words = " ".join("w{0}".format(i) for i in range(20, 32))
+        df = spark.createDataFrame(
+            [(1, long_words), (2, short_words)], "doc_id long, text string"
+        )
+        rows = dedup.containment_pairs(df, k=5, threshold=0.8).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert (r["doc_a"], r["doc_b"]) == (1, 2)
+        # every shingle of the short doc occurs in the long one
+        assert r["containment_ba"] == 1.0
+        assert r["containment_ab"] < 0.2  # and A is barely covered by B
+        assert r["jaccard"] < 0.2  # jaccard alone would miss this pair
+
+    def test_clones_fully_contained_both_ways(self, spark):
+        words = " ".join("t{0}".format(i) for i in range(30))
+        df = spark.createDataFrame(
+            [(1, words), (2, words)], "doc_id long, text string"
+        )
+        r = dedup.containment_pairs(df, k=5, threshold=0.9).collect()[0]
+        assert r["containment_ab"] == r["containment_ba"] == 1.0
+        assert r["jaccard"] == 1.0
+
+    def test_threshold_prunes(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b c d e f"), (2, "a b c d e zzz")],
+            "doc_id long, text string",
+        )
+        # k=5: doc1 {abcde,bcdef}, doc2 {abcde,bcdezzz}: c=0.5 both ways
+        assert dedup.containment_pairs(df, k=5, threshold=0.8).count() == 0
+        assert dedup.containment_pairs(df, k=5, threshold=0.5).count() == 1
