@@ -57,7 +57,24 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--fail-limit", type=int, default=20,
                    help="max failed (partition, check) verdict rows "
                    "sampled into the summary")
+    p.add_argument("--row-length-bounds", default=None, metavar="MIN,MAX",
+                   help="adds a row-level LengthBoundCheck on n_tok: "
+                   "each sequence outside [MIN,MAX] is a Deviation "
+                   "(use e.g. 1,4096; either side may be empty for "
+                   "one-sided bounds: ',4096' or '1,')")
     return p
+
+
+def _parse_length_bounds(spec: str):
+    parts = spec.split(",")
+    if len(parts) != 2 or not (parts[0].strip() or parts[1].strip()):
+        raise ValueError(
+            "--row-length-bounds must be MIN,MAX with at least one side, "
+            "got %r" % (spec,)
+        )
+    lo = int(parts[0]) if parts[0].strip() else None
+    hi = int(parts[1]) if parts[1].strip() else None
+    return lo, hi
 
 
 def _read_allowed(spec: str) -> list[str]:
@@ -88,11 +105,23 @@ def main(argv=None) -> int:
     else:
         df = spark.read.parquet(args.input)
 
+    extra_checks = None
+    if args.row_length_bounds:
+        from datatest_spark.operators.checks import LengthBoundCheck
+
+        try:
+            lo, hi = _parse_length_bounds(args.row_length_bounds)
+        except ValueError as e:
+            parser.error(str(e))
+        extra_checks = [LengthBoundCheck(length_col="n_tok",
+                                         min_len=lo, max_len=hi)]
+
     suite = north_star_suite(
         allowed,
         vocab_size=args.vocab_size,
         max_null_rate=args.max_null_rate,
         n_tok_bounds=(args.n_tok_min, args.n_tok_max),
+        extra_checks=extra_checks,
     )
     res = suite.run(
         df,

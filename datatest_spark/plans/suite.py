@@ -534,11 +534,15 @@ def north_star_suite(
     max_null_rate=0.01,
     n_tok_bounds=(1.0, 4096.0),
     acceptances=None,
+    extra_checks=None,
 ):
     """The full constraint suite of the north star (BASELINE.json:6):
     schema conformance, per-column stats thresholds, uniqueness (HLL
     screen + exact), referential membership, n_tok consistency, token
-    range, optional drift and token-equality-vs-reference."""
+    range, optional drift and token-equality-vs-reference.
+    ``extra_checks`` appends caller-supplied check objects (e.g. a
+    row-level ``LengthBoundCheck``) without changing the default
+    verdict surface."""
     from ..operators.checks import (
         ConsistencyCheck,
         NullRateCheck,
@@ -567,6 +571,8 @@ def north_star_suite(
         checks.append(DriftCheck(drift_baseline))
     if reference_tokens is not None:
         checks.append(TokenEqualityCheck(reference_tokens))
+    if extra_checks:
+        checks.extend(extra_checks)
     return ValidationSuite(
         checks,
         partition_cols=("source",),

@@ -208,3 +208,31 @@ class TestCliReviewFixes:
             "--run-id", "t-glob",
         ])
         assert rc == 1 and s["global_fail"] is True
+
+
+class TestRowLengthBounds:
+    def test_length_bound_flag_fails_long_rows(self, spark, token_table,
+                                               capsys):
+        # every row has n_tok=3: a MAX of 2 fails both partitions
+        rc, s = _run(capsys, [
+            "--input", token_table, "--allowed-sources", "web,wiki",
+            "--run-id", "t-lb-fail", "--row-length-bounds", "1,2",
+        ])
+        assert rc == 1 and s["status"] == "fail"
+        assert s["failed_partitions"] == 2
+
+    def test_length_bound_flag_passes_within(self, spark, token_table,
+                                             capsys):
+        rc, s = _run(capsys, [
+            "--input", token_table, "--allowed-sources", "web,wiki",
+            "--run-id", "t-lb-pass", "--row-length-bounds", ",4096",
+        ])
+        assert rc == 0 and s["status"] == "pass"
+
+    def test_bad_bounds_exit_2(self, token_table, capsys):
+        with pytest.raises(SystemExit) as e:
+            main([
+                "--input", token_table, "--allowed-sources", "web",
+                "--row-length-bounds", ",",
+            ])
+        assert e.value.code == 2
