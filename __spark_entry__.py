@@ -1104,6 +1104,26 @@ def q_containment_pairs(spark, sf_dir):
     return dedup.containment_pairs(d, k=5, threshold=0.5)
 
 
+def q_accepted_percent(spark, sf_dir):
+    """T8 accepted.percent(p) distributed: interval Deviations whose
+    deviation/expected ratio is within ±5% are absorbed by the pure
+    Column acceptance filter; the remainder surfaces. Upper-bound
+    violations (50 vs 49 → 2%) are accepted, lower-bound ones
+    (1 vs 2 → -50%) are not."""
+    from datatest_spark.acceptances import accepted
+    from datatest_spark.requirements import RequiredInterval
+
+    l = _t(spark, sf_dir, "lineitem")
+    v = RequiredInterval(2.0, 49.0).violations(l.select("l_quantity"))
+    out = accepted.percent(0.05).apply(v)
+    return out.select(
+        "kind",
+        F.col("value").cast("double").alias("value"),
+        "expected",
+        F.round("deviation", 4).alias("deviation"),
+    )
+
+
 # ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1185,6 +1205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_bound_violations": q_length_bound_violations,
         "hash_split": q_hash_split,
         "containment_pairs": q_containment_pairs,
+        "accepted_percent": q_accepted_percent,
     }
 
 
@@ -2691,6 +2712,35 @@ def oracle_sql() -> dict[str, str]:
             WHERE n_inter * 1.0 / sa.n_sh >= 0.5
                OR n_inter * 1.0 / sb.n_sh >= 0.5
         """.format(cte=_SHINGLE_CTE),
+        "accepted_percent": """
+            WITH V AS (
+                SELECT CASE WHEN l_quantity IS NULL THEN 'invalid'
+                            ELSE 'deviation' END AS kind,
+                       CAST(l_quantity AS DOUBLE) AS value_d,
+                       CASE WHEN l_quantity < 2 THEN 2.0
+                            ELSE 49.0 END AS exp,
+                       CASE WHEN l_quantity IS NULL THEN NULL
+                            ELSE CAST(l_quantity AS DOUBLE)
+                                 - (CASE WHEN l_quantity < 2 THEN 2.0
+                                         ELSE 49.0 END)
+                       END AS dev
+                FROM lineitem
+                WHERE NOT COALESCE(l_quantity >= 2 AND l_quantity <= 49,
+                                   FALSE)
+            )
+            SELECT kind, value_d AS value,
+                   CAST(exp AS VARCHAR) AS expected,
+                   ROUND(dev, 4) AS deviation
+            FROM V
+            WHERE NOT COALESCE(
+                kind = 'deviation' AND (
+                    (exp IS NOT NULL AND exp <> 0 AND dev IS NOT NULL
+                     AND NOT isnan(dev)
+                     AND dev / exp BETWEEN -0.05 AND 0.05)
+                    OR ((exp IS NULL OR exp = 0)
+                        AND (dev IS NULL OR dev = 0))
+                ), FALSE)
+        """,
         # simhash_pairs / ivf_ann_topk / multimodal_features: xxhash64- or
         # numpy-derived (not expressible in DuckDB) — rows-only checks.
     }
