@@ -316,3 +316,34 @@ def test_map_only_quality_gates_stream_equals_batch(spark, tmp_path):
     got = sorted(map(tuple, spark.read.parquet(out).collect()))
     want = sorted(map(tuple, gates(df).collect()))
     assert got == want and len(got) == 3
+
+
+def test_hash_split_stream_equals_batch(spark, tmp_path):
+    """hash_split is a pure function of (id, seed) — a stateless map —
+    so the split assignment on a structured stream must equal the batch
+    assignment row-for-row (the property that makes the split safe to
+    apply in an ingestion pipeline: later batches can never reshuffle
+    earlier rows)."""
+    from datatest_spark.operators.packing import hash_split
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    df = spark.range(300).select(F.col("id").alias("doc_id"))
+    df.write.mode("overwrite").parquet(src)
+
+    weights = {"train": 0.8, "val": 0.1, "test": 0.1}
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = (
+        hash_split(stream, weights)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    want = sorted(map(tuple, hash_split(df, weights).collect()))
+    assert got == want and len(got) == 300
