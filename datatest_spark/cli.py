@@ -100,8 +100,21 @@ def main(argv=None) -> int:
     from datatest_spark.plans.suite import north_star_suite
 
     spark = SparkSession.builder.appName("datatest_spark.validate").getOrCreate()
+    input_snapshot_id = None
     if args.format == "table":
         df = spark.table(args.input)
+        try:
+            # Iceberg lineage: record the snapshot this run validates so
+            # a resume against a different snapshot is refused. Absent
+            # metadata tables (plain catalog/parquet) leave it None.
+            snap = spark.sql(
+                "SELECT snapshot_id FROM {0}.snapshots "
+                "ORDER BY committed_at DESC LIMIT 1".format(args.input)
+            ).collect()
+            if snap:
+                input_snapshot_id = str(snap[0][0])
+        except Exception:
+            pass
     else:
         df = spark.read.parquet(args.input)
 
@@ -129,6 +142,7 @@ def main(argv=None) -> int:
         manifest_dir=args.manifest_dir,
         resume=not args.no_resume,
         violations_sink=args.violations_sink,
+        input_snapshot_id=input_snapshot_id,
     )
     # verdict rows are per (partition, check); summarize per partition.
     # '__global__' is the pseudo-partition for table-global violations

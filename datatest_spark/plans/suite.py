@@ -101,7 +101,7 @@ class ValidationSuite(object):
             return []
         return mdf.select(
             "partition_key", "checks_done", "metrics", "completed_at",
-            "input_files_hash",
+            "input_files_hash", "input_snapshot_id",
         ).collect()
 
     def _metrics_from_rows(self, rows):
@@ -122,16 +122,18 @@ class ValidationSuite(object):
         )
 
     def _write_manifest(self, spark, manifest_dir, run_id, partition_rows,
-                        input_files_hash):
+                        input_files_hash, input_snapshot_id=None):
         import datetime
 
         path = self._manifest_path(manifest_dir, run_id)
         now = datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None)
+        if input_snapshot_id is not None:
+            input_snapshot_id = str(input_snapshot_id)
         rows = [
             (
                 run_id,
                 pk,
-                None,
+                input_snapshot_id,
                 input_files_hash,
                 [c.check_id for c in self.checks],
                 metrics,
@@ -148,7 +150,7 @@ class ValidationSuite(object):
         return os.path.join(manifest_dir, "run_id={0}.lock".format(run_id))
 
     def run(self, df: DataFrame, run_id=None, manifest_dir=None, resume=True,
-            violations_sink=None) -> SuiteResult:
+            violations_sink=None, input_snapshot_id=None) -> SuiteResult:
         """Single-writer contract per (manifest_dir, run_id): the resume
         skip-set is read at the start and the sink append / manifest
         write happen at the end, so two invocations of the SAME run_id
@@ -190,7 +192,8 @@ class ValidationSuite(object):
                     ).encode(),
                 )
             return self._run_impl(
-                df, run_id, manifest_dir, resume, violations_sink
+                df, run_id, manifest_dir, resume, violations_sink,
+                input_snapshot_id,
             )
         finally:
             if lock_fd is not None:
@@ -201,7 +204,7 @@ class ValidationSuite(object):
                     pass
 
     def _run_impl(self, df, run_id, manifest_dir, resume,
-                  violations_sink) -> SuiteResult:
+                  violations_sink, input_snapshot_id=None) -> SuiteResult:
         spark = df.sparkSession
         t0 = time.time()
 
@@ -229,6 +232,24 @@ class ValidationSuite(object):
             # a false pass on data that was never validated. Unhashable
             # inputs (no files — e.g. in-memory frames) skip the guard.
             mrows = self._manifest_rows(spark, manifest_dir, run_id)
+            # lineage guard #2: a resumed run_id must also be the SAME
+            # table snapshot when snapshot ids are being recorded
+            # (Iceberg path; the parquet twin records None and skips)
+            rec_snap = {
+                r["input_snapshot_id"] for r in mrows
+                if r["input_snapshot_id"] is not None
+            }
+            if rec_snap and input_snapshot_id and (
+                rec_snap != {str(input_snapshot_id)}
+            ):
+                raise ValueError(
+                    "resume refused for run_id %r: manifest records input "
+                    "snapshot %s but the current run reads snapshot %s — "
+                    "pass resume=False or a new run_id to validate a "
+                    "different snapshot" % (
+                        run_id, sorted(rec_snap), input_snapshot_id,
+                    )
+                )
             recorded = {
                 r["input_files_hash"] for r in mrows
                 if r["input_files_hash"] is not None
@@ -514,7 +535,8 @@ class ValidationSuite(object):
                 for pk in all_partitions
             ]
             self._write_manifest(
-                spark, manifest_dir, run_id, partition_rows, input_files_hash
+                spark, manifest_dir, run_id, partition_rows,
+                input_files_hash, input_snapshot_id,
             )
 
         persisted = [violations]

@@ -655,3 +655,31 @@ class TestLengthBoundCheck:
         assert sorted(rows) == ["2", "4", "5"]
         assert rows["5"]["deviation"] == 2048.0 - 100.0
         assert rows["5"]["expected"] == "[-inf,100]"
+
+
+class TestSnapshotLineage:
+    def test_snapshot_recorded_and_roundtrips(self, spark, seqs, tmp_path):
+        mdir = str(tmp_path / "m")
+        suite = north_star_suite(ALLOWED_SOURCES)
+        suite.run(seqs, run_id="sn1", manifest_dir=mdir,
+                  input_snapshot_id=12345)
+        rows = suite._manifest_rows(spark, mdir, "sn1")
+        snaps = {r["input_snapshot_id"] for r in rows}
+        assert snaps == {"12345"}
+        # same snapshot resumes cleanly
+        res = suite.run(seqs, run_id="sn1", manifest_dir=mdir,
+                        input_snapshot_id="12345")
+        assert res.stats_rows == []
+
+    def test_resume_refuses_different_snapshot(self, spark, seqs, tmp_path):
+        mdir = str(tmp_path / "m")
+        suite = north_star_suite(ALLOWED_SOURCES)
+        suite.run(seqs, run_id="sn2", manifest_dir=mdir,
+                  input_snapshot_id="111")
+        with pytest.raises(ValueError, match="snapshot"):
+            suite.run(seqs, run_id="sn2", manifest_dir=mdir,
+                      input_snapshot_id="222")
+        # snapshot-less resume (parquet twin) still allowed: the files
+        # hash remains the lineage guard there
+        res = suite.run(seqs, run_id="sn2", manifest_dir=mdir)
+        assert res.stats_rows == []
