@@ -235,6 +235,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     verify_threshold: float | None = 0.5,
     df_cap: int | None = 1000,
+    cap_strategy: str = "window",
 ) -> DataFrame:
     """MinHash + LSH banding near-dup candidates, optionally verified.
 
@@ -254,6 +255,18 @@ def minhash_lsh_pairs(
     corpus (and to the DuckDB oracle) for every pair that survives
     banding. Per-doc shingle counts are unchanged by the doc-id
     restriction (shingles are per-doc), so values match exactly.
+
+    ``cap_strategy`` mirrors ngram_jaccard_pairs: ``"window"``
+    (default) counts frequencies over a shingle-partitioned window —
+    the SAME hash exchange the verify self-join needs, and the
+    candidate semi-join rides it as a broadcast (map-only,
+    partitioning-preserving), so the whole capped+scoped verify adds
+    ZERO exchanges over the uncapped join. Broadcasting the candidate
+    id set assumes banding survivors are a small fraction of the
+    corpus (the normal regime — if near-everything is a near-dup,
+    banding prunes nothing and you want ``"agg"``, whose plain
+    semi-join shuffles instead of broadcasting and whose frequency
+    pass never buffers a hot shingle's rows).
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, k_shingle, num_hashes)
@@ -293,20 +306,39 @@ def minhash_lsh_pairs(
         .union(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    sh = doc_shingles(df, text_col, id_col, k_shingle)
-    if df_cap is not None:
-        # Global (full-corpus) document frequencies keep jaccard's capped
-        # shingle space identical to ngram_jaccard_pairs over the whole
-        # corpus. Map-side-combined agg, no fan-out; the hot set
-        # (df > cap) is tiny by construction -> broadcast anti-join.
-        hot = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .filter(F.col("_df") > df_cap)
-            .select("shingle")
+    if cap_strategy not in ("window", "agg"):
+        raise ValueError(
+            "cap_strategy must be 'window' or 'agg', got {0!r}".format(
+                cap_strategy
+            )
         )
-        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
-    sh = sh.join(cand_ids, "doc_id", "left_semi")
+    sh = doc_shingles(df, text_col, id_col, k_shingle)
+    if df_cap is not None and cap_strategy == "window":
+        # global frequencies from a window over the shingle hash
+        # exchange the self-join reuses; candidate scoping rides it as
+        # a broadcast semi (map-only, preserves the partitioning) —
+        # zero exchanges added vs the uncapped join
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("shingle")
+        sh = (
+            sh.withColumn("_df", F.count(F.lit(1)).over(w))
+            .filter(F.col("_df") <= df_cap)
+            .drop("_df")
+        )
+        sh = sh.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+    else:
+        if df_cap is not None:
+            # Map-side-combined agg, no per-group buffering; the hot
+            # set (df > cap) is tiny by construction -> broadcast anti.
+            hot = (
+                sh.groupBy("shingle")
+                .agg(F.count(F.lit(1)).alias("_df"))
+                .filter(F.col("_df") > df_cap)
+                .select("shingle")
+            )
+            sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+        sh = sh.join(cand_ids, "doc_id", "left_semi")
     exact = _jaccard_from_shingles(sh, verify_threshold)
     return cand.join(exact, ["doc_a", "doc_b"], "inner")
 

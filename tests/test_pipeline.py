@@ -169,6 +169,15 @@ class TestDedup:
         expected = {k: v for k, v in exact.items() if k in cand}
         assert lsh == expected
 
+    def test_lsh_cap_strategies_agree(self, docs):
+        a = sorted(map(tuple, dedup.minhash_lsh_pairs(
+            docs, verify_threshold=0.4, cap_strategy="window").collect()))
+        b = sorted(map(tuple, dedup.minhash_lsh_pairs(
+            docs, verify_threshold=0.4, cap_strategy="agg").collect()))
+        assert a == b
+        with pytest.raises(ValueError, match="cap_strategy"):
+            dedup.minhash_lsh_pairs(docs, cap_strategy="windowed")
+
     def test_simhash_clones_zero_hamming(self, spark, docs):
         clone = docs.limit(2).withColumn("doc_id", F.col("doc_id") + 100000)
         df = docs.unionByName(clone)

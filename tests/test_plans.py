@@ -212,14 +212,24 @@ class TestDedupPlans:
 
         p = _plan(dedup.minhash_lsh_pairs(docs, verify_threshold=0.5))
         tree = p.split("== Physical Plan ==")[1].split("(1) ")[0]
+        lines = tree.splitlines()
         # both inputs of the shingle intersection self-join (and both
         # size aggregations) are candidate-scoped -> >= 2 semi joins as
-        # CHILDREN in the tree, each sitting under the fan-out join
-        semi_lines = [ln for ln in tree.splitlines() if "LeftSemi" in ln]
+        # CHILDREN in the tree, each sitting under the fan-out join;
+        # the semi is a BROADCAST (map-only — it must not break the
+        # window's shingle partitioning, or the self-join re-exchanges)
+        semi_lines = [ln for ln in lines
+                      if "BroadcastHashJoin LeftSemi" in ln]
         assert len(semi_lines) >= 2
-        # the hot-shingle df_cap stays a broadcast anti-join
+        # default cap strategy: frequencies from a Window over the
+        # shingle exchange (no standalone full-corpus frequency agg)
+        assert any("Window" in ln for ln in lines)
+        # the agg fallback keeps the broadcast anti-join shape instead
+        p2 = _plan(dedup.minhash_lsh_pairs(docs, verify_threshold=0.5,
+                                           cap_strategy="agg"))
+        tree2 = p2.split("== Physical Plan ==")[1].split("(1) ")[0]
         assert any("LeftAnti" in ln and "Broadcast" in ln
-                   for ln in tree.splitlines())
+                   for ln in tree2.splitlines())
 
 
 class TestCodegen:
