@@ -2675,7 +2675,7 @@ def oracle_sql() -> dict[str, str]:
             WITH U AS (
                 SELECT doc_id,
                        CAST(CONCAT('0x',
-                           substr(md5(doc_id || '#0#0'), 1, 4))
+                           substr(md5(doc_id || '#split#0'), 1, 4))
                            AS INT) / 65536.0 AS u
                 FROM documents
             )

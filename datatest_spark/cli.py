@@ -95,6 +95,18 @@ def main(argv=None) -> int:
         parser.error("cannot read --allowed-sources file: %s" % e)
     if not allowed:
         parser.error("--allowed-sources resolved to an empty list")
+    extra_checks = None
+    if args.row_length_bounds:
+        from datatest_spark.operators.checks import LengthBoundCheck
+
+        try:
+            lo, hi = _parse_length_bounds(args.row_length_bounds)
+            extra_checks = [LengthBoundCheck(length_col="n_tok",
+                                             min_len=lo, max_len=hi)]
+        except ValueError as e:
+            # usage error (exit 2) BEFORE any Spark session spins up:
+            # exit 1 stays unambiguous for 'failed partition verdict'
+            parser.error(str(e))
     from pyspark.sql import SparkSession
 
     from datatest_spark.plans.suite import north_star_suite
@@ -105,29 +117,23 @@ def main(argv=None) -> int:
         df = spark.table(args.input)
         try:
             # Iceberg lineage: record the snapshot this run validates so
-            # a resume against a different snapshot is refused. Absent
+            # a resume against a different snapshot is refused. The
+            # CURRENT snapshot comes from .history (latest
+            # made_current_at) — .snapshots keeps rolled-back snapshots
+            # whose committed_at can postdate the current one, and
+            # recording those would validate A while stamping B. Absent
             # metadata tables (plain catalog/parquet) leave it None.
             snap = spark.sql(
-                "SELECT snapshot_id FROM {0}.snapshots "
-                "ORDER BY committed_at DESC LIMIT 1".format(args.input)
+                "SELECT snapshot_id FROM {0}.history "
+                "ORDER BY made_current_at DESC LIMIT 1".format(args.input)
             ).collect()
             if snap:
                 input_snapshot_id = str(snap[0][0])
-        except Exception:
-            pass
+        except Exception as e:
+            print("WARN: snapshot lineage unavailable for %s: %s"
+                  % (args.input, e), file=sys.stderr)
     else:
         df = spark.read.parquet(args.input)
-
-    extra_checks = None
-    if args.row_length_bounds:
-        from datatest_spark.operators.checks import LengthBoundCheck
-
-        try:
-            lo, hi = _parse_length_bounds(args.row_length_bounds)
-        except ValueError as e:
-            parser.error(str(e))
-        extra_checks = [LengthBoundCheck(length_col="n_tok",
-                                         min_len=lo, max_len=hi)]
 
     suite = north_star_suite(
         allowed,

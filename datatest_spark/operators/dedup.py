@@ -58,6 +58,43 @@ def doc_shingles(df: DataFrame, text_col="text", id_col="doc_id", k: int = 5) ->
     )
 
 
+def _cap_shingles(sh: DataFrame, df_cap: int | None,
+                  cap_strategy: str) -> DataFrame:
+    """Shared df_cap hot-shingle guard (ngram_jaccard_pairs,
+    minhash_lsh_pairs, containment_pairs route through here so the cap
+    boundary and strategies can never diverge — oracle parity depends
+    on one definition). ``window``: frequency as a count over the
+    shingle-partitioned window, the SAME hash exchange the downstream
+    self-join needs (zero extra shuffles; hot groups buffer spillable
+    rows). ``agg``: map-side-combined frequency agg + broadcast
+    anti-join of the tiny hot set — one extra pass, no per-group
+    buffering, for pathological boilerplate skew."""
+    if cap_strategy not in ("window", "agg"):
+        raise ValueError(
+            "cap_strategy must be 'window' or 'agg', got {0!r}".format(
+                cap_strategy
+            )
+        )
+    if df_cap is None:
+        return sh
+    if cap_strategy == "window":
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("shingle")
+        return (
+            sh.withColumn("_df", F.count(F.lit(1)).over(w))
+            .filter(F.col("_df") <= df_cap)
+            .drop("_df")
+        )
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") > df_cap)
+        .select("shingle")
+    )
+    return sh.join(F.broadcast(hot), "shingle", "left_anti")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col="text",
@@ -90,29 +127,9 @@ def ngram_jaccard_pairs(
     buffering; prefer it when one shingle's row group alone would
     dominate a task (pathological boilerplate at the 10^8+ scale).
     """
-    if cap_strategy not in ("window", "agg"):
-        raise ValueError(
-            "cap_strategy must be 'window' or 'agg', got {0!r}".format(cap_strategy)
-        )
-    sh = doc_shingles(df, text_col, id_col, k)
-    if df_cap is not None:
-        if cap_strategy == "window":
-            from pyspark.sql.window import Window
-
-            w = Window.partitionBy("shingle")
-            sh = (
-                sh.withColumn("_df", F.count(F.lit(1)).over(w))
-                .filter(F.col("_df") <= df_cap)
-                .drop("_df")
-            )
-        else:
-            freq = (
-                sh.groupBy("shingle")
-                .agg(F.count(F.lit(1)).alias("_df"))
-                .filter(F.col("_df") > df_cap)
-                .select("shingle")
-            )
-            sh = sh.join(F.broadcast(freq), "shingle", "left_anti")
+    sh = _cap_shingles(
+        doc_shingles(df, text_col, id_col, k), df_cap, cap_strategy
+    )
     return _jaccard_from_shingles(sh, threshold)
 
 
@@ -159,6 +176,7 @@ def containment_pairs(
     k: int = 5,
     threshold: float = 0.8,
     df_cap: int | None = 1000,
+    cap_strategy: str = "window",
 ) -> DataFrame:
     """Asymmetric near-dup pairs by shingle CONTAINMENT
     (Broder's other resemblance measure): ``c_ab = |A∩B| / |A|`` — the
@@ -169,17 +187,13 @@ def containment_pairs(
 
     Returns (doc_a, doc_b, containment_ab, containment_ba, jaccard) for
     pairs where EITHER direction reaches ``threshold``. Same df_cap
-    hot-shingle guard and self-join shape as ngram_jaccard_pairs (one
-    shared overlap core), so the cost model is identical."""
-    sh = doc_shingles(df, text_col, id_col, k)
-    if df_cap is not None:
-        hot = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .filter(F.col("_df") > df_cap)
-            .select("shingle")
-        )
-        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    hot-shingle guard (shared ``_cap_shingles``, default window
+    strategy) and self-join shape as ngram_jaccard_pairs (one shared
+    overlap core), so the cost model is identical with matching
+    ``cap_strategy``."""
+    sh = _cap_shingles(
+        doc_shingles(df, text_col, id_col, k), df_cap, cap_strategy
+    )
     ov = _pair_overlap(sh)
     ni = F.col("n_inter").cast("double")
     return (
@@ -306,38 +320,15 @@ def minhash_lsh_pairs(
         .union(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    if cap_strategy not in ("window", "agg"):
-        raise ValueError(
-            "cap_strategy must be 'window' or 'agg', got {0!r}".format(
-                cap_strategy
-            )
-        )
-    sh = doc_shingles(df, text_col, id_col, k_shingle)
-    if df_cap is not None and cap_strategy == "window":
-        # global frequencies from a window over the shingle hash
-        # exchange the self-join reuses; candidate scoping rides it as
-        # a broadcast semi (map-only, preserves the partitioning) —
-        # zero exchanges added vs the uncapped join
-        from pyspark.sql.window import Window
-
-        w = Window.partitionBy("shingle")
-        sh = (
-            sh.withColumn("_df", F.count(F.lit(1)).over(w))
-            .filter(F.col("_df") <= df_cap)
-            .drop("_df")
-        )
+    sh = _cap_shingles(
+        doc_shingles(df, text_col, id_col, k_shingle), df_cap, cap_strategy
+    )
+    if cap_strategy == "window":
+        # candidate scoping rides the window's shingle exchange as a
+        # broadcast semi (map-only, preserves the partitioning) — zero
+        # exchanges added vs the uncapped self-join
         sh = sh.join(F.broadcast(cand_ids), "doc_id", "left_semi")
     else:
-        if df_cap is not None:
-            # Map-side-combined agg, no per-group buffering; the hot
-            # set (df > cap) is tiny by construction -> broadcast anti.
-            hot = (
-                sh.groupBy("shingle")
-                .agg(F.count(F.lit(1)).alias("_df"))
-                .filter(F.col("_df") > df_cap)
-                .select("shingle")
-            )
-            sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
         sh = sh.join(cand_ids, "doc_id", "left_semi")
     exact = _jaccard_from_shingles(sh, verify_threshold)
     return cand.join(exact, ["doc_a", "doc_b"], "inner")

@@ -120,6 +120,13 @@ def hash_split(
     hash like any value (xxhash64(null) is defined; the md5 oracle form
     casts to string, so null ids land deterministically too).
 
+    The hash input carries a ``'split'`` domain tag, so the uniform
+    here is INDEPENDENT of mixture_sample's u(id, epoch, seed) — with
+    a shared hash, sampling at rate r and then splitting 75/25 would
+    put every survivor in the first split (both decisions would read
+    the same u). Composing the two operators with default seeds is
+    safe by construction.
+
     Scale shape: MAP-ONLY — one hash + when-chain per row, zero
     shuffles, stays in codegen.
     """
@@ -132,7 +139,7 @@ def hash_split(
     tot = sum(vals)
     if tot <= 0:
         raise ValueError("hash_split: weights must sum to > 0")
-    u = _uniform01(F.col(id_col), F.lit(0), hash_fn, seed)
+    u = _uniform01(F.col(id_col), F.lit("split"), hash_fn, seed)
     bounds = []
     cum = 0.0
     for n, v in zip(names, vals):

@@ -104,14 +104,25 @@ class ValidationSuite(object):
             "input_files_hash", "input_snapshot_id",
         ).collect()
 
+    @staticmethod
+    def _latest_rows(rows):
+        """Latest manifest row per partition (the file is append-only
+        across resumes; latest-wins is THE read rule — the skip-set and
+        both lineage guards must share it, or a re-validation of the
+        same run_id with new data permanently poisons its guards)."""
+        latest = {}
+        for r in sorted(rows, key=lambda r: (r["completed_at"] is not None,
+                                             r["completed_at"])):
+            latest[r["partition_key"]] = r
+        return list(latest.values())
+
     def _metrics_from_rows(self, rows):
         """{partition_key: metrics map} for partitions whose recorded
         ``checks_done`` covers this suite's checks (latest manifest row
-        per partition wins — the file is append-only across resumes)."""
+        per partition wins)."""
         check_ids = set(c.check_id for c in self.checks)
         out = {}
-        for r in sorted(rows, key=lambda r: (r["completed_at"] is not None,
-                                             r["completed_at"])):
+        for r in self._latest_rows(rows):
             if check_ids <= set(r["checks_done"] or []):
                 out[r["partition_key"]] = dict(r["metrics"] or {})
         return out
@@ -232,11 +243,17 @@ class ValidationSuite(object):
             # a false pass on data that was never validated. Unhashable
             # inputs (no files — e.g. in-memory frames) skip the guard.
             mrows = self._manifest_rows(spark, manifest_dir, run_id)
+            # both lineage guards read the LATEST row per partition —
+            # the same latest-wins rule as the skip-set. Comparing all
+            # appended rows would poison a run_id forever after one
+            # legitimate resume=False re-validation (old rows keep the
+            # old hash/snapshot alongside the new ones).
+            latest = self._latest_rows(mrows)
             # lineage guard #2: a resumed run_id must also be the SAME
             # table snapshot when snapshot ids are being recorded
             # (Iceberg path; the parquet twin records None and skips)
             rec_snap = {
-                r["input_snapshot_id"] for r in mrows
+                r["input_snapshot_id"] for r in latest
                 if r["input_snapshot_id"] is not None
             }
             if rec_snap and input_snapshot_id and (
@@ -251,7 +268,7 @@ class ValidationSuite(object):
                     )
                 )
             recorded = {
-                r["input_files_hash"] for r in mrows
+                r["input_files_hash"] for r in latest
                 if r["input_files_hash"] is not None
             }
             if recorded and input_files_hash and (

@@ -2145,6 +2145,27 @@ class TestHashSplit:
              for r in grown.where("doc_id < 2000").collect()}
         assert a == b
 
+    def test_split_independent_of_mixture_sampling(self, spark):
+        # the split hash carries a 'split' domain tag: with a SHARED
+        # hash, sampling at 0.5 then splitting 50/50 would put every
+        # survivor in the first split (both decisions read the same u)
+        from datatest_spark.operators.packing import (
+            hash_split, mixture_sample,
+        )
+
+        df = spark.range(4000).select(
+            F.col("id").alias("doc_id"), F.lit("web").alias("source")
+        )
+        kept = mixture_sample(df, {"web": 0.5})
+        counts = {
+            r["split"]: r["n"]
+            for r in hash_split(kept, {"a": 0.5, "b": 0.5})
+            .groupBy("split").agg(F.count("*").alias("n")).collect()
+        }
+        n = sum(counts.values())
+        assert set(counts) == {"a", "b"}
+        assert 0.35 < counts["a"] / n < 0.65
+
     def test_md5_variant_engine_portable_and_weights_normalized(self, spark):
         from datatest_spark.operators.packing import hash_split
 
