@@ -1124,6 +1124,15 @@ def q_accepted_percent(spark, sf_dir):
     )
 
 
+def q_quality_bands(spark, sf_dir):
+    """Curriculum banding (operators/stats.quality_bands): per-source
+    NTILE deciles of n_chars with deterministic id tie-break."""
+    from datatest_spark.operators.stats import quality_bands
+
+    d = _t(spark, sf_dir, "documents")
+    return quality_bands(d, "n_chars", group_col="source", n_bands=10)
+
+
 # ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1206,6 +1215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "containment_pairs": q_containment_pairs,
         "accepted_percent": q_accepted_percent,
+        "quality_bands": q_quality_bands,
     }
 
 
@@ -2740,6 +2750,14 @@ def oracle_sql() -> dict[str, str]:
                     OR ((exp IS NULL OR exp = 0)
                         AND (dev IS NULL OR dev = 0))
                 ), FALSE)
+        """,
+        "quality_bands": """
+            SELECT doc_id, source, n_chars,
+                   CAST(NTILE(10) OVER (
+                       PARTITION BY source
+                       ORDER BY n_chars ASC NULLS FIRST, doc_id ASC
+                   ) AS INT) AS band
+            FROM documents
         """,
         # simhash_pairs / ivf_ann_topk / multimodal_features: xxhash64- or
         # numpy-derived (not expressible in DuckDB) — rows-only checks.

@@ -218,6 +218,43 @@ def group_shares(
     )
 
 
+def quality_bands(
+    df: DataFrame,
+    score_col: str,
+    group_col: str = "source",
+    n_bands: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Curriculum banding: per-group NTILE of a quality score —
+    (id, group, score, band) with band 1 = lowest scores. The standard
+    prelude to quality-ascending curricula and band-stratified mixture
+    rebalancing (sample harder from the top deciles).
+
+    Ties break on ``id_col`` so the banding is deterministic and
+    engine-portable (NTILE itself is ANSI). Null scores sort FIRST
+    (asc_nulls_first, pinned explicitly — engines disagree on the
+    default) and so land in band 1: an unscorable doc is lowest
+    quality, not an error.
+
+    Scale shape: one hash exchange on the group + a per-group sort;
+    NTILE is rank-based so the window buffers spillable rows, never a
+    set. A pathologically hot group serializes its own sort — band by
+    a finer group (e.g. source × shard) if one group dominates."""
+    if n_bands < 1:
+        raise ValueError("n_bands must be >= 1, got %r" % (n_bands,))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(score_col).asc_nulls_first(), F.col(id_col).asc()
+    )
+    return df.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.col(score_col),
+        F.ntile(n_bands).over(w).alias("band"),
+    )
+
+
 def context_length_profile(
     df: DataFrame,
     length_col: str = "n_tok",

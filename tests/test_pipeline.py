@@ -2231,3 +2231,29 @@ class TestContainmentPairs:
         # k=5: doc1 {abcde,bcdef}, doc2 {abcde,bcdezzz}: c=0.5 both ways
         assert dedup.containment_pairs(df, k=5, threshold=0.8).count() == 0
         assert dedup.containment_pairs(df, k=5, threshold=0.5).count() == 1
+
+
+class TestQualityBands:
+    def test_bands_partition_and_order(self, spark):
+        from datatest_spark.operators.stats import quality_bands
+
+        df = spark.createDataFrame(
+            [(i, "a", float(i)) for i in range(10)]
+            + [(100, "b", 5.0), (101, "b", None)],
+            "doc_id long, source string, score double",
+        )
+        rows = {r["doc_id"]: r["band"] for r in
+                quality_bands(df, "score", n_bands=5).collect()}
+        # group a: 10 docs over 5 bands -> 2 per band, ascending score
+        assert rows[0] == rows[1] == 1
+        assert rows[8] == rows[9] == 5
+        # group b: null score sorts first -> band 1
+        assert rows[101] == 1 and rows[100] == 2
+
+    def test_invalid_bands(self, spark):
+        from datatest_spark.operators.stats import quality_bands
+
+        df = spark.createDataFrame([(1, "a", 1.0)],
+                                   "doc_id long, source string, score double")
+        with pytest.raises(ValueError, match="n_bands"):
+            quality_bands(df, "score", n_bands=0)
