@@ -130,8 +130,16 @@ def main(argv=None) -> int:
             if snap:
                 input_snapshot_id = str(snap[0][0])
         except Exception as e:
-            print("WARN: snapshot lineage unavailable for %s: %s"
-                  % (args.input, e), file=sys.stderr)
+            # a plain (non-Iceberg) catalog table has no .history
+            # metadata table — that's the documented expected path and
+            # stays silent; only UNEXPECTED failures (an Iceberg table
+            # whose metadata query errored) warn, so the warning keeps
+            # signal value
+            from pyspark.errors import AnalysisException
+
+            if not isinstance(e, AnalysisException):
+                print("WARN: snapshot lineage unavailable for %s: %s"
+                      % (args.input, e), file=sys.stderr)
     else:
         df = spark.read.parquet(args.input)
 

@@ -282,6 +282,16 @@ def minhash_lsh_pairs(
     semi-join shuffles instead of broadcasting and whose frequency
     pass never buffers a hot shingle's rows).
     """
+    if cap_strategy not in ("window", "agg"):
+        # validate up front: the candidates-only form (verify_threshold
+        # None) never reaches _cap_shingles, and a typo'd strategy must
+        # not pass silently there and raise only once verification is
+        # later enabled
+        raise ValueError(
+            "cap_strategy must be 'window' or 'agg', got {0!r}".format(
+                cap_strategy
+            )
+        )
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, k_shingle, num_hashes)
 
@@ -323,10 +333,13 @@ def minhash_lsh_pairs(
     sh = _cap_shingles(
         doc_shingles(df, text_col, id_col, k_shingle), df_cap, cap_strategy
     )
-    if cap_strategy == "window":
+    if df_cap is not None and cap_strategy == "window":
         # candidate scoping rides the window's shingle exchange as a
         # broadcast semi (map-only, preserves the partitioning) — zero
-        # exchanges added vs the uncapped self-join
+        # exchanges added vs the uncapped self-join. With no cap there
+        # is no Window to preserve, so the hint would only force a
+        # possibly-huge candidate set onto the driver — plain semi then
+        # (AQE still broadcasts small sets at runtime).
         sh = sh.join(F.broadcast(cand_ids), "doc_id", "left_semi")
     else:
         sh = sh.join(cand_ids, "doc_id", "left_semi")

@@ -175,8 +175,31 @@ class TestDedup:
         b = sorted(map(tuple, dedup.minhash_lsh_pairs(
             docs, verify_threshold=0.4, cap_strategy="agg").collect()))
         assert a == b
+        # validation also fires on the candidates-only form (no verify
+        # pass, so _cap_shingles never runs)
         with pytest.raises(ValueError, match="cap_strategy"):
-            dedup.minhash_lsh_pairs(docs, cap_strategy="windowed")
+            dedup.minhash_lsh_pairs(docs, verify_threshold=None,
+                                    cap_strategy="windowed")
+
+    def test_lsh_cap_strategies_agree_with_binding_cap(self, spark, docs):
+        # a BINDING df_cap: clone three docs and inject a universal
+        # boilerplate footer so some shingle frequencies exceed the cap.
+        # Both strategies (and therefore the window form's full-corpus
+        # frequency invariant) must still produce identical values —
+        # a refactor that scoped frequencies to candidate docs would
+        # diverge here
+        footer = " unsubscribe from this newsletter footer line"
+        df = docs.withColumn("text", F.concat(F.col("text"), F.lit(footer)))
+        clones = df.limit(3).withColumn(
+            "doc_id", F.col("doc_id") + 100000
+        )
+        df = df.unionByName(clones)
+        kw = dict(verify_threshold=0.3, df_cap=50)
+        a = sorted(map(tuple, dedup.minhash_lsh_pairs(
+            df, cap_strategy="window", **kw).collect()))
+        b = sorted(map(tuple, dedup.minhash_lsh_pairs(
+            df, cap_strategy="agg", **kw).collect()))
+        assert a == b and len(a) >= 3  # the clone pairs survive
 
     def test_simhash_clones_zero_hamming(self, spark, docs):
         clone = docs.limit(2).withColumn("doc_id", F.col("doc_id") + 100000)
