@@ -1133,6 +1133,28 @@ def q_quality_bands(spark, sf_dir):
     return quality_bands(d, "n_chars", group_col="source", n_bands=10)
 
 
+def q_accepted_tolerance(spark, sf_dir):
+    """T7 accepted.tolerance(lo, hi): customer balance Deviations within
+    [-500, 0] (i.e. up to 500 under the lower bound) are absorbed by
+    the pure Column acceptance; deeper debts surface."""
+    from datatest_spark.acceptances import accepted
+    from datatest_spark.requirements import RequiredInterval
+
+    c = _t(spark, sf_dir, "customer")
+    v = RequiredInterval(lower=0.0).violations(
+        c.select("c_custkey", "c_acctbal"),
+        columns=["c_acctbal"],
+        id_col="c_custkey",
+    )
+    out = accepted.tolerance(-500.0, 0.0).apply(v)
+    return out.select(
+        "kind",
+        "doc_id",
+        F.col("value").cast("double").alias("value"),
+        F.round("deviation", 4).alias("deviation"),
+    )
+
+
 # ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1216,6 +1238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": q_containment_pairs,
         "accepted_percent": q_accepted_percent,
         "quality_bands": q_quality_bands,
+        "accepted_tolerance": q_accepted_tolerance,
     }
 
 
@@ -2758,6 +2781,23 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY n_chars ASC NULLS FIRST, doc_id ASC
                    ) AS INT) AS band
             FROM documents
+        """,
+        "accepted_tolerance": """
+            WITH V AS (
+                SELECT 'deviation' AS kind,
+                       CAST(c_custkey AS VARCHAR) AS doc_id,
+                       CAST(c_acctbal AS DOUBLE) AS value_d,
+                       CAST(c_acctbal AS DOUBLE) - 0.0 AS dev
+                FROM customer
+                WHERE NOT COALESCE(c_acctbal >= 0, FALSE)
+            )
+            SELECT kind, doc_id, value_d AS value,
+                   ROUND(dev, 4) AS deviation
+            FROM V
+            WHERE NOT COALESCE(
+                kind = 'deviation' AND dev IS NOT NULL
+                AND NOT isnan(dev) AND dev BETWEEN -500.0 AND 0.0,
+                FALSE)
         """,
         # simhash_pairs / ivf_ann_topk / multimodal_features: xxhash64- or
         # numpy-derived (not expressible in DuckDB) — rows-only checks.
