@@ -135,3 +135,112 @@ class TestUnigramLoglossProperties:
             assert abs(r["bits_per_token"] - want) <= 5.1e-5
             # cross-entropy of the corpus model is nonnegative
             assert r["bits_per_token"] >= -1e-4
+
+
+class TestHashSplitProperties:
+    @settings(max_examples=15, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow,
+                                     HealthCheck.function_scoped_fixture])
+    @given(
+        st.lists(st.integers(min_value=0, max_value=10_000),
+                 min_size=1, max_size=40, unique=True),
+        st.lists(st.floats(min_value=0.01, max_value=5.0,
+                           allow_nan=False),
+                 min_size=1, max_size=4),
+    )
+    def test_total_function_and_subset_stability(self, spark, ids, ws):
+        from datatest_spark.operators.packing import hash_split
+
+        weights = {"s{0}".format(i): w for i, w in enumerate(ws)}
+        df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+        rows = {r["doc_id"]: r["split"]
+                for r in hash_split(df, weights).collect()}
+        # total: every row gets exactly one split from the weight keys
+        assert set(rows) == set(ids)
+        assert set(rows.values()) <= set(weights)
+        # subset stability: assignment is a pure function of the id —
+        # any sub-corpus reproduces the same splits
+        sub = ids[: max(1, len(ids) // 2)]
+        sdf = spark.createDataFrame([(i,) for i in sub], "doc_id long")
+        sub_rows = {r["doc_id"]: r["split"]
+                    for r in hash_split(sdf, weights).collect()}
+        assert sub_rows == {i: rows[i] for i in sub}
+
+
+class TestSelfRepetitionProperties:
+    @settings(max_examples=15, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow,
+                                     HealthCheck.function_scoped_fixture])
+    @given(st.lists(st.lists(st.integers(min_value=0, max_value=3),
+                             min_size=0, max_size=16),
+                    min_size=1, max_size=8))
+    def test_spans_match_python_reference(self, spark, docs):
+        from datatest_spark.operators.dedup import self_repetition_spans
+
+        k = 3
+        df = spark.createDataFrame(
+            [(i, d) for i, d in enumerate(docs)],
+            "doc_id long, tokens array<int>",
+        )
+        got = sorted(
+            (r["doc_id"], r["span_start"], r["span_end"], r["n_windows"])
+            for r in self_repetition_spans(df, k=k).collect()
+        )
+        want = []
+        for i, d in enumerate(docs):
+            seen = set()
+            dup_pos = []
+            for p in range(max(0, len(d) - k + 1)):
+                w = tuple(d[p:p + k])
+                if w in seen:
+                    dup_pos.append(p)
+                else:
+                    seen.add(w)
+            # merge positions within k into islands
+            j = 0
+            while j < len(dup_pos):
+                start = dup_pos[j]
+                end = j
+                while (end + 1 < len(dup_pos)
+                       and dup_pos[end + 1] <= dup_pos[end] + k):
+                    end += 1
+                want.append((i, start, dup_pos[end] + k, end - j + 1))
+                j = end + 1
+        assert got == sorted(want)
+
+
+class TestMixturePlanProperties:
+    @settings(max_examples=15, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow,
+                                     HealthCheck.function_scoped_fixture])
+    @given(st.dictionaries(
+        st.sampled_from(["a", "b", "c"]),
+        st.tuples(st.integers(min_value=1, max_value=30),   # n docs
+                  st.integers(min_value=1, max_value=500)), # len each
+        min_size=1, max_size=3,
+    ), st.dictionaries(
+        st.sampled_from(["a", "b", "c", "ghost"]),
+        st.integers(min_value=0, max_value=100_000),
+        min_size=0, max_size=4,
+    ))
+    def test_rates_reproduce_targets(self, spark, corpus, targets):
+        from datatest_spark.operators.packing import mixture_plan
+
+        rows_in = []
+        i = 0
+        for src, (n, ln) in sorted(corpus.items()):
+            for _ in range(n):
+                rows_in.append((i, src, ln))
+                i += 1
+        df = spark.createDataFrame(rows_in,
+                                   "doc_id long, source string, n long")
+        out = {r["source"]: r for r in
+               mixture_plan(df, targets, length_col="n").collect()}
+        assert set(out) == set(corpus)  # only present sources
+        for src, (n, ln) in corpus.items():
+            avail = n * ln
+            assert out[src]["available_tokens"] == avail
+            t = targets.get(src, 0)
+            assert out[src]["rate"] == pytest.approx(
+                round(t / avail, 6), abs=1e-9
+            )
