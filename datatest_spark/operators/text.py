@@ -490,7 +490,12 @@ def bigram_logloss(
     pair is given its left context. Returns (id, n_pairs, n_oov_pairs,
     bits_per_pair); pairs absent from the model count as OOV and are
     skipped, documents with fewer than 2 non-null tokens yield null
-    bits_per_pair.
+    bits_per_pair. One output row per DISTINCT id (the join+groupBy
+    shape merges duplicate ids — the north-star table keys docs
+    uniquely; unigram_logloss, a pure projection, keeps duplicates as
+    separate rows). When passing a prebuilt ``model``, its
+    ``scale_bits`` must match this call's (both default 20) — the
+    fixed-point divisor is not discoverable from the frame.
 
     Scale shape, honestly: the model is corpus-sized so scoring is
     JOIN-based, not broadcast-carried — one explode, one equi-join on
