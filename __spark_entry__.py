@@ -1126,11 +1126,35 @@ def q_accepted_percent(spark, sf_dir):
 
 def q_quality_bands(spark, sf_dir):
     """Curriculum banding (operators/stats.quality_bands): per-source
-    NTILE deciles of n_chars with deterministic id tie-break."""
+    NTILE deciles of n_chars with deterministic id tie-break. exact=True
+    is the oracle-reproducible variant; the scale default (exact=False)
+    assigns value-based bands from broadcast approx-percentile
+    boundaries — no per-group sort (see q_quality_bands_approx)."""
     from datatest_spark.operators.stats import quality_bands
 
     d = _t(spark, sf_dir, "documents")
-    return quality_bands(d, "n_chars", group_col="source", n_bands=10)
+    return quality_bands(
+        d, "n_chars", group_col="source", n_bands=10, exact=True
+    )
+
+
+def q_quality_bands_approx(spark, sf_dir):
+    """Curriculum banding, scale path (operators/stats.quality_bands
+    exact=False): value-based bands from broadcast approx-percentile
+    boundaries — ONE map-side-combinable agg + map-only assignment, no
+    per-group sort. Spark's percentile_approx at exact-case accuracy is
+    value-identical to DuckDB's quantile_disc (verified over 130
+    (n, frac) probes), so the whole pipeline value-oracles."""
+    from datatest_spark.operators.stats import quality_bands
+
+    d = _t(spark, sf_dir, "documents")
+    return quality_bands(
+        d, "n_chars", group_col="source", n_bands=10, exact=False,
+        accuracy=1000000,
+    ).select(
+        "doc_id", "source", "n_chars",
+        F.col("band").cast("int").alias("band"),
+    )
 
 
 def q_accepted_tolerance(spark, sf_dir):
@@ -1163,57 +1187,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDERING CONTRACT: the driver's correctness gate checks exactly the
+    # FIRST 50 keys in insertion order.  Keys are therefore grouped:
+    #   1. round-3-late + round-4 operators that had never received a
+    #      driver row under the old order (r4 VERDICT "Next #1"),
+    #   2. new round-5 operators,
+    #   3. veteran queries filling the window to 50,
+    #   4. long-green r1/r2 veterans past the window (4x driver-verified;
+    #      still exercised every round by tools/check_oracles.py).
     return {
-        "wide_stats_documents": q_wide_stats_documents,
-        "tpch_q1_pricing": q_tpch_q1_pricing,
-        "uniqueness_surplus": q_uniqueness_surplus,
-        "referential_orphans": q_referential_orphans,
-        "set_extra_values": q_set_extra_values,
-        "set_missing_required": q_set_missing_required,
-        "interval_deviations": q_interval_deviations,
-        "negative_balance_deviation": q_negative_balance_deviation,
-        "regex_invalid": q_regex_invalid,
-        "json_extract_stats": q_json_extract_stats,
-        "topk_per_group": q_topk_per_group,
-        "histogram_n_chars": q_histogram_n_chars,
-        "consistency_verdicts": q_consistency_verdicts,
-        "freshness_events": q_freshness_events,
-        "freshness_gate": q_freshness_gate,
-        "join_revenue": q_join_revenue,
-        "suite_verdicts": q_suite_verdicts,
-        "token_counts": q_token_counts,
-        "regex_token_counts": q_regex_token_counts,
-        "quality_profile": q_quality_profile,
-        "langid_confusion": q_langid_confusion,
-        "exact_dup_groups": q_exact_dup_groups,
-        "fingerprints": q_fingerprints,
-        "winnow_fingerprints": q_winnow_fingerprints,
-        "minhash_signatures": q_minhash_signatures,
-        "jaccard_pairs": q_jaccard_pairs,
-        "embedding_norms": q_embedding_norms,
-        "cosine_threshold_pairs": q_cosine_threshold_pairs,
-        "cosine_topk": q_cosine_topk,
-        "drift_psi": q_drift_psi,
-        "sessionization": q_sessionization,
-        "pivot_order_status": q_pivot_order_status,
-        "rollup_revenue": q_rollup_revenue,
-        "dedup_cluster_labels": q_dedup_cluster_labels,
-        "embedding_dedup_survivors": q_embedding_dedup_survivors,
-        "exact_quantiles": q_exact_quantiles,
-        "lsh_candidate_pairs": q_lsh_candidate_pairs,
-        "simhash_pairs": q_simhash_pairs,
-        "simhash_md5_signatures": q_simhash_md5_signatures,
-        "ivf_ann_topk": q_ivf_ann_topk,
-        "ivf_md5_topk": q_ivf_md5_topk,
-        "multimodal_features": q_multimodal_features,
-        "mixture_sample": q_mixture_sample,
-        "pack_sequences": q_pack_sequences,
-        "stratified_sample": q_stratified_sample,
-        "asof_enrich": q_asof_enrich,
-        "range_join_windows": q_range_join_windows,
-        "contamination_hits": q_contamination_hits,
-        "decontam_survivors": q_decontam_survivors,
-        "repetition_profile": q_repetition_profile,
+        # --- group 1: previously outside the driver's 50-query window ---
         "token_run_quality": q_token_run_quality,
         "vocab_topk": q_vocab_topk,
         "ks_drift": q_ks_drift,
@@ -1239,6 +1222,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "accepted_percent": q_accepted_percent,
         "quality_bands": q_quality_bands,
         "accepted_tolerance": q_accepted_tolerance,
+        # --- group 2: new round-5 operators (insert here) ---
+        "quality_bands_approx": q_quality_bands_approx,
+        # --- group 3: veterans filling the 50-query window ---
+        "wide_stats_documents": q_wide_stats_documents,
+        "tpch_q1_pricing": q_tpch_q1_pricing,
+        "uniqueness_surplus": q_uniqueness_surplus,
+        "suite_verdicts": q_suite_verdicts,
+        "jaccard_pairs": q_jaccard_pairs,
+        "lsh_candidate_pairs": q_lsh_candidate_pairs,
+        "cosine_topk": q_cosine_topk,
+        "dedup_cluster_labels": q_dedup_cluster_labels,
+        "embedding_dedup_survivors": q_embedding_dedup_survivors,
+        "asof_enrich": q_asof_enrich,
+        "range_join_windows": q_range_join_windows,
+        "contamination_hits": q_contamination_hits,
+        "decontam_survivors": q_decontam_survivors,
+        "mixture_sample": q_mixture_sample,
+        "pack_sequences": q_pack_sequences,
+        "stratified_sample": q_stratified_sample,
+        "exact_dup_groups": q_exact_dup_groups,
+        "minhash_signatures": q_minhash_signatures,
+        "cosine_threshold_pairs": q_cosine_threshold_pairs,
+        "drift_psi": q_drift_psi,
+        "repetition_profile": q_repetition_profile,
+        "exact_quantiles": q_exact_quantiles,
+        "interval_deviations": q_interval_deviations,
+        "ivf_md5_topk": q_ivf_md5_topk,
+        "simhash_md5_signatures": q_simhash_md5_signatures,
+        # --- group 4: long-green veterans past the 50-query window ---
+        "referential_orphans": q_referential_orphans,
+        "set_extra_values": q_set_extra_values,
+        "set_missing_required": q_set_missing_required,
+        "negative_balance_deviation": q_negative_balance_deviation,
+        "regex_invalid": q_regex_invalid,
+        "json_extract_stats": q_json_extract_stats,
+        "topk_per_group": q_topk_per_group,
+        "histogram_n_chars": q_histogram_n_chars,
+        "consistency_verdicts": q_consistency_verdicts,
+        "freshness_events": q_freshness_events,
+        "freshness_gate": q_freshness_gate,
+        "join_revenue": q_join_revenue,
+        "token_counts": q_token_counts,
+        "regex_token_counts": q_regex_token_counts,
+        "quality_profile": q_quality_profile,
+        "langid_confusion": q_langid_confusion,
+        "fingerprints": q_fingerprints,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "embedding_norms": q_embedding_norms,
+        "sessionization": q_sessionization,
+        "pivot_order_status": q_pivot_order_status,
+        "rollup_revenue": q_rollup_revenue,
+        "simhash_pairs": q_simhash_pairs,
+        "ivf_ann_topk": q_ivf_ann_topk,
+        "multimodal_features": q_multimodal_features,
     }
 
 
@@ -2610,9 +2647,10 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(quantile_cont(n_chars, 0.95), 4) AS p95_len,
                    CAST(SUM(CASE WHEN n_chars > 512 THEN 1 ELSE 0 END)
                         AS BIGINT) AS n_over,
-                   ROUND(CAST(SUM(GREATEST(n_chars - 512, 0)) AS DOUBLE)
-                         / CAST(SUM(n_chars) AS DOUBLE), 6)
-                       AS overflow_token_frac,
+                   CASE WHEN SUM(n_chars) > 0 THEN
+                       ROUND(CAST(SUM(GREATEST(n_chars - 512, 0)) AS DOUBLE)
+                             / CAST(SUM(n_chars) AS DOUBLE), 6)
+                   END AS overflow_token_frac,
                    CAST(CEIL(CAST(SUM(n_chars) AS DOUBLE) / 512.0)
                         AS BIGINT) AS packs_needed
             FROM documents
@@ -2781,6 +2819,23 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY n_chars ASC NULLS FIRST, doc_id ASC
                    ) AS INT) AS band
             FROM documents
+        """,
+        "quality_bands_approx": """
+            WITH B AS (
+                SELECT source AS grp,
+                       quantile_disc(CAST(n_chars AS DOUBLE),
+                                     [0.1, 0.2, 0.3, 0.4, 0.5,
+                                      0.6, 0.7, 0.8, 0.9]) AS bounds
+                FROM documents
+                WHERE n_chars IS NOT NULL
+                GROUP BY source
+            )
+            SELECT d.doc_id, d.source, d.n_chars,
+                   CAST(1 + COALESCE(LEN(list_filter(
+                       b.bounds, x -> CAST(d.n_chars AS DOUBLE) > x
+                   )), 0) AS INT) AS band
+            FROM documents d
+            LEFT JOIN B b ON d.source IS NOT DISTINCT FROM b.grp
         """,
         "accepted_tolerance": """
             WITH V AS (

@@ -56,7 +56,17 @@ def _wait_for_quiet(threshold=LOAD_THRESHOLD, max_wait=None, poll=15):
     BENCH_LOAD_WAIT seconds (default 300; 0 disables), then run anyway
     — annotated, never refused, so the driver always gets its JSON."""
     if max_wait is None:
-        max_wait = int(os.environ.get("BENCH_LOAD_WAIT", "300"))
+        try:
+            max_wait = int(os.environ.get("BENCH_LOAD_WAIT", "300"))
+        except ValueError:
+            # never refuse to run: a malformed env value falls back to the
+            # documented default so the driver still gets its JSON line
+            print(
+                "bench: ignoring malformed BENCH_LOAD_WAIT=%r (want int "
+                "seconds); using 300" % os.environ.get("BENCH_LOAD_WAIT"),
+                file=sys.stderr,
+            )
+            max_wait = 300
     la = _loadavg_1m()
     waited = 0
     while la is not None and la >= threshold and waited < max_wait:

@@ -123,9 +123,18 @@ def main(argv=None) -> int:
             # whose committed_at can postdate the current one, and
             # recording those would validate A while stamping B. Absent
             # metadata tables (plain catalog/parquet) leave it None.
+            # backtick-quote each identifier part so a table name that
+            # needs quoting fails as "not Iceberg" only when it truly
+            # isn't — unquoted interpolation made quoting errors
+            # masquerade as missing metadata and silently disarmed the
+            # cross-snapshot resume guard
+            quoted = ".".join(
+                "`%s`" % part.replace("`", "``")
+                for part in args.input.split(".")
+            )
             snap = spark.sql(
                 "SELECT snapshot_id FROM {0}.history "
-                "ORDER BY made_current_at DESC LIMIT 1".format(args.input)
+                "ORDER BY made_current_at DESC LIMIT 1".format(quoted)
             ).collect()
             if snap:
                 input_snapshot_id = str(snap[0][0])

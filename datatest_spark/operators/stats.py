@@ -224,34 +224,93 @@ def quality_bands(
     group_col: str = "source",
     n_bands: int = 10,
     id_col: str = "doc_id",
+    exact: bool = False,
+    accuracy: int = 10000,
 ) -> DataFrame:
-    """Curriculum banding: per-group NTILE of a quality score —
+    """Curriculum banding: per-group quality-score bands —
     (id, group, score, band) with band 1 = lowest scores. The standard
     prelude to quality-ascending curricula and band-stratified mixture
     rebalancing (sample harder from the top deciles).
 
-    Ties break on ``id_col`` so the banding is deterministic and
-    engine-portable (NTILE itself is ANSI). Null scores sort FIRST
-    (asc_nulls_first, pinned explicitly — engines disagree on the
-    default) and so land in band 1: an unscorable doc is lowest
-    quality, not an error.
+    Two variants, one API:
 
-    Scale shape: one hash exchange on the group + a per-group sort;
-    NTILE is rank-based so the window buffers spillable rows, never a
-    set. A pathologically hot group serializes its own sort — band by
-    a finer group (e.g. source × shard) if one group dominates."""
+    ``exact=False`` (default, the 10^12 path): per-group band
+    BOUNDARIES via ``approx_percentile(score, [1/n .. (n-1)/n])`` — ONE
+    map-side-combinable aggregation over the scan — broadcast back
+    (|groups| rows) and assigned map-only by counting boundaries below
+    each score with ``F.aggregate`` over the boundary array. No
+    per-group sort anywhere, so a dominant source (web at ~40% of a
+    100 TB corpus) never serializes a single-task sort. Semantics
+    difference vs NTILE: bands are VALUE-based — equal scores share a
+    band, so band populations are only approximately equal (exactly
+    equal only when scores are distinct and the sketch is exact);
+    scores equal to a boundary land in the lower band.
+
+    ``exact=True`` (the oracle/curriculum-audit variant): per-group
+    ``NTILE`` — exactly equal band sizes, ties broken on ``id_col`` so
+    the banding is deterministic and engine-portable (NTILE is ANSI).
+    One hash exchange on the group + a per-group sort; the window is
+    rank-based so it buffers spillable rows, never a set — but a
+    pathologically hot group serializes its own sort, which is why
+    this is not the default.
+
+    Null scores land in band 1 in both variants (pinned explicitly —
+    engines disagree on null ordering): an unscorable doc is lowest
+    quality, not an error. Null groups band among themselves
+    (groupBy/partitionBy both keep the null group).
+    """
     if n_bands < 1:
         raise ValueError("n_bands must be >= 1, got %r" % (n_bands,))
-    from pyspark.sql import Window
+    if exact:
+        from pyspark.sql import Window
 
-    w = Window.partitionBy(group_col).orderBy(
-        F.col(score_col).asc_nulls_first(), F.col(id_col).asc()
+        w = Window.partitionBy(group_col).orderBy(
+            F.col(score_col).asc_nulls_first(), F.col(id_col).asc()
+        )
+        return df.select(
+            F.col(id_col),
+            F.col(group_col),
+            F.col(score_col),
+            F.ntile(n_bands).over(w).alias("band"),
+        )
+    if n_bands == 1:
+        return df.select(
+            F.col(id_col),
+            F.col(group_col),
+            F.col(score_col),
+            F.lit(1).alias("band"),
+        )
+    fracs = [i / n_bands for i in range(1, n_bands)]
+    bounds = df.groupBy(group_col).agg(
+        F.percentile_approx(
+            F.col(score_col).cast("double"),
+            F.array(*[F.lit(f) for f in fracs]),
+            F.lit(accuracy),
+        ).alias("_band_bounds")
+    ).select(F.col(group_col).alias("_band_grp"), "_band_bounds")
+    s = F.col(score_col).cast("double")
+    # band = 1 + |{boundary b : score > b}|; null score → no boundary
+    # beaten → band 1. percentile_approx skips nulls, so an all-null
+    # group has a null bounds array — coalesce to empty = band 1.
+    band = F.aggregate(
+        F.coalesce(F.col("_band_bounds"), F.array().cast("array<double>")),
+        F.lit(1),
+        lambda acc, b: acc + F.when(s > b, F.lit(1)).otherwise(F.lit(0)),
     )
-    return df.select(
-        F.col(id_col),
-        F.col(group_col),
-        F.col(score_col),
-        F.ntile(n_bands).over(w).alias("band"),
+    # eqNullSafe: the null group must still find its own boundary row
+    # (plain equality would orphan it into band 1 regardless of score)
+    return (
+        df.join(
+            F.broadcast(bounds),
+            F.col(group_col).eqNullSafe(F.col("_band_grp")),
+            how="left",
+        )
+        .select(
+            F.col(id_col),
+            F.col(group_col),
+            F.col(score_col),
+            band.alias("band"),
+        )
     )
 
 
@@ -260,6 +319,7 @@ def context_length_profile(
     length_col: str = "n_tok",
     group_col: str = "source",
     capacity: int = 2048,
+    exact: bool = True,
 ) -> DataFrame:
     """Per-group sequence-length diagnostics against a training context
     window — the pre-packing question: how much of each source exceeds
@@ -267,22 +327,31 @@ def context_length_profile(
     packs concatenation needs.
 
     Returns per group: ``n_docs``, ``total_tokens``, ``max_len``,
-    exact ``p50_len``/``p95_len``, ``n_over`` (docs longer than
-    capacity), ``overflow_token_frac`` (share of tokens past the
-    capacity boundary, = the loss of truncate-at-capacity), and
+    ``p50_len``/``p95_len``, ``n_over`` (docs longer than capacity),
+    ``overflow_token_frac`` (share of tokens past the capacity
+    boundary, = the loss of truncate-at-capacity; NULL for a group
+    whose lengths are all zero — no tokens, no overflow share), and
     ``packs_needed`` (ceil(total/capacity), the concatenate-and-chop
     floor). Rows with null lengths are dropped (pack_sequences'
     contract); negative lengths are dropped with them.
 
     Scale shape: ONE groupBy over the scan; sums/counts/max combine
-    map-side, the exact percentiles buffer per-group values (bounded by
-    the largest source — use approx via column_stats for 10^12-row
-    groups; exactness here buys the cross-engine oracle).
+    map-side. ``exact=True`` percentiles buffer per-group values
+    (bounded by the largest source — exactness buys the cross-engine
+    oracle); ``exact=False`` switches to ``percentile_approx`` (GK
+    sketch, fixed memory per group, map-side combinable) — the 10^12
+    path, same API and column names.
     """
     if capacity <= 0:
         raise ValueError("capacity must be positive, got %r" % (capacity,))
     L = F.col(length_col).cast("long")
     g = F.coalesce(F.col(group_col).cast("string"), F.lit("__null__"))
+    if exact:
+        p50 = F.percentile(L, F.lit(0.5))
+        p95 = F.percentile(L, F.lit(0.95))
+    else:
+        p50 = F.percentile_approx(L, F.lit(0.5), F.lit(10000)).cast("double")
+        p95 = F.percentile_approx(L, F.lit(0.95), F.lit(10000)).cast("double")
     return (
         df.where(L.isNotNull() & (L >= 0))
         .groupBy(g.alias("group"))
@@ -290,15 +359,20 @@ def context_length_profile(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(L).alias("total_tokens"),
             F.max(L).alias("max_len"),
-            F.round(F.percentile(L, F.lit(0.5)), 4).alias("p50_len"),
-            F.round(F.percentile(L, F.lit(0.95)), 4).alias("p95_len"),
+            F.round(p50, 4).alias("p50_len"),
+            F.round(p95, 4).alias("p95_len"),
             F.sum(
                 F.when(L > capacity, F.lit(1)).otherwise(F.lit(0))
             ).alias("n_over"),
-            F.round(
-                F.sum(F.greatest(L - capacity, F.lit(0)))
-                / F.sum(L),
-                6,
+            # guard the all-zero-length group: 0/0 is NULL in Spark but can
+            # diverge (NaN) or throw under ANSI decimal paths elsewhere —
+            # pin it to NULL on every engine
+            F.when(
+                F.sum(L) > 0,
+                F.round(
+                    F.sum(F.greatest(L - capacity, F.lit(0))) / F.sum(L),
+                    6,
+                ),
             ).alias("overflow_token_frac"),
             F.ceil(F.sum(L) / F.lit(float(capacity))).cast("long")
             .alias("packs_needed"),

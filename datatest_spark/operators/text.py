@@ -319,6 +319,11 @@ def unigram_logloss(
     if model is None:
         model = unigram_model(df, tokens_col, scale_bits)
     rows = model.collect()
+    # a null token can never match a scored element (null-safe equality is
+    # not used in any carrier, and map/array keys reject null) — drop such
+    # rows so a caller-supplied model doesn't crash the density probe with
+    # an opaque int(None) TypeError; the dropped row is semantically OOV
+    rows = [r for r in rows if r["token"] is not None]
     out = df
     if not rows:
         # empty model: every token is OOV, nothing is scorable

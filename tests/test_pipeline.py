@@ -2020,6 +2020,46 @@ class TestContextLengthProfile:
         with pytest.raises(ValueError, match="capacity"):
             context_length_profile(df, length_col="n", capacity=0)
 
+    def test_zero_length_group_pins_null_overflow_frac(self, spark):
+        # ADVICE r4: SUM(L)=0 made overflow_token_frac engine-dependent
+        # (NULL vs NaN vs ANSI throw) — pinned to NULL everywhere
+        from datatest_spark.operators.stats import context_length_profile
+
+        df = spark.createDataFrame(
+            [(1, "z", 0), (2, "z", 0), (3, "a", 10)],
+            "doc_id long, source string, n long",
+        )
+        rows = {r["group"]: r for r in context_length_profile(
+            df, length_col="n", group_col="source", capacity=5).collect()}
+        assert rows["z"]["overflow_token_frac"] is None
+        assert rows["z"]["packs_needed"] == 0
+        assert rows["a"]["overflow_token_frac"] == 0.5
+
+    def test_approx_agrees_with_exact(self, spark):
+        # the 10^12 path (exact=False, GK sketch with fixed per-group
+        # memory) must agree with the exact buffer-everything variant
+        # within the sketch tolerance; at this accuracy on small groups
+        # the sketch is rank-exact, so agreement is exact
+        from datatest_spark.operators.stats import context_length_profile
+
+        df = spark.createDataFrame(
+            [(i, "s%d" % (i % 3), (i * 37) % 500) for i in range(300)],
+            "doc_id long, source string, n long",
+        )
+        ex = {r["group"]: r for r in context_length_profile(
+            df, length_col="n", capacity=100, exact=True).collect()}
+        ap = {r["group"]: r for r in context_length_profile(
+            df, length_col="n", capacity=100, exact=False).collect()}
+        assert set(ex) == set(ap)
+        for g in ex:
+            for c in ("n_docs", "total_tokens", "max_len", "n_over",
+                      "overflow_token_frac", "packs_needed"):
+                assert ex[g][c] == ap[g][c], (g, c)
+            # exact percentile interpolates; disc sketch returns a data
+            # value one rank away at most on this fixture
+            assert abs(ex[g]["p50_len"] - ap[g]["p50_len"]) <= 6.0
+            assert abs(ex[g]["p95_len"] - ap[g]["p95_len"]) <= 6.0
+
 
 class TestMixturePlan:
     def _df(self, spark):
@@ -2266,7 +2306,7 @@ class TestQualityBands:
             "doc_id long, source string, score double",
         )
         rows = {r["doc_id"]: r["band"] for r in
-                quality_bands(df, "score", n_bands=5).collect()}
+                quality_bands(df, "score", n_bands=5, exact=True).collect()}
         # group a: 10 docs over 5 bands -> 2 per band, ascending score
         assert rows[0] == rows[1] == 1
         assert rows[8] == rows[9] == 5
@@ -2280,3 +2320,66 @@ class TestQualityBands:
                                    "doc_id long, source string, score double")
         with pytest.raises(ValueError, match="n_bands"):
             quality_bands(df, "score", n_bands=0)
+
+    def test_approx_matches_ntile_on_distinct_scores(self, spark):
+        # distinct scores + group size divisible by n_bands: the
+        # boundary-based assignment must agree with NTILE exactly
+        from datatest_spark.operators.stats import quality_bands
+
+        df = spark.createDataFrame(
+            [(i, "a", float(i * 7 % 100)) for i in range(20)]
+            + [(100 + i, "b", float(i)) for i in range(10)],
+            "doc_id long, source string, score double",
+        )
+        exact = {r["doc_id"]: r["band"] for r in
+                 quality_bands(df, "score", n_bands=5, exact=True).collect()}
+        approx = {r["doc_id"]: r["band"] for r in
+                  quality_bands(df, "score", n_bands=5).collect()}
+        assert exact == approx
+
+    def test_approx_nulls_and_ties(self, spark):
+        from datatest_spark.operators.stats import quality_bands
+
+        df = spark.createDataFrame(
+            # 8 tied scores + 2 extremes: ties share a band (value-based)
+            [(i, "a", 5.0) for i in range(8)]
+            + [(8, "a", 0.0), (9, "a", 9.0), (10, "a", None)],
+            "doc_id long, source string, score double",
+        )
+        rows = {r["doc_id"]: r["band"] for r in
+                quality_bands(df, "score", n_bands=5).collect()}
+        tied = {rows[i] for i in range(8)}
+        assert len(tied) == 1          # all ties in ONE band
+        assert rows[10] == 1           # null score -> band 1
+        assert rows[8] == 1            # minimum -> band 1
+        assert rows[9] > rows[0]       # max lands above the tied mass
+
+    def test_approx_null_group_bands_itself(self, spark):
+        from datatest_spark.operators.stats import quality_bands
+
+        df = spark.createDataFrame(
+            [(i, None, float(i)) for i in range(10)]
+            + [(100, "a", 3.0)],
+            "doc_id long, source string, score double",
+        )
+        rows = {r["doc_id"]: r["band"] for r in
+                quality_bands(df, "score", n_bands=5).collect()}
+        # the null group must find its own boundary row (eqNullSafe):
+        # its top scores land in the top band, not all in band 1
+        assert rows[9] == 5 and rows[0] == 1
+        assert rows[100] == 1
+
+    def test_approx_single_band_and_all_null_group(self, spark):
+        from datatest_spark.operators.stats import quality_bands
+
+        df = spark.createDataFrame(
+            [(1, "a", 1.0), (2, "b", None), (3, "b", None)],
+            "doc_id long, source string, score double",
+        )
+        one = {r["doc_id"]: r["band"] for r in
+               quality_bands(df, "score", n_bands=1).collect()}
+        assert set(one.values()) == {1}
+        rows = {r["doc_id"]: r["band"] for r in
+                quality_bands(df, "score", n_bands=4).collect()}
+        # all-null group: null bounds array coalesces to empty -> band 1
+        assert rows[2] == 1 and rows[3] == 1
