@@ -1138,6 +1138,60 @@ def q_quality_bands(spark, sf_dir):
     )
 
 
+def q_accepted_keys(spark, sf_dir):
+    """T5 accepted.keys(predicate) distributed: interval Deviations over
+    documents.n_chars grouped by source; violations whose group key is
+    in {src0, src2} are absorbed by the pure Column set-membership
+    acceptance, the rest surface. Exercises AcceptedKeys' predicate
+    compiler on group_key."""
+    from datatest_spark.acceptances import accepted
+    from datatest_spark.requirements import RequiredInterval
+
+    d = _t(spark, sf_dir, "documents")
+    v = RequiredInterval(150.0, 400.0).violations(
+        d.select("doc_id", "source", "n_chars"),
+        columns=["n_chars"],
+        id_col="doc_id",
+        group_col="source",
+    )
+    out = accepted.keys({"src0", "src2"}).apply(v)
+    return out.select(
+        "kind",
+        "group_key",
+        "doc_id",
+        F.col("value").cast("double").alias("value"),
+        "expected",
+        F.round("deviation", 4).alias("deviation"),
+    )
+
+
+def q_accepted_args(spark, sf_dir):
+    """T6 accepted.args(predicate) distributed: the arbitrary-callable
+    acceptance runs as a vectorized pandas UDF over violation rows only
+    (the small side — never the corpus). Deviations within 25 of the
+    violated bound are absorbed; args for a deviation row reconstruct
+    as (deviation, expected), so the callable sees a[0] = deviation."""
+    from datatest_spark.acceptances import accepted
+    from datatest_spark.requirements import RequiredInterval
+
+    d = _t(spark, sf_dir, "documents")
+    v = RequiredInterval(150.0, 400.0).violations(
+        d.select("doc_id", "n_chars"),
+        columns=["n_chars"],
+        id_col="doc_id",
+    )
+    out = accepted.args(
+        lambda a: a[0] is not None and abs(a[0]) <= 25
+    ).apply(v)
+    return out.select(
+        "kind",
+        "doc_id",
+        F.col("value").cast("double").alias("value"),
+        "expected",
+        F.round("deviation", 4).alias("deviation"),
+    )
+
+
 def q_quality_bands_approx(spark, sf_dir):
     """Curriculum banding, scale path (operators/stats.quality_bands
     exact=False): value-based bands from broadcast approx-percentile
@@ -1224,6 +1278,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "accepted_tolerance": q_accepted_tolerance,
         # --- group 2: new round-5 operators (insert here) ---
         "quality_bands_approx": q_quality_bands_approx,
+        "accepted_keys": q_accepted_keys,
+        "accepted_args": q_accepted_args,
         # --- group 3: veterans filling the 50-query window ---
         "wide_stats_documents": q_wide_stats_documents,
         "tpch_q1_pricing": q_tpch_q1_pricing,
@@ -2819,6 +2875,55 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY n_chars ASC NULLS FIRST, doc_id ASC
                    ) AS INT) AS band
             FROM documents
+        """,
+        "accepted_keys": """
+            WITH V AS (
+                SELECT CASE WHEN n_chars IS NULL THEN 'invalid'
+                            ELSE 'deviation' END AS kind,
+                       CAST(source AS VARCHAR) AS group_key,
+                       CAST(doc_id AS VARCHAR) AS doc_id,
+                       CAST(n_chars AS DOUBLE) AS value_d,
+                       CASE WHEN n_chars < 150 THEN 150.0
+                            ELSE 400.0 END AS exp,
+                       CASE WHEN n_chars IS NULL THEN NULL
+                            ELSE CAST(n_chars AS DOUBLE)
+                                 - (CASE WHEN n_chars < 150 THEN 150.0
+                                         ELSE 400.0 END)
+                       END AS dev
+                FROM documents
+                WHERE NOT COALESCE(n_chars >= 150 AND n_chars <= 400,
+                                   FALSE)
+            )
+            SELECT kind, group_key, doc_id, value_d AS value,
+                   CAST(exp AS VARCHAR) AS expected,
+                   ROUND(dev, 4) AS deviation
+            FROM V
+            WHERE NOT COALESCE(group_key IN ('src0', 'src2'), FALSE)
+        """,
+        "accepted_args": """
+            WITH V AS (
+                SELECT CASE WHEN n_chars IS NULL THEN 'invalid'
+                            ELSE 'deviation' END AS kind,
+                       CAST(doc_id AS VARCHAR) AS doc_id,
+                       CAST(n_chars AS DOUBLE) AS value_d,
+                       CASE WHEN n_chars < 150 THEN 150.0
+                            ELSE 400.0 END AS exp,
+                       CASE WHEN n_chars IS NULL THEN NULL
+                            ELSE CAST(n_chars AS DOUBLE)
+                                 - (CASE WHEN n_chars < 150 THEN 150.0
+                                         ELSE 400.0 END)
+                       END AS dev
+                FROM documents
+                WHERE NOT COALESCE(n_chars >= 150 AND n_chars <= 400,
+                                   FALSE)
+            )
+            SELECT kind, doc_id, value_d AS value,
+                   CAST(exp AS VARCHAR) AS expected,
+                   ROUND(dev, 4) AS deviation
+            FROM V
+            WHERE NOT COALESCE(
+                kind = 'deviation' AND dev IS NOT NULL
+                AND NOT isnan(dev) AND ABS(dev) <= 25.0, FALSE)
         """,
         "quality_bands_approx": """
             WITH B AS (

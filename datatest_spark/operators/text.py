@@ -503,11 +503,16 @@ def bigram_logloss(
     fixed-point divisor is not discoverable from the frame.
 
     Scale shape, honestly: the model is corpus-sized so scoring is
-    JOIN-based, not broadcast-carried — one explode, one equi-join on
-    (t1, t2), one groupBy on the id. Three exchanges is the intrinsic
-    cost of an unbounded conditional model; fixed-point bigint sums
-    keep the result parallelism-invariant and oracle-exact (same trick
-    as unigram_logloss)."""
+    JOIN-based, not broadcast-carried. Exploded (id, t1, t2) pairs are
+    pre-aggregated to (id, pair, count) BEFORE the model join — the
+    join input shrinks by the per-doc repeat factor at zero semantic
+    cost (fixed-point sums are associative: sum over occurrences ==
+    sum over distinct pairs of count x lp). The pre-agg rides the SAME
+    (t1, t2) exchange the join needs: repartition on the pair key
+    satisfies both the (id, t1, t2) grouping (subset co-location) and
+    the join's distribution, so the exchange count stays at the
+    intrinsic three (pairs, model side, id groupBy) while the id
+    groupBy now carries deduplicated rows."""
     if model is None:
         model = bigram_model(df, tokens_col, scale_bits)
     pe = df.select(
@@ -518,18 +523,28 @@ def bigram_logloss(
         F.col("p.t1").alias("_a1"),
         F.col("p.t2").alias("_a2"),
     )
-    joined = pe.join(
+    pre = (
+        pe.repartition("_a1", "_a2")
+        .groupBy(id_col, "_a1", "_a2")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    joined = pre.join(
         model,
-        on=[pe["_a1"] == model["t1"], pe["_a2"] == model["t2"]],
+        on=[pre["_a1"] == model["t1"], pre["_a2"] == model["t2"]],
         how="left",
     )
     # pair tokens are non-null by construction (nulls filtered before
-    # pairing), so count(_a1) counts real pairs; explode_outer's null
-    # row for pair-less docs contributes zero
+    # pairing), so _a1 IS NOT NULL marks real pairs; explode_outer's
+    # null row for pair-less docs contributes zero to every sum
     agg = joined.groupBy(id_col).agg(
-        F.count("_a1").alias("n_pairs"),
-        F.count("lp_fixed").alias("_k"),
-        F.sum("lp_fixed").alias("_s"),
+        F.sum(
+            F.when(F.col("_a1").isNotNull(), F.col("_n")).otherwise(F.lit(0))
+        ).alias("n_pairs"),
+        F.sum(
+            F.when(F.col("lp_fixed").isNotNull(), F.col("_n"))
+            .otherwise(F.lit(0))
+        ).alias("_k"),
+        F.sum(F.col("lp_fixed") * F.col("_n")).alias("_s"),
     )
     k = F.col("_k")
     return agg.select(
