@@ -1138,6 +1138,20 @@ def q_quality_bands(spark, sf_dir):
     )
 
 
+def q_mad_outliers(spark, sf_dir):
+    """Robust per-source outlier detection (operators/stats.mad_outliers):
+    median + MAD modified z-score over n_chars; 50% breakdown point
+    means corrupt batches can't drag the center. Two |groups|-row
+    broadcast joins, corpus never shuffles; exact percentile form is
+    the oracle (percentile ≡ quantile_cont)."""
+    from datatest_spark.operators.stats import mad_outliers
+
+    d = _t(spark, sf_dir, "documents")
+    return mad_outliers(
+        d, "n_chars", group_col="source", threshold=2.0, exact=True
+    )
+
+
 def q_accepted_keys(spark, sf_dir):
     """T5 accepted.keys(predicate) distributed: interval Deviations over
     documents.n_chars grouped by source; violations whose group key is
@@ -1280,6 +1294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_bands_approx": q_quality_bands_approx,
         "accepted_keys": q_accepted_keys,
         "accepted_args": q_accepted_args,
+        "mad_outliers": q_mad_outliers,
         # --- group 3: veterans filling the 50-query window ---
         "wide_stats_documents": q_wide_stats_documents,
         "tpch_q1_pricing": q_tpch_q1_pricing,
@@ -2875,6 +2890,33 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY n_chars ASC NULLS FIRST, doc_id ASC
                    ) AS INT) AS band
             FROM documents
+        """,
+        "mad_outliers": """
+            WITH MED AS (
+                SELECT source AS grp,
+                       quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS med
+                FROM documents WHERE n_chars IS NOT NULL
+                GROUP BY source
+            ),
+            WM AS (
+                SELECT d.doc_id, d.source,
+                       CAST(d.n_chars AS DOUBLE) AS x, m.med
+                FROM documents d
+                JOIN MED m ON d.source IS NOT DISTINCT FROM m.grp
+            ),
+            MADT AS (
+                SELECT source AS grp,
+                       quantile_cont(ABS(x - med), 0.5) AS mad
+                FROM WM WHERE x IS NOT NULL
+                GROUP BY source
+            )
+            SELECT w.doc_id, w.source, w.x AS value,
+                   ROUND(w.med, 6) AS med,
+                   ROUND(a.mad, 6) AS mad,
+                   ROUND((w.x - w.med) / (1.4826 * a.mad), 4) AS robust_z
+            FROM WM w JOIN MADT a ON w.source IS NOT DISTINCT FROM a.grp
+            WHERE w.x IS NOT NULL AND a.mad > 0
+              AND ABS((w.x - w.med) / (1.4826 * a.mad)) > 2.0
         """,
         "accepted_keys": """
             WITH V AS (

@@ -268,6 +268,11 @@ def main():
     if loadavg_start is not None:
         out["loadavg_start"] = loadavg_start
         out["contended"] = bool(loadavg_start >= LOAD_THRESHOLD)
+        # stricter evidence stamp (r4 VERDICT #7): r4's driver run began
+        # at loadavg 3.4 — under the contention threshold yet 5s slower
+        # than the quiet run. Timings are trustworthy as regression
+        # EVIDENCE only when the box was actually quiet at start.
+        out["quiet"] = bool(loadavg_start < 2.0)
 
     # round-over-round continuity: flag per-query regressions vs the BEST
     # (minimum) prior recording of that query across ALL BENCH_r{N}.json —

@@ -835,3 +835,75 @@ def self_repetition_spans(
         flag = prev_same | next_same
     dup = w.withColumn("_rep", flag).where(F.col("_rep")).drop("_rep")
     return _merge_spans(dup, k)
+
+
+def lsh_plan(
+    threshold: float,
+    num_hashes: int = 128,
+    target: str = "balanced",
+) -> dict:
+    """Choose LSH banding parameters (bands b, rows-per-band r) for a
+    target Jaccard ``threshold`` and a MinHash signature of
+    ``num_hashes`` values — the driver-side planning step before
+    :func:`minhash_lsh_pairs` at corpus scale, where a mis-tuned banding
+    either floods the verify pass with false candidates or silently
+    drops true near-dups.
+
+    The S-curve probability that a pair of similarity s becomes a
+    candidate is ``1 - (1 - s^r)^b`` (Leskovec/Rajaraman/Ullman, Mining
+    of Massive Datasets §3.4); the curve's inflection sits near
+    ``(1/b)^(1/r)``. ``target`` skews the pick: ``'balanced'`` gets the
+    inflection closest to threshold, ``'recall'`` prefers the largest
+    candidate probability AT the threshold among near-balanced picks
+    (catch more, verify more), ``'precision'`` the smallest (cheaper
+    verify, may miss borderline pairs).
+
+    Pure driver-side arithmetic over at most ``num_hashes`` divisor
+    candidates — no Spark, no data. Returns a dict with ``bands``,
+    ``rows_per_band``, ``inflection``, ``p_at_threshold``, and
+    ``candidate_prob(s)``-style curve samples for audit logging.
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError("threshold must be in (0, 1), got %r" % (threshold,))
+    if num_hashes < 2:
+        raise ValueError("num_hashes must be >= 2, got %r" % (num_hashes,))
+    if target not in ("balanced", "recall", "precision"):
+        raise ValueError("target must be balanced|recall|precision")
+
+    def p_cand(s, b, r):
+        return 1.0 - (1.0 - s ** r) ** b
+
+    picks = []
+    for r in range(1, num_hashes + 1):
+        b = num_hashes // r
+        if b < 1:
+            break
+        inflection = (1.0 / b) ** (1.0 / r) if b > 1 else 0.0
+        picks.append((abs(inflection - threshold), r, b, inflection))
+    picks.sort()
+    best_gap = picks[0][0]
+    # near-balanced = within 0.05 of the best inflection gap; among
+    # those, recall wants max p(threshold), precision wants min
+    near = [p for p in picks if p[0] <= best_gap + 0.05]
+    if target == "recall":
+        _, r, b, inflection = max(
+            near, key=lambda p: p_cand(threshold, p[2], p[1])
+        )
+    elif target == "precision":
+        _, r, b, inflection = min(
+            near, key=lambda p: p_cand(threshold, p[2], p[1])
+        )
+    else:
+        _, r, b, inflection = picks[0]
+    curve = {
+        round(s / 10.0, 1): round(p_cand(s / 10.0, b, r), 6)
+        for s in range(1, 10)
+    }
+    return {
+        "bands": b,
+        "rows_per_band": r,
+        "signature_used": b * r,
+        "inflection": round(inflection, 6),
+        "p_at_threshold": round(p_cand(threshold, b, r), 6),
+        "curve": curve,
+    }

@@ -378,3 +378,85 @@ def context_length_profile(
             .alias("packs_needed"),
         )
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    threshold: float = 3.5,
+    exact: bool = True,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Robust per-group outlier detection: median + MAD (median absolute
+    deviation), flagging rows whose robust z-score
+    ``(x - median) / (1.4826 * MAD)`` exceeds ``threshold`` — the
+    Iglewicz-Hoberg modified z-score. Unlike mean/stddev, a batch of
+    corrupt documents cannot drag the center toward itself (50%
+    breakdown point), which is the point of using it on corpus length /
+    quality columns where the outliers ARE the signal.
+
+    Returns one row per OUTLIER: (id, group, value, med, mad,
+    robust_z). A group whose MAD is 0 (>= 50% of values identical)
+    yields no outliers — the robust z is undefined there, and flagging
+    "everything not equal to the mode" is never the intent; use
+    quality_bands or an interval check for that shape. Null values are
+    never outliers (they surface through null-rate/Invalid checks).
+
+    Scale shape: TWO per-group aggregations (median, then median of
+    absolute deviations) with a |groups|-row broadcast join after each
+    — the corpus itself never shuffles. ``exact=True`` buffers
+    per-group values inside ``F.percentile`` (the oracle form;
+    percentile ≡ DuckDB quantile_cont, same proof as exact_quantiles);
+    ``exact=False`` switches both medians to ``percentile_approx``
+    (GK sketch, fixed memory) — the 10^12 path, same API.
+    """
+    if threshold <= 0:
+        raise ValueError("threshold must be positive, got %r" % (threshold,))
+    x = F.col(value_col).cast("double")
+
+    def _median(col):
+        if exact:
+            return F.percentile(col, F.lit(0.5))
+        return F.percentile_approx(col, F.lit(0.5), F.lit(accuracy)).cast(
+            "double"
+        )
+
+    med = (
+        df.where(x.isNotNull())
+        .groupBy(F.col(group_col).alias("_mo_grp"))
+        .agg(_median(x).alias("med"))
+    )
+    with_med = df.join(
+        F.broadcast(med),
+        F.col(group_col).eqNullSafe(F.col("_mo_grp")),
+        how="inner",
+    ).drop("_mo_grp")
+    mad = (
+        with_med.where(x.isNotNull())
+        .groupBy(F.col(group_col).alias("_mo_grp"))
+        .agg(_median(F.abs(x - F.col("med"))).alias("mad"))
+    )
+    z = (x - F.col("med")) / (F.lit(1.4826) * F.col("mad"))
+    return (
+        with_med.join(
+            F.broadcast(mad),
+            F.col(group_col).eqNullSafe(F.col("_mo_grp")),
+            how="inner",
+        )
+        .drop("_mo_grp")
+        .where(
+            x.isNotNull()
+            & (F.col("mad") > 0)
+            & (F.abs(z) > F.lit(float(threshold)))
+        )
+        .select(
+            F.col(id_col),
+            F.col(group_col),
+            x.alias("value"),
+            F.round("med", 6).alias("med"),
+            F.round("mad", 6).alias("mad"),
+            F.round(z, 4).alias("robust_z"),
+        )
+    )

@@ -2383,3 +2383,105 @@ class TestQualityBands:
                 quality_bands(df, "score", n_bands=4).collect()}
         # all-null group: null bounds array coalesces to empty -> band 1
         assert rows[2] == 1 and rows[3] == 1
+
+
+class TestMadOutliers:
+    def test_hand_example(self, spark):
+        from datatest_spark.operators.stats import mad_outliers
+
+        df = spark.createDataFrame(
+            [(1, "a", 10.0), (2, "a", 12.0), (3, "a", 11.0),
+             (4, "a", 9.0), (5, "a", 1000.0), (6, "a", None),
+             (7, "b", 5.0), (8, "b", 5.0), (9, "b", 5.0)],
+            "doc_id long, source string, v double",
+        )
+        rows = mad_outliers(df, "v", threshold=3.5).collect()
+        # group a: med=11 (of 9,10,11,12,1000), MAD=med(|x-11|)=1
+        # (|9-11|,|10-11|,0,1,989 -> 1,1,0,1,989 -> med 1);
+        # only 1000 has |z| = 989/1.4826 >> 3.5. group b: MAD=0 -> none.
+        assert len(rows) == 1
+        r = rows[0]
+        assert r["doc_id"] == 5 and r["med"] == 11.0 and r["mad"] == 1.0
+        assert r["robust_z"] == round(989.0 / 1.4826, 4)
+
+    def test_zero_mad_group_yields_no_outliers(self, spark):
+        from datatest_spark.operators.stats import mad_outliers
+
+        df = spark.createDataFrame(
+            [(i, "c", 7.0) for i in range(9)] + [(99, "c", 8.0)],
+            "doc_id long, source string, v double",
+        )
+        # 90% identical: MAD = 0, the 8.0 row must NOT be flagged
+        assert mad_outliers(df, "v", threshold=1.0).count() == 0
+
+    def test_null_group_and_null_values(self, spark):
+        from datatest_spark.operators.stats import mad_outliers
+
+        df = spark.createDataFrame(
+            [(1, None, 1.0), (2, None, 2.0), (3, None, 3.0),
+             (4, None, 100.0), (5, None, None)],
+            "doc_id long, source string, v double",
+        )
+        rows = mad_outliers(df, "v", threshold=3.5).collect()
+        assert [r["doc_id"] for r in rows] == [4]
+
+    def test_approx_agrees_with_exact(self, spark):
+        from datatest_spark.operators.stats import mad_outliers
+
+        df = spark.createDataFrame(
+            [(i, "s%d" % (i % 2), float((i * 13) % 97)) for i in range(200)]
+            + [(900, "s0", 5000.0), (901, "s1", -4000.0)],
+            "doc_id long, source string, v double",
+        )
+        ex = {r["doc_id"] for r in
+              mad_outliers(df, "v", threshold=3.5, exact=True).collect()}
+        ap = {r["doc_id"] for r in
+              mad_outliers(df, "v", threshold=3.5, exact=False).collect()}
+        assert ex == ap == {900, 901}
+
+    def test_invalid_threshold(self, spark):
+        from datatest_spark.operators.stats import mad_outliers
+
+        df = spark.createDataFrame([(1, "a", 1.0)],
+                                   "doc_id long, source string, v double")
+        with pytest.raises(ValueError, match="threshold"):
+            mad_outliers(df, "v", threshold=0)
+
+
+class TestLshPlan:
+    def test_balanced_pick_near_threshold(self):
+        from datatest_spark.operators.dedup import lsh_plan
+
+        p = lsh_plan(0.5, num_hashes=128)
+        assert p["bands"] * p["rows_per_band"] <= 128
+        assert abs(p["inflection"] - 0.5) < 0.06
+        # S-curve sanity: candidate probability is monotone in s
+        vals = [p["curve"][round(s / 10.0, 1)] for s in range(1, 10)]
+        assert vals == sorted(vals)
+
+    def test_recall_vs_precision_ordering(self):
+        from datatest_spark.operators.dedup import lsh_plan
+
+        bal = lsh_plan(0.6, 128, target="balanced")
+        rec = lsh_plan(0.6, 128, target="recall")
+        pre = lsh_plan(0.6, 128, target="precision")
+        assert rec["p_at_threshold"] >= bal["p_at_threshold"]
+        assert pre["p_at_threshold"] <= bal["p_at_threshold"]
+
+    def test_matches_lsh_pairs_defaults(self):
+        # the defaults minhash_lsh_pairs ships (8 hashes, 4 bands of 2)
+        # are what the planner picks for a mid-range threshold at n=8
+        from datatest_spark.operators.dedup import lsh_plan
+
+        p = lsh_plan(0.35, num_hashes=8)
+        assert p["bands"] == 4 and p["rows_per_band"] == 2
+
+    def test_validation(self):
+        from datatest_spark.operators.dedup import lsh_plan
+
+        with pytest.raises(ValueError, match="threshold"):
+            lsh_plan(0.0)
+        with pytest.raises(ValueError, match="num_hashes"):
+            lsh_plan(0.5, 1)
+        with pytest.raises(ValueError, match="target"):
+            lsh_plan(0.5, 128, target="nope")
