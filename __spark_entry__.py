@@ -1315,13 +1315,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dup_groups": q_exact_dup_groups,
         "minhash_signatures": q_minhash_signatures,
         "cosine_threshold_pairs": q_cosine_threshold_pairs,
-        "drift_psi": q_drift_psi,
-        "repetition_profile": q_repetition_profile,
-        "exact_quantiles": q_exact_quantiles,
-        "interval_deviations": q_interval_deviations,
         "ivf_md5_topk": q_ivf_md5_topk,
         "simhash_md5_signatures": q_simhash_md5_signatures,
         # --- group 4: long-green veterans past the 50-query window ---
+        "repetition_profile": q_repetition_profile,
+        "exact_quantiles": q_exact_quantiles,
+        "interval_deviations": q_interval_deviations,
+        "drift_psi": q_drift_psi,
         "referential_orphans": q_referential_orphans,
         "set_extra_values": q_set_extra_values,
         "set_missing_required": q_set_missing_required,

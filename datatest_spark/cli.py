@@ -127,11 +127,15 @@ def main(argv=None) -> int:
             # needs quoting fails as "not Iceberg" only when it truly
             # isn't — unquoted interpolation made quoting errors
             # masquerade as missing metadata and silently disarmed the
-            # cross-snapshot resume guard
-            quoted = ".".join(
-                "`%s`" % part.replace("`", "``")
-                for part in args.input.split(".")
-            )
+            # cross-snapshot resume guard. An input that already
+            # contains backticks is caller-quoted (e.g. cat.`my.table`,
+            # where splitting on '.' would corrupt it) — pass verbatim.
+            if "`" in args.input:
+                quoted = args.input
+            else:
+                quoted = ".".join(
+                    "`%s`" % part for part in args.input.split(".")
+                )
             snap = spark.sql(
                 "SELECT snapshot_id FROM {0}.history "
                 "ORDER BY made_current_at DESC LIMIT 1".format(quoted)

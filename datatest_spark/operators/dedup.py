@@ -876,9 +876,12 @@ def lsh_plan(
     picks = []
     for r in range(1, num_hashes + 1):
         b = num_hashes // r
-        if b < 1:
+        if b < 2:
+            # a 1-band "plan" is full-signature equality, not banding —
+            # its curve s^r has no S-inflection and at any real threshold
+            # it drops essentially every true near-dup; never a candidate
             break
-        inflection = (1.0 / b) ** (1.0 / r) if b > 1 else 0.0
+        inflection = (1.0 / b) ** (1.0 / r)
         picks.append((abs(inflection - threshold), r, b, inflection))
     picks.sort()
     best_gap = picks[0][0]

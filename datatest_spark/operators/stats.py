@@ -423,10 +423,13 @@ def mad_outliers(
             "double"
         )
 
+    # internal names are prefixed: the caller's frame may legitimately
+    # carry its own 'med'/'mad' columns (this operator targets stats
+    # tables), and bare names would be AMBIGUOUS_REFERENCE after the join
     med = (
         df.where(x.isNotNull())
         .groupBy(F.col(group_col).alias("_mo_grp"))
-        .agg(_median(x).alias("med"))
+        .agg(_median(x).alias("_mo_med"))
     )
     with_med = df.join(
         F.broadcast(med),
@@ -436,9 +439,9 @@ def mad_outliers(
     mad = (
         with_med.where(x.isNotNull())
         .groupBy(F.col(group_col).alias("_mo_grp"))
-        .agg(_median(F.abs(x - F.col("med"))).alias("mad"))
+        .agg(_median(F.abs(x - F.col("_mo_med"))).alias("_mo_mad"))
     )
-    z = (x - F.col("med")) / (F.lit(1.4826) * F.col("mad"))
+    z = (x - F.col("_mo_med")) / (F.lit(1.4826) * F.col("_mo_mad"))
     return (
         with_med.join(
             F.broadcast(mad),
@@ -448,15 +451,15 @@ def mad_outliers(
         .drop("_mo_grp")
         .where(
             x.isNotNull()
-            & (F.col("mad") > 0)
+            & (F.col("_mo_mad") > 0)
             & (F.abs(z) > F.lit(float(threshold)))
         )
         .select(
             F.col(id_col),
             F.col(group_col),
             x.alias("value"),
-            F.round("med", 6).alias("med"),
-            F.round("mad", 6).alias("mad"),
+            F.round("_mo_med", 6).alias("med"),
+            F.round("_mo_mad", 6).alias("mad"),
             F.round(z, 4).alias("robust_z"),
         )
     )

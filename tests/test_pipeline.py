@@ -2485,3 +2485,18 @@ class TestLshPlan:
             lsh_plan(0.5, 1)
         with pytest.raises(ValueError, match="target"):
             lsh_plan(0.5, 128, target="nope")
+
+    def test_never_degenerates_to_one_band(self):
+        # review finding: b==1 candidates carried a fake inflection of
+        # 0.0, letting precision picks at low thresholds return a
+        # 1-band plan whose candidate probability at s=0.9 was ~0.001
+        from datatest_spark.operators.dedup import lsh_plan
+
+        for t in (0.05, 0.08, 0.2, 0.5, 0.9):
+            for target in ("balanced", "recall", "precision"):
+                p = lsh_plan(t, 128, target=target)
+                assert p["bands"] >= 2, (t, target, p)
+                # a true near-dup well above threshold must be likely
+                s = min(0.95, t + 0.4)
+                prob = 1 - (1 - s ** p["rows_per_band"]) ** p["bands"]
+                assert prob > 0.5, (t, target, p, prob)
