@@ -1138,6 +1138,34 @@ def q_quality_bands(spark, sf_dir):
     )
 
 
+def q_zipf_fit(spark, sf_dir):
+    """Power-law corpus audit (operators/text.zipf_fit): per-source
+    least-squares slope + r2 of log2(count) vs log2(rank) over word
+    tokens. Fixed-point bigint regression sums -> parallelism-invariant
+    and oracle-exact; the final ratios cast the same exact integers to
+    double on both engines."""
+    from datatest_spark.operators.text import zipf_fit
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("source", F.split(F.col("text"), " ").alias("tokens"))
+    return zipf_fit(toks, group_col="source", max_rank=10000)
+
+
+def q_cross_source_duplication(spark, sf_dir):
+    """Source-pair verbatim overlap matrix
+    (operators/dedup.cross_source_duplication): distinct content keys
+    shared between each source pair + within-source dup counts. The
+    key here is a 40-char prefix (the synth corpus has no full-text
+    dups but real prefix overlap); hash join on md5 so the oracle
+    reproduces it (xxhash64 is the production default)."""
+    from datatest_spark.operators.dedup import cross_source_duplication
+
+    d = _t(spark, sf_dir, "documents")
+    return cross_source_duplication(
+        d, text_col=F.substring(F.col("text"), 1, 40), hash_fn="md5"
+    )
+
+
 def q_mad_outliers(spark, sf_dir):
     """Robust per-source outlier detection (operators/stats.mad_outliers):
     median + MAD modified z-score over n_chars; 50% breakdown point
@@ -1295,6 +1323,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "accepted_keys": q_accepted_keys,
         "accepted_args": q_accepted_args,
         "mad_outliers": q_mad_outliers,
+        "zipf_fit": q_zipf_fit,
+        "cross_source_duplication": q_cross_source_duplication,
         # --- group 3: veterans filling the 50-query window ---
         "wide_stats_documents": q_wide_stats_documents,
         "tpch_q1_pricing": q_tpch_q1_pricing,
@@ -1313,11 +1343,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "stratified_sample": q_stratified_sample,
         "exact_dup_groups": q_exact_dup_groups,
-        "minhash_signatures": q_minhash_signatures,
-        "cosine_threshold_pairs": q_cosine_threshold_pairs,
         "ivf_md5_topk": q_ivf_md5_topk,
         "simhash_md5_signatures": q_simhash_md5_signatures,
         # --- group 4: long-green veterans past the 50-query window ---
+        "minhash_signatures": q_minhash_signatures,
+        "cosine_threshold_pairs": q_cosine_threshold_pairs,
         "repetition_profile": q_repetition_profile,
         "exact_quantiles": q_exact_quantiles,
         "interval_deviations": q_interval_deviations,
@@ -2890,6 +2920,76 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY n_chars ASC NULLS FIRST, doc_id ASC
                    ) AS INT) AS band
             FROM documents
+        """,
+        "zipf_fit": """
+            WITH TOK AS (
+                SELECT source AS grp,
+                       UNNEST(string_split(text, ' ')) AS token
+                FROM documents
+            ),
+            C AS (
+                SELECT grp, token, COUNT(*) AS n FROM TOK
+                GROUP BY grp, token
+            ),
+            R AS (
+                SELECT grp, n,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY grp ORDER BY n DESC, token ASC
+                       ) AS rank
+                FROM C
+            ),
+            XY AS (
+                SELECT grp,
+                       CAST(FLOOR(LOG2(rank) * 1024) AS BIGINT) AS x,
+                       CAST(FLOOR(LOG2(n) * 1024) AS BIGINT) AS y
+                FROM R WHERE rank <= 10000
+            ),
+            S AS (
+                SELECT grp, CAST(COUNT(*) AS BIGINT) AS k,
+                       CAST(SUM(x) AS BIGINT) AS sx,
+                       CAST(SUM(y) AS BIGINT) AS sy,
+                       CAST(SUM(x * y) AS BIGINT) AS sxy,
+                       CAST(SUM(x * x) AS BIGINT) AS sxx,
+                       CAST(SUM(y * y) AS BIGINT) AS syy
+                FROM XY GROUP BY grp
+            )
+            SELECT grp AS "group", k AS vocab_k,
+                   CASE WHEN k * sxx - sx * sx > 0 THEN
+                       ROUND(CAST(k * sxy - sx * sy AS DOUBLE)
+                             / CAST(k * sxx - sx * sx AS DOUBLE), 4)
+                   END AS slope,
+                   CASE WHEN k * sxx - sx * sx > 0
+                         AND k * syy - sy * sy > 0 THEN
+                       ROUND((CAST(k * sxy - sx * sy AS DOUBLE)
+                              * CAST(k * sxy - sx * sy AS DOUBLE))
+                             / (CAST(k * sxx - sx * sx AS DOUBLE)
+                                * CAST(k * syy - sy * sy AS DOUBLE)), 4)
+                   END AS r2
+            FROM S
+        """,
+        "cross_source_duplication": """
+            WITH K AS (
+                SELECT substr(text, 1, 40) AS kt,
+                       COALESCE(source, '__null__') AS g
+                FROM documents WHERE text IS NOT NULL
+            ),
+            PER AS (SELECT DISTINCT md5(kt) AS h, g FROM K),
+            CROSSP AS (
+                SELECT a.g AS source_a, b.g AS source_b,
+                       CAST(COUNT(*) AS BIGINT) AS n_shared_texts
+                FROM PER a JOIN PER b ON a.h = b.h AND a.g < b.g
+                GROUP BY a.g, b.g
+            ),
+            WITHIN AS (
+                SELECT g AS source_a, g AS source_b,
+                       CAST(COUNT(*) AS BIGINT) AS n_shared_texts
+                FROM (
+                    SELECT md5(kt) AS h, g, COUNT(*) AS docs
+                    FROM K GROUP BY 1, 2 HAVING COUNT(*) >= 2
+                )
+                GROUP BY g
+            )
+            SELECT * FROM CROSSP UNION ALL SELECT * FROM WITHIN
         """,
         "mad_outliers": """
             WITH MED AS (

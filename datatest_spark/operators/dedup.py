@@ -910,3 +910,70 @@ def lsh_plan(
         "p_at_threshold": round(p_cand(threshold, b, r), 6),
         "curve": curve,
     }
+
+
+def cross_source_duplication(
+    df: DataFrame,
+    text_col="text",
+    group_col: str = "source",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Verbatim-content overlap matrix between sources: for every source
+    pair (a < b), how many distinct texts appear in BOTH — the corpus-
+    composition audit that catches one source wholesale ingesting
+    another (wiki mirrored into a web crawl inflates its effective
+    mixture weight and double-counts tokens). Diagonal rows (a == b)
+    count texts duplicated WITHIN the source (>= 2 docs).
+
+    ``text_col`` may be a Column expression instead of a name — pass a
+    normalized form (lowercased, whitespace-collapsed) or a coarser
+    content key (a prefix, a winnowing fingerprint) to audit near-
+    verbatim overlap with the same matrix.
+
+    Returns (source_a, source_b, n_shared_texts) with source_a <=
+    source_b; pairs with zero overlap are absent. Null texts are
+    ignored (they are null-rate's problem); null sources participate
+    as the '__null__' group.
+
+    Scale shape: texts collapse to a hash + source, distinct — so the
+    self-join runs on |distinct (text, source)| rows keyed by an 8B
+    hash (``xxhash64`` default; ``'md5'`` for the cross-engine oracle),
+    and a hash's fan-out is bounded by the number of SOURCES carrying
+    it (tens), never by its document count — a million-fold duplicated
+    boilerplate line costs the same as a twice-duplicated one. One
+    distinct + one equi-join + one |pairs|-row agg.
+    """
+    if hash_fn not in ("xxhash64", "md5"):
+        raise ValueError("hash_fn must be xxhash64|md5, got %r" % (hash_fn,))
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    h = F.xxhash64(t) if hash_fn == "xxhash64" else F.md5(t)
+    g = F.coalesce(F.col(group_col).cast("string"), F.lit("__null__"))
+    per = (
+        df.where(t.isNotNull())
+        .select(h.alias("_h"), g.alias("_g"))
+        .distinct()
+    )
+    a = per.select(F.col("_h").alias("_ha"), F.col("_g").alias("source_a"))
+    b = per.select(F.col("_h").alias("_hb"), F.col("_g").alias("source_b"))
+    cross = (
+        a.join(b, (F.col("_ha") == F.col("_hb"))
+               & (F.col("source_a") < F.col("source_b")))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_texts"))
+    )
+    # within-source duplicates need doc multiplicity, not the distinct
+    # (hash, source) frame: count docs per (hash, source), keep >= 2
+    within = (
+        df.where(t.isNotNull())
+        .groupBy(h.alias("_h"), g.alias("_g"))
+        .agg(F.count(F.lit(1)).alias("_docs"))
+        .where(F.col("_docs") >= 2)
+        .groupBy(F.col("_g").alias("source_a"))
+        .agg(F.count(F.lit(1)).alias("n_shared_texts"))
+        .select(
+            "source_a",
+            F.col("source_a").alias("source_b"),
+            "n_shared_texts",
+        )
+    )
+    return cross.unionByName(within)

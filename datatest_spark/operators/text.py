@@ -741,3 +741,87 @@ def vocab_topk(
         counts.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def zipf_fit(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    group_col: str = "source",
+    max_rank: int = 10000,
+    scale_bits: int = 10,
+) -> DataFrame:
+    """Per-group Zipf rank-frequency fit: least-squares slope and r² of
+    log2(count) against log2(rank) over the top ``max_rank`` tokens —
+    the power-law audit for a tokenized corpus. Natural text sits near
+    slope -1; synthetic/templated/garbage sources bend the head of the
+    curve (|slope| far from 1, low r²), which no per-doc gate catches
+    because every individual document looks fine.
+
+    Returns (group, vocab_k, slope, r2); ``vocab_k`` is the number of
+    ranks actually fit. Groups with a single distinct token (zero
+    variance in x) yield NULL slope/r2. Fitting only the head is
+    standard practice (the tail is dominated by hapax noise) and bounds
+    the fit input to |groups| x max_rank rows.
+
+    Scale shape: explode → map-side-combinable (group, token) count agg
+    → rank window with ``rank <= max_rank`` triggering WindowGroupLimit
+    (tasks forward only local top-k) → ONE |groups|-row agg. The
+    regression sums use the fixed-point trick (floor(log2·2^scale_bits)
+    as bigint): integer sums are associative, so the result is
+    parallelism-invariant and bit-identical to the DuckDB oracle with
+    no ORDER BY. With scale_bits=10 and max_rank=10^4 the largest
+    intermediate (Σxy) stays < 10^13, far inside bigint.
+    """
+    from pyspark.sql import Window
+
+    if max_rank < 2:
+        raise ValueError("max_rank must be >= 2, got %r" % (max_rank,))
+    s = float(1 << scale_bits)
+    counts = (
+        df.select(
+            F.col(group_col).alias("group"),
+            F.explode(F.col(tokens_col)).alias("token"),
+        )
+        .groupBy("group", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("group").orderBy(
+        F.col("n").desc(), F.col("token").asc()
+    )
+    ranked = (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= max_rank)
+    )
+    x = F.floor(F.log2("rank") * F.lit(s)).cast("long")
+    y = F.floor(F.log2("n") * F.lit(s)).cast("long")
+    agg = ranked.select(
+        "group", x.alias("_x"), y.alias("_y")
+    ).groupBy("group").agg(
+        F.count(F.lit(1)).alias("vocab_k"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        F.sum(F.col("_y") * F.col("_y")).alias("_syy"),
+    )
+    # scale cancels: numerator and denominator both carry 2^(2*scale_bits).
+    # The moment sums stay EXACT bigints (k*Σxy can exceed 2^53, where
+    # double arithmetic would diverge from the oracle's exact integers);
+    # only the final ratios cast to double — both engines round the same
+    # integer to the same IEEE double, so the result stays bit-identical
+    k = F.col("vocab_k")
+    num = k * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    den = k * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    deny = k * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    num_d, den_d, deny_d = (
+        num.cast("double"), den.cast("double"), deny.cast("double")
+    )
+    return agg.select(
+        "group",
+        "vocab_k",
+        F.when(den > 0, F.round(num_d / den_d, 4)).alias("slope"),
+        F.when(
+            (den > 0) & (deny > 0),
+            F.round((num_d * num_d) / (den_d * deny_d), 4),
+        ).alias("r2"),
+    )

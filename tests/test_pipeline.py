@@ -2500,3 +2500,107 @@ class TestLshPlan:
                 s = min(0.95, t + 0.4)
                 prob = 1 - (1 - s ** p["rows_per_band"]) ** p["bands"]
                 assert prob > 0.5, (t, target, p, prob)
+
+
+class TestZipfFit:
+    def test_perfect_powerlaw_recovers_slope(self, spark):
+        from datatest_spark.operators.text import zipf_fit
+
+        # token r repeated floor(1024/r) times: counts ~ 1/rank -> slope
+        # ~ -1 with near-perfect fit
+        rows = []
+        for r in range(1, 33):
+            rows.extend([("a", "tok%03d" % r)] * (1024 // r))
+        df = spark.createDataFrame(rows, "source string, w string").groupBy(
+            "source"
+        ).agg(F.collect_list("w").alias("tokens"))
+        out = zipf_fit(df, group_col="source").collect()[0]
+        assert out["vocab_k"] == 32
+        assert -1.1 < out["slope"] < -0.9
+        assert out["r2"] > 0.98
+
+    def test_uniform_counts_have_zero_slope(self, spark):
+        from datatest_spark.operators.text import zipf_fit
+
+        rows = [("u", "t%d" % i) for i in range(20)] * 5
+        df = spark.createDataFrame(rows, "source string, w string").groupBy(
+            "source"
+        ).agg(F.collect_list("w").alias("tokens"))
+        out = zipf_fit(df).collect()[0]
+        assert out["slope"] == 0.0  # all y equal -> flat line, r2 null
+        assert out["r2"] is None
+
+    def test_single_token_group_yields_nulls(self, spark):
+        from datatest_spark.operators.text import zipf_fit
+
+        df = spark.createDataFrame(
+            [("s", ["only", "only", "only"])],
+            "source string, tokens array<string>",
+        )
+        out = zipf_fit(df).collect()[0]
+        assert out["vocab_k"] == 1
+        assert out["slope"] is None and out["r2"] is None
+
+    def test_max_rank_caps_fit(self, spark):
+        from datatest_spark.operators.text import zipf_fit
+
+        rows = []
+        for r in range(1, 11):
+            rows.extend([("a", "tok%02d" % r)] * (100 // r))
+        df = spark.createDataFrame(rows, "source string, w string").groupBy(
+            "source"
+        ).agg(F.collect_list("w").alias("tokens"))
+        out = zipf_fit(df, max_rank=5).collect()[0]
+        assert out["vocab_k"] == 5
+        with pytest.raises(ValueError, match="max_rank"):
+            zipf_fit(df, max_rank=1)
+
+
+class TestCrossSourceDuplication:
+    def test_matrix_and_diagonal(self, spark):
+        from datatest_spark.operators.dedup import cross_source_duplication
+
+        df = spark.createDataFrame(
+            [(1, "web", "shared one"), (2, "wiki", "shared one"),
+             (3, "web", "shared two"), (4, "wiki", "shared two"),
+             (5, "books", "shared one"), (6, "web", "web only"),
+             (7, "web", "web dup"), (8, "web", "web dup"),
+             (9, "wiki", None)],
+            "doc_id long, source string, text string",
+        )
+        rows = {(r["source_a"], r["source_b"]): r["n_shared_texts"]
+                for r in cross_source_duplication(df).collect()}
+        assert rows[("web", "wiki")] == 2
+        assert rows[("books", "web")] == 1
+        assert rows[("books", "wiki")] == 1
+        assert rows[("web", "web")] == 1      # 'web dup' within-source
+        assert ("wiki", "wiki") not in rows   # null text ignored
+        # a hash shared by N docs of one source still counts ONCE per pair
+        assert all(v >= 1 for v in rows.values())
+
+    def test_md5_and_xxhash_agree(self, spark):
+        from datatest_spark.operators.dedup import cross_source_duplication
+
+        df = spark.createDataFrame(
+            [(i, "s%d" % (i % 3), "t%d" % (i % 7)) for i in range(60)],
+            "doc_id long, source string, text string",
+        )
+        a = sorted(map(tuple, cross_source_duplication(
+            df, hash_fn="xxhash64").collect()))
+        b = sorted(map(tuple, cross_source_duplication(
+            df, hash_fn="md5").collect()))
+        assert a == b
+        with pytest.raises(ValueError, match="hash_fn"):
+            cross_source_duplication(df, hash_fn="sha1")
+
+    def test_column_expression_key(self, spark):
+        from datatest_spark.operators.dedup import cross_source_duplication
+
+        df = spark.createDataFrame(
+            [(1, "a", "PREFIX tail one"), (2, "b", "PREFIX tail two")],
+            "doc_id long, source string, text string",
+        )
+        rows = cross_source_duplication(
+            df, text_col=F.substring(F.col("text"), 1, 6)).collect()
+        assert [(r["source_a"], r["source_b"], r["n_shared_texts"])
+                for r in rows] == [("a", "b", 1)]
