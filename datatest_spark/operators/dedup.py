@@ -935,39 +935,47 @@ def cross_source_duplication(
     ignored (they are null-rate's problem); null sources participate
     as the '__null__' group.
 
-    Scale shape: texts collapse to a hash + source, distinct — so the
-    self-join runs on |distinct (text, source)| rows keyed by an 8B
-    hash (``xxhash64`` default; ``'md5'`` for the cross-engine oracle),
-    and a hash's fan-out is bounded by the number of SOURCES carrying
-    it (tens), never by its document count — a million-fold duplicated
-    boilerplate line costs the same as a twice-duplicated one. One
-    distinct + one equi-join + one |pairs|-row agg.
+    Scale shape: texts collapse to (hash, length) + source in ONE
+    corpus aggregation (the doc-count output doubles as the distinct
+    frame), so the corpus is scanned and shuffled once; the self-join
+    runs on |distinct (text, source)| rows, and a key's fan-out is
+    bounded by the number of SOURCES carrying it (tens), never by its
+    document count — a million-fold duplicated boilerplate line costs
+    the same as a twice-duplicated one. The 8B ``xxhash64`` default is
+    paired with the text LENGTH (the repo's token-equality convention)
+    so 64-bit birthday collisions at 10^10+ distinct texts don't mint
+    phantom overlaps; ``'md5'`` (128-bit) for the cross-engine oracle.
     """
     if hash_fn not in ("xxhash64", "md5"):
         raise ValueError("hash_fn must be xxhash64|md5, got %r" % (hash_fn,))
     t = F.col(text_col) if isinstance(text_col, str) else text_col
     h = F.xxhash64(t) if hash_fn == "xxhash64" else F.md5(t)
     g = F.coalesce(F.col(group_col).cast("string"), F.lit("__null__"))
-    per = (
+    counted = (
         df.where(t.isNotNull())
-        .select(h.alias("_h"), g.alias("_g"))
-        .distinct()
+        .groupBy(h.alias("_h"), F.length(t).alias("_hl"), g.alias("_g"))
+        .agg(F.count(F.lit(1)).alias("_docs"))
     )
-    a = per.select(F.col("_h").alias("_ha"), F.col("_g").alias("source_a"))
-    b = per.select(F.col("_h").alias("_hb"), F.col("_g").alias("source_b"))
+    a = counted.select(
+        F.col("_h").alias("_ha"), F.col("_hl").alias("_hla"),
+        F.col("_g").alias("source_a"),
+    )
+    b = counted.select(
+        F.col("_h").alias("_hb"), F.col("_hl").alias("_hlb"),
+        F.col("_g").alias("source_b"),
+    )
     cross = (
-        a.join(b, (F.col("_ha") == F.col("_hb"))
-               & (F.col("source_a") < F.col("source_b")))
+        a.join(
+            b,
+            (F.col("_ha") == F.col("_hb"))
+            & (F.col("_hla") == F.col("_hlb"))
+            & (F.col("source_a") < F.col("source_b")),
+        )
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).alias("n_shared_texts"))
     )
-    # within-source duplicates need doc multiplicity, not the distinct
-    # (hash, source) frame: count docs per (hash, source), keep >= 2
     within = (
-        df.where(t.isNotNull())
-        .groupBy(h.alias("_h"), g.alias("_g"))
-        .agg(F.count(F.lit(1)).alias("_docs"))
-        .where(F.col("_docs") >= 2)
+        counted.where(F.col("_docs") >= 2)
         .groupBy(F.col("_g").alias("source_a"))
         .agg(F.count(F.lit(1)).alias("n_shared_texts"))
         .select(

@@ -763,35 +763,20 @@ def zipf_fit(
     standard practice (the tail is dominated by hapax noise) and bounds
     the fit input to |groups| x max_rank rows.
 
-    Scale shape: explode → map-side-combinable (group, token) count agg
-    → rank window with ``rank <= max_rank`` triggering WindowGroupLimit
-    (tasks forward only local top-k) → ONE |groups|-row agg. The
-    regression sums use the fixed-point trick (floor(log2·2^scale_bits)
-    as bigint): integer sums are associative, so the result is
+    Scale shape: the ranked head IS :func:`vocab_topk` with
+    ``k=max_rank`` (one shared definition of the explode →
+    map-side-combinable (group, token) count agg → rank window with
+    WindowGroupLimit) → ONE |groups|-row agg on top. The regression
+    sums use the fixed-point trick (floor(log2·2^scale_bits) as
+    bigint): integer sums are associative, so the result is
     parallelism-invariant and bit-identical to the DuckDB oracle with
     no ORDER BY. With scale_bits=10 and max_rank=10^4 the largest
     intermediate (Σxy) stays < 10^13, far inside bigint.
     """
-    from pyspark.sql import Window
-
     if max_rank < 2:
         raise ValueError("max_rank must be >= 2, got %r" % (max_rank,))
     s = float(1 << scale_bits)
-    counts = (
-        df.select(
-            F.col(group_col).alias("group"),
-            F.explode(F.col(tokens_col)).alias("token"),
-        )
-        .groupBy("group", "token")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    w = Window.partitionBy("group").orderBy(
-        F.col("n").desc(), F.col("token").asc()
-    )
-    ranked = (
-        counts.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= max_rank)
-    )
+    ranked = vocab_topk(df, tokens_col, group_col, k=max_rank)
     x = F.floor(F.log2("rank") * F.lit(s)).cast("long")
     y = F.floor(F.log2("n") * F.lit(s)).cast("long")
     agg = ranked.select(

@@ -101,21 +101,30 @@ def test_driver_window_holds_every_value_oracled_query_once():
     # the md5 siblings of the rows-only ops must stay driver-checked
     for sibling in ("ivf_md5_topk", "simhash_md5_signatures"):
         assert sibling in window, sibling
-    # past-window entries: rows-only by design, or a 4x-verified veteran
+    # past-window entries: rows-only by design, or a veteran that was
+    # VALUE-green (hash_match) in >= 2 driver rounds and never anything
+    # but green when present — "green once, ever" is not veteran status,
+    # and a rows-count-only match never vouches for a value-oracled query
     rows_only = {"simhash_pairs", "ivf_ann_topk", "multimodal_features"}
-    veterans_r1 = set()
-    for n in range(1, 5):
+    green_rounds = {}
+    ever_not_green = set()
+    for n in range(1, 6):
         path = os.path.join(REPO, "CORRECTNESS_r%02d.json" % n)
         if not os.path.exists(path):
             continue
         with open(path) as fh:
             rows = json.load(fh)
-        ok = {k for k, v in rows.items()
-              if v.get("hash_match") or v.get("rows_match")}
-        veterans_r1 = veterans_r1 | ok if veterans_r1 else ok
-    stragglers = [k for k in past
-                  if k not in rows_only and k not in veterans_r1]
+        for k, v in rows.items():
+            if v.get("hash_match"):
+                green_rounds[k] = green_rounds.get(k, 0) + 1
+            else:
+                ever_not_green.add(k)
+    stragglers = [
+        k for k in past
+        if k not in rows_only
+        and (green_rounds.get(k, 0) < 2 or k in ever_not_green)
+    ]
     assert stragglers == [], (
-        "never-driver-checked queries pushed past the window: %r"
+        "insufficiently-verified queries pushed past the window: %r"
         % stragglers
     )
