@@ -244,3 +244,97 @@ class TestMixturePlanProperties:
             assert out[src]["rate"] == pytest.approx(
                 round(t / avail, 6), abs=1e-9
             )
+
+
+class TestMadOutliersProperties:
+    @settings(max_examples=15, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow,
+                                     HealthCheck.function_scoped_fixture])
+    @given(
+        # integer values + power-of-two scale + integer shift keep the
+        # affine transform EXACT in binary floats — with arbitrary
+        # floats the transform itself rounds (e.g. 1e-38 + 1.0 == 1.0)
+        # and the equivariance premise fails before the operator runs
+        st.lists(
+            st.integers(min_value=-10_000, max_value=10_000),
+            min_size=3, max_size=25,
+        ).map(lambda xs: [float(x) for x in xs]),
+        st.integers(min_value=-50, max_value=50).map(float),
+        st.sampled_from([0.5, 1.0, 2.0, 4.0]),
+    )
+    def test_outlier_set_invariant_under_affine_transform(
+        self, spark, values, shift, scale
+    ):
+        # robust z is equivariant under x -> a*x + b (a > 0): median and
+        # MAD both scale by a, so the flagged id set must be identical
+        from datatest_spark.operators.stats import mad_outliers
+
+        base = spark.createDataFrame(
+            [(i, "g", v) for i, v in enumerate(values)],
+            "doc_id long, source string, v double",
+        )
+        moved = spark.createDataFrame(
+            [(i, "g", v * scale + shift) for i, v in enumerate(values)],
+            "doc_id long, source string, v double",
+        )
+        a = {r["doc_id"] for r in mad_outliers(base, "v",
+                                               threshold=3.0).collect()}
+        b = {r["doc_id"] for r in mad_outliers(moved, "v",
+                                               threshold=3.0).collect()}
+        assert a == b
+
+    @settings(max_examples=15, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow,
+                                     HealthCheck.function_scoped_fixture])
+    @given(st.lists(
+        st.floats(min_value=-1e4, max_value=1e4,
+                  allow_nan=False, allow_infinity=False),
+        min_size=3, max_size=25,
+    ))
+    def test_matches_python_reference(self, spark, values):
+        import statistics
+
+        from datatest_spark.operators.stats import mad_outliers
+
+        df = spark.createDataFrame(
+            [(i, "g", v) for i, v in enumerate(values)],
+            "doc_id long, source string, v double",
+        )
+        got = {r["doc_id"] for r in mad_outliers(df, "v",
+                                                 threshold=3.0).collect()}
+        med = statistics.median(values)
+        mad = statistics.median(sorted(abs(v - med) for v in values))
+        want = set()
+        if mad > 0:
+            want = {i for i, v in enumerate(values)
+                    if abs((v - med) / (1.4826 * mad)) > 3.0}
+        assert got == want
+
+
+class TestQualityBandsProperties:
+    @settings(max_examples=15, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow,
+                                     HealthCheck.function_scoped_fixture])
+    @given(st.lists(
+        st.floats(min_value=-100, max_value=100,
+                  allow_nan=False, allow_infinity=False),
+        min_size=1, max_size=40,
+    ), st.integers(min_value=1, max_value=8))
+    def test_approx_bands_monotone_in_score(self, spark, scores, n_bands):
+        from datatest_spark.operators.stats import quality_bands
+
+        df = spark.createDataFrame(
+            [(i, "g", s) for i, s in enumerate(scores)],
+            "doc_id long, source string, score double",
+        )
+        rows = {r["doc_id"]: r["band"]
+                for r in quality_bands(df, "score",
+                                       n_bands=n_bands).collect()}
+        # every band in range; equal scores share a band; band order
+        # follows score order
+        assert all(1 <= b <= n_bands for b in rows.values())
+        pairs = sorted(zip(scores, [rows[i] for i in range(len(scores))]))
+        for (s1, b1), (s2, b2) in zip(pairs, pairs[1:]):
+            assert b1 <= b2
+            if s1 == s2:
+                assert b1 == b2
