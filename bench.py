@@ -81,8 +81,22 @@ def _wait_for_quiet(threshold=LOAD_THRESHOLD, max_wait=None, poll=15):
     return la
 
 
+def _cpu_ticks():
+    """(steal, total) ticks from /proc/stat — steal is the contention
+    signal loadavg CANNOT see: a hypervisor neighbor stealing 1-2 cores
+    mid-run inflates timings while this VM's runqueue reads 0.0."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()[1:]
+        vals = [int(x) for x in parts]
+        return vals[7] if len(vals) > 7 else 0, sum(vals)
+    except (OSError, ValueError, IndexError):
+        return None, None
+
+
 def main():
     loadavg_start = _wait_for_quiet()
+    steal0, total0 = _cpu_ticks()
     # keep the spark-submit artifact in lockstep with the tree: the zip is
     # the production deployment unit and silently drifted once (r2 judge
     # finding #1); rebuilding here makes every driver bench run refresh it
@@ -273,6 +287,16 @@ def main():
         # than the quiet run. Timings are trustworthy as regression
         # EVIDENCE only when the box was actually quiet at start.
         out["quiet"] = bool(loadavg_start < 2.0)
+    steal1, total1 = _cpu_ticks()
+    if steal0 is not None and steal1 is not None and total1 > total0:
+        # hypervisor steal DURING the run (r5: a 0.04-loadavg window
+        # still lost ~1.5 cores to neighbors and ran 35% slow) — the
+        # quiet stamp only vouches for the run when steal stayed low
+        steal_frac = (steal1 - steal0) / float(total1 - total0)
+        out["steal_frac"] = round(steal_frac, 4)
+        out["steal_core_seconds"] = round((steal1 - steal0) / 100.0, 1)
+        if "quiet" in out:
+            out["quiet"] = bool(out["quiet"] and steal_frac < 0.01)
 
     # round-over-round continuity: flag per-query regressions vs the BEST
     # (minimum) prior recording of that query across ALL BENCH_r{N}.json —
