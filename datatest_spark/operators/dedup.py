@@ -936,15 +936,21 @@ def cross_source_duplication(
     as the '__null__' group.
 
     Scale shape: texts collapse to (hash, length) + source in ONE
-    corpus aggregation (the doc-count output doubles as the distinct
-    frame), so the corpus is scanned and shuffled once; the self-join
-    runs on |distinct (text, source)| rows, and a key's fan-out is
-    bounded by the number of SOURCES carrying it (tens), never by its
-    document count — a million-fold duplicated boilerplate line costs
-    the same as a twice-duplicated one. The 8B ``xxhash64`` default is
-    paired with the text LENGTH (the repo's token-equality convention)
-    so 64-bit birthday collisions at 10^10+ distinct texts don't mint
-    phantom overlaps; ``'md5'`` (128-bit) for the cross-engine oracle.
+    corpus aggregation whose doc-count output serves BOTH result kinds:
+    the diagonal is folded into the self-join condition (a == b matches
+    only when the row's own doc count is >= 2 — a (hash, source) key is
+    unique in the aggregated frame, so the self-match contributes
+    exactly one row), which keeps the whole operator at one logical
+    aggregation + one self-join with NO separate union branch — two
+    physical corpus scans (one per join side; the union form cost
+    three). The self-join runs on |distinct (text, source)| rows, and a
+    key's fan-out is bounded by the number of SOURCES carrying it
+    (tens), never by its document count — a million-fold duplicated
+    boilerplate line costs the same as a twice-duplicated one. The 8B
+    ``xxhash64`` default is paired with the text LENGTH (the repo's
+    token-equality convention) so 64-bit birthday collisions at 10^10+
+    distinct texts don't mint phantom overlaps; ``'md5'`` (128-bit) for
+    the cross-engine oracle.
     """
     if hash_fn not in ("xxhash64", "md5"):
         raise ValueError("hash_fn must be xxhash64|md5, got %r" % (hash_fn,))
@@ -958,30 +964,25 @@ def cross_source_duplication(
     )
     a = counted.select(
         F.col("_h").alias("_ha"), F.col("_hl").alias("_hla"),
-        F.col("_g").alias("source_a"),
+        F.col("_g").alias("source_a"), F.col("_docs").alias("_docs_a"),
     )
     b = counted.select(
         F.col("_h").alias("_hb"), F.col("_hl").alias("_hlb"),
-        F.col("_g").alias("source_b"),
+        F.col("_g").alias("source_b"), F.col("_docs").alias("_docs_b"),
     )
-    cross = (
+    return (
         a.join(
             b,
             (F.col("_ha") == F.col("_hb"))
             & (F.col("_hla") == F.col("_hlb"))
-            & (F.col("source_a") < F.col("source_b")),
+            & (
+                (F.col("source_a") < F.col("source_b"))
+                | (
+                    (F.col("source_a") == F.col("source_b"))
+                    & (F.col("_docs_a") >= 2)
+                )
+            ),
         )
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).alias("n_shared_texts"))
     )
-    within = (
-        counted.where(F.col("_docs") >= 2)
-        .groupBy(F.col("_g").alias("source_a"))
-        .agg(F.count(F.lit(1)).alias("n_shared_texts"))
-        .select(
-            "source_a",
-            F.col("source_a").alias("source_b"),
-            "n_shared_texts",
-        )
-    )
-    return cross.unionByName(within)
