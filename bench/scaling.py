@@ -232,6 +232,19 @@ Thread-scaling evidence is therefore taken in the compute-bound region
 below that ceiling (N={lo} -> 4N={hi}); the ceiling itself and every
 prior levels/rows combination are retained in scaling_history.jsonl.
 
+### Hypervisor steal (why single runs swing and the pool is the metric)
+
+This VM's loadavg only sees its own runqueue: round-5 measured a
+0.04-loadavg window that still lost 6% of total CPU capacity (600+
+core-seconds over one bench) to neighbor steal — per-query timings ran
+1.3-7x their quiet best with zero local load. Steal bursts correlate
+with this VM's own CPU bursts (an oversubscribed host throttles us
+exactly when we run), so "wait for quiet" cannot dodge them and a
+single run's median — in EITHER direction — is weak evidence.
+bench.py stamps `steal_frac`/`steal_core_seconds` on every artifact
+(quiet requires steal < 1%); the pooled median across all recorded
+measurements is the number the criterion is judged on.
+
 Conf: AQE on (coalesce + skew join), shuffle partitions = thread count,
 Arrow enabled, UTC session, autoBroadcastJoinThreshold 32 MiB. Validated
 sequences/sec at each level is the BASELINE.md headline metric.
