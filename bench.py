@@ -89,7 +89,10 @@ def _cpu_ticks():
         with open("/proc/stat") as fh:
             parts = fh.readline().split()[1:]
         vals = [int(x) for x in parts]
-        return vals[7] if len(vals) > 7 else 0, sum(vals)
+        # total = first 8 fields only (user..steal): guest/guest_nice
+        # are already folded into user/nice and would double-count,
+        # deflating steal_frac below the quiet gate
+        return vals[7] if len(vals) > 7 else 0, sum(vals[:8])
     except (OSError, ValueError, IndexError):
         return None, None
 
@@ -294,7 +297,11 @@ def main():
         # quiet stamp only vouches for the run when steal stayed low
         steal_frac = (steal1 - steal0) / float(total1 - total0)
         out["steal_frac"] = round(steal_frac, 4)
-        out["steal_core_seconds"] = round((steal1 - steal0) / 100.0, 1)
+        try:
+            hz = os.sysconf("SC_CLK_TCK") or 100
+        except (OSError, ValueError, AttributeError):
+            hz = 100
+        out["steal_core_seconds"] = round((steal1 - steal0) / float(hz), 1)
         if "quiet" in out:
             out["quiet"] = bool(out["quiet"] and steal_frac < 0.01)
 

@@ -12,6 +12,8 @@ heuristic), document fingerprinting (content hash + positional sample).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -775,6 +777,19 @@ def zipf_fit(
     """
     if max_rank < 2:
         raise ValueError("max_rank must be >= 2, got %r" % (max_rank,))
+    # exactness guard: the moment products must stay inside bigint under
+    # worst-case magnitudes (x <= log2(max_rank)*2^sb, y <= 50*2^sb for
+    # counts up to ~10^15, k <= max_rank) — past the bound Spark's
+    # non-ANSI arithmetic would WRAP silently and emit garbage slopes
+    if scale_bits < 1 or (
+        max_rank * max_rank * math.log2(max_rank) * 50.0
+        * float(4 ** scale_bits) >= float(2 ** 63)
+    ):
+        raise ValueError(
+            "scale_bits=%r overflows the fixed-point regression moments "
+            "at max_rank=%r (keep max_rank^2*log2(max_rank)*50*4^bits "
+            "< 2^63)" % (scale_bits, max_rank)
+        )
     s = float(1 << scale_bits)
     ranked = vocab_topk(df, tokens_col, group_col, k=max_rank)
     x = F.floor(F.log2("rank") * F.lit(s)).cast("long")

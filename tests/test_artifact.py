@@ -106,12 +106,11 @@ def test_driver_window_holds_every_value_oracled_query_once():
     # but green when present — "green once, ever" is not veteran status,
     # and a rows-count-only match never vouches for a value-oracled query
     rows_only = {"simhash_pairs", "ivf_ann_topk", "multimodal_features"}
+    import glob
+
     green_rounds = {}
     ever_not_green = set()
-    for n in range(1, 6):
-        path = os.path.join(REPO, "CORRECTNESS_r%02d.json" % n)
-        if not os.path.exists(path):
-            continue
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         with open(path) as fh:
             rows = json.load(fh)
         for k, v in rows.items():
