@@ -2555,6 +2555,20 @@ class TestZipfFit:
         with pytest.raises(ValueError, match="max_rank"):
             zipf_fit(df, max_rank=1)
 
+    def test_scale_bits_overflow_guard(self, spark):
+        from datatest_spark.operators.text import zipf_fit
+
+        df = spark.createDataFrame(
+            [("s", ["a", "b"])], "source string, tokens array<string>"
+        )
+        # bigint moment products would wrap silently past the bound
+        with pytest.raises(ValueError, match="scale_bits"):
+            zipf_fit(df, max_rank=10000, scale_bits=16)
+        with pytest.raises(ValueError, match="scale_bits"):
+            zipf_fit(df, scale_bits=0)
+        # a small max_rank leaves headroom for more precision
+        assert zipf_fit(df, max_rank=100, scale_bits=16) is not None
+
 
 class TestCrossSourceDuplication:
     def test_matrix_and_diagonal(self, spark):
