@@ -1138,6 +1138,21 @@ def q_quality_bands(spark, sf_dir):
     )
 
 
+def q_pack_whole_docs(spark, sf_dir):
+    """Whole-document next-fit packing (operators/packing.pack_whole_docs):
+    the SFT-style no-split discipline — a true sequential recurrence per
+    stream, run as ONE applyInPandas pass per source; oversize docs come
+    back fits=false with null pack. Oracled by a DuckDB recursive CTE
+    replaying the same recurrence."""
+    from datatest_spark.operators.packing import pack_whole_docs
+
+    d = _t(spark, sf_dir, "documents")
+    return pack_whole_docs(
+        d, length_col="n_chars", capacity=512,
+        part_col="source", order_col="doc_id",
+    )
+
+
 def q_zipf_fit(spark, sf_dir):
     """Power-law corpus audit (operators/text.zipf_fit): per-source
     least-squares slope + r2 of log2(count) vs log2(rank) over word
@@ -1325,6 +1340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outliers": q_mad_outliers,
         "zipf_fit": q_zipf_fit,
         "cross_source_duplication": q_cross_source_duplication,
+        "pack_whole_docs": q_pack_whole_docs,
         # --- group 3: veterans filling the 50-query window ---
         "wide_stats_documents": q_wide_stats_documents,
         "tpch_q1_pricing": q_tpch_q1_pricing,
@@ -1342,10 +1358,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "pack_sequences": q_pack_sequences,
         "stratified_sample": q_stratified_sample,
-        "exact_dup_groups": q_exact_dup_groups,
         "ivf_md5_topk": q_ivf_md5_topk,
         "simhash_md5_signatures": q_simhash_md5_signatures,
         # --- group 4: long-green veterans past the 50-query window ---
+        "exact_dup_groups": q_exact_dup_groups,
         "minhash_signatures": q_minhash_signatures,
         "cosine_threshold_pairs": q_cosine_threshold_pairs,
         "repetition_profile": q_repetition_profile,
@@ -2920,6 +2936,48 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY n_chars ASC NULLS FIRST, doc_id ASC
                    ) AS INT) AS band
             FROM documents
+        """,
+        "pack_whole_docs": """
+            WITH FITS AS (
+                SELECT doc_id, source, n_chars AS len,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY source ORDER BY doc_id
+                       ) AS rn
+                FROM documents
+                WHERE n_chars IS NOT NULL AND n_chars >= 0
+                  AND n_chars <= 512
+            ),
+            RECURSIVE_PACK AS (
+                WITH RECURSIVE R AS (
+                    SELECT doc_id, source, len, rn,
+                           CAST(0 AS BIGINT) AS pack_id,
+                           CAST(0 AS BIGINT) AS pack_off,
+                           len AS off_end
+                    FROM FITS WHERE rn = 1
+                    UNION ALL
+                    SELECT f.doc_id, f.source, f.len, f.rn,
+                           CASE WHEN r.off_end + f.len > 512
+                                THEN r.pack_id + 1 ELSE r.pack_id END,
+                           CASE WHEN r.off_end + f.len > 512
+                                THEN 0 ELSE r.off_end END,
+                           CASE WHEN r.off_end + f.len > 512
+                                THEN f.len ELSE r.off_end + f.len END
+                    FROM R r JOIN FITS f
+                      ON f.source IS NOT DISTINCT FROM r.source
+                     AND f.rn = r.rn + 1
+                )
+                SELECT * FROM R
+            )
+            SELECT doc_id, source, pack_id,
+                   CAST(pack_off AS INT) AS pack_offset,
+                   CAST(len AS INT) AS seq_len, TRUE AS fits
+            FROM RECURSIVE_PACK
+            UNION ALL
+            SELECT doc_id, source, CAST(NULL AS BIGINT),
+                   CAST(NULL AS INT),
+                   CAST(n_chars AS INT), FALSE
+            FROM documents
+            WHERE n_chars IS NOT NULL AND n_chars > 512
         """,
         "zipf_fit": """
             WITH TOK AS (

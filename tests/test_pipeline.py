@@ -2618,3 +2618,71 @@ class TestCrossSourceDuplication:
             df, text_col=F.substring(F.col("text"), 1, 6)).collect()
         assert [(r["source_a"], r["source_b"], r["n_shared_texts"])
                 for r in rows] == [("a", "b", 1)]
+
+
+class TestPackWholeDocs:
+    def test_next_fit_hand_example(self, spark):
+        from datatest_spark.operators.packing import pack_whole_docs
+
+        df = spark.createDataFrame(
+            [(1, "a", 4), (2, "a", 5), (3, "a", 3), (4, "a", 10),
+             (5, "a", 11), (6, "a", 0), (7, "a", None), (8, "a", -2)],
+            "doc_id long, source string, n long",
+        )
+        rows = {r["doc_id"]: r for r in pack_whole_docs(
+            df, length_col="n", capacity=10).collect()}
+        assert len(rows) == 6  # null/negative dropped
+        assert (rows[1]["pack_id"], rows[1]["pack_offset"]) == (0, 0)
+        assert (rows[2]["pack_id"], rows[2]["pack_offset"]) == (0, 4)
+        # 4+5+3 > 10: doc 3 opens pack 1
+        assert (rows[3]["pack_id"], rows[3]["pack_offset"]) == (1, 0)
+        # 3+10 > 10: doc 4 opens pack 2 and fills it exactly
+        assert (rows[4]["pack_id"], rows[4]["pack_offset"]) == (2, 0)
+        # oversize: never packed, never perturbs the stream state
+        assert rows[5]["pack_id"] is None and rows[5]["fits"] is False
+        # zero-length doc on an exactly-full pack sits at offset=capacity
+        assert (rows[6]["pack_id"], rows[6]["pack_offset"]) == (2, 10)
+        assert all(r["fits"] for i, r in rows.items() if i != 5)
+
+    def test_no_split_and_capacity_respected(self, spark):
+        from datatest_spark.operators.packing import pack_whole_docs
+
+        df = spark.createDataFrame(
+            [(i, "s%d" % (i % 3), (i * 37) % 120 + 1) for i in range(300)],
+            "doc_id long, source string, n long",
+        )
+        out = pack_whole_docs(df, length_col="n", capacity=128).collect()
+        sums = {}
+        for r in out:
+            assert r["fits"] is True
+            key = (r["source"], r["pack_id"])
+            sums[key] = sums.get(key, 0) + r["seq_len"]
+            assert r["pack_offset"] + r["seq_len"] <= 128
+        assert all(v <= 128 for v in sums.values())
+
+    def test_sharded_streams(self, spark):
+        from datatest_spark.operators.packing import pack_whole_docs
+
+        df = spark.createDataFrame(
+            [(i, "a", 50) for i in range(200)],
+            "doc_id long, source string, n long",
+        )
+        out = pack_whole_docs(df, length_col="n", capacity=120,
+                              num_shards=4).collect()
+        assert len(out) == 200
+        assert {r["shard"] for r in out} <= {0, 1, 2, 3}
+        # within a shard: packs hold 2 docs of 50 (120 cap), offsets 0/50
+        per = {}
+        for r in out:
+            per.setdefault((r["shard"], r["pack_id"]), []).append(
+                r["pack_offset"])
+        for offs in per.values():
+            assert sorted(offs) in ([0], [0, 50])
+
+    def test_invalid_capacity(self, spark):
+        from datatest_spark.operators.packing import pack_whole_docs
+
+        df = spark.createDataFrame([(1, "a", 5)],
+                                   "doc_id long, source string, n long")
+        with pytest.raises(ValueError, match="capacity"):
+            pack_whole_docs(df, length_col="n", capacity=0)
