@@ -615,20 +615,48 @@ def drop_near_duplicates(
     pairs: DataFrame = None,
     text_col="text",
     id_col="doc_id",
+    score_col: str | None = None,
     **lsh_kwargs,
 ) -> DataFrame:
-    """Keep one representative (minimum id) per near-dup cluster.
+    """Keep one representative per near-dup cluster — minimum id by
+    default, or the HIGHEST-``score_col`` member (ties broken on
+    minimum id; null scores lose to any scored member) when a quality
+    column is given: dedup should keep the best extraction of a page,
+    not the lexicographically first doc_id.
 
     ``pairs`` defaults to MinHash+LSH verified pairs. The returned frame
     is the input minus non-representative cluster members — the terminal
     op of the dedup pipeline.
+
+    Scale shape: cluster labels come from :func:`dedup_clusters`
+    (pointer-free min-label propagation); the score variant adds one
+    broadcast-scale join of the cluster members (|docs in any pair|,
+    a small fraction of the corpus) to their scores plus a rank window
+    partitioned by cluster — near-dup clusters are small, and a
+    pathological giant cluster buffers spillable rank rows, never a set.
     """
     if pairs is None:
         pairs = minhash_lsh_pairs(df, text_col=text_col, id_col=id_col, **lsh_kwargs)
     clusters = dedup_clusters(pairs.select("doc_a", "doc_b"))
-    drop = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
-        F.col("doc_id").alias(id_col)
-    )
+    if score_col is None:
+        drop = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+            F.col("doc_id").alias(id_col)
+        )
+    else:
+        from pyspark.sql import Window
+
+        scores = df.select(
+            F.col(id_col).alias("doc_id"), F.col(score_col).alias("_score")
+        )
+        w = Window.partitionBy("cluster_id").orderBy(
+            F.col("_score").desc_nulls_last(), F.col("doc_id").asc()
+        )
+        drop = (
+            clusters.join(scores, "doc_id", "left")
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") > 1)
+            .select(F.col("doc_id").alias(id_col))
+        )
     return df.join(drop, id_col, "left_anti")
 
 

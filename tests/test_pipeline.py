@@ -2686,3 +2686,41 @@ class TestPackWholeDocs:
                                    "doc_id long, source string, n long")
         with pytest.raises(ValueError, match="capacity"):
             pack_whole_docs(df, length_col="n", capacity=0)
+
+
+class TestQualityAwareDedup:
+    def test_score_col_keeps_best_member(self, spark):
+        from datatest_spark.operators.dedup import drop_near_duplicates
+
+        df = spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog today", 0.2),
+             (2, "the quick brown fox jumps over the lazy dog today", 0.9),
+             (3, "the quick brown fox jumps over the lazy dog today", None),
+             (4, "completely unrelated text with nothing in common here", 0.1)],
+            "doc_id long, text string, score double",
+        )
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3)], "doc_a long, doc_b long"
+        )
+        # default: min id survives
+        kept_default = {r["doc_id"] for r in
+                        drop_near_duplicates(df, pairs=pairs).collect()}
+        assert kept_default == {1, 4}
+        # score-aware: best extraction survives, null scores lose
+        kept_best = {r["doc_id"] for r in drop_near_duplicates(
+            df, pairs=pairs, score_col="score").collect()}
+        assert kept_best == {2, 4}
+
+    def test_score_tie_breaks_on_min_id(self, spark):
+        from datatest_spark.operators.dedup import drop_near_duplicates
+
+        df = spark.createDataFrame(
+            [(5, "x", 1.0), (6, "x", 1.0), (7, "x", 1.0)],
+            "doc_id long, text string, score double",
+        )
+        pairs = spark.createDataFrame(
+            [(5, 6), (6, 7)], "doc_a long, doc_b long"
+        )
+        kept = {r["doc_id"] for r in drop_near_duplicates(
+            df, pairs=pairs, score_col="score").collect()}
+        assert kept == {5}
