@@ -236,3 +236,53 @@ class TestRowLengthBounds:
                 "--row-length-bounds", ",",
             ])
         assert e.value.code == 2
+
+
+class TestPrepareCorpusJob:
+    def test_end_to_end(self, spark, tmp_path):
+        import sys
+
+        sys.path.insert(0, "/root/repo")
+        from jobs.prepare_corpus import build_parser, prepare
+        from pyspark.sql import functions as F
+
+        rows = []
+        for i in range(200):
+            toks = [(i * 7 + j) % 50 for j in range(20)]
+            rows.append((str(i), toks, len(toks),
+                         "web" if i % 2 else "wiki"))
+        # exact duplicates (same tokens as doc 0) and a degenerate doc
+        rows.append(("900", rows[0][1], 20, "web"))
+        rows.append(("901", [3] * 40, 40, "web"))  # max_run_frac = 1.0
+        df = spark.createDataFrame(
+            rows, "doc_id string, tokens array<int>, n_tok int, source string"
+        )
+        inp = str(tmp_path / "tokens")
+        df.write.parquet(inp)
+        # benchmark sharing doc 5's token stream -> decontaminated
+        bench = spark.createDataFrame(
+            [("b0", rows[5][1])], "doc_id string, tokens array<int>"
+        )
+        bench_path = str(tmp_path / "bench")
+        bench.write.parquet(bench_path)
+
+        out = str(tmp_path / "prepared")
+        rc = prepare(spark, build_parser().parse_args([
+            "--input", inp, "--output", out,
+            "--benchmark", bench_path,
+            "--target-tokens", "web=1000,wiki=1000",
+            "--splits", "train=0.75,val=0.125,test=0.125",
+        ]))
+        assert rc == 0
+        got = spark.read.parquet(out)
+        ids = {r["doc_id"] for r in got.select("doc_id").collect()}
+        assert "900" not in ids          # exact dup dropped (min id kept)
+        assert "901" not in ids          # run-frac gate
+        assert "5" not in ids            # decontaminated
+        assert {r["split"] for r in got.select("split").collect()} <= {
+            "train", "val", "test"}
+        # mixture respects budgets approximately: ~1000 tokens/source
+        toks = {r["source"]: r["t"] for r in got.groupBy("source")
+                .agg(F.sum("n_tok").alias("t")).collect()}
+        for src, t in toks.items():
+            assert 400 <= t <= 1700, (src, t)
