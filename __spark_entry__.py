@@ -1290,6 +1290,45 @@ def q_accepted_tolerance(spark, sf_dir):
     )
 
 
+def q_paragraph_dups(spark, sf_dir):
+    """Cross-document repeated-paragraph blocklist
+    (operators/dedup.duplicate_paragraphs — RefinedWeb/MassiveText
+    paragraph dedup step 1): ONE explode + ONE par_hash groupBy. The
+    synth corpus has no newlines, so the query splits on the word
+    boundary ' the ' — same code path as the '\\n{2,}' production
+    default, different regex."""
+    from datatest_spark.operators.dedup import duplicate_paragraphs
+
+    d = _t(spark, sf_dir, "documents")
+    return duplicate_paragraphs(d, split=" the ", min_docs=2)
+
+
+def q_paragraph_dup_profile(spark, sf_dir):
+    """Per-document duplicated-paragraph exposure
+    (operators/dedup.paragraph_dup_profile — the MassiveText
+    doc-removal signal): explode -> repartition(par_hash); the
+    (hash, doc) partial agg AND the per-hash distinct-doc window both
+    ride that one exchange (subset co-location), then one |docs|-row
+    groupBy."""
+    from datatest_spark.operators.dedup import paragraph_dup_profile
+
+    d = _t(spark, sf_dir, "documents")
+    return paragraph_dup_profile(d, split=" the ", min_docs=2)
+
+
+def q_scrub_paragraphs(spark, sf_dir):
+    """Boilerplate scrub rewrite (operators/dedup.scrub_dup_paragraphs,
+    keep='first'): dense_rank+max distinct-doc count and the global
+    first-occurrence row_number share one par_hash exchange; per-doc
+    reassembly buffers are bounded by document size."""
+    from datatest_spark.operators.dedup import scrub_dup_paragraphs
+
+    d = _t(spark, sf_dir, "documents")
+    return scrub_dup_paragraphs(
+        d, split=" the ", min_docs=2, keep="first", sep_out=" the "
+    )
+
+
 # ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1341,6 +1380,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_fit": q_zipf_fit,
         "cross_source_duplication": q_cross_source_duplication,
         "pack_whole_docs": q_pack_whole_docs,
+        "paragraph_dups": q_paragraph_dups,
+        "paragraph_dup_profile": q_paragraph_dup_profile,
+        "scrub_paragraphs": q_scrub_paragraphs,
         # --- group 3: veterans filling the 50-query window ---
         "wide_stats_documents": q_wide_stats_documents,
         "tpch_q1_pricing": q_tpch_q1_pricing,
@@ -1355,12 +1397,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_windows": q_range_join_windows,
         "contamination_hits": q_contamination_hits,
         "decontam_survivors": q_decontam_survivors,
-        "mixture_sample": q_mixture_sample,
-        "pack_sequences": q_pack_sequences,
-        "stratified_sample": q_stratified_sample,
         "ivf_md5_topk": q_ivf_md5_topk,
         "simhash_md5_signatures": q_simhash_md5_signatures,
         # --- group 4: long-green veterans past the 50-query window ---
+        # (mixture_sample / pack_sequences / stratified_sample rotated
+        # out in round 5 to admit the paragraph-dedup family: each is a
+        # 2x-driver-green veteran, still swept by tools/check_oracles.py)
+        "mixture_sample": q_mixture_sample,
+        "pack_sequences": q_pack_sequences,
+        "stratified_sample": q_stratified_sample,
         "exact_dup_groups": q_exact_dup_groups,
         "minhash_signatures": q_minhash_signatures,
         "cosine_threshold_pairs": q_cosine_threshold_pairs,
@@ -3048,6 +3093,106 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY g
             )
             SELECT * FROM CROSSP UNION ALL SELECT * FROM WITHIN
+        """,
+        "paragraph_dups": """
+            WITH E AS (
+                SELECT doc_id, p, md5(p) AS par_hash
+                FROM (
+                    SELECT doc_id,
+                           trim(regexp_replace(u.p, '\\s+', ' ', 'g')) AS p
+                    FROM documents,
+                         UNNEST(regexp_split_to_array(text, ' the ')) AS u(p)
+                    WHERE text IS NOT NULL
+                )
+                WHERE length(p) >= 1
+            )
+            SELECT par_hash,
+                   MIN(p) AS paragraph,
+                   CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                   CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+                   MIN(doc_id) AS first_doc_id
+            FROM E
+            GROUP BY par_hash
+            HAVING COUNT(DISTINCT doc_id) >= 2
+        """,
+        "paragraph_dup_profile": """
+            WITH E AS (
+                SELECT doc_id, p, md5(p) AS par_hash
+                FROM (
+                    SELECT doc_id,
+                           trim(regexp_replace(u.p, '\\s+', ' ', 'g')) AS p
+                    FROM documents,
+                         UNNEST(regexp_split_to_array(text, ' the ')) AS u(p)
+                    WHERE text IS NOT NULL
+                )
+                WHERE length(p) >= 1
+            ),
+            D AS (
+                SELECT par_hash, COUNT(DISTINCT doc_id) AS nd
+                FROM E GROUP BY par_hash
+            )
+            SELECT e.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_paragraphs,
+                   CAST(SUM(CASE WHEN d.nd >= 2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_dup_paragraphs,
+                   ROUND(SUM(CASE WHEN d.nd >= 2 THEN 1 ELSE 0 END)
+                         / COUNT(*), 6) AS dup_paragraph_frac,
+                   CASE WHEN SUM(length(e.p)) > 0 THEN
+                       ROUND(SUM(CASE WHEN d.nd >= 2 THEN length(e.p)
+                                      ELSE 0 END)
+                             / SUM(length(e.p)), 6)
+                   END AS dup_char_frac
+            FROM E e JOIN D d USING (par_hash)
+            GROUP BY e.doc_id
+        """,
+        "scrub_paragraphs": """
+            WITH RAW AS (
+                SELECT doc_id, i,
+                       trim(regexp_replace(arr[i], '\\s+', ' ', 'g')) AS p
+                FROM (
+                    SELECT doc_id,
+                           regexp_split_to_array(text, ' the ') AS arr
+                    FROM documents WHERE text IS NOT NULL
+                ), UNNEST(range(1, len(arr) + 1)) AS t(i)
+            ),
+            E AS (
+                SELECT doc_id, p, md5(p) AS par_hash,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY doc_id ORDER BY i
+                       ) - 1 AS pos
+                FROM RAW WHERE length(p) >= 1
+            ),
+            W AS (
+                SELECT *,
+                       COUNT(DISTINCT doc_id) OVER (
+                           PARTITION BY par_hash
+                       ) AS nd,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY par_hash ORDER BY doc_id, pos
+                       ) AS rn
+                FROM E
+            ),
+            M AS (
+                SELECT doc_id, pos, p,
+                       (nd >= 2 AND rn > 1) AS rm
+                FROM W
+            ),
+            A AS (
+                SELECT doc_id,
+                       string_agg(CASE WHEN NOT rm THEN p END, ' the '
+                                  ORDER BY pos) AS clean_agg,
+                       CAST(SUM(CASE WHEN rm THEN 0 ELSE 1 END)
+                            AS BIGINT) AS n_kept,
+                       CAST(SUM(CASE WHEN rm THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_removed
+                FROM M GROUP BY doc_id
+            )
+            SELECT b.doc_id,
+                   COALESCE(a.clean_agg, '') AS clean_text,
+                   COALESCE(a.n_kept, 0) AS n_kept,
+                   COALESCE(a.n_removed, 0) AS n_removed
+            FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) b
+            LEFT JOIN A a USING (doc_id)
         """,
         "mad_outliers": """
             WITH MED AS (

@@ -1014,3 +1014,250 @@ def cross_source_duplication(
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).alias("n_shared_texts"))
     )
+
+
+def _paragraph_array(text_col, split: str, min_chars: int, normalize: bool):
+    """Array of normalized, non-empty paragraphs of ``text_col``.
+
+    ``split`` is a Java/RE2-compatible regex (the subset shared with
+    DuckDB's regexp_split_to_array, so oracles can reproduce the split).
+    Normalization collapses internal whitespace and trims — the same
+    canonicalization RefinedWeb-style paragraph dedup applies before
+    hashing, so "foo  bar" and "foo bar" dedupe together
+    (ref:datatest/docs — no counterpart; pipeline extension).
+    """
+    parts = F.split(text_col, split, -1)
+    if normalize:
+        parts = F.transform(
+            parts, lambda p: F.trim(F.regexp_replace(p, r"\s+", " "))
+        )
+    lo = max(int(min_chars), 1)
+    return F.filter(parts, lambda p: F.length(p) >= lo)
+
+
+def _exploded_paragraphs(
+    df: DataFrame, text_col, id_col: str, split: str,
+    min_chars: int, normalize: bool, hash_fn: str,
+):
+    """(id, pos, par, par_hash, par_len) — one row per kept paragraph.
+
+    ``pos`` indexes KEPT paragraphs (post-filter), which is the order
+    the scrubbed text is reassembled in; dropped empties don't leave
+    gaps.
+    """
+    if hash_fn not in ("xxhash64", "md5"):
+        raise ValueError("hash_fn must be xxhash64|md5, got %r" % (hash_fn,))
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    arr = _paragraph_array(t, split, min_chars, normalize)
+    e = df.where(t.isNotNull()).select(
+        F.col(id_col).alias("_pid"),
+        F.posexplode(arr).alias("_pos", "_par"),
+    )
+    h = (
+        F.xxhash64(F.col("_par"))
+        if hash_fn == "xxhash64"
+        else F.md5(F.col("_par"))
+    )
+    return e.select(
+        F.col("_pid"),
+        F.col("_pos"),
+        F.col("_par"),
+        h.alias("par_hash"),
+        F.length("_par").alias("_plen"),
+    )
+
+
+def duplicate_paragraphs(
+    df: DataFrame,
+    text_col="text",
+    id_col: str = "doc_id",
+    split: str = r"\n{2,}",
+    min_chars: int = 1,
+    min_docs: int = 2,
+    normalize: bool = True,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Cross-document repeated paragraphs (RefinedWeb / MassiveText
+    paragraph dedup, step 1): (par_hash, paragraph, n_docs,
+    n_occurrences, first_doc_id) for every normalized paragraph that
+    appears in >= ``min_docs`` DISTINCT documents.
+
+    Scale shape: ONE explode over the corpus, then a single groupBy on
+    par_hash (count-distinct runs as a two-phase partial agg; both
+    phases map-side combinable). No joins, no windows — boilerplate
+    discovery at 100 TB is exactly one shuffle of (hash, doc_id) pairs.
+
+    ``paragraph`` is ``min(_par)``: every occurrence of a hash is the
+    identical normalized string (md5/xxhash64 collision aside), so min
+    is the paragraph itself — kept as a column so the output is
+    directly actionable as a boilerplate blocklist.
+    """
+    e = _exploded_paragraphs(
+        df, text_col, id_col, split, min_chars, normalize, hash_fn
+    )
+    return (
+        e.groupBy("par_hash")
+        .agg(
+            F.min("_par").alias("paragraph"),
+            F.count_distinct(F.col("_pid")).alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("_pid").alias("first_doc_id"),
+        )
+        .filter(F.col("n_docs") >= int(min_docs))
+    )
+
+
+def paragraph_dup_profile(
+    df: DataFrame,
+    text_col="text",
+    id_col: str = "doc_id",
+    split: str = r"\n{2,}",
+    min_chars: int = 1,
+    min_docs: int = 2,
+    normalize: bool = True,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Per-document duplicated-paragraph exposure: (id, n_paragraphs,
+    n_dup_paragraphs, dup_paragraph_frac, dup_char_frac). A paragraph
+    is "dup" when its normalized hash occurs in >= ``min_docs``
+    distinct documents corpus-wide (the MassiveText doc-removal signal:
+    drop documents whose dup_char_frac is high).
+
+    Scale shape: explode -> repartition(par_hash) -> groupBy(par_hash,
+    id) partial-counts ride that ONE exchange (hashpartitioning on a
+    subset of the grouping keys satisfies the agg's distribution), and
+    the per-hash distinct-doc count is then a COUNT(*) window over the
+    SAME partitioning — zero additional exchanges before the final
+    |docs|-row groupBy(id). No join against a dup-hash set, so the
+    corpus-sized frame shuffles exactly twice (par_hash, then id).
+    """
+    e = _exploded_paragraphs(
+        df, text_col, id_col, split, min_chars, normalize, hash_fn
+    )
+    from pyspark.sql import Window
+
+    per = (
+        e.repartition("par_hash")
+        .groupBy("par_hash", "_pid")
+        .agg(
+            F.count(F.lit(1)).alias("_occ"),
+            F.sum("_plen").alias("_chars"),
+        )
+    )
+    w = Window.partitionBy("par_hash")
+    flagged = per.withColumn("_ndocs", F.count(F.lit(1)).over(w))
+    dup = F.col("_ndocs") >= int(min_docs)
+    out = (
+        flagged.groupBy(F.col("_pid").alias(id_col))
+        .agg(
+            F.sum("_occ").alias("n_paragraphs"),
+            F.sum(F.when(dup, F.col("_occ")).otherwise(F.lit(0)))
+            .alias("n_dup_paragraphs"),
+            F.sum("_chars").alias("_tc"),
+            F.sum(F.when(dup, F.col("_chars")).otherwise(F.lit(0)))
+            .alias("_dc"),
+        )
+    )
+    return out.select(
+        F.col(id_col),
+        F.col("n_paragraphs"),
+        F.col("n_dup_paragraphs"),
+        F.round(
+            F.col("n_dup_paragraphs") / F.col("n_paragraphs"), 6
+        ).alias("dup_paragraph_frac"),
+        F.when(
+            F.col("_tc") > 0, F.round(F.col("_dc") / F.col("_tc"), 6)
+        ).alias("dup_char_frac"),
+    )
+
+
+def scrub_dup_paragraphs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    split: str = r"\n{2,}",
+    min_chars: int = 1,
+    min_docs: int = 2,
+    normalize: bool = True,
+    hash_fn: str = "md5",
+    keep: str = "first",
+    sep_out: str = "\n\n",
+) -> DataFrame:
+    """Rewrite documents with cross-document repeated paragraphs removed
+    (RefinedWeb paragraph scrub): (id, clean_text, n_kept, n_removed).
+
+    ``keep='first'`` retains the globally first occurrence (smallest
+    (doc_id, pos)) of each repeated paragraph and removes the rest;
+    ``keep='none'`` removes every occurrence. Documents that lose all
+    paragraphs (or had none after the empty-filter) come back with
+    clean_text = '' rather than dropping out — the left join back to
+    the input preserves every non-null-text document.
+
+    Scale shape: same single par_hash exchange as paragraph_dup_profile
+    (repartition -> window COUNT + window ROW_NUMBER both ride it; the
+    row_number buffer is rank-based, spill-safe), then one groupBy(id)
+    whose per-doc sort buffer is bounded by document size. Reassembly
+    normalizes paragraph separators to ``sep_out`` — documented
+    semantics, same as the reference pipelines (they re-join on the
+    canonical separator).
+    """
+    if keep not in ("first", "none"):
+        raise ValueError("keep must be first|none, got %r" % (keep,))
+    from pyspark.sql import Window
+
+    e = _exploded_paragraphs(
+        df, text_col, id_col, split, min_chars, normalize, hash_fn
+    ).repartition("par_hash")
+    # distinct-DOC count per hash without a set buffer: dense_rank over
+    # doc id then max — the duplicate_spans spill-safe idiom (a window
+    # COUNT(*) would count occurrences, flagging a paragraph repeated
+    # twice inside ONE doc as a cross-document dup)
+    wh = Window.partitionBy("par_hash")
+    who = Window.partitionBy("par_hash").orderBy("_pid", "_pos")
+    flagged = e.select(
+        "*",
+        F.max(
+            F.dense_rank().over(
+                Window.partitionBy("par_hash").orderBy("_pid")
+            )
+        ).over(wh).alias("_ndocs"),
+        F.row_number().over(who).alias("_rn"),
+    )
+    is_dup = F.col("_ndocs") >= int(min_docs)
+    removed = (
+        is_dup if keep == "none" else (is_dup & (F.col("_rn") > 1))
+    )
+    marked = flagged.select(
+        "_pid", "_pos", "_par", removed.alias("_rm")
+    )
+    agg = marked.groupBy("_pid").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            ~F.col("_rm"),
+                            F.struct(F.col("_pos"), F.col("_par")),
+                        )
+                    )
+                ),
+                lambda s: s["_par"],
+            ),
+            sep_out,
+        ).alias("_clean"),
+        F.sum(F.when(~F.col("_rm"), 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(F.col("_rm"), 1).otherwise(0)).alias("n_removed"),
+    )
+    t = F.col(text_col)
+    base = df.where(t.isNotNull()).select(F.col(id_col))
+    return (
+        base.join(agg, base[id_col] == agg["_pid"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("_clean"), F.lit("")).alias("clean_text"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long")
+            .alias("n_kept"),
+            F.coalesce(F.col("n_removed"), F.lit(0)).cast("long")
+            .alias("n_removed"),
+        )
+    )
