@@ -1329,6 +1329,25 @@ def q_scrub_paragraphs(spark, sf_dir):
     )
 
 
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance log-ratios (operators/text.dsir_weights, Xie et
+    al. 2023): score every document by log2 p_target / p_corpus over
+    hashed-bucket add-1 unigram models (target = the 'en' slice). Both
+    models are 4096-bucket-bounded; the delta array is collected once
+    and scoring is MAP-ONLY fixed-point sums (zero corpus-side
+    exchanges, plan-pinned in tests/test_dsir.py)."""
+    from datatest_spark.operators.text import dsir_weights
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.where(F.col("text").isNotNull()).select(
+        "doc_id", F.split(F.col("text"), " ").alias("tokens")
+    )
+    target = toks.join(
+        d.where(F.col("lang") == "en").select("doc_id"), "doc_id"
+    )
+    return dsir_weights(toks, target, n_buckets=4096, hash_fn="md5")
+
+
 # ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1383,6 +1402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dups": q_paragraph_dups,
         "paragraph_dup_profile": q_paragraph_dup_profile,
         "scrub_paragraphs": q_scrub_paragraphs,
+        "dsir_weights": q_dsir_weights,
         # --- group 3: veterans filling the 50-query window ---
         "wide_stats_documents": q_wide_stats_documents,
         "tpch_q1_pricing": q_tpch_q1_pricing,
@@ -1396,16 +1416,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_enrich": q_asof_enrich,
         "range_join_windows": q_range_join_windows,
         "contamination_hits": q_contamination_hits,
-        "decontam_survivors": q_decontam_survivors,
         "ivf_md5_topk": q_ivf_md5_topk,
         "simhash_md5_signatures": q_simhash_md5_signatures,
         # --- group 4: long-green veterans past the 50-query window ---
-        # (mixture_sample / pack_sequences / stratified_sample rotated
-        # out in round 5 to admit the paragraph-dedup family: each is a
+        # (mixture_sample / pack_sequences / stratified_sample /
+        # decontam_survivors rotated out in round 5 to admit the
+        # paragraph-dedup family + dsir_weights: each is a
         # 2x-driver-green veteran, still swept by tools/check_oracles.py)
         "mixture_sample": q_mixture_sample,
         "pack_sequences": q_pack_sequences,
         "stratified_sample": q_stratified_sample,
+        "decontam_survivors": q_decontam_survivors,
         "exact_dup_groups": q_exact_dup_groups,
         "minhash_signatures": q_minhash_signatures,
         "cosine_threshold_pairs": q_cosine_threshold_pairs,
@@ -3193,6 +3214,53 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(a.n_removed, 0) AS n_removed
             FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) b
             LEFT JOIN A a USING (doc_id)
+        """,
+        "dsir_weights": """
+            WITH TOK AS (
+                SELECT doc_id, u.tok AS tok,
+                       CAST(('0x' || substr(md5(u.tok), 1, 15)) AS BIGINT)
+                       % 4096 AS bucket
+                FROM (
+                    SELECT doc_id, string_split(text, ' ') AS w
+                    FROM documents WHERE text IS NOT NULL
+                ), UNNEST(w) AS u(tok)
+            ),
+            TT AS (
+                SELECT t.bucket FROM TOK t
+                JOIN documents d USING (doc_id)
+                WHERE d.lang = 'en'
+            ),
+            DOM AS (SELECT CAST(r AS BIGINT) AS bucket
+                    FROM range(4096) AS t(r)),
+            CB AS (SELECT bucket, COUNT(*) AS c FROM TOK GROUP BY bucket),
+            TB AS (SELECT bucket, COUNT(*) AS c FROM TT GROUP BY bucket),
+            NC AS (SELECT COUNT(*) AS t FROM TOK),
+            NT AS (SELECT COUNT(*) AS t FROM TT),
+            LPC AS (
+                SELECT d.bucket,
+                       CAST(FLOOR((log2(COALESCE(cb.c, 0) + 1)
+                                   - log2(nc.t + 4096)) * 1048576.0)
+                            AS BIGINT) AS lp
+                FROM DOM d LEFT JOIN CB cb USING (bucket), NC nc
+            ),
+            LPT AS (
+                SELECT d.bucket,
+                       CAST(FLOOR((log2(COALESCE(tb.c, 0) + 1)
+                                   - log2(nt.t + 4096)) * 1048576.0)
+                            AS BIGINT) AS lp
+                FROM DOM d LEFT JOIN TB tb USING (bucket), NT nt
+            ),
+            DELTA AS (
+                SELECT lpt.bucket, lpt.lp - lpc.lp AS dl
+                FROM LPT lpt JOIN LPC lpc USING (bucket)
+            )
+            SELECT t.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   ROUND(SUM(dl) / 1048576.0, 4) AS logratio_bits,
+                   ROUND((SUM(dl) / 1048576.0) / COUNT(*), 6)
+                       AS logratio_bits_per_token
+            FROM TOK t JOIN DELTA USING (bucket)
+            GROUP BY t.doc_id
         """,
         "mad_outliers": """
             WITH MED AS (

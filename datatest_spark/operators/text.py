@@ -825,3 +825,146 @@ def zipf_fit(
             F.round((num_d * num_d) / (den_d * deny_d), 4),
         ).alias("r2"),
     )
+
+
+def _hash_bucket(t, n_buckets: int, hash_fn: str):
+    """Stable hash bucket in [0, n_buckets) for a token Column.
+
+    ``xxhash64`` is the production default (8B, pure JVM);
+    ``md5`` takes the first 15 hex chars (60 bits) via ``conv`` so a
+    DuckDB oracle can reproduce the exact bucket with
+    ``CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT)`` (parity
+    verified value-for-value).
+    """
+    if hash_fn == "xxhash64":
+        h = F.xxhash64(t)
+    elif hash_fn == "md5":
+        h = F.conv(
+            F.substring(F.md5(t.cast("string")), 1, 15), 16, 10
+        ).cast("long")
+    else:
+        raise ValueError("hash_fn must be xxhash64|md5, got %r" % (hash_fn,))
+    return F.pmod(h, F.lit(int(n_buckets)))
+
+
+def hashed_bucket_model(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    n_buckets: int = 4096,
+    scale_bits: int = 20,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Add-1-smoothed hashed-feature unigram LM (DSIR-style, Xie et al.
+    2023 "Data Selection for Language Models via Importance Resampling"):
+    (bucket, lp_fixed) for EVERY bucket 0..n_buckets-1, with
+    ``lp_fixed = floor((log2(c_b + 1) - log2(T + B)) * 2^scale_bits)``.
+
+    Hashing tokens into a fixed bucket domain bounds the model at B rows
+    regardless of corpus vocabulary (the point of DSIR: the importance
+    model stays broadcastable at 100 TB), and add-1 smoothing gives
+    every bucket finite mass so importance ratios are total — no OOV
+    branch in scoring. Fixed-point bigint log-probs keep per-doc sums
+    associative and oracle-exact (the unigram_model trick).
+
+    Scale shape: explode + ONE bucket-bounded groupBy (the exchange
+    carries <= B rows after map-side combine), then two |B|-row joins
+    against the dense bucket domain — driver never sees corpus rows.
+    """
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2, got %r" % (n_buckets,))
+    s = float(1 << scale_bits)
+    b = int(n_buckets)
+    tok = F.explode(F.col(tokens_col)).alias("_tok")
+    counts = (
+        df.select(tok)
+        .where(F.col("_tok").isNotNull())
+        .groupBy(_hash_bucket(F.col("_tok"), b, hash_fn).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    spark = df.sparkSession
+    domain = spark.range(b).select(F.col("id").alias("bucket"))
+    full = domain.join(F.broadcast(counts), "bucket", "left").select(
+        "bucket", F.coalesce(F.col("_c"), F.lit(0)).alias("_c")
+    )
+    tot = full.agg(F.sum("_c").alias("_T"))
+    return full.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.floor(
+            (F.log2(F.col("_c") + 1) - F.log2(F.col("_T") + F.lit(b)))
+            * F.lit(s)
+        ).cast("long").alias("lp_fixed"),
+    )
+
+
+def dsir_weights(
+    df: DataFrame,
+    target: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+    scale_bits: int = 20,
+    hash_fn: str = "md5",
+    passthrough: tuple = (),
+) -> DataFrame:
+    """DSIR importance log-ratios: score every corpus document by how
+    much more likely its tokens are under a TARGET distribution (e.g. a
+    trusted high-quality subset) than under the corpus itself —
+    ``log2 p_target(doc) - log2 p_corpus(doc)`` over hashed-bucket
+    add-1 unigram models. Returns (id, n_tokens, logratio_bits,
+    logratio_bits_per_token); positive = target-like. Resampling
+    composes downstream: rank or threshold on the ratio (topk /
+    quality_bands / hash_split all take it as an input column).
+
+    Scale shape: both models are B-bounded (hashed_bucket_model), their
+    per-bucket DELTA array is collected once (B bigints) and carried as
+    a literal array (<= LM_LITERAL_MAX_ENTRIES) or a one-row broadcast;
+    scoring is MAP-ONLY — one F.aggregate per row sums fixed-point
+    bigints inside codegen, every token hits a bucket (smoothing makes
+    the ratio total, no OOV path), no explode, no exchange on the
+    corpus side.
+    """
+    b = int(n_buckets)
+    mt = hashed_bucket_model(target, tokens_col, b, scale_bits, hash_fn)
+    mc = hashed_bucket_model(df, tokens_col, b, scale_bits, hash_fn)
+    delta = (
+        mt.select(F.col("bucket"), F.col("lp_fixed").alias("_lt"))
+        .join(
+            mc.select(F.col("bucket"), F.col("lp_fixed").alias("_lc")),
+            "bucket",
+        )
+        .select("bucket", (F.col("_lt") - F.col("_lc")).alias("_dl"))
+        .collect()
+    )
+    vals = [0] * b
+    for r in delta:
+        vals[int(r["bucket"])] = int(r["_dl"])
+    out = df
+    if b <= LM_LITERAL_MAX_ENTRIES:
+        dl_arr = F.array(*[F.lit(v).cast("long") for v in vals])
+    else:
+        spark = df.sparkSession
+        one = spark.createDataFrame([(vals,)], "_dla array<bigint>")
+        out = out.crossJoin(F.broadcast(one))
+        dl_arr = F.col("_dla")
+
+    toks = F.filter(F.col(tokens_col), lambda t: t.isNotNull())
+    score = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc
+        + F.element_at(
+            dl_arr, (_hash_bucket(t, b, hash_fn) + F.lit(1)).cast("int")
+        ),
+    )
+    n = F.size(toks).cast("long")
+    sc = F.lit(float(1 << scale_bits))
+    return out.select(
+        F.col(id_col),
+        *[F.col(c) for c in passthrough],
+        n.alias("n_tokens"),
+        F.round(score.cast("double") / sc, 4).alias("logratio_bits"),
+        F.when(
+            n > 0,
+            F.round((score.cast("double") / sc) / n, 6),
+        ).alias("logratio_bits_per_token"),
+    )
