@@ -1348,6 +1348,35 @@ def q_dsir_weights(spark, sf_dir):
     return dsir_weights(toks, target, n_buckets=4096, hash_fn="md5")
 
 
+def q_snapshot_delta(spark, sf_dir):
+    """Recrawl/corpus-version diff (operators/dedup.snapshot_delta):
+    distinct-content added/removed/kept per source between two
+    snapshots (here: deterministic doc_id%10 slices of documents —
+    old <= 7, new >= 2). Each side collapses to (hash, source) via a
+    map-side distinct BEFORE the full-outer join, so the join carries
+    distinct contents, never documents."""
+    from datatest_spark.operators.dedup import snapshot_delta
+
+    d = _t(spark, sf_dir, "documents")
+    old = d.where(F.col("doc_id") % 10 <= 7)
+    new = d.where(F.col("doc_id") % 10 >= 2)
+    return snapshot_delta(old, new, hash_fn="md5")
+
+
+def q_temperature_mixture(spark, sf_dir):
+    """Temperature-scaled source mixture (operators/packing.
+    temperature_mixture_plan, the mC4/mT5 sampling rule): share_i =
+    T_i^alpha / sum T_j^alpha over n_chars totals, alpha=0.5, 100k
+    budget. ONE map-side agg + a |sources|-row broadcast of the scalar
+    denominator."""
+    from datatest_spark.operators.packing import temperature_mixture_plan
+
+    d = _t(spark, sf_dir, "documents")
+    return temperature_mixture_plan(
+        d, 100_000, length_col="n_chars", source_col="source", alpha=0.5
+    )
+
+
 # ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1403,6 +1432,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dup_profile": q_paragraph_dup_profile,
         "scrub_paragraphs": q_scrub_paragraphs,
         "dsir_weights": q_dsir_weights,
+        "snapshot_delta": q_snapshot_delta,
+        "temperature_mixture": q_temperature_mixture,
         # --- group 3: veterans filling the 50-query window ---
         "wide_stats_documents": q_wide_stats_documents,
         "tpch_q1_pricing": q_tpch_q1_pricing,
@@ -1414,19 +1445,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_labels": q_dedup_cluster_labels,
         "embedding_dedup_survivors": q_embedding_dedup_survivors,
         "asof_enrich": q_asof_enrich,
-        "range_join_windows": q_range_join_windows,
-        "contamination_hits": q_contamination_hits,
         "ivf_md5_topk": q_ivf_md5_topk,
         "simhash_md5_signatures": q_simhash_md5_signatures,
         # --- group 4: long-green veterans past the 50-query window ---
         # (mixture_sample / pack_sequences / stratified_sample /
-        # decontam_survivors rotated out in round 5 to admit the
-        # paragraph-dedup family + dsir_weights: each is a
-        # 2x-driver-green veteran, still swept by tools/check_oracles.py)
+        # decontam_survivors / contamination_hits / range_join_windows
+        # rotated out in round 5 to admit the paragraph-dedup family,
+        # dsir_weights, snapshot_delta and temperature_mixture: each is
+        # a 2x-driver-green veteran, still swept by check_oracles.py)
         "mixture_sample": q_mixture_sample,
         "pack_sequences": q_pack_sequences,
         "stratified_sample": q_stratified_sample,
         "decontam_survivors": q_decontam_survivors,
+        "contamination_hits": q_contamination_hits,
+        "range_join_windows": q_range_join_windows,
         "exact_dup_groups": q_exact_dup_groups,
         "minhash_signatures": q_minhash_signatures,
         "cosine_threshold_pairs": q_cosine_threshold_pairs,
@@ -3261,6 +3293,73 @@ def oracle_sql() -> dict[str, str]:
                        AS logratio_bits_per_token
             FROM TOK t JOIN DELTA USING (bucket)
             GROUP BY t.doc_id
+        """,
+        "snapshot_delta": """
+            WITH O AS (
+                SELECT DISTINCT md5(text) AS h,
+                       COALESCE(source, '__null__') AS g
+                FROM documents
+                WHERE text IS NOT NULL AND doc_id % 10 <= 7
+            ),
+            N AS (
+                SELECT DISTINCT md5(text) AS h,
+                       COALESCE(source, '__null__') AS g
+                FROM documents
+                WHERE text IS NOT NULL AND doc_id % 10 >= 2
+            ),
+            J AS (
+                SELECT COALESCE(o.g, n.g) AS g,
+                       o.h IS NOT NULL AS io,
+                       n.h IS NOT NULL AS inn
+                FROM O o FULL OUTER JOIN N n
+                  ON o.h = n.h AND o.g = n.g
+            )
+            SELECT g AS source,
+                   CAST(SUM(CASE WHEN io THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_old,
+                   CAST(SUM(CASE WHEN inn THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_new,
+                   CAST(SUM(CASE WHEN inn AND NOT io THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_added,
+                   CAST(SUM(CASE WHEN io AND NOT inn THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_removed,
+                   CAST(SUM(CASE WHEN io AND inn THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_common
+            FROM J GROUP BY g
+        """,
+        "temperature_mixture": """
+            WITH A AS (
+                SELECT COALESCE(source, '__null__') AS source,
+                       CAST(COUNT(*) AS BIGINT) AS n_docs,
+                       CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT)
+                           AS available_tokens
+                FROM documents
+                WHERE n_chars IS NOT NULL AND n_chars >= 0
+                GROUP BY 1
+            ),
+            W AS (
+                SELECT *,
+                       CASE WHEN available_tokens > 0
+                            THEN POW(CAST(available_tokens AS DOUBLE), 0.5)
+                            ELSE 0.0 END AS w
+                FROM A
+            ),
+            D AS (SELECT SUM(w) AS dw FROM W)
+            SELECT w.source, w.n_docs, w.available_tokens,
+                   ROUND(CASE WHEN d.dw > 0 THEN w.w / d.dw
+                              ELSE 0.0 END, 6) AS share,
+                   CAST(FLOOR((CASE WHEN d.dw > 0 THEN w.w / d.dw
+                                    ELSE 0.0 END) * 100000)
+                        AS BIGINT) AS target_tokens,
+                   CASE WHEN w.available_tokens > 0 THEN
+                       ROUND(COALESCE(
+                           CAST(FLOOR((CASE WHEN d.dw > 0
+                                            THEN w.w / d.dw
+                                            ELSE 0.0 END) * 100000)
+                                AS BIGINT)
+                           / w.available_tokens, 0.0), 6)
+                   ELSE 0.0 END AS rate
+            FROM W w, D d
         """,
         "mad_outliers": """
             WITH MED AS (

@@ -1261,3 +1261,56 @@ def scrub_dup_paragraphs(
             .alias("n_removed"),
         )
     )
+
+
+def snapshot_delta(
+    old_df: DataFrame,
+    new_df: DataFrame,
+    text_col="text",
+    group_col: str = "source",
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Corpus-version diff by distinct content (the recrawl question:
+    what did the new snapshot add, drop, and keep per source?). Returns
+    (source, n_old, n_new, n_added, n_removed, n_common) where counts
+    are DISTINCT normalized-content hashes — a recrawl that re-fetches
+    the same page a million times adds ONE content, which is exactly
+    the dedup-relevant accounting.
+
+    Scale shape: each side collapses to (hash, group) via a map-side
+    distinct agg BEFORE the full-outer equi-join, so the join carries
+    distinct contents, never documents; the final groupBy is
+    |sources|-row. ``'md5'`` (default) is cross-engine oracle-able;
+    ``'xxhash64'`` halves the shuffled key width at 10^10+ contents.
+    """
+    if hash_fn not in ("xxhash64", "md5"):
+        raise ValueError("hash_fn must be xxhash64|md5, got %r" % (hash_fn,))
+
+    def _side(df, name):
+        t = F.col(text_col) if isinstance(text_col, str) else text_col
+        h = F.xxhash64(t) if hash_fn == "xxhash64" else F.md5(t)
+        g = F.coalesce(F.col(group_col).cast("string"), F.lit("__null__"))
+        return (
+            df.where(t.isNotNull())
+            .select(h.alias("_h"), g.alias("_g"))
+            .distinct()
+            .select(
+                F.col("_h"), F.col("_g"), F.lit(1).alias("_" + name)
+            )
+        )
+
+    old = _side(old_df, "old")
+    new = _side(new_df, "new")
+    joined = old.join(new, ["_h", "_g"], "full_outer")
+    in_old = F.col("_old").isNotNull()
+    in_new = F.col("_new").isNotNull()
+    return (
+        joined.groupBy(F.col("_g").alias("source"))
+        .agg(
+            F.sum(F.when(in_old, 1).otherwise(0)).alias("n_old"),
+            F.sum(F.when(in_new, 1).otherwise(0)).alias("n_new"),
+            F.sum(F.when(in_new & ~in_old, 1).otherwise(0)).alias("n_added"),
+            F.sum(F.when(in_old & ~in_new, 1).otherwise(0)).alias("n_removed"),
+            F.sum(F.when(in_old & in_new, 1).otherwise(0)).alias("n_common"),
+        )
+    )

@@ -437,3 +437,80 @@ def pack_whole_docs(
 
     group_cols = [part_col] + (["shard"] if num_shards else [])
     return narrow.groupBy(*group_cols).applyInPandas(_pack, schema)
+
+
+def temperature_mixture_plan(
+    df: DataFrame,
+    budget_tokens: int,
+    length_col: str = "n_tok",
+    source_col: str = "source",
+    alpha: float = 0.7,
+    max_rate: float | None = None,
+) -> DataFrame:
+    """Temperature-scaled source mixture (the multilingual-LM sampling
+    rule, e.g. mC4/mT5): source i gets share ``T_i^alpha / sum_j
+    T_j^alpha`` of ``budget_tokens``, where ``T_i`` is its available
+    token count. ``alpha=1`` reproduces natural proportions; ``alpha=0``
+    is uniform over sources; the usual 0.2-0.7 range upweights
+    low-resource sources without letting them dominate.
+
+    Returns (source, n_docs, available_tokens, share, target_tokens,
+    rate) for every source present — the same plan shape
+    :func:`mixture_plan` emits, so ``{r['source']: r['rate']}`` feeds
+    straight into :func:`mixture_sample`. Rates above 1 mean
+    oversampling epochs; ``max_rate`` clamps them (the clamped plan
+    under-fills the budget rather than silently re-normalizing —
+    re-run with a lower alpha if that matters).
+
+    Scale shape: ONE map-side-combinable groupBy over the scan; the
+    share computation is a |sources|-row broadcast of the scalar
+    denominator. Nothing corpus-sized shuffles.
+    """
+    if budget_tokens < 0:
+        raise ValueError(
+            "budget_tokens must be >= 0, got %r" % (budget_tokens,)
+        )
+    if alpha < 0:
+        raise ValueError("alpha must be >= 0, got %r" % (alpha,))
+    if max_rate is not None and max_rate <= 0:
+        raise ValueError("max_rate must be positive, got %r" % (max_rate,))
+    L = F.col(length_col).cast("long")
+    g = F.coalesce(F.col(source_col).cast("string"), F.lit("__null__"))
+    avail = (
+        df.where(L.isNotNull() & (L >= 0))
+        .groupBy(g.alias("source"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(L).alias("available_tokens"),
+        )
+    )
+    # sources with zero available tokens carry zero weight at any alpha
+    # (pow(0, 0) = 1 would hand uniform mass to empty sources)
+    w = F.when(
+        F.col("available_tokens") > 0,
+        F.pow(F.col("available_tokens").cast("double"), F.lit(float(alpha))),
+    ).otherwise(F.lit(0.0))
+    weighted = avail.select("*", w.alias("_w"))
+    denom = weighted.agg(F.sum("_w").alias("_dw"))
+    share = F.when(
+        F.col("_dw") > 0, F.col("_w") / F.col("_dw")
+    ).otherwise(F.lit(0.0))
+    target = F.floor(share * F.lit(int(budget_tokens))).cast("long")
+    rate = F.coalesce(
+        target / F.col("available_tokens"), F.lit(0.0)
+    )
+    if max_rate is not None:
+        rate = F.least(rate, F.lit(float(max_rate)))
+    return (
+        weighted.crossJoin(F.broadcast(denom))
+        .select(
+            "source",
+            "n_docs",
+            "available_tokens",
+            F.round(share, 6).alias("share"),
+            target.alias("target_tokens"),
+            F.when(F.col("available_tokens") > 0, F.round(rate, 6))
+            .otherwise(F.lit(0.0))
+            .alias("rate"),
+        )
+    )
