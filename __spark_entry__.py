@@ -1377,6 +1377,70 @@ def q_temperature_mixture(spark, sf_dir):
     )
 
 
+def q_doc_chunks(spark, sf_dir):
+    """Context-window chunking (operators/packing.chunk_documents):
+    120-char windows with stride 80 (overlapping, the LM-eval setup),
+    tails shorter than 20 chars dropped. MAP-ONLY — one
+    sequence+explode+substring projection, zero Exchange (plan-pinned);
+    the oracle rebuilds the identical windows with
+    range(0, len, stride) + substr."""
+    from datatest_spark.operators.packing import chunk_documents
+
+    d = _t(spark, sf_dir, "documents")
+    return chunk_documents(d, size=120, stride=80, min_len=20)
+
+
+def q_quantize_embeddings(spark, sf_dir):
+    """Symmetric int8 embedding quantization
+    (operators/similarity.quantize_embeddings) — the storage half of an
+    IVF-SQ ANN index (4x smaller corpus). q = floor(x*127/max|x| + .5):
+    every step is plain IEEE double arithmetic, so DuckDB reproduces
+    the integers bit-exactly; the scale is emitted fixed-point
+    (floor(scale * 2^40)) so the whole output row is integer-typed.
+    MAP-ONLY, zero Exchange (plan-pinned)."""
+    from datatest_spark.operators.similarity import quantize_embeddings
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = quantize_embeddings(e)
+    return q.select(
+        "vec_id",
+        F.floor(F.col("scale") * F.lit(float(1 << 40)))
+        .cast("bigint")
+        .alias("scale_fp"),
+        "qvec",
+    )
+
+
+def q_semantic_dup_pairs(spark, sf_dir):
+    """SemDeDup candidate pairs (operators/similarity.semantic_dup_pairs,
+    Abbas et al. 2023): k-means partition (k=8, iters=2, md5 init — the
+    SQL-reproducible variant), exact cosine WITHIN clusters only,
+    tau=0.35 (the synthetic embeddings are near-orthogonal random
+    vectors; production near-dup thresholds are ~0.95). The oracle
+    chains the kmeans fixed-point CTE with a cluster-scoped pair
+    join."""
+    from datatest_spark.operators.similarity import semantic_dup_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    return semantic_dup_pairs(
+        e, tau=0.35, k=8, iters=2, hash_fn="md5", dim=64
+    )
+
+
+def q_semantic_dedup_survivors(spark, sf_dir):
+    """SemDeDup survivors (operators/similarity.semantic_dedup):
+    connected components over the cluster-scoped pair graph, minimum
+    vec_id kept per component, everything else anti-joined away. The
+    oracle appends a recursive-CTE closure to the kmeans+pairs chain
+    (same pattern as embedding_dedup_survivors, whose pair graph is
+    global)."""
+    from datatest_spark.operators.similarity import semantic_dedup
+
+    e = _t(spark, sf_dir, "embeddings")
+    s = semantic_dedup(e, tau=0.35, k=8, iters=2, hash_fn="md5", dim=64)
+    return s.select("vec_id", "label")
+
+
 # ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1434,12 +1498,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "snapshot_delta": q_snapshot_delta,
         "temperature_mixture": q_temperature_mixture,
+        "doc_chunks": q_doc_chunks,
+        "quantize_embeddings": q_quantize_embeddings,
+        "semantic_dup_pairs": q_semantic_dup_pairs,
+        "semantic_dedup_survivors": q_semantic_dedup_survivors,
         # --- group 3: veterans filling the 50-query window ---
-        "wide_stats_documents": q_wide_stats_documents,
-        "tpch_q1_pricing": q_tpch_q1_pricing,
-        "uniqueness_surplus": q_uniqueness_surplus,
         "suite_verdicts": q_suite_verdicts,
-        "jaccard_pairs": q_jaccard_pairs,
         "lsh_candidate_pairs": q_lsh_candidate_pairs,
         "cosine_topk": q_cosine_topk,
         "dedup_cluster_labels": q_dedup_cluster_labels,
@@ -1448,6 +1512,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_md5_topk": q_ivf_md5_topk,
         "simhash_md5_signatures": q_simhash_md5_signatures,
         # --- group 4: long-green veterans past the 50-query window ---
+        # (wide_stats/tpch_q1/uniqueness/jaccard rotated here in round 5
+        #  to make window room for the new round-5 operators; each had
+        #  >= 2 driver-green rounds, pinned by tests/test_artifact.py)
+        "wide_stats_documents": q_wide_stats_documents,
+        "tpch_q1_pricing": q_tpch_q1_pricing,
+        "uniqueness_surplus": q_uniqueness_surplus,
+        "jaccard_pairs": q_jaccard_pairs,
         # (mixture_sample / pack_sequences / stratified_sample /
         # decontam_survivors / contamination_hits / range_join_windows
         # rotated out in round 5 to admit the paragraph-dedup family,
@@ -1504,6 +1575,85 @@ S AS (
     FROM W, UNNEST(range(1, GREATEST(len(w) - 3, 2))) AS t(i)
 )
 """
+
+_KMEANS_CTE = """V AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings
+                WHERE embedding IS NOT NULL AND len(embedding) = 64
+                  AND len(list_filter(embedding, x -> x IS NULL)) = 0
+            ),
+            -- md5-stratified init, same recipe as ivf_md5_topk
+            ST AS (
+                SELECT vec_id, v,
+                       (16 * (strpos('0123456789abcdef',
+                                     substr(md5(CAST(vec_id AS VARCHAR)), 31, 1)) - 1)
+                          + strpos('0123456789abcdef',
+                                   substr(md5(CAST(vec_id AS VARCHAR)), 32, 1)) - 1
+                       ) % 8 AS centroid_id,
+                       md5(CAST(vec_id AS VARCHAR) || '#7') AS salt
+                FROM V
+            ),
+            C0 AS (
+                SELECT centroid_id, cv FROM (
+                    SELECT centroid_id, v AS cv,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY centroid_id ORDER BY salt, vec_id
+                           ) AS r
+                    FROM ST
+                ) WHERE r = 1
+            ),
+            A1 AS (
+                SELECT vec_id, v, centroid_id FROM (
+                    SELECT s.vec_id, s.v, c.centroid_id,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY s.vec_id
+                               ORDER BY list_sum(list_transform(
+                                   range(1, len(s.v) + 1),
+                                   j -> (s.v[j] - c.cv[j])
+                                      * (s.v[j] - c.cv[j]))) ASC,
+                                   c.centroid_id ASC
+                           ) AS r
+                    FROM V s CROSS JOIN C0 c
+                ) WHERE r = 1
+            ),
+            -- fixed-point per-dim sums: associative integers, so no
+            -- ORDER BY is needed to match Spark's map-side combine
+            U1 AS (
+                SELECT a.centroid_id, t.j,
+                       CAST(SUM(CAST(FLOOR(a.v[t.j] * 1048576.0) AS BIGINT))
+                            AS BIGINT) AS sm,
+                       COUNT(*) AS n
+                FROM A1 a, UNNEST(range(1, len(a.v) + 1)) AS t(j)
+                GROUP BY 1, 2
+            ),
+            C1 AS (
+                SELECT c0.centroid_id, COALESCE(u.cv, c0.cv) AS cv
+                FROM C0 c0 LEFT JOIN (
+                    SELECT centroid_id,
+                           list((CAST(sm AS DOUBLE) / n) / 1048576.0
+                                ORDER BY j) AS cv
+                    FROM U1 GROUP BY centroid_id
+                ) u USING (centroid_id)
+            ),
+            A2 AS (
+                SELECT vec_id, centroid_id, d FROM (
+                    SELECT s.vec_id, c.centroid_id,
+                           list_sum(list_transform(
+                               range(1, len(s.v) + 1),
+                               j -> (s.v[j] - c.cv[j])
+                                  * (s.v[j] - c.cv[j]))) AS d,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY s.vec_id
+                               ORDER BY list_sum(list_transform(
+                                   range(1, len(s.v) + 1),
+                                   j -> (s.v[j] - c.cv[j])
+                                      * (s.v[j] - c.cv[j]))) ASC,
+                                   c.centroid_id ASC
+                           ) AS r
+                    FROM V s CROSS JOIN C1 c
+                ) WHERE r = 1
+            )"""
+
 
 _LANGID_SQL = """
 H AS (
@@ -2536,87 +2686,11 @@ def oracle_sql() -> dict[str, str]:
             HAVING COUNT(DISTINCT c.sh) >= 1
         """,
         "kmeans_clusters": """
-            WITH V AS (
-                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-                FROM embeddings
-                WHERE embedding IS NOT NULL AND len(embedding) = 64
-                  AND len(list_filter(embedding, x -> x IS NULL)) = 0
-            ),
-            -- md5-stratified init, same recipe as ivf_md5_topk
-            ST AS (
-                SELECT vec_id, v,
-                       (16 * (strpos('0123456789abcdef',
-                                     substr(md5(CAST(vec_id AS VARCHAR)), 31, 1)) - 1)
-                          + strpos('0123456789abcdef',
-                                   substr(md5(CAST(vec_id AS VARCHAR)), 32, 1)) - 1
-                       ) % 8 AS centroid_id,
-                       md5(CAST(vec_id AS VARCHAR) || '#7') AS salt
-                FROM V
-            ),
-            C0 AS (
-                SELECT centroid_id, cv FROM (
-                    SELECT centroid_id, v AS cv,
-                           ROW_NUMBER() OVER (
-                               PARTITION BY centroid_id ORDER BY salt, vec_id
-                           ) AS r
-                    FROM ST
-                ) WHERE r = 1
-            ),
-            A1 AS (
-                SELECT vec_id, v, centroid_id FROM (
-                    SELECT s.vec_id, s.v, c.centroid_id,
-                           ROW_NUMBER() OVER (
-                               PARTITION BY s.vec_id
-                               ORDER BY list_sum(list_transform(
-                                   range(1, len(s.v) + 1),
-                                   j -> (s.v[j] - c.cv[j])
-                                      * (s.v[j] - c.cv[j]))) ASC,
-                                   c.centroid_id ASC
-                           ) AS r
-                    FROM V s CROSS JOIN C0 c
-                ) WHERE r = 1
-            ),
-            -- fixed-point per-dim sums: associative integers, so no
-            -- ORDER BY is needed to match Spark's map-side combine
-            U1 AS (
-                SELECT a.centroid_id, t.j,
-                       CAST(SUM(CAST(FLOOR(a.v[t.j] * 1048576.0) AS BIGINT))
-                            AS BIGINT) AS sm,
-                       COUNT(*) AS n
-                FROM A1 a, UNNEST(range(1, len(a.v) + 1)) AS t(j)
-                GROUP BY 1, 2
-            ),
-            C1 AS (
-                SELECT c0.centroid_id, COALESCE(u.cv, c0.cv) AS cv
-                FROM C0 c0 LEFT JOIN (
-                    SELECT centroid_id,
-                           list((CAST(sm AS DOUBLE) / n) / 1048576.0
-                                ORDER BY j) AS cv
-                    FROM U1 GROUP BY centroid_id
-                ) u USING (centroid_id)
-            ),
-            A2 AS (
-                SELECT vec_id, centroid_id, d FROM (
-                    SELECT s.vec_id, c.centroid_id,
-                           list_sum(list_transform(
-                               range(1, len(s.v) + 1),
-                               j -> (s.v[j] - c.cv[j])
-                                  * (s.v[j] - c.cv[j]))) AS d,
-                           ROW_NUMBER() OVER (
-                               PARTITION BY s.vec_id
-                               ORDER BY list_sum(list_transform(
-                                   range(1, len(s.v) + 1),
-                                   j -> (s.v[j] - c.cv[j])
-                                      * (s.v[j] - c.cv[j]))) ASC,
-                                   c.centroid_id ASC
-                           ) AS r
-                    FROM V s CROSS JOIN C1 c
-                ) WHERE r = 1
-            )
+            WITH {cte}
             SELECT vec_id, CAST(centroid_id AS INT) AS cluster,
                    ROUND(d, 4) AS sq_dist
             FROM A2
-        """,
+        """.format(cte=_KMEANS_CTE),
         "quality_gate_survivors": """
             WITH W AS (
                 SELECT doc_id, text,
@@ -3361,6 +3435,87 @@ def oracle_sql() -> dict[str, str]:
                    ELSE 0.0 END AS rate
             FROM W w, D d
         """,
+        "doc_chunks": """
+            SELECT doc_id,
+                   CAST(s // 80 AS INT) AS chunk_index,
+                   CAST(s AS INT) AS chunk_start,
+                   CAST(length(substr(text, CAST(s AS INT) + 1, 120))
+                        AS INT) AS chunk_len,
+                   substr(text, CAST(s AS INT) + 1, 120) AS chunk
+            FROM (
+                SELECT doc_id, text,
+                       UNNEST(range(0, length(text), 80)) AS s
+                FROM documents
+                WHERE text IS NOT NULL AND length(text) >= 20
+            )
+            WHERE length(substr(text, CAST(s AS INT) + 1, 120)) >= 20
+        """,
+        "quantize_embeddings": """
+            WITH V AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings
+                WHERE embedding IS NOT NULL
+                  AND len(list_filter(embedding, x -> x IS NULL)) = 0
+            ),
+            M AS (
+                SELECT vec_id, v,
+                       list_max(list_transform(v, x -> abs(x))) AS m
+                FROM V
+            )
+            SELECT vec_id,
+                   CAST(FLOOR((m / 127.0) * 1099511627776.0) AS BIGINT)
+                       AS scale_fp,
+                   list_transform(v, x -> CAST(
+                       CASE WHEN m > 0
+                            THEN FLOOR(x * 127.0 / m + 0.5)
+                            ELSE 0 END AS INT)) AS qvec
+            FROM M
+        """,
+        "semantic_dup_pairs": """
+            WITH {cte},
+            PAIR AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                       a.centroid_id AS cluster,
+                       list_dot_product(va.v, vb.v)
+                       / (SQRT(list_sum(list_transform(va.v, x -> x * x)))
+                        * SQRT(list_sum(list_transform(vb.v, x -> x * x))))
+                           AS cr
+                FROM A2 a
+                JOIN A2 b ON a.centroid_id = b.centroid_id
+                         AND a.vec_id < b.vec_id
+                JOIN V va ON va.vec_id = a.vec_id
+                JOIN V vb ON vb.vec_id = b.vec_id
+            )
+            SELECT id_a, id_b, CAST(cluster AS INT) AS cluster,
+                   ROUND(cr, 4) AS cos_sim
+            FROM PAIR WHERE cr >= 0.35
+        """.format(cte=_KMEANS_CTE),
+        "semantic_dedup_survivors": """
+            WITH RECURSIVE {cte},
+            PAIR AS (
+                SELECT a.vec_id AS src, b.vec_id AS dst
+                FROM A2 a
+                JOIN A2 b ON a.centroid_id = b.centroid_id
+                         AND a.vec_id < b.vec_id
+                JOIN V va ON va.vec_id = a.vec_id
+                JOIN V vb ON vb.vec_id = b.vec_id
+                WHERE list_dot_product(va.v, vb.v)
+                      / (SQRT(list_sum(list_transform(va.v, x -> x * x)))
+                       * SQRT(list_sum(list_transform(vb.v, x -> x * x))))
+                      >= 0.35
+            ),
+            E AS (SELECT src, dst FROM PAIR
+                  UNION SELECT dst, src FROM PAIR),
+            REACH(id, r) AS (
+                SELECT src, src FROM E
+                UNION
+                SELECT e.src, REACH.r FROM E e JOIN REACH ON e.dst = REACH.id
+            ),
+            LBL AS (SELECT id, MIN(r) AS cluster_id FROM REACH GROUP BY id)
+            SELECT emb.vec_id, emb.label FROM embeddings emb
+            WHERE emb.vec_id NOT IN
+                  (SELECT id FROM LBL WHERE id <> cluster_id)
+        """.format(cte=_KMEANS_CTE),
         "mad_outliers": """
             WITH MED AS (
                 SELECT source AS grp,

@@ -514,3 +514,82 @@ def temperature_mixture_plan(
             .alias("rate"),
         )
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 512,
+    stride: int | None = None,
+    min_len: int = 1,
+    passthrough: tuple = (),
+) -> DataFrame:
+    """Split documents into fixed-size context-window chunks — the
+    standard pre-training preparation step between cleaning and packing
+    (ref:datatest has no chunker; this is part of the §2.12 pipeline
+    surface). Works on STRING columns (character windows) and ARRAY
+    columns (token windows): the unit is chosen from the column's own
+    type, so one operator serves both the raw-text and the tokenized
+    corpus.
+
+    ``stride`` defaults to ``size`` (non-overlapping); ``stride < size``
+    yields overlapping windows (the usual LM eval setup). Trailing
+    windows shorter than ``min_len`` are dropped; null/empty content
+    emits nothing. Output: (id_col, chunk_index, chunk_start, chunk_len,
+    chunk [, passthrough...]) with 0-based start offsets.
+
+    Scale shape: MAP-ONLY — one generate-offsets + explode + slice
+    projection, zero Exchange (plan-pinned in
+    tests/test_chunk_quantize_semdedup.py). The
+    offsets array is O(len/stride) ints per row, bounded and transient;
+    the explode multiplies rows but never shuffles them, so chunking
+    composes with a downstream repartition-free write. The
+    ``sequence()`` upper bound is kept total with ``greatest`` — Spark
+    evaluates the projection in the same codegen stage as the length
+    filter, and ``sequence(0, -1, s)`` throws even under a pruning
+    filter.
+    """
+    if size < 1:
+        raise ValueError("chunk_documents: size must be >= 1")
+    if stride is None:
+        stride = size
+    if stride < 1:
+        raise ValueError("chunk_documents: stride must be >= 1")
+    if min_len < 1:
+        raise ValueError("chunk_documents: min_len must be >= 1")
+    dtype = dict(df.dtypes)[content_col]
+    is_text = dtype in ("string", "varchar")
+    c = F.col(content_col)
+    n = F.length(c) if is_text else F.size(c)
+    starts = F.sequence(
+        F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(int(stride))
+    )
+    base = df.where(c.isNotNull() & (n >= min_len)).select(
+        F.col(id_col),
+        *[F.col(p) for p in passthrough],
+        c.alias("_content"),
+        n.alias("_n"),
+        F.explode(starts).alias("chunk_start"),
+    )
+    if is_text:
+        chunk = F.substring(
+            F.col("_content"), F.col("chunk_start") + 1, size
+        )
+        chunk_len = F.length(chunk)
+    else:
+        chunk = F.slice(F.col("_content"), F.col("chunk_start") + 1, size)
+        chunk_len = F.size(chunk)
+    return (
+        base.select(
+            id_col,
+            *passthrough,
+            (F.col("chunk_start") / F.lit(int(stride)))
+            .cast("int")
+            .alias("chunk_index"),
+            F.col("chunk_start").cast("int").alias("chunk_start"),
+            chunk_len.cast("int").alias("chunk_len"),
+            chunk.alias("chunk"),
+        )
+        .where(F.col("chunk_len") >= min_len)
+    )

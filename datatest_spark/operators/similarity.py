@@ -739,3 +739,155 @@ def _band_buckets(v: DataFrame, id_name: str, vec_name: str, bands: int,
     return v.select(
         F.col(id_name).alias("id"), F.explode(F.array(*band_structs)).alias("bk")
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
+def quantize_embeddings(
+    vectors: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bits: int = 8,
+    passthrough: tuple = (),
+) -> DataFrame:
+    """Symmetric per-vector linear quantization of an embedding column
+    to ``bits``-bit signed integers — the memory lever that makes
+    billion-vector ANN feasible (an int8 corpus is 4x smaller than
+    float32, and IVF distance ranking survives it; this is the storage
+    half of a classic IVF-SQ index). Returns
+    (id_col, scale, qvec [, passthrough...]) where
+    ``x ≈ qvec[j] * scale`` and ``scale = max|x| / (2^(bits-1) - 1)``.
+
+    Quantization rule: ``q = floor(x * qmax / max|x| + 0.5)`` — a total,
+    branch-free half-up round whose every step is plain IEEE double
+    arithmetic, so an external engine (the DuckDB oracle) reproduces
+    the integers bit-exactly; |q| <= qmax by construction, no clamp.
+    All-zero vectors quantize to zeros with scale 0; null vectors and
+    vectors containing null elements are dropped (same contract as
+    kmeans_assign).
+
+    Scale shape: MAP-ONLY — one projection, zero Exchange, no
+    per-partition state (plan-pinned in
+    tests/test_chunk_quantize_semdedup.py). Pairs
+    with :func:`ivf_assign`: quantize once, store qvec+scale, and
+    rank candidates on the dequantized dot product.
+    """
+    if bits < 2 or bits > 32:
+        raise ValueError("quantize_embeddings: bits must be in [2, 32]")
+    qmax = float((1 << (bits - 1)) - 1)
+    v = as_double(F.col(vec_col))
+    m = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    q = F.transform(
+        v,
+        lambda x: F.when(
+            m > 0, F.floor(x * F.lit(qmax) / m + F.lit(0.5))
+        )
+        .otherwise(F.lit(0))
+        .cast("int"),
+    )
+    return vectors.where(
+        F.col(vec_col).isNotNull()
+        & ~F.exists(F.col(vec_col), lambda x: x.isNull())
+    ).select(
+        id_col,
+        *passthrough,
+        (m / F.lit(qmax)).alias("scale"),
+        q.alias("qvec"),
+    )
+
+
+def semantic_dup_pairs(
+    vectors: DataFrame,
+    tau: float = 0.95,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    hash_fn: str = "xxhash64",
+    dim: int | None = None,
+    scale_bits: int = 20,
+) -> DataFrame:
+    """SemDeDup candidate pairs (Abbas et al. 2023, arXiv:2303.09540):
+    k-means-cluster the embeddings, then compute EXACT cosine only
+    WITHIN each cluster and keep pairs with cosine >= tau. The k-means
+    partition is what makes semantic dedup tractable — all-pairs cosine
+    is O(n²); cluster-scoped pairs are O(sum c_i²), and k is chosen so
+    clusters are small (the paper uses ~0.1% of n).
+
+    Returns (id_a, id_b, cluster, cos_sim) with id_a < id_b. Pairs that
+    cross a cluster boundary are NOT examined — that is SemDeDup's
+    documented recall trade, not a defect; raise ``iters``/lower ``k``
+    to coarsen clusters when recall matters more than cost.
+
+    Scale shape: :func:`kmeans_assign` is map-only per iteration plus
+    one k-row exchange; the pair join is a single self-join keyed on
+    ``cluster`` — each cluster's pairs materialize inside one task
+    group, never globally. A pathologically hot cluster is the
+    escape-hatch signal to raise k (documented; the join itself spills).
+    """
+    assign = kmeans_assign(
+        vectors, k=k, iters=iters, id_col=id_col, vec_col=vec_col,
+        hash_fn=hash_fn, dim=dim, scale_bits=scale_bits,
+    )
+    v = vectors.select(
+        F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
+    ).where(
+        F.col("v").isNotNull() & ~F.exists(F.col("v"), lambda x: x.isNull())
+    )
+    a = assign.select(F.col(id_col).alias("id"), "cluster").join(v, "id")
+    left = a.select(
+        F.col("id").alias("id_a"), F.col("v").alias("_va"), "cluster"
+    )
+    right = a.select(
+        F.col("id").alias("id_b"), F.col("v").alias("_vb"), "cluster"
+    )
+    cos = cosine(F.col("_va"), F.col("_vb"))
+    return (
+        left.join(right, "cluster")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(cos >= F.lit(float(tau)))
+        .select(
+            "id_a", "id_b", "cluster", F.round(cos, 4).alias("cos_sim")
+        )
+    )
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    tau: float = 0.95,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    hash_fn: str = "xxhash64",
+    dim: int | None = None,
+    scale_bits: int = 20,
+) -> DataFrame:
+    """SemDeDup survivors: drop all but one representative of every
+    within-cluster semantic-duplicate group (connected components over
+    :func:`semantic_dup_pairs`, minimum id kept — the same
+    representative rule as ``dedup.drop_near_duplicates``). Returns the
+    input rows minus non-representative members.
+
+    This is the semantic sibling of ``embedding_dedup_survivors``
+    (global cosine-threshold CC): identical once pairs agree, but the
+    pair graph here is cluster-scoped, so it runs at corpus scale
+    where the global variant cannot.
+
+    Scale shape: pairs as in :func:`semantic_dup_pairs`; components via
+    ``dedup.dedup_clusters`` WITH pointer-jumping (a near-threshold tau
+    makes within-cluster pair graphs chain-y — similarity is not
+    transitive — and path-halving converges in O(log diameter) rounds
+    instead of diameter); the final drop is a broadcast-scale left_anti
+    join — duplicate members are a small fraction of the corpus by
+    assumption.
+    """
+    from datatest_spark.operators.dedup import dedup_clusters
+
+    pairs = semantic_dup_pairs(
+        vectors, tau=tau, k=k, iters=iters, id_col=id_col,
+        vec_col=vec_col, hash_fn=hash_fn, dim=dim, scale_bits=scale_bits,
+    ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+    clusters = dedup_clusters(pairs, pointer_jump=True)
+    drop = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return vectors.join(drop, id_col, "left_anti")
