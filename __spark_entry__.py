@@ -1441,6 +1441,25 @@ def q_semantic_dedup_survivors(spark, sf_dir):
     return s.select("vec_id", "label")
 
 
+def q_normalized_dup_groups(spark, sf_dir):
+    """Normalization-tolerant exact dedup (text.normalize_text +
+    dedup.exact_duplicates): case/punctuation/whitespace variants hash
+    to one key (the CCNet/C4 pre-hash canonicalization). MAP-ONLY
+    normalize + ONE md5 groupBy; regex classes are in the RE2∩Java
+    subset so the DuckDB oracle rebuilds the identical canonical form
+    (explicit [ \\t\\n\\r\\f] whitespace — Java \\s includes U+000B,
+    RE2's does not; DuckDB regexp_replace needs the 'g' flag Spark
+    implies). The hash key is the 80-char normalized PREFIX — the
+    synthetic corpus has no byte-identical documents, so full-text
+    keys would make the check vacuous (same device as
+    q:cross_source_duplication)."""
+    d = _t(spark, sf_dir, "documents")
+    key = F.substring(text.normalize_text(), 1, 80)
+    return dedup.exact_duplicates(d, text_col=key).select(
+        "content_hash", "n_docs", "doc_ids"
+    )
+
+
 # ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1502,19 +1521,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_embeddings": q_quantize_embeddings,
         "semantic_dup_pairs": q_semantic_dup_pairs,
         "semantic_dedup_survivors": q_semantic_dedup_survivors,
+        "normalized_dup_groups": q_normalized_dup_groups,
         # --- group 3: veterans filling the 50-query window ---
         "suite_verdicts": q_suite_verdicts,
         "lsh_candidate_pairs": q_lsh_candidate_pairs,
-        "cosine_topk": q_cosine_topk,
         "dedup_cluster_labels": q_dedup_cluster_labels,
         "embedding_dedup_survivors": q_embedding_dedup_survivors,
         "asof_enrich": q_asof_enrich,
         "ivf_md5_topk": q_ivf_md5_topk,
         "simhash_md5_signatures": q_simhash_md5_signatures,
         # --- group 4: long-green veterans past the 50-query window ---
-        # (wide_stats/tpch_q1/uniqueness/jaccard rotated here in round 5
-        #  to make window room for the new round-5 operators; each had
-        #  >= 2 driver-green rounds, pinned by tests/test_artifact.py)
+        # (wide_stats/tpch_q1/uniqueness/jaccard/cosine_topk rotated here
+        #  in round 5 to make window room for the new round-5 operators;
+        #  each had >= 2 driver-green rounds, pinned by
+        #  tests/test_artifact.py)
+        "cosine_topk": q_cosine_topk,
         "wide_stats_documents": q_wide_stats_documents,
         "tpch_q1_pricing": q_tpch_q1_pricing,
         "uniqueness_surplus": q_uniqueness_surplus,
@@ -3516,6 +3537,22 @@ def oracle_sql() -> dict[str, str]:
             WHERE emb.vec_id NOT IN
                   (SELECT id FROM LBL WHERE id <> cluster_id)
         """.format(cte=_KMEANS_CTE),
+        "normalized_dup_groups": """
+            WITH N AS (
+                SELECT doc_id,
+                       trim(regexp_replace(
+                           regexp_replace(
+                               lower(text),
+                               '[^\\p{L}\\p{N} \\t\\n\\r\\f]', '', 'g'),
+                           '[ \\t\\n\\r\\f]+', ' ', 'g')) AS norm0
+                FROM documents
+            ),
+            P AS (SELECT doc_id, substr(norm0, 1, 80) AS norm FROM N)
+            SELECT md5(norm) AS content_hash,
+                   COUNT(*) AS n_docs,
+                   list_sort(list(doc_id)) AS doc_ids
+            FROM P GROUP BY 1 HAVING COUNT(*) > 1
+        """,
         "mad_outliers": """
             WITH MED AS (
                 SELECT source AS grp,

@@ -38,9 +38,14 @@ def shingles_col(text="text", k: int = 5):
 
 def exact_duplicates(df: DataFrame, text_col="text", id_col="doc_id") -> DataFrame:
     """Exact-duplicate groups by content hash: (content_hash, n_docs,
-    doc_ids). One groupBy on md5 — the cheapest dedup pass."""
+    doc_ids). One groupBy on md5 — the cheapest dedup pass.
+
+    ``text_col`` may be a Column expression instead of a name — pass
+    ``text.normalize_text()`` for normalization-tolerant dedup (case/
+    punctuation/whitespace variants collapse to one hash key)."""
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
     return (
-        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("content_hash"))
+        df.select(F.col(id_col), F.md5(t).alias("content_hash"))
         .groupBy("content_hash")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

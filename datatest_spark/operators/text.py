@@ -100,6 +100,43 @@ def fingerprint(text="text"):
     return F.md5(text)
 
 
+def normalize_text(
+    text="text",
+    lowercase: bool = True,
+    strip_punct: bool = True,
+    collapse_ws: bool = True,
+    strip_digits: bool = False,
+):
+    """Canonicalize text for normalization-tolerant exact dedup — the
+    standard pre-hash step (CCNet / C4 style: near-identical pages
+    differing only in case, punctuation, or whitespace hash to the same
+    key). Returns a Column; compose with ``dedup.exact_duplicates(df,
+    text_col=normalize_text())`` or any hash-keyed operator.
+
+    Steps (each optional): lowercase → strip punctuation (keep letters,
+    digits unless ``strip_digits``, and whitespace) → collapse
+    whitespace runs to one space → trim. Character classes are written
+    in the RE2∩Java subset (explicit ``[ \\t\\n\\r\\f]`` whitespace —
+    Java's ``\\s`` includes U+000B, RE2's does not), so the DuckDB
+    oracle reproduces the canonical form byte-for-byte.
+
+    Scale shape: pure Column expression — MAP-ONLY, stays inside
+    whole-stage codegen, zero Exchange.
+    """
+    ws = " \\t\\n\\r\\f"
+    c = F.col(text) if isinstance(text, str) else text
+    if lowercase:
+        c = F.lower(c)
+    if strip_punct:
+        keep = r"\p{L}" + ("" if strip_digits else r"\p{N}")
+        c = F.regexp_replace(c, "[^" + keep + ws + "]", "")
+    elif strip_digits:
+        c = F.regexp_replace(c, r"\p{N}", "")
+    if collapse_ws:
+        c = F.trim(F.regexp_replace(c, "[" + ws + "]+", " "))
+    return c
+
+
 def winnow_fingerprints(text="text", k=5, window=4):
     """Winnowing-style robust fingerprints: minimum shingle-hash per
     sliding window over k-word shingles (Schleimer et al., SIGMOD 2003

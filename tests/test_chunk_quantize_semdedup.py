@@ -234,3 +234,45 @@ class TestSemanticDedup:
             expected_dropped |= mem - {min(mem)}
         assert all_ids - surv_ids == expected_dropped
 
+
+
+class TestNormalizeText:
+    def test_variants_collapse_to_one_hash(self, spark):
+        from datatest_spark.operators import dedup, text
+
+        df = spark.createDataFrame(
+            [
+                Row(doc_id=1, text="Hello, World!  42"),
+                Row(doc_id=2, text="hello world 42"),
+                Row(doc_id=3, text="HELLO\tworld...\n42"),
+                Row(doc_id=4, text="something else"),
+            ]
+        )
+        groups = dedup.exact_duplicates(
+            df, text_col=text.normalize_text()
+        ).collect()
+        assert len(groups) == 1
+        assert groups[0]["doc_ids"] == [1, 2, 3]
+
+    def test_flags(self, spark):
+        from datatest_spark.operators.text import normalize_text
+
+        df = spark.createDataFrame([Row(text="Ab, 12  x")])
+        got = df.select(
+            normalize_text("text").alias("full"),
+            normalize_text("text", strip_digits=True).alias("nodigit"),
+            normalize_text("text", lowercase=False).alias("case"),
+            normalize_text(
+                "text", strip_punct=False, collapse_ws=False
+            ).alias("raw_ws"),
+        ).collect()[0]
+        assert got["full"] == "ab 12 x"
+        assert got["nodigit"] == "ab x"
+        assert got["case"] == "Ab 12 x"
+        assert got["raw_ws"] == "ab, 12  x"
+
+    def test_map_only_plan(self, docs):
+        from datatest_spark.operators.text import normalize_text
+
+        p = _plan(docs.select(normalize_text().alias("n")))
+        assert _exchanges(p) == 0
