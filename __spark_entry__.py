@@ -3149,11 +3149,11 @@ def oracle_sql() -> dict[str, str]:
                     FROM FITS WHERE rn = 1
                     UNION ALL
                     SELECT f.doc_id, f.source, f.len, f.rn,
-                           CASE WHEN r.off_end + f.len > 512
+                           CASE WHEN r.off_end + f.len > 512 OR r.off_end >= 512
                                 THEN r.pack_id + 1 ELSE r.pack_id END,
-                           CASE WHEN r.off_end + f.len > 512
+                           CASE WHEN r.off_end + f.len > 512 OR r.off_end >= 512
                                 THEN 0 ELSE r.off_end END,
-                           CASE WHEN r.off_end + f.len > 512
+                           CASE WHEN r.off_end + f.len > 512 OR r.off_end >= 512
                                 THEN f.len ELSE r.off_end + f.len END
                     FROM R r JOIN FITS f
                       ON f.source IS NOT DISTINCT FROM r.source
@@ -3247,7 +3247,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, p, md5(p) AS par_hash
                 FROM (
                     SELECT doc_id,
-                           trim(regexp_replace(u.p, '\\s+', ' ', 'g')) AS p
+                           trim(regexp_replace(u.p, '[ \\t\\n\\r\\f]+', ' ', 'g')) AS p
                     FROM documents,
                          UNNEST(regexp_split_to_array(text, ' the ')) AS u(p)
                     WHERE text IS NOT NULL
@@ -3268,7 +3268,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, p, md5(p) AS par_hash
                 FROM (
                     SELECT doc_id,
-                           trim(regexp_replace(u.p, '\\s+', ' ', 'g')) AS p
+                           trim(regexp_replace(u.p, '[ \\t\\n\\r\\f]+', ' ', 'g')) AS p
                     FROM documents,
                          UNNEST(regexp_split_to_array(text, ' the ')) AS u(p)
                     WHERE text IS NOT NULL
@@ -3296,7 +3296,7 @@ def oracle_sql() -> dict[str, str]:
         "scrub_paragraphs": """
             WITH RAW AS (
                 SELECT doc_id, i,
-                       trim(regexp_replace(arr[i], '\\s+', ' ', 'g')) AS p
+                       trim(regexp_replace(arr[i], '[ \\t\\n\\r\\f]+', ' ', 'g')) AS p
                 FROM (
                     SELECT doc_id,
                            regexp_split_to_array(text, ' the ') AS arr

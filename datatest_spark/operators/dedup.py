@@ -1029,12 +1029,16 @@ def _paragraph_array(text_col, split: str, min_chars: int, normalize: bool):
     Normalization collapses internal whitespace and trims — the same
     canonicalization RefinedWeb-style paragraph dedup applies before
     hashing, so "foo  bar" and "foo bar" dedupe together
-    (ref:datatest/docs — no counterpart; pipeline extension).
+    (ref:datatest/docs — no counterpart; pipeline extension). The
+    whitespace class is explicit [ \\t\\n\\r\\f] — Java's \\s also
+    matches U+000B, RE2's (the DuckDB oracle engine) does not, and the
+    cross-engine parity contract requires both to normalize identically.
     """
     parts = F.split(text_col, split, -1)
     if normalize:
         parts = F.transform(
-            parts, lambda p: F.trim(F.regexp_replace(p, r"\s+", " "))
+            parts,
+            lambda p: F.trim(F.regexp_replace(p, "[ \\t\\n\\r\\f]+", " ")),
         )
     lo = max(int(min_chars), 1)
     return F.filter(parts, lambda p: F.length(p) >= lo)
@@ -1253,7 +1257,7 @@ def scrub_dup_paragraphs(
         F.sum(F.when(~F.col("_rm"), 1).otherwise(0)).alias("n_kept"),
         F.sum(F.when(F.col("_rm"), 1).otherwise(0)).alias("n_removed"),
     )
-    t = F.col(text_col)
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
     base = df.where(t.isNotNull()).select(F.col(id_col))
     return (
         base.join(agg, base[id_col] == agg["_pid"], "left")

@@ -420,7 +420,10 @@ def pack_whole_docs(
                 offsets.append(None)
                 fits.append(False)
                 continue
-            if started and off + ln > cap:
+            # off >= cap catches a zero-length doc landing after an
+            # exactly-full pack: off+0 > cap is false there, but offset
+            # == capacity is not a position that exists in the pack
+            if started and (off + ln > cap or off >= cap):
                 pack += 1
                 off = 0
             started = True

@@ -814,18 +814,23 @@ def zipf_fit(
     """
     if max_rank < 2:
         raise ValueError("max_rank must be >= 2, got %r" % (max_rank,))
-    # exactness guard: the moment products must stay inside bigint under
+    # exactness guard: EVERY moment product must stay inside bigint under
     # worst-case magnitudes (x <= log2(max_rank)*2^sb, y <= 50*2^sb for
     # counts up to ~10^15, k <= max_rank) — past the bound Spark's
-    # non-ANSI arithmetic would WRAP silently and emit garbage slopes
+    # non-ANSI arithmetic would WRAP silently and emit garbage slopes.
+    # The binding term is the r² denominator k*Σyy - Σy² ~
+    # max_rank² * (50*2^sb)², a factor 50/log2(max_rank) LARGER than the
+    # k*Σxy bound an earlier guard used (max_rank=10^4, scale_bits=13
+    # passed that guard yet wraps k*Σyy at head counts ~10^14)
     if scale_bits < 1 or (
-        max_rank * max_rank * math.log2(max_rank) * 50.0
+        float(max_rank) ** 2 * 50.0 * 50.0
         * float(4 ** scale_bits) >= float(2 ** 63)
     ):
         raise ValueError(
             "scale_bits=%r overflows the fixed-point regression moments "
-            "at max_rank=%r (keep max_rank^2*log2(max_rank)*50*4^bits "
-            "< 2^63)" % (scale_bits, max_rank)
+            "at max_rank=%r (keep max_rank^2*50^2*4^bits "
+            "< 2^63: the r2 denominator k*Syy is the largest moment)"
+            % (scale_bits, max_rank)
         )
     s = float(1 << scale_bits)
     ranked = vocab_topk(df, tokens_col, group_col, k=max_rank)

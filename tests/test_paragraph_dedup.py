@@ -181,3 +181,37 @@ def test_profile_plan_single_paragraph_exchange(spark):
     plan = buf.getvalue()
     n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
     assert n_exchanges <= 2, plan
+
+
+def test_vertical_tab_is_not_normalized_whitespace(spark):
+    # Java \s matches U+000B but RE2 (the DuckDB oracle engine) does
+    # not: normalization must use the shared explicit class, so a
+    # vertical-tab variant stays DISTINCT from the space variant on
+    # both engines (cross-engine parity regression, round-5 review)
+    df = spark.createDataFrame(
+        [
+            (1, "some repeated paragraph here"),
+            (2, "some\x0brepeated\x0bparagraph\x0bhere"),
+            (3, "some  repeated\trepeated? no, paragraph here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = duplicate_paragraphs(df, min_docs=2, min_chars=5).collect()
+    assert out == []
+
+
+def test_scrub_accepts_column_text_col(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, "THE BOILER PARA GRAPH\n\nunique one two three four"),
+            (2, "the boiler  para graph\n\nanother unique five six"),
+        ],
+        "doc_id long, text string",
+    )
+    out = scrub_dup_paragraphs(
+        df, text_col=F.lower(F.col("text")), min_docs=2, min_chars=5
+    ).orderBy("doc_id").collect()
+    assert out[0]["n_removed"] == 0 and out[0]["n_kept"] == 2
+    assert out[1]["n_removed"] == 1

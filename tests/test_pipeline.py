@@ -2564,6 +2564,11 @@ class TestZipfFit:
         # bigint moment products would wrap silently past the bound
         with pytest.raises(ValueError, match="scale_bits"):
             zipf_fit(df, max_rank=10000, scale_bits=16)
+        # the r2 denominator k*Syy ~ max_rank^2*(50*2^sb)^2 is the
+        # BINDING moment — (10000, 13) passed the old xy-only guard
+        # yet wraps k*Syy at head counts ~1e14
+        with pytest.raises(ValueError, match="scale_bits"):
+            zipf_fit(df, max_rank=10000, scale_bits=13)
         with pytest.raises(ValueError, match="scale_bits"):
             zipf_fit(df, scale_bits=0)
         # a small max_rank leaves headroom for more precision
@@ -2640,8 +2645,10 @@ class TestPackWholeDocs:
         assert (rows[4]["pack_id"], rows[4]["pack_offset"]) == (2, 0)
         # oversize: never packed, never perturbs the stream state
         assert rows[5]["pack_id"] is None and rows[5]["fits"] is False
-        # zero-length doc on an exactly-full pack sits at offset=capacity
-        assert (rows[6]["pack_id"], rows[6]["pack_offset"]) == (2, 10)
+        # a zero-length doc after an exactly-full pack opens the NEXT
+        # pack at offset 0 — offset==capacity is not a position that
+        # exists in a pack (round-5 review fix)
+        assert (rows[6]["pack_id"], rows[6]["pack_offset"]) == (3, 0)
         assert all(r["fits"] for i, r in rows.items() if i != 5)
 
     def test_no_split_and_capacity_respected(self, spark):
