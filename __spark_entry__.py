@@ -326,6 +326,14 @@ def q_jaccard_pairs(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(d, k=5, threshold=0.5)
 
 
+def q_prefix_jaccard_pairs(spark, sf_dir):
+    """Lossless prefix-filtered exact Jaccard join: the oracle is the
+    plain capped exact join at the same (k, threshold, df_cap) — the
+    losslessness claim IS the oracle contract."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.prefix_jaccard_pairs(d, k=5, threshold=0.6, df_cap=1000)
+
+
 def q_embedding_norms(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     v = similarity.as_double(F.col("embedding"))
@@ -1540,6 +1548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1_pricing": q_tpch_q1_pricing,
         "uniqueness_surplus": q_uniqueness_surplus,
         "jaccard_pairs": q_jaccard_pairs,
+        "prefix_jaccard_pairs": q_prefix_jaccard_pairs,
         # (mixture_sample / pack_sequences / stratified_sample /
         # decontam_survivors / contamination_hits / range_join_windows
         # rotated out in round 5 to admit the paragraph-dedup family,
@@ -2001,6 +2010,28 @@ def oracle_sql() -> dict[str, str]:
             JOIN SZ sa ON sa.doc_id = doc_a
             JOIN SZ sb ON sb.doc_id = doc_b
             WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+        """.format(cte=_SHINGLE_CTE),
+        "prefix_jaccard_pairs": """
+            WITH {cte},
+            -- prefix filtering is LOSSLESS: the oracle is the plain
+            -- capped exact join at the same (k=5, t=0.6, cap=1000)
+            SC AS (
+                SELECT doc_id, shingle FROM S
+                WHERE shingle IN (SELECT shingle FROM S
+                                  GROUP BY shingle HAVING COUNT(*) <= 1000)
+            ),
+            SZ AS (SELECT doc_id, COUNT(*) AS n_sh FROM SC GROUP BY doc_id),
+            INTER AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+                FROM SC a JOIN SC b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+                   ROUND(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+            FROM INTER
+            JOIN SZ sa ON sa.doc_id = doc_a
+            JOIN SZ sb ON sb.doc_id = doc_b
+            WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.6
         """.format(cte=_SHINGLE_CTE),
         "dedup_cluster_labels": """
             WITH RECURSIVE {cte},

@@ -1323,3 +1323,112 @@ def snapshot_delta(
             F.sum(F.when(in_old & in_new, 1).otherwise(0)).alias("n_common"),
         )
     )
+
+
+def prefix_jaccard_pairs(
+    df: DataFrame,
+    text_col="text",
+    id_col="doc_id",
+    k: int = 5,
+    threshold: float = 0.5,
+    df_cap: int | None = None,
+    cap_strategy: str = "window",
+) -> DataFrame:
+    """EXACT Jaccard near-dup pairs via AllPairs/PPJoin prefix filtering
+    (Bayardo et al., WWW'07; Xiao et al., WWW'08): (doc_a, doc_b,
+    jaccard), value-identical to :func:`ngram_jaccard_pairs` at the same
+    (k, threshold, df_cap) — but the candidate join fans out only on
+    each document's PREFIX shingles instead of all of them.
+
+    Why this is the exact-join 100-TB path: order every document's
+    shingles by a global canonical order (ascending document frequency,
+    shingle text as tiebreak — rarest first). A pair with
+    J(A,B) >= t must share at least one shingle among the first
+    ``p = n - ceil(t*n) + 1`` shingles of EACH side in that order, so
+    equi-joining only prefixes is LOSSLESS for the threshold while
+    skipping the common (hottest) shingles that dominate the fan-out of
+    the naive shared-shingle join. The hot boilerplate shingle that
+    df_cap exists to guard against is exactly the one prefix filtering
+    never joins on: it is the most frequent, hence last in canonical
+    order, hence outside almost every prefix. A frequency-ascending
+    canonical order also makes the per-shingle join groups SMALLEST for
+    the shingles that do enter prefixes — the join skew profile is the
+    inverse of the naive join's.
+
+    Plan shape: one map-side-combinable frequency agg, one broadcast-free
+    equi-join of (shingle -> frequency) riding the same shingle-hash
+    partitioning, ONE doc_id exchange for the rank/count window (spills;
+    no array buffering), a prefix self-join, then candidate-scoped exact
+    verification reusing :func:`_jaccard_from_shingles` (the LSH verify
+    pattern — semi-join prunes the shingle frame to candidate docs
+    before the overlap join). A length pre-filter
+    ``min(n_a,n_b) >= t*max(n_a,n_b)`` prunes candidates before the
+    verify using the sizes the prefix frame already carries.
+
+    ``p`` uses ``n - floor(t*n) + 1`` (>= the exact ceil form): at most
+    one extra prefix element per doc, immune to float rounding in
+    ``ceil`` shrinking the prefix below the lossless bound.
+
+    Prefer :func:`minhash_lsh_pairs` when probabilistic recall is
+    acceptable; prefer this when the output must be the exact threshold
+    join (audits, oracle baselines, legal-grade dedup evidence).
+    """
+    from pyspark.sql import Window
+
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(
+            "threshold must be in (0, 1], got %r" % (threshold,)
+        )
+    sh = _cap_shingles(
+        doc_shingles(df, text_col, id_col, k), df_cap, cap_strategy
+    )
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_freq"))
+    shf = sh.join(freq, "shingle")
+
+    w = Window.partitionBy("doc_id").orderBy("_freq", "shingle")
+    wn = Window.partitionBy("doc_id")
+    ranked = shf.select(
+        "doc_id",
+        "shingle",
+        F.row_number().over(w).alias("_rank"),
+        F.count(F.lit(1)).over(wn).alias("_n"),
+    )
+    # p = n - floor(t*n) + 1, clamped to n (floor(t*n)=0 when t*n < 1)
+    p = F.least(
+        F.col("_n") - F.floor(F.lit(threshold) * F.col("_n")) + 1,
+        F.col("_n").cast("long"),
+    )
+    prefix = ranked.filter(F.col("_rank") <= p).select(
+        "doc_id", "shingle", "_n"
+    )
+
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    cand = (
+        a.join(b, on="shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        # length filter: J >= t forces min(n_a,n_b) >= t*max(n_a,n_b);
+        # the 1e-9 slack keeps float rounding from dropping boundary
+        # pairs (candidate pruning must stay conservative)
+        .filter(
+            F.least(F.col("a._n"), F.col("b._n")).cast("double")
+            >= F.lit(threshold)
+            * F.greatest(F.col("a._n"), F.col("b._n")).cast("double")
+            - F.lit(1e-9)
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    cand_ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    scoped = sh.join(cand_ids, "doc_id", "left_semi")
+    exact = _jaccard_from_shingles(scoped, threshold)
+    # inner join with cand drops candidate-doc pairs that never shared a
+    # prefix shingle; losslessness guarantees every true pair IS in cand
+    return cand.join(exact, ["doc_a", "doc_b"], "inner")

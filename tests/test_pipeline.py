@@ -2731,3 +2731,105 @@ class TestQualityAwareDedup:
         kept = {r["doc_id"] for r in drop_near_duplicates(
             df, pairs=pairs, score_col="score").collect()}
         assert kept == {5}
+
+
+class TestPrefixJaccard:
+    """prefix_jaccard_pairs: lossless AllPairs/PPJoin prefix filtering —
+    must be VALUE-IDENTICAL to ngram_jaccard_pairs at the same
+    (k, threshold, df_cap) on every fixture, including adversarial
+    tie-heavy frequency profiles."""
+
+    def _fixture(self, spark, docs):
+        # clones (jaccard 1.0) + partial overlaps from concatenated halves
+        clone = docs.limit(3).withColumn("doc_id", F.col("doc_id") + 100000)
+        return docs.unionByName(clone)
+
+    def test_matches_naive_exact_join(self, spark, docs):
+        df = self._fixture(spark, docs)
+        for thr in (0.5, 0.9):
+            naive = {
+                tuple(r)
+                for r in dedup.ngram_jaccard_pairs(
+                    df, threshold=thr, df_cap=None
+                ).collect()
+            }
+            pref = {
+                tuple(r)
+                for r in dedup.prefix_jaccard_pairs(
+                    df, threshold=thr
+                ).collect()
+            }
+            assert pref == naive
+
+    def test_matches_naive_with_df_cap(self, spark, docs):
+        footer = " COMMON FOOTER ONE TWO THREE"
+        boiler = self._fixture(spark, docs).withColumn(
+            "text", F.concat("text", F.lit(footer))
+        )
+        naive = {
+            tuple(r)
+            for r in dedup.ngram_jaccard_pairs(
+                boiler, threshold=0.9, df_cap=50
+            ).collect()
+        }
+        pref = {
+            tuple(r)
+            for r in dedup.prefix_jaccard_pairs(
+                boiler, threshold=0.9, df_cap=50
+            ).collect()
+        }
+        assert pref == naive
+
+    def test_tie_heavy_frequencies_stay_exact(self, spark):
+        # every shingle unique (frequency 1 everywhere except the clone
+        # pair) — canonical order degenerates to the shingle-text
+        # tiebreak; losslessness must hold on pure ties
+        rows = [
+            (i, "w%da w%db w%dc w%dd w%de w%df" % (i, i, i, i, i, i))
+            for i in range(20)
+        ]
+        rows.append((100, rows[0][1]))  # exact clone of doc 0
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        naive = {
+            tuple(r)
+            for r in dedup.ngram_jaccard_pairs(
+                df, k=3, threshold=0.4, df_cap=None
+            ).collect()
+        }
+        pref = {
+            tuple(r)
+            for r in dedup.prefix_jaccard_pairs(
+                df, k=3, threshold=0.4
+            ).collect()
+        }
+        assert pref == naive
+        assert (0, 100) in {(a, b) for a, b, _ in pref}
+
+    def test_prefix_join_input_is_smaller(self, spark, docs):
+        # the whole point: the candidate join consumes only prefix
+        # shingles. At threshold 0.8 the prefix is ~20% of each doc.
+        df = self._fixture(spark, docs)
+        sh = dedup.doc_shingles(df)
+        n_all = sh.count()
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_freq"))
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("doc_id").orderBy("_freq", "shingle")
+        wn = Window.partitionBy("doc_id")
+        ranked = sh.join(freq, "shingle").select(
+            "doc_id",
+            F.row_number().over(w).alias("_rank"),
+            F.count(F.lit(1)).over(wn).alias("_n"),
+        )
+        p = F.least(
+            F.col("_n") - F.floor(F.lit(0.8) * F.col("_n")) + 1,
+            F.col("_n").cast("long"),
+        )
+        n_prefix = ranked.filter(F.col("_rank") <= p).count()
+        assert n_prefix < 0.35 * n_all
+
+    def test_threshold_validated(self, docs):
+        with pytest.raises(ValueError, match="threshold"):
+            dedup.prefix_jaccard_pairs(docs, threshold=0.0)
+        with pytest.raises(ValueError, match="threshold"):
+            dedup.prefix_jaccard_pairs(docs, threshold=1.5)
