@@ -681,6 +681,31 @@ def q_decontam_survivors(spark, sf_dir):
     )
 
 
+def q_bloom_decontam(spark, sf_dir):
+    """Bloom-filter decontamination (operators/decontam.
+    bloom_contamination): same eval/corpus split as
+    q_contamination_hits, but the corpus-side probe is MAP-ONLY — each
+    doc's shingle array is tested against a broadcast 2^20-bit bitmap
+    (one-row broadcast carrier at this size) with md5 double-hashing; no
+    corpus explode, no join, no exchange. The oracle reproduces the
+    EXACT bit arithmetic (h1/h2 from disjoint md5 halves, 5 probes), so
+    Bloom false positives are part of the checked contract, not noise."""
+    from pyspark.sql import functions as F
+
+    from datatest_spark.operators import decontam
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.where("doc_id % 7 = 0")
+    corpus = d.where("doc_id % 7 <> 0")
+    return decontam.bloom_contamination(
+        corpus, bench, k=4, m_bits=1 << 20, n_hashes=5
+    ).select(
+        "doc_id",
+        F.col("n_shingles").cast("long").alias("n_shingles"),
+        F.col("n_hits").cast("long").alias("n_hits"),
+    )
+
+
 def q_repetition_profile(spark, sf_dir):
     """Gopher-style per-doc 3-gram repetition signals
     (operators/text.repetition_signals): modal-n-gram fraction and
@@ -1559,6 +1584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "decontam_survivors": q_decontam_survivors,
         "contamination_hits": q_contamination_hits,
+        "bloom_decontam": q_bloom_decontam,
         "range_join_windows": q_range_join_windows,
         "exact_dup_groups": q_exact_dup_groups,
         "minhash_signatures": q_minhash_signatures,
@@ -2403,6 +2429,69 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(DISTINCT b.bdoc) AS n_bench_docs
             FROM SC c JOIN SB b ON c.sh = b.sh
             GROUP BY c.doc_id
+        """,
+        "bloom_decontam": """
+            -- exact mirror of the Bloom probe: h1/h2 from disjoint
+            -- 60-bit md5 halves, h2 forced odd, 5 double-hash probes
+            -- into 2^20 bits; a shingle "hits" when ALL its distinct
+            -- positions are set by some eval shingle. False positives
+            -- are reproduced bit-for-bit, not tolerated.
+            WITH WB AS (
+                SELECT doc_id, string_split(text, ' ') AS w FROM documents
+                WHERE doc_id % 7 = 0
+            ),
+            SB AS (
+                SELECT DISTINCT array_to_string(w[i : i + 3], ' ') AS sh
+                FROM WB, UNNEST(range(1, GREATEST(len(w) - 2, 2))) AS t(i)
+            ),
+            PE AS (
+                SELECT DISTINCT (h1 + i * h2) % 1048576 AS pos
+                FROM (
+                    SELECT
+                        CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT)
+                            % 1048576 AS h1,
+                        (CAST('0x' || substr(md5(sh), 16, 15) AS BIGINT)
+                            % 1048576) | 1 AS h2
+                    FROM SB
+                ), UNNEST(range(5)) AS t(i)
+            ),
+            WC AS (
+                SELECT doc_id, string_split(text, ' ') AS w FROM documents
+                WHERE doc_id % 7 <> 0
+            ),
+            SC AS (
+                SELECT DISTINCT doc_id,
+                       array_to_string(w[i : i + 3], ' ') AS sh
+                FROM WC, UNNEST(range(1, GREATEST(len(w) - 2, 2))) AS t(i)
+            ),
+            CP AS (
+                SELECT doc_id, sh, (h1 + i * h2) % 1048576 AS pos
+                FROM (
+                    SELECT doc_id, sh,
+                        CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT)
+                            % 1048576 AS h1,
+                        (CAST('0x' || substr(md5(sh), 16, 15) AS BIGINT)
+                            % 1048576) | 1 AS h2
+                    FROM SC
+                ), UNNEST(range(5)) AS t(i)
+            ),
+            SH AS (
+                SELECT doc_id, sh,
+                       COUNT(DISTINCT pos) AS d,
+                       COUNT(DISTINCT CASE WHEN pos IN (SELECT pos FROM PE)
+                                           THEN pos END) AS md
+                FROM CP GROUP BY doc_id, sh
+            ),
+            NS AS (SELECT doc_id, COUNT(*) AS n_shingles FROM SC
+                   GROUP BY doc_id),
+            HITS AS (
+                SELECT doc_id,
+                       SUM(CASE WHEN md = d THEN 1 ELSE 0 END) AS n_hits
+                FROM SH GROUP BY doc_id
+            )
+            SELECT n.doc_id, n.n_shingles, h.n_hits
+            FROM NS n JOIN HITS h ON n.doc_id = h.doc_id
+            WHERE h.n_hits >= 1
         """,
         "decontam_survivors": """
             WITH WB AS (

@@ -255,3 +255,199 @@ def decontaminate(
     ).select(F.col("doc_id").alias(id_col))  # contamination normalizes the
     # id column name to doc_id; restore the caller's name for the join
     return corpus.join(flagged, id_col, "left_anti")
+
+
+# literal-array carrier ceiling (elements); past this the bitmap rides a
+# one-row broadcast join instead of an inline literal (plan-size guard,
+# same two-carrier discipline as text.unigram_logloss)
+BLOOM_LITERAL_MAX_WORDS = 4096
+# hard ceiling on the collected bitmap: 2^27 bits = 2M longs = 16 MB —
+# comfortably broadcastable, refuse silently-huge driver collects past it
+BLOOM_MAX_BITS = 1 << 27
+
+
+def _bloom_positions(s, m_bits: int, n_hashes: int):
+    """``n_hashes`` bit positions for one shingle via Kirsch-
+    Mitzenmacher double hashing: pos_i = (h1 + i*h2) mod m. h1/h2 come
+    from disjoint 60-bit halves of md5 (portable: DuckDB mirrors each as
+    ``CAST('0x' || substr(md5(s), off, 15) AS BIGINT)``); h2 is forced
+    odd so it is coprime with the power-of-two ``m_bits`` and the probe
+    sequence never degenerates into a short cycle."""
+    h1 = F.pmod(
+        F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+        F.lit(m_bits),
+    )
+    h2 = F.pmod(
+        F.conv(F.substring(F.md5(s), 16, 15), 16, 10).cast("long"),
+        F.lit(m_bits),
+    ).bitwiseOR(F.lit(1))
+    return [
+        F.pmod(h1 + F.lit(i) * h2, F.lit(m_bits)) for i in range(n_hashes)
+    ]
+
+
+def _validate_bloom_params(m_bits: int, n_hashes: int):
+    if m_bits < 64 or (m_bits & (m_bits - 1)) != 0:
+        raise ValueError(
+            "m_bits must be a power of two >= 64, got %r" % (m_bits,)
+        )
+    if m_bits > BLOOM_MAX_BITS:
+        raise ValueError(
+            "m_bits=%d exceeds BLOOM_MAX_BITS=%d (the bitmap is "
+            "collected to the driver and broadcast)" % (m_bits, BLOOM_MAX_BITS)
+        )
+    if not 1 <= n_hashes <= 16:
+        raise ValueError("n_hashes must be in [1, 16], got %r" % (n_hashes,))
+
+
+def bloom_bitmap(
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 13,
+    m_bits: int = 1 << 20,
+    n_hashes: int = 5,
+) -> list:
+    """Driver-side Bloom bitmap of the benchmark's k-word shingles:
+    ``m_bits // 64`` longs (word w holds bits 64w..64w+63).
+
+    Built distributed: shingle the benchmark, explode each shingle to
+    its ``n_hashes`` positions, aggregate ``bit_or`` per 64-bit word
+    (map-side combinable — at most ``m_bits/64`` rows cross the one
+    exchange), collect. The eval side is tiny by definition, so this is
+    a sub-second pass; the corpus is never touched.
+    """
+    _validate_bloom_params(m_bits, n_hashes)
+    sh = doc_shingles(
+        benchmark, text_col=text_col, id_col=id_col, k=k
+    ).select("shingle").distinct()
+    pos = sh.select(
+        F.explode(
+            F.array(*_bloom_positions(F.col("shingle"), m_bits, n_hashes))
+        ).alias("pos")
+    )
+    words = (
+        pos.select(
+            F.shiftright(F.col("pos"), 6).alias("w"),
+            F.col("pos").bitwiseAND(F.lit(63)).alias("b"),
+        )
+        .groupBy("w")
+        .agg(
+            F.bit_or(
+                F.element_at(
+                    F.array(*[F.lit(m) for m in _BLOOM_BIT_MASKS]),
+                    (F.col("b") + 1).cast("int"),
+                )
+            ).alias("word")
+        )
+        .collect()
+    )
+    vals = [0] * (m_bits // 64)
+    for r in words:
+        vals[int(r["w"])] = int(r["word"])
+    return vals
+
+
+# 1<<i as a signed 64-bit long (bit 63 is the sign bit)
+_BLOOM_BIT_MASKS = [(1 << i) if i < 63 else -(2 ** 63) for i in range(64)]
+
+
+def bloom_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str | None = None,
+    bench_id_col: str | None = None,
+    k: int = 13,
+    min_hits: int = 1,
+    m_bits: int = 1 << 20,
+    n_hashes: int = 5,
+    bitmap: list | None = None,
+) -> DataFrame:
+    """Approximate decontamination via a broadcast Bloom filter —
+    (doc_id, n_shingles, n_hits): ``n_hits`` = distinct corpus shingles
+    whose ``n_hashes`` bit probes ALL hit the benchmark bitmap; rows
+    with ``n_hits < min_hits`` are dropped.
+
+    Guarantee: ZERO false negatives — every shingle actually present in
+    the benchmark has all its bits set, so every doc flagged by
+    :func:`contamination` (min_hits=1 semantics) is flagged here. False
+    positives occur at the classic rate ``(fill_ratio)^n_hashes`` per
+    probed shingle; size ``m_bits`` ~10x the expected distinct eval
+    shingles for ~1% per-shingle FP at n_hashes=5. Use this as the
+    cheap first pass at the 10^12 scale and confirm survivors' flags
+    with the exact broadcast join if FPs matter.
+
+    Why it beats the exact join at scale: the probe is MAP-ONLY — the
+    corpus side has no explode, no join and no exchange at all. Each
+    doc's distinct-shingle array is tested in one codegen'd
+    ``F.filter`` over Column bit arithmetic; the only data movement is
+    the bitmap itself (``m_bits/8`` bytes, e.g. 128 KiB at 2^20), vs
+    broadcasting every eval shingle STRING (tens of MB) for the exact
+    join. The bitmap rides an inline literal array up to
+    ``BLOOM_LITERAL_MAX_WORDS`` words, else a one-row broadcast
+    cross-join (same two-carrier discipline as the unigram LM).
+
+    Pass a prebuilt ``bitmap`` (from :func:`bloom_bitmap`, e.g. persisted
+    beside a benchmark registry) to skip the build and decontaminate
+    against frozen eval sets without ever reading them.
+    """
+    _validate_bloom_params(m_bits, n_hashes)
+    if min_hits < 1:
+        raise ValueError("min_hits must be >= 1, got %r" % (min_hits,))
+    if bitmap is None:
+        bitmap = bloom_bitmap(
+            benchmark,
+            text_col=bench_text_col or text_col,
+            id_col=bench_id_col or id_col,
+            k=k,
+            m_bits=m_bits,
+            n_hashes=n_hashes,
+        )
+    if len(bitmap) != m_bits // 64:
+        raise ValueError(
+            "bitmap has %d words, m_bits=%d needs %d"
+            % (len(bitmap), m_bits, m_bits // 64)
+        )
+
+    from datatest_spark.operators.dedup import shingles_col
+
+    n_words = len(bitmap)
+    if n_words <= BLOOM_LITERAL_MAX_WORDS:
+        bits_col = F.array(*[F.lit(int(w)) for w in bitmap])
+        probed = corpus
+    else:
+        spark = corpus.sparkSession
+        carrier = spark.createDataFrame(
+            [([int(w) for w in bitmap],)], "_bloom_bits array<long>"
+        )
+        probed = corpus.crossJoin(F.broadcast(carrier))
+        bits_col = F.col("_bloom_bits")
+
+    masks = F.array(*[F.lit(m) for m in _BLOOM_BIT_MASKS])
+
+    def _hit(s):
+        cond = F.lit(True)
+        for pos in _bloom_positions(s, m_bits, n_hashes):
+            word = F.element_at(
+                bits_col, (F.shiftright(pos, 6) + 1).cast("int")
+            )
+            mask = F.element_at(
+                masks, (pos.bitwiseAND(F.lit(63)) + 1).cast("int")
+            )
+            cond = cond & (word.bitwiseAND(mask) != 0)
+        return cond
+
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    sh_arr = F.coalesce(
+        shingles_col(t, k), F.array().cast("array<string>")
+    )
+    return (
+        probed.select(
+            F.col(id_col).alias("doc_id"),
+            F.size(sh_arr).alias("n_shingles"),
+            F.size(F.filter(sh_arr, _hit)).alias("n_hits"),
+        )
+        .filter(F.col("n_hits") >= F.lit(min_hits))
+    )

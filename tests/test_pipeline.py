@@ -2833,3 +2833,153 @@ class TestPrefixJaccard:
             dedup.prefix_jaccard_pairs(docs, threshold=0.0)
         with pytest.raises(ValueError, match="threshold"):
             dedup.prefix_jaccard_pairs(docs, threshold=1.5)
+
+
+class TestBloomContamination:
+    """bloom_contamination: map-only Bloom probe. Contract = zero false
+    negatives vs the exact broadcast join; FPs bounded by the fill
+    ratio; Spark bit arithmetic must agree with a pure-Python mirror of
+    the same md5 double-hash."""
+
+    def _split(self, docs):
+        bench = docs.filter(F.col("doc_id") % 7 == 0)
+        corpus = docs.filter(F.col("doc_id") % 7 != 0)
+        return corpus, bench
+
+    def test_no_false_negatives(self, spark, docs):
+        from datatest_spark.operators import decontam
+
+        corpus, bench = self._split(docs)
+        # inject real contamination: corpus doc carrying a bench doc's text
+        stolen = bench.limit(2).withColumn("doc_id", F.col("doc_id") + 500001)
+        corpus = corpus.unionByName(stolen)
+        exact = {
+            r["doc_id"]
+            for r in decontam.contamination(corpus, bench, k=5).collect()
+        }
+        bloom = {
+            r["doc_id"]
+            for r in decontam.bloom_contamination(
+                corpus, bench, k=5, m_bits=1 << 16, n_hashes=5
+            ).collect()
+        }
+        assert exact, "fixture must actually be contaminated"
+        assert exact <= bloom
+
+    def test_fp_rate_bounded_with_roomy_bitmap(self, spark, docs):
+        from datatest_spark.operators import decontam
+
+        corpus, bench = self._split(docs)
+        n_corpus = corpus.count()
+        # 2^22 bits vs ~40k eval shingles: fill < 5%, per-shingle FP
+        # < 0.05^5 — flagged set should be exactly the truly-contaminated
+        # set (empty on this dup-free corpus)
+        bloom = decontam.bloom_contamination(
+            corpus, bench, k=5, m_bits=1 << 22, n_hashes=5
+        ).count()
+        exact = decontam.contamination(corpus, bench, k=5).count()
+        assert exact <= bloom <= exact + max(1, int(0.01 * n_corpus))
+
+    def test_bitmap_python_mirror(self, spark):
+        """The Spark Column probe must equal a pure-Python reimplementation
+        of (md5 halves, double hash, bit test) — the same arithmetic the
+        DuckDB oracle uses."""
+        import hashlib
+
+        from datatest_spark.operators import decontam
+
+        m_bits, n_hashes, k = 1 << 10, 4, 2
+
+        def positions(s):
+            h = hashlib.md5(s.encode()).hexdigest()
+            h1 = int(h[0:15], 16) % m_bits
+            h2 = (int(h[15:30], 16) % m_bits) | 1
+            return [(h1 + i * h2) % m_bits for i in range(n_hashes)]
+
+        bench_rows = [(i, "alpha beta gamma delta w%d" % i) for i in range(5)]
+        bench = spark.createDataFrame(bench_rows, "doc_id long, text string")
+        bitmap = decontam.bloom_bitmap(
+            bench, k=k, m_bits=m_bits, n_hashes=n_hashes
+        )
+        # python mirror of the build
+        def py_shingles(text):
+            w = text.split(" ")
+            if len(w) < k:
+                return {" ".join(w)}
+            return {" ".join(w[i:i + k]) for i in range(len(w) - k + 1)}
+
+        expect = [0] * (m_bits // 64)
+        for _, text in bench_rows:
+            for s in py_shingles(text):
+                for p in positions(s):
+                    expect[p // 64] |= 1 << (p % 64)
+        # signed-long wrap for bit 63
+        expect = [w - (1 << 64) if w >= (1 << 63) else w for w in expect]
+        assert bitmap == expect
+
+        corpus = spark.createDataFrame(
+            [(100, "alpha beta gamma"), (101, "zeta eta theta iota")],
+            "doc_id long, text string",
+        )
+        got = {
+            (r["doc_id"], r["n_hits"])
+            for r in decontam.bloom_contamination(
+                corpus, bench, k=k, m_bits=m_bits, n_hashes=n_hashes
+            ).collect()
+        }
+
+        def py_hits(text):
+            return sum(
+                1
+                for s in py_shingles(text)
+                if all(expect[p // 64] & (1 << (p % 64)) or
+                       (expect[p // 64] < 0 and p % 64 == 63)
+                       for p in positions(s))
+            )
+
+        # cleaner python probe on unsigned view
+        uns = [w & ((1 << 64) - 1) for w in expect]
+
+        def py_hits2(text):
+            return sum(
+                1
+                for s in py_shingles(text)
+                if all((uns[p // 64] >> (p % 64)) & 1 for p in positions(s))
+            )
+
+        want = {
+            (i, py_hits2(t))
+            for i, t in [(100, "alpha beta gamma"), (101, "zeta eta theta iota")]
+            if py_hits2(t) >= 1
+        }
+        assert got == want
+        assert (100, 2) in got  # both shingles of doc 100 are in bench
+
+    def test_prebuilt_bitmap_and_large_carrier(self, spark, docs):
+        from datatest_spark.operators import decontam
+
+        corpus, bench = self._split(docs)
+        stolen = bench.limit(1).withColumn("doc_id", F.col("doc_id") + 500001)
+        corpus = corpus.limit(200).unionByName(stolen)
+        # 2^19 bits = 8192 words > BLOOM_LITERAL_MAX_WORDS: exercises the
+        # one-row broadcast carrier; prebuilt bitmap skips the build
+        bm = decontam.bloom_bitmap(bench, k=5, m_bits=1 << 19, n_hashes=3)
+        flagged = decontam.bloom_contamination(
+            corpus, None, k=5, m_bits=1 << 19, n_hashes=3, bitmap=bm
+        )
+        ids = {r["doc_id"] for r in flagged.collect()}
+        assert any(i > 500000 for i in ids)
+
+    def test_param_validation(self, spark, docs):
+        from datatest_spark.operators import decontam
+
+        with pytest.raises(ValueError, match="power of two"):
+            decontam.bloom_contamination(docs, docs, m_bits=1000)
+        with pytest.raises(ValueError, match="n_hashes"):
+            decontam.bloom_contamination(docs, docs, n_hashes=0)
+        with pytest.raises(ValueError, match="min_hits"):
+            decontam.bloom_contamination(docs, docs, min_hits=0)
+        with pytest.raises(ValueError, match="bitmap has"):
+            decontam.bloom_contamination(
+                docs, None, m_bits=1 << 10, bitmap=[0] * 3
+            )
