@@ -589,6 +589,21 @@ def q_stratified_sample(spark, sf_dir):
     )
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Deterministic priority sampling (packing.weighted_sample, md5
+    mode): keep the 10 highest weight/u rows per source, u an exact
+    power-of-two-denominator uniform so the single IEEE division ranks
+    identically on the JVM and in DuckDB. Same WindowGroupLimit shuffle
+    shape as stratified_sample, but inclusion is weight-biased
+    (n_chars-heavy docs are near-certain picks)."""
+    from datatest_spark.operators import packing
+
+    d = _t(spark, sf_dir, "documents")
+    return packing.weighted_sample(
+        d, 10, weight_col="n_chars", hash_fn="md5"
+    ).select("doc_id", "source")
+
+
 def q_asof_enrich(spark, sf_dir):
     """As-of join (operators/temporal.asof_join): each purchase event
     enriched with the latest signup at-or-before it per user — the
@@ -852,6 +867,35 @@ def q_pii_scan(spark, sf_dir):
         .alias("text"),
     )
     return t.pii_scan(seeded)
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction (operators/text.pii_scrub): the scrub companion to
+    q_pii_scan over the same injected-PII derivation — chained
+    regexp_replace in codegen, map-only. The scrubbed text is md5-hashed
+    in the output so the value compare covers every redacted byte
+    without hauling full documents through the hash step."""
+    from datatest_spark.operators import text as t
+
+    d = _t(spark, sf_dir, "documents")
+    seeded = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id"),
+                F.lit("@example.com or 555-867-5309 from 10.0.0."),
+                (F.col("doc_id") % 256).cast("string"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return t.pii_scrub(seeded).select(
+        "doc_id", F.md5("text").alias("scrub_hash"), "n_redactions"
+    )
 
 
 def q_unigram_logloss(spark, sf_dir):
@@ -1518,6 +1562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_entropy": q_token_entropy,
         "source_shares": q_source_shares,
         "pii_scan": q_pii_scan,
+        "pii_scrub": q_pii_scrub,
         "unigram_logloss": q_unigram_logloss,
         "quality_gate_survivors": q_quality_gate,
         "kmeans_clusters": q_kmeans_clusters,
@@ -1582,6 +1627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "pack_sequences": q_pack_sequences,
         "stratified_sample": q_stratified_sample,
+        "weighted_sample": q_weighted_sample,
         "decontam_survivors": q_decontam_survivors,
         "contamination_hits": q_contamination_hits,
         "bloom_decontam": q_bloom_decontam,
@@ -2370,6 +2416,23 @@ def oracle_sql() -> dict[str, str]:
                         - (cum - n) // 2048 + 1 AS INT) AS n_packs_spanned
             FROM C
         """,
+        "weighted_sample": """
+            -- priority sampling mirror: u = (h+1)/2^16 is a
+            -- power-of-two division (exact in FP); n_chars/u is one
+            -- correctly-rounded IEEE division, so the DESC ranking is
+            -- engine-invariant
+            SELECT doc_id, source FROM (
+                SELECT doc_id, source,
+                       ROW_NUMBER() OVER (PARTITION BY source
+                           ORDER BY n_chars * 1.0 /
+                               ((CAST('0x' || substr(md5(doc_id || '#0'),
+                                               1, 4) AS BIGINT) + 1)
+                                / 65536.0) DESC,
+                               doc_id) AS rk
+                FROM documents
+                WHERE n_chars IS NOT NULL AND n_chars > 0
+            ) WHERE rk <= 10
+        """,
         "stratified_sample": """
             SELECT doc_id, source FROM (
                 SELECT doc_id, source,
@@ -2927,6 +2990,36 @@ def oracle_sql() -> dict[str, str]:
                        ROUND((-CAST(s.s AS DOUBLE) / 1048576.0) / s.k, 4)
                    END AS bits_per_token
             FROM W w LEFT JOIN S s USING (doc_id)
+        """,
+        "pii_scrub": """
+            WITH S AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 10 = 0 THEN
+                           text || ' contact user' || doc_id
+                           || '@example.com or 555-867-5309 from 10.0.0.'
+                           || CAST(doc_id % 256 AS VARCHAR)
+                       ELSE text END AS text
+                FROM documents
+            )
+            -- replacements applied in sorted-kind order (email, ipv4,
+            -- phone), innermost first, 'g' = replace ALL (Spark's
+            -- regexp_replace default); counts are over the ORIGINAL text
+            SELECT doc_id,
+                   md5(regexp_replace(regexp_replace(regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                       '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                       '<IPV4>', 'g'),
+                       '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b',
+                       '<PHONE>', 'g')) AS scrub_hash,
+                   CAST(len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                    + len(regexp_extract_all(text,
+                       '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
+                    + len(regexp_extract_all(text,
+                       '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b')) AS BIGINT)
+                       AS n_redactions
+            FROM S
         """,
         "pii_scan": """
             WITH S AS (

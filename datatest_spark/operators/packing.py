@@ -248,14 +248,7 @@ def stratified_sample(
     only its local top-N per group — the shuffle carries O(groups x N)
     rows, not the full table (plan-pinned in tests/test_plans.py).
     """
-    if isinstance(n_per_group, dict):
-        n = F.lit(0)
-        for k in sorted(n_per_group, reverse=True):
-            n = F.when(
-                F.col(group_col) == F.lit(k), F.lit(int(n_per_group[k]))
-            ).otherwise(n)
-    else:
-        n = F.lit(int(n_per_group))
+    n = _per_group_n(n_per_group, group_col)
     if hash_fn == "md5":
         order = F.md5(
             F.concat(F.col(id_col).cast("string"), F.lit("#{0}".format(seed)))
@@ -265,6 +258,90 @@ def stratified_sample(
     w = Window.partitionBy(group_col).orderBy(order.asc(), F.col(id_col).asc())
     return (
         df.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= n)
+        .drop("_rk")
+    )
+
+
+def _per_group_n(n_per_group, group_col: str):
+    """Per-group sample size as a Column: an int applies everywhere, a
+    dict {group: N} maps group values (absent groups contribute 0)."""
+    if isinstance(n_per_group, dict):
+        n = F.lit(0)
+        for k in sorted(n_per_group, reverse=True):
+            n = F.when(
+                F.col(group_col) == F.lit(k), F.lit(int(n_per_group[k]))
+            ).otherwise(n)
+        return n
+    return F.lit(int(n_per_group))
+
+
+def weighted_sample(
+    df: DataFrame,
+    n_per_group,
+    weight_col: str = "n_tok",
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic weight-biased sample: keep the N highest-PRIORITY
+    rows per group, priority = weight / u with u a uniform (0, 1] hash
+    of (id, seed) — classic priority sampling (Duffield, Lund & Thorup,
+    JACM '07). Inclusion probability rises with weight (a row of twice
+    the weight is selected whenever the lighter one would have been at
+    the same u), heavy rows are near-certain picks, and the whole draw
+    is a PURE FUNCTION of (id, seed): reruns, resumes, other cluster
+    sizes, and the DuckDB oracle select identical rows.
+
+    Cross-engine determinism of the float path: u is (h+1)/2^b with h an
+    integer hash — a power-of-two division, EXACT in binary floating
+    point — and priority is the single IEEE division weight/u, which is
+    correctly rounded identically on the JVM and in DuckDB. No
+    transcendental (no ln as in Efraimidis-Spirakis A-ES keys), so the
+    ranking can never diverge between engines by one ulp.
+
+    Rows with null or non-positive weight are excluded (they can never
+    out-rank a positive weight; documentable as weight 0 = never
+    sampled). ``n_per_group``: int or {group: N} dict, as in
+    :func:`stratified_sample`.
+
+    Scale shape: one hash exchange on ``group_col``; ``row_number() <=
+    N`` triggers WindowGroupLimit so each map task forwards only its
+    local top-N per group — O(groups x N) rows cross the shuffle.
+    """
+    w_val = F.col(weight_col).cast("double")
+    if hash_fn == "md5":
+        hx = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col(id_col).cast("string"),
+                        F.lit("#{0}".format(seed)),
+                    )
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("double")
+        u = (hx + F.lit(1.0)) / F.lit(65536.0)
+    elif hash_fn == "xxhash64":
+        h = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(1 << 20))
+        u = (h.cast("double") + F.lit(1.0)) / F.lit(float(1 << 20))
+    else:
+        raise ValueError(
+            "hash_fn must be xxhash64|md5, got {0!r}".format(hash_fn)
+        )
+    prio = w_val / u
+    n = _per_group_n(n_per_group, group_col)
+    win = Window.partitionBy(group_col).orderBy(
+        prio.desc(), F.col(id_col).asc()
+    )
+    return (
+        df.where(w_val.isNotNull() & (w_val > 0))
+        .withColumn("_rk", F.row_number().over(win))
         .where(F.col("_rk") <= n)
         .drop("_rk")
     )

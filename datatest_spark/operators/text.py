@@ -1010,3 +1010,51 @@ def dsir_weights(
             F.round((score.cast("double") / sc) / n, 6),
         ).alias("logratio_bits_per_token"),
     )
+
+
+def pii_scrub(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    patterns: dict | None = None,
+    replacements: dict | None = None,
+    passthrough: tuple = (),
+) -> DataFrame:
+    """Redact PII in place — the production companion to
+    :func:`pii_scan`: returns (id, <text_col> scrubbed, n_redactions)
+    with every pattern match replaced by a typed placeholder
+    (``<EMAIL>``, ``<PHONE>``, ...; override per kind via
+    ``replacements``).
+
+    Patterns are applied in sorted-kind order, each over the output of
+    the previous replace — a phone number inside an already-redacted
+    email is simply gone, never double-counted. ``n_redactions`` is the
+    total pattern-match count over the ORIGINAL text (the same counts
+    :func:`pii_scan` reports), so scan -> scrub pipelines agree on the
+    audit number. Null text stays null (a null is not a leak and must
+    not become a placeholder string).
+
+    Scale shape: MAP-ONLY — chained ``regexp_replace`` + ``regexp_count``
+    inside whole-stage codegen; no Python, no exchange, a 10^12-row
+    scrub stays one scan. The default patterns are the RE2-and-Java
+    compatible set (``PII_PATTERNS``) so the DuckDB oracle replays the
+    exact replacements with ``regexp_replace(..., 'g')``.
+    """
+    pats = PII_PATTERNS if patterns is None else patterns
+    if not pats:
+        raise ValueError("pii_scrub: patterns must be a non-empty dict")
+    repl = dict(replacements or {})
+    orig = F.col(text_col)
+    scrubbed = orig
+    total = None
+    for k in sorted(pats):
+        token = repl.get(k, "<{0}>".format(k.upper()))
+        scrubbed = F.regexp_replace(scrubbed, F.lit(pats[k]), F.lit(token))
+        c = F.regexp_count(F.coalesce(orig, F.lit("")), F.lit(pats[k]))
+        total = c if total is None else total + c
+    return df.select(
+        F.col(id_col),
+        *[F.col(c) for c in passthrough],
+        scrubbed.alias(text_col if isinstance(text_col, str) else "text"),
+        total.cast("long").alias("n_redactions"),
+    )

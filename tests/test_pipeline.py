@@ -2983,3 +2983,141 @@ class TestBloomContamination:
             decontam.bloom_contamination(
                 docs, None, m_bits=1 << 10, bitmap=[0] * 3
             )
+
+
+class TestWeightedSample:
+    """weighted_sample: deterministic priority sampling — exact N per
+    group, weight-monotone selection, pure function of (id, seed)."""
+
+    @pytest.fixture(autouse=True)
+    def _packing(self):
+        global packing
+        from datatest_spark.operators import packing
+
+    def test_exact_n_and_deterministic(self, spark, docs):
+        out = packing.weighted_sample(docs, 5, weight_col="n_chars")
+        counts = {r["source"]: r["n"] for r in out.groupBy("source")
+                  .agg(F.count(F.lit(1)).alias("n")).collect()}
+        assert all(v == 5 for v in counts.values())
+        again = {r["doc_id"] for r in packing.weighted_sample(
+            docs, 5, weight_col="n_chars").collect()}
+        assert again == {r["doc_id"] for r in out.collect()}
+
+    def test_heavy_rows_dominate(self, spark):
+        rows = [(i, "g", 1) for i in range(1000)]
+        rows += [(10000 + i, "g", 10 ** 7) for i in range(10)]
+        df = spark.createDataFrame(
+            rows, "doc_id long, source string, w long"
+        )
+        picked = {r["doc_id"] for r in packing.weighted_sample(
+            df, 10, weight_col="w").collect()}
+        # max light priority = 1/u_min ~ 2^20; min heavy = 10^7 / 1 = 10^7
+        assert picked == {10000 + i for i in range(10)}
+
+    def test_nonpositive_and_null_weights_excluded(self, spark):
+        df = spark.createDataFrame(
+            [(1, "g", None), (2, "g", 0), (3, "g", -5), (4, "g", 2)],
+            "doc_id long, source string, w int",
+        )
+        picked = {r["doc_id"] for r in packing.weighted_sample(
+            df, 4, weight_col="w").collect()}
+        assert picked == {4}
+
+    def test_seed_changes_draw_uniform_weights(self, spark, docs):
+        one = packing.weighted_sample(
+            docs, 10, weight_col="n_chars", seed=1)
+        two = packing.weighted_sample(
+            docs, 10, weight_col="n_chars", seed=2)
+        a = {r["doc_id"] for r in one.collect()}
+        b = {r["doc_id"] for r in two.collect()}
+        assert a != b  # same weights, different u draws
+
+    def test_md5_path_matches_python_mirror(self, spark):
+        import hashlib
+
+        rows = [(i, "g", 3 + (i % 5)) for i in range(50)]
+        df = spark.createDataFrame(
+            rows, "doc_id long, source string, w int"
+        )
+        got = {r["doc_id"] for r in packing.weighted_sample(
+            df, 7, weight_col="w", hash_fn="md5", seed=3).collect()}
+
+        def prio(i, w):
+            h = int(hashlib.md5(("%d#3" % i).encode()).hexdigest()[:4], 16)
+            return w / ((h + 1) / 65536.0)
+
+        want = {
+            i for i, _, w in sorted(
+                rows, key=lambda r: (-prio(r[0], r[2]), r[0])
+            )[:7]
+        }
+        assert got == want
+
+    def test_dict_n_and_bad_hash_fn(self, spark, docs):
+        out = packing.weighted_sample(
+            docs, {"web": 3}, weight_col="n_chars")
+        rows = out.groupBy("source").count().collect()
+        assert {r["source"] for r in rows} <= {"web"}
+        with pytest.raises(ValueError, match="hash_fn"):
+            packing.weighted_sample(docs, 3, hash_fn="sha1")
+
+
+class TestPiiScrub:
+    def test_scrubs_and_counts(self, spark):
+        from datatest_spark.operators import text as t
+
+        df = spark.createDataFrame(
+            [
+                (1, "mail me at bob@example.com or 555-867-5309 ok"),
+                (2, "server 10.0.0.1 and 10.0.0.2"),
+                (3, "clean text"),
+                (4, None),
+            ],
+            "doc_id long, text string",
+        )
+        rows = {r["doc_id"]: r for r in t.pii_scrub(df).collect()}
+        assert rows[1]["text"] == "mail me at <EMAIL> or <PHONE> ok"
+        assert rows[1]["n_redactions"] == 2
+        assert rows[2]["text"] == "server <IPV4> and <IPV4>"
+        assert rows[2]["n_redactions"] == 2
+        assert rows[3]["text"] == "clean text"
+        assert rows[3]["n_redactions"] == 0
+        assert rows[4]["text"] is None
+        assert rows[4]["n_redactions"] == 0
+
+    def test_counts_agree_with_pii_scan(self, spark, docs):
+        from datatest_spark.operators import text as t
+
+        seeded = docs.withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 10 == 0,
+                F.concat(
+                    F.col("text"),
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com or 555-867-5309"),
+                ),
+            ).otherwise(F.col("text")),
+        )
+        scan = t.pii_scan(seeded)
+        scrub = t.pii_scrub(seeded)
+        joined = scan.join(scrub.select("doc_id", "n_redactions"), "doc_id")
+        bad = joined.filter(
+            F.col("n_email") + F.col("n_phone") + F.col("n_ipv4")
+            != F.col("n_redactions")
+        ).count()
+        assert bad == 0
+
+    def test_custom_replacement_and_validation(self, spark):
+        from datatest_spark.operators import text as t
+
+        df = spark.createDataFrame(
+            [(1, "x@y.com here")], "doc_id long, text string"
+        )
+        out = t.pii_scrub(
+            df, replacements={"email": "[redacted]"}
+        ).collect()[0]
+        assert out["text"] == "[redacted] here"
+        with pytest.raises(ValueError, match="patterns"):
+            t.pii_scrub(df, patterns={})
