@@ -589,6 +589,44 @@ def q_stratified_sample(spark, sf_dir):
     )
 
 
+def q_epoch_shuffle(spark, sf_dir):
+    """Deterministic epoch shuffle (packing.epoch_shuffle, md5 mode):
+    (doc_id, shard, pos) for epoch 1 over 8 shards — one shard hash
+    exchange + a rank-based per-shard sort; the order is a pure function
+    of (doc_id, epoch, seed) so the oracle replays it row-for-row."""
+    from datatest_spark.operators import packing
+
+    d = _t(spark, sf_dir, "documents")
+    return packing.epoch_shuffle(
+        d, epoch=1, num_shards=8, hash_fn="md5"
+    ).select("doc_id", "shard", "pos")
+
+
+def q_length_buckets(spark, sf_dir):
+    """Length-bucketed batch assignment (packing.length_bucket_batches,
+    md5 mode) over n_chars: per-doc (bucket, shard, batch_id,
+    batch_pos) with longest-first deterministic batches."""
+    from datatest_spark.operators import packing
+
+    d = _t(spark, sf_dir, "documents")
+    return packing.length_bucket_batches(
+        d, batch_size=32, length_col="n_chars", hash_fn="md5"
+    )
+
+
+def q_padding_audit(spark, sf_dir):
+    """padding_efficiency over q_length_buckets' assignment: per-bucket
+    kept vs padded tokens when each batch pads to its own max — two
+    map-side-combinable aggregations."""
+    from datatest_spark.operators import packing
+
+    d = _t(spark, sf_dir, "documents")
+    b = packing.length_bucket_batches(
+        d, batch_size=32, length_col="n_chars", hash_fn="md5"
+    )
+    return packing.padding_efficiency(b)
+
+
 def q_weighted_sample(spark, sf_dir):
     """Deterministic priority sampling (packing.weighted_sample, md5
     mode): keep the 10 highest weight/u rows per source, u an exact
@@ -1628,6 +1666,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "stratified_sample": q_stratified_sample,
         "weighted_sample": q_weighted_sample,
+        "epoch_shuffle": q_epoch_shuffle,
+        "length_buckets": q_length_buckets,
+        "padding_audit": q_padding_audit,
         "decontam_survivors": q_decontam_survivors,
         "contamination_hits": q_contamination_hits,
         "bloom_decontam": q_bloom_decontam,
@@ -2415,6 +2456,80 @@ def oracle_sql() -> dict[str, str]:
                    CAST((cum - n + GREATEST(n, 1) - 1) // 2048
                         - (cum - n) // 2048 + 1 AS INT) AS n_packs_spanned
             FROM C
+        """,
+        "epoch_shuffle": """
+            SELECT doc_id, shard, pos FROM (
+                SELECT doc_id,
+                       CAST(h % 8 AS INT) AS shard,
+                       ROW_NUMBER() OVER (PARTITION BY h % 8
+                           ORDER BY h, doc_id) AS pos
+                FROM (
+                    SELECT doc_id,
+                           CAST('0x' || substr(md5(doc_id || '#e1#s0'),
+                                        1, 15) AS BIGINT) AS h
+                    FROM documents
+                )
+            )
+        """,
+        "length_buckets": """
+            WITH T AS (
+                SELECT doc_id, CAST(n_chars AS BIGINT) AS length,
+                       CASE WHEN n_chars <= 64 THEN 0
+                            WHEN n_chars <= 128 THEN 1
+                            WHEN n_chars <= 256 THEN 2
+                            WHEN n_chars <= 512 THEN 3
+                            WHEN n_chars <= 1024 THEN 4
+                            WHEN n_chars <= 2048 THEN 5
+                            ELSE 6 END AS bucket,
+                       md5(doc_id || '#0') AS h
+                FROM documents
+                WHERE n_chars IS NOT NULL AND n_chars > 0
+            ),
+            R AS (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY bucket
+                    ORDER BY length DESC, h ASC, doc_id ASC) AS rk
+                FROM T
+            )
+            SELECT doc_id, length, bucket, CAST(0 AS INT) AS shard,
+                   (rk - 1) // 32 AS batch_id,
+                   CAST((rk - 1) % 32 + 1 AS INT) AS batch_pos
+            FROM R
+        """,
+        "padding_audit": """
+            WITH T AS (
+                SELECT doc_id, CAST(n_chars AS BIGINT) AS length,
+                       CASE WHEN n_chars <= 64 THEN 0
+                            WHEN n_chars <= 128 THEN 1
+                            WHEN n_chars <= 256 THEN 2
+                            WHEN n_chars <= 512 THEN 3
+                            WHEN n_chars <= 1024 THEN 4
+                            WHEN n_chars <= 2048 THEN 5
+                            ELSE 6 END AS bucket,
+                       md5(doc_id || '#0') AS h
+                FROM documents
+                WHERE n_chars IS NOT NULL AND n_chars > 0
+            ),
+            R AS (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY bucket
+                    ORDER BY length DESC, h ASC, doc_id ASC) AS rk
+                FROM T
+            ),
+            B AS (
+                SELECT bucket, (rk - 1) // 32 AS batch_id,
+                       COUNT(*) AS n, MAX(length) AS mx,
+                       SUM(length) AS s
+                FROM R GROUP BY 1, 2
+            )
+            SELECT bucket, CAST(0 AS INT) AS shard,
+                   COUNT(*) AS n_batches,
+                   CAST(SUM(n) AS BIGINT) AS n_rows,
+                   CAST(SUM(s) AS BIGINT) AS kept_tokens,
+                   CAST(SUM(mx * n) - SUM(s) AS BIGINT) AS padded_tokens,
+                   CASE WHEN SUM(s) + (SUM(mx * n) - SUM(s)) > 0 THEN
+                       ROUND((SUM(mx * n) - SUM(s)) * 1.0 /
+                             (SUM(mx * n)), 6)
+                   END AS pad_frac
+            FROM B GROUP BY bucket
         """,
         "weighted_sample": """
             -- priority sampling mirror: u = (h+1)/2^16 is a

@@ -673,3 +673,200 @@ def chunk_documents(
         )
         .where(F.col("chunk_len") >= min_len)
     )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    epoch: int = 0,
+    num_shards: int = 64,
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic global training-order shuffle for one epoch:
+    returns the input plus (shard, pos) — shard in [0, num_shards), pos
+    the 1-based position within the shard — such that reading shards in
+    order, each sorted by pos, yields a pseudo-random document order
+    that is a PURE FUNCTION of (id, epoch, seed). Different epochs give
+    decorrelated orders (epoch feeds the hash, the same trick
+    mixture_sample uses for oversampling epochs); reruns, resumes and
+    the DuckDB oracle reproduce the identical order.
+
+    Scale shape: ONE hash exchange on shard; within a shard the
+    row_number window sorts by (hash, id) — rank-based, spills, no
+    array buffering. Size ``num_shards`` so a shard fits a task
+    (10^12 rows / 10^5 shards = 10^7 rows/shard): the per-shard sort is
+    the intrinsic cost of materializing a total order, and shards are
+    written/read independently so downstream loaders stream them in
+    parallel. Never use a single global orderBy for this — that is one
+    range exchange plus a driver-fed boundary sample per epoch.
+    """
+    if num_shards < 1:
+        raise ValueError("num_shards must be >= 1, got %r" % (num_shards,))
+    if hash_fn == "md5":
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col(id_col).cast("string"),
+                        F.lit("#e{0}#s{1}".format(int(epoch), seed)),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+    elif hash_fn == "xxhash64":
+        h = F.xxhash64(F.col(id_col), F.lit(int(epoch)), F.lit(seed))
+    else:
+        raise ValueError(
+            "hash_fn must be xxhash64|md5, got {0!r}".format(hash_fn)
+        )
+    shard = F.pmod(h, F.lit(int(num_shards))).cast("int")
+    win = Window.partitionBy("_shard").orderBy(
+        F.col("_h").asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("_h", h)
+        .withColumn("_shard", shard)
+        .withColumn("pos", F.row_number().over(win))
+        .withColumnRenamed("_shard", "shard")
+        .drop("_h")
+    )
+
+
+def length_bucket_batches(
+    df: DataFrame,
+    batch_size: int,
+    length_col: str = "n_tok",
+    bucket_edges: tuple = (64, 128, 256, 512, 1024, 2048),
+    id_col: str = "doc_id",
+    num_shards: int = 1,
+    hash_fn: str = "xxhash64",
+    seed: int = 0,
+) -> DataFrame:
+    """Length-bucketed batch assignment — the padding-waste killer for
+    sequence training: rows are bucketed by ``bucket_edges`` (bucket b
+    holds lengths in (edges[b-1], edges[b]]; bucket 0 is <= edges[0],
+    the last bucket is everything above the top edge), then grouped
+    into fixed-size batches of similar length so per-batch padding to
+    the batch max wastes far fewer tokens than random batching.
+
+    Returns (id, length, bucket, shard, batch_id, batch_pos) — batch
+    membership is DETERMINISTIC: within (bucket, shard), rows order by
+    (length desc, hash, id) and batch_id = (rank-1) / batch_size.
+    Longest-first ordering makes the first batches the tightest and
+    strands the ragged remainder in the LAST batch of each bucket, the
+    one a loader can drop or rebalance.
+
+    Rows with null or non-positive length are EXCLUDED (they cannot be
+    padded meaningfully; route them through a validation gate instead).
+
+    Scale shape: one hash exchange on (bucket, shard); the row_number
+    window is rank-based and spills. A dominant bucket (most web text
+    lands in one or two length bands) would serialize its own sort at
+    10^12 rows — shard it with ``num_shards`` > 1: batches then form
+    within (bucket, shard), still deterministic, and the hot bucket's
+    sort splits across ``num_shards`` tasks (same discipline as
+    pack_sequences / pack_whole_docs sharding).
+    """
+    if batch_size < 1:
+        raise ValueError("batch_size must be >= 1, got %r" % (batch_size,))
+    if num_shards < 1:
+        raise ValueError("num_shards must be >= 1, got %r" % (num_shards,))
+    if not bucket_edges or list(bucket_edges) != sorted(set(bucket_edges)):
+        raise ValueError(
+            "bucket_edges must be non-empty and strictly increasing, "
+            "got %r" % (bucket_edges,)
+        )
+    L = F.col(length_col).cast("long")
+    bucket = F.lit(len(bucket_edges))
+    for i in range(len(bucket_edges) - 1, -1, -1):
+        bucket = F.when(L <= F.lit(int(bucket_edges[i])), F.lit(i)).otherwise(
+            bucket
+        )
+    if hash_fn == "md5":
+        h = F.md5(
+            F.concat(F.col(id_col).cast("string"), F.lit("#{0}".format(seed)))
+        )
+    elif hash_fn == "xxhash64":
+        h = F.xxhash64(F.col(id_col), F.lit(seed)).cast("string")
+    else:
+        raise ValueError(
+            "hash_fn must be xxhash64|md5, got {0!r}".format(hash_fn)
+        )
+    shard = (
+        F.pmod(
+            F.conv(F.substring(F.md5(h), 1, 8), 16, 10).cast("long"),
+            F.lit(int(num_shards)),
+        ).cast("int")
+        if hash_fn == "md5"
+        else F.pmod(
+            F.xxhash64(F.col(id_col), F.lit(seed + 1)), F.lit(int(num_shards))
+        ).cast("int")
+    )
+    win = Window.partitionBy("bucket", "shard").orderBy(
+        L.desc(), F.col("_h").asc(), F.col(id_col).asc()
+    )
+    rk = F.row_number().over(win)
+    return (
+        df.where(L.isNotNull() & (L > 0))
+        .withColumn("_h", h)
+        .withColumn("bucket", bucket)
+        .withColumn("shard", shard)
+        .select(
+            F.col(id_col),
+            L.alias("length"),
+            "bucket",
+            "shard",
+            ((rk - 1) / F.lit(int(batch_size)))
+            .cast("long")
+            .alias("batch_id"),
+            (F.pmod(rk - 1, F.lit(int(batch_size))) + 1)
+            .cast("int")
+            .alias("batch_pos"),
+        )
+    )
+
+
+def padding_efficiency(
+    batches: DataFrame,
+) -> DataFrame:
+    """Per-(bucket, shard) padding audit over a
+    :func:`length_bucket_batches` result: tokens kept vs tokens padded
+    when every batch pads to its own max length. Returns (bucket,
+    shard, n_batches, n_rows, kept_tokens, padded_tokens, pad_frac).
+
+    One aggregation over (bucket, shard, batch_id) then one over
+    (bucket, shard) — both map-side combinable; |buckets x shards x
+    batches| intermediate rows only.
+    """
+    per_batch = batches.groupBy("bucket", "shard", "batch_id").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.max("length").alias("_mx"),
+        F.sum("length").alias("_sum"),
+    )
+    return (
+        per_batch.groupBy("bucket", "shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_batches"),
+            F.sum("_n").cast("long").alias("n_rows"),
+            F.sum("_sum").cast("long").alias("kept_tokens"),
+            (F.sum(F.col("_mx") * F.col("_n")) - F.sum("_sum"))
+            .cast("long")
+            .alias("padded_tokens"),
+        )
+        .withColumn(
+            "pad_frac",
+            F.when(
+                F.col("kept_tokens") + F.col("padded_tokens") > 0,
+                F.round(
+                    F.col("padded_tokens")
+                    / (F.col("kept_tokens") + F.col("padded_tokens")),
+                    6,
+                ),
+            ),
+        )
+    )

@@ -3121,3 +3121,96 @@ class TestPiiScrub:
         assert out["text"] == "[redacted] here"
         with pytest.raises(ValueError, match="patterns"):
             t.pii_scrub(df, patterns={})
+
+
+class TestEpochShuffleAndLengthBuckets:
+    @pytest.fixture(autouse=True)
+    def _pk(self):
+        global packing
+        from datatest_spark.operators import packing
+
+    def test_epoch_shuffle_total_order_deterministic(self, spark, docs):
+        one = packing.epoch_shuffle(docs, epoch=1, num_shards=8)
+        rows = one.select("doc_id", "shard", "pos").collect()
+        again = packing.epoch_shuffle(docs, epoch=1, num_shards=8)
+        assert sorted(map(tuple, rows)) == sorted(
+            map(tuple, again.select("doc_id", "shard", "pos").collect())
+        )
+        # every doc appears exactly once; pos is 1..n within each shard
+        assert len(rows) == docs.count()
+        by_shard = {}
+        for r in rows:
+            by_shard.setdefault(r["shard"], []).append(r["pos"])
+        for s, ps in by_shard.items():
+            assert sorted(ps) == list(range(1, len(ps) + 1))
+
+    def test_epoch_changes_order(self, spark, docs):
+        e0 = packing.epoch_shuffle(docs, epoch=0, num_shards=4)
+        e1 = packing.epoch_shuffle(docs, epoch=1, num_shards=4)
+        a = [(r["shard"], r["pos"]) for r in
+             e0.orderBy("doc_id").collect()]
+        b = [(r["shard"], r["pos"]) for r in
+             e1.orderBy("doc_id").collect()]
+        assert a != b
+
+    def test_length_buckets_assignment(self, spark):
+        rows = [(i, 10 + i) for i in range(100)]  # lengths 10..109
+        df = spark.createDataFrame(rows, "doc_id long, n_tok int")
+        out = packing.length_bucket_batches(
+            df, batch_size=8, bucket_edges=(32, 64, 128)
+        ).collect()
+        assert len(out) == 100
+        for r in out:
+            L = r["length"]
+            want = 0 if L <= 32 else 1 if L <= 64 else 2 if L <= 128 else 3
+            assert r["bucket"] == want
+            assert 1 <= r["batch_pos"] <= 8
+        # batches are contiguous 0..k per bucket and full except the last
+        from collections import Counter
+
+        per = Counter((r["bucket"], r["batch_id"]) for r in out)
+        for b in {r["bucket"] for r in out}:
+            ids = sorted(k[1] for k in per if k[0] == b)
+            assert ids == list(range(len(ids)))
+            sizes = [per[(b, i)] for i in ids]
+            assert all(s == 8 for s in sizes[:-1]) and 1 <= sizes[-1] <= 8
+
+    def test_batching_cuts_padding_vs_random(self, spark):
+        import random
+
+        rng = random.Random(7)
+        rows = [(i, rng.choice([16, 480, 2000])) for i in range(3000)]
+        df = spark.createDataFrame(rows, "doc_id long, n_tok int")
+        bucketed = packing.length_bucket_batches(df, batch_size=32)
+        eff = packing.padding_efficiency(bucketed).collect()
+        total_pad = sum(r["padded_tokens"] for r in eff)
+        total_kept = sum(r["kept_tokens"] for r in eff)
+        # random batching pads ~everything to 2000: > 50% waste.
+        # bucketed batching on 3 spiky lengths pads almost nothing.
+        assert total_pad / (total_pad + total_kept) < 0.05
+
+    def test_invalid_lengths_excluded_and_validation(self, spark):
+        df = spark.createDataFrame(
+            [(1, None), (2, 0), (3, -4), (4, 17)],
+            "doc_id long, n_tok int",
+        )
+        out = packing.length_bucket_batches(df, batch_size=4).collect()
+        assert {r["doc_id"] for r in out} == {4}
+        with pytest.raises(ValueError, match="batch_size"):
+            packing.length_bucket_batches(df, batch_size=0)
+        with pytest.raises(ValueError, match="bucket_edges"):
+            packing.length_bucket_batches(df, batch_size=4,
+                                          bucket_edges=(64, 64))
+        with pytest.raises(ValueError, match="num_shards"):
+            packing.epoch_shuffle(df, num_shards=0)
+
+    def test_sharded_buckets_stay_deterministic(self, spark, docs):
+        one = packing.length_bucket_batches(
+            docs, batch_size=16, length_col="n_chars", num_shards=4
+        )
+        two = packing.length_bucket_batches(
+            docs, batch_size=16, length_col="n_chars", num_shards=4
+        )
+        assert sorted(map(tuple, one.collect())) == sorted(
+            map(tuple, two.collect())
+        )

@@ -267,3 +267,78 @@ class TestCodegen:
         p = _plan(docs.select("doc_id").where(cond | F.lit(False)))
         assert "[codegen id :" in p  # whole-stage codegen span
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+class TestRound5OperatorPlans:
+    def test_bloom_probe_is_map_only(self, spark, docs):
+        """The corpus side of bloom_contamination must stay a scan —
+        zero Exchange, no Join on the corpus path (literal carrier) or
+        exactly the one broadcast-carrier join (large bitmap)."""
+        from datatest_spark.operators import decontam
+
+        bench = docs.filter(F.col("doc_id") % 7 == 0)
+        corpus = docs.filter(F.col("doc_id") % 7 != 0)
+        bm = decontam.bloom_bitmap(bench, k=5, m_bits=1 << 16, n_hashes=3)
+        out = decontam.bloom_contamination(
+            corpus, None, k=5, m_bits=1 << 16, n_hashes=3, bitmap=bm
+        )
+        plan = _plan(out)
+        assert _exchanges(plan) == 0
+        assert "SortMergeJoin" not in plan
+        # 2^16 bits = 1024 words <= literal cap: inline literal, no join
+        assert "Join" not in plan
+
+    def test_bloom_large_bitmap_rides_broadcast(self, spark, docs):
+        from datatest_spark.operators import decontam
+
+        bench = docs.filter(F.col("doc_id") % 7 == 0).limit(50)
+        corpus = docs.filter(F.col("doc_id") % 7 != 0)
+        bm = decontam.bloom_bitmap(bench, k=5, m_bits=1 << 19, n_hashes=3)
+        out = decontam.bloom_contamination(
+            corpus, None, k=5, m_bits=1 << 19, n_hashes=3, bitmap=bm
+        )
+        plan = _plan(out)
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_weighted_sample_uses_window_group_limit(self, docs):
+        from datatest_spark.operators import packing
+
+        out = packing.weighted_sample(docs, 5, weight_col="n_chars")
+        plan = _plan(out)
+        assert "WindowGroupLimit" in plan
+        assert _exchanges(plan) == 1
+
+    def test_pii_scrub_is_map_only_codegen(self, docs):
+        from datatest_spark.operators import text as t
+
+        out = t.pii_scrub(docs)
+        plan = _plan(out)
+        assert _exchanges(plan) == 0
+        assert "codegen id" in plan  # projection runs in WholeStageCodegen
+
+    def test_prefix_jaccard_verify_is_candidate_scoped(self, docs):
+        """The exact-verify stage must consume a candidate-pruned
+        shingle frame: at least one LeftSemi join feeding the overlap
+        join (same discipline as the LSH verify pin)."""
+        from datatest_spark.operators import dedup
+
+        out = dedup.prefix_jaccard_pairs(docs.limit(300), threshold=0.8)
+        plan = _plan(out, mode="extended")
+        assert "LeftSemi" in plan
+
+    def test_epoch_shuffle_costs_one_exchange(self, docs):
+        from datatest_spark.operators import packing
+
+        out = packing.epoch_shuffle(docs, epoch=2, num_shards=8)
+        plan = _plan(out)
+        assert _exchanges(plan) == 1
+
+    def test_length_buckets_cost_one_exchange(self, docs):
+        from datatest_spark.operators import packing
+
+        out = packing.length_bucket_batches(
+            docs, batch_size=16, length_col="n_chars", num_shards=4
+        )
+        plan = _plan(out)
+        assert _exchanges(plan) == 1
