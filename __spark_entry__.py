@@ -936,6 +936,52 @@ def q_pii_scrub(spark, sf_dir):
     )
 
 
+def q_c4_line_filter(spark, sf_dir):
+    """C4-style line cleaning (operators/text.c4_line_filter): the
+    corpus has no natural line structure, so the query appends a
+    deterministic three-line tail (a lorem-ipsum brace line and a
+    properly terminated sentence) to every doc; the filter must keep
+    exactly the clean tail line and report per-doc line accounting. The
+    rebuilt text is md5-hashed for a compact value compare."""
+    from datatest_spark.operators import text as t
+
+    d = _t(spark, sf_dir, "documents")
+    seeded = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\nlorem ipsum junk {"),
+            F.lit("\nThis sentence is properly terminated."),
+        ).alias("text"),
+    )
+    return t.c4_line_filter(seeded).select(
+        "doc_id",
+        F.md5("text").alias("filtered_hash"),
+        "n_lines",
+        "n_kept",
+    )
+
+
+def q_mojibake_scan(spark, sf_dir):
+    """Encoding-damage audit (operators/text.mojibake_scan): every 9th
+    doc gets a deterministic injection of two replacement characters and
+    one control byte; counts, fraction and the bad_encoding verdict must
+    match the oracle's identical regex arithmetic."""
+    from datatest_spark.operators import text as t
+
+    d = _t(spark, sf_dir, "documents")
+    seeded = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 9 == 0,
+            F.concat(F.col("text"), F.lit(" damaged �� ctrl \x01 end")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return t.mojibake_scan(seeded, max_bad_frac=0.002)
+
+
 def q_unigram_logloss(spark, sf_dir):
     """CCNet-style unigram LM quality score
     (operators/text.unigram_logloss): per-doc cross-entropy in
@@ -1601,6 +1647,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_shares": q_source_shares,
         "pii_scan": q_pii_scan,
         "pii_scrub": q_pii_scrub,
+        "c4_line_filter": q_c4_line_filter,
+        "mojibake_scan": q_mojibake_scan,
         "unigram_logloss": q_unigram_logloss,
         "quality_gate_survivors": q_quality_gate,
         "kmeans_clusters": q_kmeans_clusters,
@@ -3105,6 +3153,60 @@ def oracle_sql() -> dict[str, str]:
                        ROUND((-CAST(s.s AS DOUBLE) / 1048576.0) / s.k, 4)
                    END AS bits_per_token
             FROM W w LEFT JOIN S s USING (doc_id)
+        """,
+        "c4_line_filter": """
+            WITH S AS (
+                SELECT doc_id,
+                       text || chr(10) || 'lorem ipsum junk {'
+                            || chr(10)
+                            || 'This sentence is properly terminated.'
+                           AS text
+                FROM documents
+            ),
+            L AS (
+                SELECT doc_id, string_split(text, chr(10)) AS ls,
+                       list_filter(string_split(text, chr(10)),
+                           x -> len(regexp_extract_all(x, '\\S+')) >= 3
+                                AND regexp_matches(x, '[.!?"]\\s*$')
+                                AND NOT contains(x, '{')
+                                AND NOT contains(lower(x), 'lorem ipsum')
+                       ) AS kept
+                FROM S
+            )
+            SELECT doc_id,
+                   md5(array_to_string(kept, chr(10))) AS filtered_hash,
+                   CAST(len(ls) AS BIGINT) AS n_lines,
+                   CAST(len(kept) AS BIGINT) AS n_kept
+            FROM L
+        """,
+        "mojibake_scan": """
+            WITH S AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 9 = 0 THEN
+                           text || ' damaged �� ctrl ' || chr(1) || ' end'
+                       ELSE text END AS text
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(text) AS BIGINT) AS n_chars_scanned,
+                   CAST(len(regexp_extract_all(text, '�')) AS BIGINT)
+                       AS n_replacement,
+                   CAST(len(regexp_extract_all(text,
+                       '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]'))
+                       AS BIGINT) AS n_control,
+                   CASE WHEN len(text) > 0 THEN
+                       ROUND((len(regexp_extract_all(text, '�'))
+                              + len(regexp_extract_all(text,
+                          '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]')))
+                             * 1.0 / len(text), 6)
+                   ELSE 0.0 END AS bad_frac,
+                   (CASE WHEN len(text) > 0 THEN
+                       (len(regexp_extract_all(text, '�'))
+                        + len(regexp_extract_all(text,
+                          '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]')))
+                       * 1.0 / len(text)
+                   ELSE 0.0 END) > 0.002 AS bad_encoding
+            FROM S
         """,
         "pii_scrub": """
             WITH S AS (

@@ -1058,3 +1058,96 @@ def pii_scrub(
         scrubbed.alias(text_col if isinstance(text_col, str) else "text"),
         total.cast("long").alias("n_redactions"),
     )
+
+
+def c4_line_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 3,
+    require_terminal_punct: bool = True,
+    drop_brace_lines: bool = True,
+    drop_lorem: bool = True,
+    passthrough: tuple = (),
+) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020, §2.2): keep a
+    line only if it has >= ``min_words`` words, ends in terminal
+    punctuation (``. ! ? "``), contains no ``{`` (code/markup tell) and
+    no "lorem ipsum". Returns (id, <text_col> rebuilt from kept lines,
+    n_lines, n_kept) — the dropped-line count is the per-doc boilerplate
+    exposure the corpus audit wants.
+
+    Scale shape: MAP-ONLY — split -> ``F.filter`` with a pure Column
+    line predicate -> array_join, all in whole-stage codegen; no
+    explode, no exchange, no Python. Null text stays null with zero
+    counts. The line predicate uses only RE2-and-Java regex (``\\S+``
+    word count, character-class terminal-punct test) so the DuckDB
+    oracle rebuilds identical documents via ``list_filter``.
+    """
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    lines = F.split(t, "\n")
+
+    def _keep(line):
+        cond = F.regexp_count(line, F.lit(r"\S+")) >= F.lit(int(min_words))
+        if require_terminal_punct:
+            cond = cond & (
+                F.regexp_count(line, F.lit('[.!?"]\\s*$')) > 0
+            )
+        if drop_brace_lines:
+            cond = cond & ~line.contains("{")
+        if drop_lorem:
+            cond = cond & ~F.lower(line).contains("lorem ipsum")
+        return cond
+
+    kept = F.filter(lines, _keep)
+    return df.select(
+        F.col(id_col),
+        *[F.col(c) for c in passthrough],
+        F.when(t.isNotNull(), F.array_join(kept, "\n")).alias(
+            text_col if isinstance(text_col, str) else "text"
+        ),
+        F.coalesce(F.size(lines), F.lit(0)).cast("long").alias("n_lines"),
+        F.coalesce(F.size(kept), F.lit(0)).cast("long").alias("n_kept"),
+    )
+
+
+def mojibake_scan(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bad_frac: float = 0.001,
+    passthrough: tuple = (),
+) -> DataFrame:
+    """Encoding-damage audit — the decode-sanity gate for scraped text:
+    per-doc counts of U+FFFD replacement characters (the scar a bad
+    byte leaves after lossy decoding) and C0/C1-style control
+    characters (tab/newline/CR excluded), their fraction of total
+    characters, and a ``bad_encoding`` verdict at ``max_bad_frac``.
+
+    Scale shape: MAP-ONLY ``regexp_count`` in codegen (the pii_scan
+    discipline); null/empty text is clean by definition. Patterns stay
+    in RE2 ∩ java.util.regex: a literal replacement char and an
+    explicit ``[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]`` class.
+    """
+    t = F.coalesce(
+        F.col(text_col) if isinstance(text_col, str) else text_col,
+        F.lit(""),
+    )
+    n_chars = F.length(t)
+    n_repl = F.regexp_count(t, F.lit("�"))
+    n_ctrl = F.regexp_count(
+        t, F.lit("[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]")
+    )
+    bad = n_repl + n_ctrl
+    frac = F.when(
+        n_chars > 0, F.round(bad.cast("double") / n_chars, 6)
+    ).otherwise(F.lit(0.0))
+    return df.select(
+        F.col(id_col),
+        *[F.col(c) for c in passthrough],
+        n_chars.cast("long").alias("n_chars_scanned"),
+        n_repl.cast("long").alias("n_replacement"),
+        n_ctrl.cast("long").alias("n_control"),
+        frac.alias("bad_frac"),
+        (frac > F.lit(float(max_bad_frac))).alias("bad_encoding"),
+    )

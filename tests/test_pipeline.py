@@ -3214,3 +3214,65 @@ class TestEpochShuffleAndLengthBuckets:
         assert sorted(map(tuple, one.collect())) == sorted(
             map(tuple, two.collect())
         )
+
+
+class TestC4LineFilterAndMojibake:
+    def test_line_filter_rules(self, spark):
+        from datatest_spark.operators import text as t
+
+        doc = "\n".join([
+            "This is a good line.",          # kept
+            "Too short.",                     # < 3 words
+            "No terminal punctuation here",   # no punct
+            'He said "stop".',                # kept (quote-final ok: .)
+            "function() { return 1; }",       # brace
+            "Lorem Ipsum dolor sit amet.",    # lorem
+            "Is this kept too?",              # kept
+        ])
+        df = spark.createDataFrame([(1, doc), (2, None)],
+                                   "doc_id long, text string")
+        rows = {r["doc_id"]: r for r in t.c4_line_filter(df).collect()}
+        kept = rows[1]["text"].split("\n")
+        assert kept == [
+            "This is a good line.",
+            'He said "stop".',
+            "Is this kept too?",
+        ]
+        assert rows[1]["n_lines"] == 7 and rows[1]["n_kept"] == 3
+        assert rows[2]["text"] is None
+        assert rows[2]["n_lines"] == 0 and rows[2]["n_kept"] == 0
+
+    def test_line_filter_flags_off(self, spark):
+        from datatest_spark.operators import text as t
+
+        df = spark.createDataFrame(
+            [(1, "code { x }\nshort\nplain line without punct")],
+            "doc_id long, text string",
+        )
+        out = t.c4_line_filter(
+            df, min_words=1, require_terminal_punct=False,
+            drop_brace_lines=False, drop_lorem=False,
+        ).collect()[0]
+        assert out["n_kept"] == 3
+
+    def test_mojibake_scan(self, spark):
+        from datatest_spark.operators import text as t
+
+        df = spark.createDataFrame(
+            [
+                (1, "clean text with tabs\tand\nnewlines"),
+                (2, "damag��d text"),
+                (3, "ctrl\x01char"),
+                (4, ""),
+                (5, None),
+            ],
+            "doc_id long, text string",
+        )
+        rows = {r["doc_id"]: r for r in t.mojibake_scan(df).collect()}
+        assert rows[1]["n_replacement"] == 0 and rows[1]["n_control"] == 0
+        assert rows[1]["bad_encoding"] is False
+        assert rows[2]["n_replacement"] == 2
+        assert rows[2]["bad_encoding"] is True
+        assert rows[3]["n_control"] == 1
+        assert rows[4]["bad_frac"] == 0.0 and rows[4]["bad_encoding"] is False
+        assert rows[5]["bad_frac"] == 0.0 and rows[5]["n_chars_scanned"] == 0

@@ -342,3 +342,12 @@ class TestRound5OperatorPlans:
         )
         plan = _plan(out)
         assert _exchanges(plan) == 1
+
+    def test_c4_line_filter_and_mojibake_are_map_only(self, docs):
+        from datatest_spark.operators import text as t
+
+        for out in (t.c4_line_filter(docs), t.mojibake_scan(docs)):
+            plan = _plan(out)
+            assert _exchanges(plan) == 0
+            assert "codegen id" in plan
+            assert "BatchEvalPython" not in plan
