@@ -770,6 +770,38 @@ def q_repetition_profile(spark, sf_dir):
     return t.repetition_signals(d, n=3)
 
 
+def q_token_boundary_violations(spark, sf_dir):
+    """Sequence framing check (operators/checks.TokenBoundaryCheck)
+    over the deterministic word-length tokenization: docs with
+    doc_id % 4 != 0 get '<s> '/' </s>' framing (BOS token = len('<s>')
+    = 3, EOS = 4); every unframed doc must surface as an invalid row
+    with its first..last token ids. Row-level probe = two
+    try_element_at calls, fusable into the suite's single scan."""
+    from datatest_spark.operators.checks import TokenBoundaryCheck
+    from datatest_spark.operators.stats import partition_key_col
+
+    d = _t(spark, sf_dir, "documents")
+    seeded = d.select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % 4 != 0,
+            F.concat(F.lit("<s> "), F.col("text"), F.lit(" </s>")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    toks = seeded.select(
+        "doc_id",
+        F.transform(
+            F.split(F.col("text"), " "), lambda w: F.length(w)
+        ).alias("tokens"),
+        partition_key_col(["source"]).alias("partition_key"),
+    )
+    check = TokenBoundaryCheck(bos_id=3, eos_id=4)
+    return check.violations(toks).select("doc_id", "value", "expected")
+
+
 def q_token_run_quality(spark, sf_dir):
     """Repeated-token run stats (operators/text.token_run_stats) over a
     deterministic tokenization (token id = word length, so the DuckDB
@@ -1662,6 +1694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_plan": q_mixture_plan,
         "self_repetition_spans": q_self_repetition_spans,
         "length_bound_violations": q_length_bound_violations,
+        "token_boundary_violations": q_token_boundary_violations,
         "hash_split": q_hash_split,
         "containment_pairs": q_containment_pairs,
         "accepted_percent": q_accepted_percent,
@@ -3469,6 +3502,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(pos) + 5 AS INT) AS span_end,
                    CAST(COUNT(*) AS BIGINT) AS n_windows
             FROM ISL GROUP BY doc_id, isl
+        """,
+        "token_boundary_violations": """
+            WITH S AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 4 <> 0 THEN
+                           '<s> ' || text || ' </s>'
+                       ELSE text END AS text
+                FROM documents
+            ),
+            T AS (
+                SELECT doc_id,
+                       list_transform(string_split(text, ' '),
+                                      x -> len(x)) AS toks
+                FROM S
+            )
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   CAST(toks[1] AS VARCHAR) || '..'
+                       || CAST(toks[-1] AS VARCHAR) AS value,
+                   'bos=3,eos=4' AS expected
+            FROM T
+            WHERE NOT (toks[1] = 3 AND toks[-1] = 4)
         """,
         "length_bound_violations": """
             SELECT 'length_bound' AS check_id,

@@ -566,6 +566,85 @@ class TokenRangeCheck(BaseCheck):
         )
 
 
+class TokenBoundaryCheck(BaseCheck):
+    """Sequence framing integrity: the token array must begin with
+    ``bos_id`` and/or end with ``eos_id`` — a tokenizer or packing bug
+    that drops the frame tokens poisons every downstream training
+    window, and it is invisible to range/length checks (the ids are in
+    vocab, the length is fine). Null or empty arrays are violations too:
+    an unframed sequence cannot be framed correctly.
+
+    Fusable (``row_conditions``) like the other row checks: first/last
+    element probes are two ``element_at`` calls inside the suite's
+    single scan. Comparisons are null-safe so a null first/last token
+    reads as a framing violation, not a silently-true predicate."""
+
+    check_id = "token_boundary"
+
+    def __init__(self, array_col="tokens", bos_id=None, eos_id=None,
+                 id_col="doc_id"):
+        if bos_id is None and eos_id is None:
+            raise ValueError(
+                "token boundary requires bos_id and/or eos_id"
+            )
+        self.array_col = array_col
+        self.bos_id = bos_id
+        self.eos_id = eos_id
+        self.id_col = id_col
+
+    def _label(self):
+        parts = []
+        if self.bos_id is not None:
+            parts.append("bos={0}".format(self.bos_id))
+        if self.eos_id is not None:
+            parts.append("eos={0}".format(self.eos_id))
+        return ",".join(parts)
+
+    def _bad(self, ac):
+        framed = F.lit(True)
+        # try_element_at: ANSI mode makes plain element_at THROW on an
+        # empty array; null-out-of-bounds + eqNullSafe(False) is the
+        # violation semantics we want
+        if self.bos_id is not None:
+            framed = framed & F.try_element_at(ac, F.lit(1)).eqNullSafe(
+                F.lit(self.bos_id)
+            )
+        if self.eos_id is not None:
+            framed = framed & F.try_element_at(ac, F.lit(-1)).eqNullSafe(
+                F.lit(self.eos_id)
+            )
+        return ac.isNull() | (F.size(ac) == 0) | ~framed
+
+    def _value(self, ac):
+        return F.concat_ws(
+            "..",
+            F.try_element_at(ac, F.lit(1)).cast("string"),
+            F.try_element_at(ac, F.lit(-1)).cast("string"),
+        )
+
+    def row_conditions(self, df):
+        if self.id_col != "doc_id":  # fused scan attributes via doc_id
+            return None
+        ac = F.col(self.array_col)
+        return [
+            dict(
+                cond=self._bad(ac),
+                kind="invalid",
+                value=self._value(ac),
+                expected=F.lit(self._label()),
+            )
+        ]
+
+    def violations(self, df):
+        ac = F.col(self.array_col)
+        return _sel(
+            df.filter(self._bad(ac)),
+            self.check_id, "invalid", self._value(ac),
+            expected=F.lit(self._label()),
+            doc_id=F.col(self.id_col).cast("string"),
+        )
+
+
 class TokenEqualityCheck(BaseCheck):
     """Per-row token-array equality vs the reference copy (J5/U3)."""
 

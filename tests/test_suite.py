@@ -683,3 +683,78 @@ class TestSnapshotLineage:
         # hash remains the lineage guard there
         res = suite.run(seqs, run_id="sn2", manifest_dir=mdir)
         assert res.stats_rows == []
+
+
+class TestTokenBoundaryCheck:
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, "web", [1, 7, 9, 2]),     # framed correctly
+                (2, "web", [7, 9, 2]),        # missing BOS
+                (3, "web", [1, 7, 9]),        # missing EOS
+                (4, "wiki", []),              # empty
+                (5, "wiki", None),            # null array
+                (6, "wiki", [1, 2]),          # minimal framed
+                (7, "wiki", [1, None, 2]),    # inner null is NOT a framing issue
+            ],
+            "doc_id long, source string, tokens array<int>",
+        )
+
+    def test_framing_violations(self, spark):
+        from datatest_spark.operators.checks import TokenBoundaryCheck
+
+        suite = ValidationSuite(
+            [TokenBoundaryCheck(bos_id=1, eos_id=2)],
+            partition_cols=("source",),
+            stats_columns=[],
+        )
+        res = suite.run(self._df(spark), run_id="tb1")
+        rows = {r["doc_id"]: r for r in res.violations.collect()}
+        assert sorted(rows) == ["2", "3", "4", "5"]
+        assert rows["2"]["value"] == "7..2"
+        assert rows["3"]["value"] == "1..9"
+        assert all(r["kind"] == "invalid" for r in rows.values())
+        assert rows["2"]["expected"] == "bos=1,eos=2"
+        assert res.failed
+
+    def test_one_sided_and_null_edges(self, spark):
+        from datatest_spark.operators.checks import TokenBoundaryCheck
+        from datatest_spark.operators.stats import partition_key_col
+
+        df = self._df(spark).withColumn(
+            "partition_key", partition_key_col(["source"])
+        )
+        only_bos = TokenBoundaryCheck(bos_id=1)
+        ids = {r["doc_id"] for r in only_bos.violations(df).collect()}
+        assert ids == {"2", "4", "5"}
+        only_eos = TokenBoundaryCheck(eos_id=2)
+        ids = {r["doc_id"] for r in only_eos.violations(df).collect()}
+        assert ids == {"3", "4", "5"}
+        # a null FIRST element must read as a violation, not null-prop true
+        df2 = spark.createDataFrame(
+            [(9, "web", [None, 2])],
+            "doc_id long, source string, tokens array<int>",
+        ).withColumn("partition_key", partition_key_col(["source"]))
+        assert {r["doc_id"] for r in
+                TokenBoundaryCheck(bos_id=1).violations(df2).collect()} == {"9"}
+
+    def test_fused_equals_standalone(self, spark):
+        from datatest_spark.operators.checks import (
+            TokenBoundaryCheck, fuse_row_checks,
+        )
+        from datatest_spark.operators.stats import partition_key_col
+
+        df = self._df(spark).withColumn(
+            "partition_key", partition_key_col(["source"])
+        )
+        check = TokenBoundaryCheck(bos_id=1, eos_id=2)
+        fused = fuse_row_checks(df, [check])
+        a = sorted(map(tuple, fused.drop("detail").collect()))
+        b = sorted(map(tuple, check.violations(df).drop("detail").collect()))
+        assert a == b and len(a) == 4
+
+    def test_requires_a_frame_token(self, spark):
+        from datatest_spark.operators.checks import TokenBoundaryCheck
+
+        with pytest.raises(ValueError, match="bos_id and/or eos_id"):
+            TokenBoundaryCheck()
