@@ -759,6 +759,32 @@ def q_bloom_decontam(spark, sf_dir):
     )
 
 
+def q_bloom_survivors(spark, sf_dir):
+    """Map-only Bloom decontamination survivors (operators/decontam.
+    bloom_decontaminate): the complement of q_bloom_decontam computed as
+    a PURE FILTER on the corpus scan — zero exchanges end-to-end."""
+    from datatest_spark.operators import decontam
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.where("doc_id % 7 = 0")
+    corpus = d.where("doc_id % 7 <> 0")
+    return decontam.bloom_decontaminate(
+        corpus, bench, k=4, m_bits=1 << 20, n_hashes=5
+    ).select("doc_id", "source")
+
+
+def q_source_signatures(spark, sf_dir):
+    """TF-IDF signature terms (operators/text.source_signature_terms)
+    over whitespace tokens: top-5 distinctive terms per source with
+    fixed-point integer scores (tf x floor(log2((G+1)/(gdf+1))*2^20)) —
+    ubiquitous terms score exactly zero on both engines."""
+    from datatest_spark.operators import text as t
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("source", F.split(F.col("text"), " ").alias("tokens"))
+    return t.source_signature_terms(toks, k=5)
+
+
 def q_repetition_profile(spark, sf_dir):
     """Gopher-style per-doc 3-gram repetition signals
     (operators/text.repetition_signals): modal-n-gram fraction and
@@ -1660,16 +1686,51 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_wide_stats_documents(spark, "/root/testdata/sf0.001")
 
 
+# ORDERING CONTRACT: the driver's correctness gate checks exactly the
+# FIRST 50 keys of queries() in insertion order. _DRIVER_WINDOW is the
+# explicit window — every never-driver-green value-oracled operator that
+# fits, plus the two md5 siblings of the rows-only ops. Non-veteran
+# queries now OUTNUMBER the 50 slots, so the overflow below is a
+# CONSCIOUS choice, each entry with an in-window sibling exercising the
+# same core or a dedicated pytest pin (and all swept green by
+# tools/check_oracles.py every session):
+#   lsh_candidate_pairs  — exact-verify core shared with in-window
+#                          prefix_jaccard_pairs; banding pinned by
+#                          subset/value tests
+#   bloom_survivors      — same bitmap arithmetic as in-window
+#                          bloom_decontam (complement query)
+#   padding_audit        — aggregation over in-window length_buckets'
+#                          exact assignment
+#   scrub_paragraphs     — same par_hash core as in-window
+#                          paragraph_dups / paragraph_dup_profile
+#   quality_bands_approx — approx<->exact agreement pinned vs in-window
+#                          quality_bands
+#   accepted_keys/args   — trivial filters, property-tested
+#   source_signatures    — newest; fixed-point scoring shares the
+#                          unigram-LM discipline
+_DRIVER_WINDOW = (
+    "token_run_quality", "vocab_topk", "ks_drift", "chi2_drift",
+    "token_entropy", "source_shares", "pii_scan", "pii_scrub",
+    "c4_line_filter", "mojibake_scan", "unigram_logloss",
+    "quality_gate_survivors", "kmeans_clusters", "token_contamination",
+    "embedding_drift", "duplicate_spans", "order_violations",
+    "accepted_count_budget", "bigram_logloss", "context_length_profile",
+    "mixture_plan", "self_repetition_spans", "length_bound_violations",
+    "token_boundary_violations", "hash_split", "containment_pairs",
+    "accepted_percent", "quality_bands", "accepted_tolerance",
+    "mad_outliers", "zipf_fit", "cross_source_duplication",
+    "pack_whole_docs", "paragraph_dups", "paragraph_dup_profile",
+    "dsir_weights", "snapshot_delta", "temperature_mixture",
+    "doc_chunks", "quantize_embeddings", "semantic_dup_pairs",
+    "semantic_dedup_survivors", "normalized_dup_groups",
+    "prefix_jaccard_pairs", "bloom_decontam", "weighted_sample",
+    "epoch_shuffle", "length_buckets", "ivf_md5_topk",
+    "simhash_md5_signatures",
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ORDERING CONTRACT: the driver's correctness gate checks exactly the
-    # FIRST 50 keys in insertion order.  Keys are therefore grouped:
-    #   1. round-3-late + round-4 operators that had never received a
-    #      driver row under the old order (r4 VERDICT "Next #1"),
-    #   2. new round-5 operators,
-    #   3. veteran queries filling the window to 50,
-    #   4. long-green r1/r2 veterans past the window (4x driver-verified;
-    #      still exercised every round by tools/check_oracles.py).
-    return {
+    d = {
         # --- group 1: previously outside the driver's 50-query window ---
         "token_run_quality": q_token_run_quality,
         "vocab_topk": q_vocab_topk,
@@ -1758,6 +1819,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "decontam_survivors": q_decontam_survivors,
         "contamination_hits": q_contamination_hits,
+        "bloom_survivors": q_bloom_survivors,
+        "source_signatures": q_source_signatures,
         "range_join_windows": q_range_join_windows,
         "exact_dup_groups": q_exact_dup_groups,
         "minhash_signatures": q_minhash_signatures,
@@ -1792,6 +1855,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann_topk": q_ivf_ann_topk,
         "multimodal_features": q_multimodal_features,
     }
+    # apply the window ordering: _DRIVER_WINDOW first (declared order),
+    # then everything else in registration order
+    assert set(_DRIVER_WINDOW) <= set(d), sorted(set(_DRIVER_WINDOW) - set(d))
+    ordered = {k: d[k] for k in _DRIVER_WINDOW}
+    ordered.update({k: v for k, v in d.items() if k not in ordered})
+    return ordered
 
 
 _SHINGLE_CTE = """
@@ -2693,6 +2762,87 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(DISTINCT b.bdoc) AS n_bench_docs
             FROM SC c JOIN SB b ON c.sh = b.sh
             GROUP BY c.doc_id
+        """,
+        "bloom_survivors": """
+            WITH WB AS (
+                SELECT doc_id, string_split(text, ' ') AS w FROM documents
+                WHERE doc_id % 7 = 0
+            ),
+            SB AS (
+                SELECT DISTINCT array_to_string(w[i : i + 3], ' ') AS sh
+                FROM WB, UNNEST(range(1, GREATEST(len(w) - 2, 2))) AS t(i)
+            ),
+            PE AS (
+                SELECT DISTINCT (h1 + i * h2) % 1048576 AS pos
+                FROM (
+                    SELECT
+                        CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT)
+                            % 1048576 AS h1,
+                        (CAST('0x' || substr(md5(sh), 16, 15) AS BIGINT)
+                            % 1048576) | 1 AS h2
+                    FROM SB
+                ), UNNEST(range(5)) AS t(i)
+            ),
+            WC AS (
+                SELECT doc_id, source, string_split(text, ' ') AS w
+                FROM documents WHERE doc_id % 7 <> 0
+            ),
+            SC AS (
+                SELECT DISTINCT doc_id,
+                       array_to_string(w[i : i + 3], ' ') AS sh
+                FROM WC, UNNEST(range(1, GREATEST(len(w) - 2, 2))) AS t(i)
+            ),
+            CP AS (
+                SELECT doc_id, sh, (h1 + i * h2) % 1048576 AS pos
+                FROM (
+                    SELECT doc_id, sh,
+                        CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT)
+                            % 1048576 AS h1,
+                        (CAST('0x' || substr(md5(sh), 16, 15) AS BIGINT)
+                            % 1048576) | 1 AS h2
+                    FROM SC
+                ), UNNEST(range(5)) AS t(i)
+            ),
+            SH AS (
+                SELECT doc_id, sh,
+                       COUNT(DISTINCT pos) AS d,
+                       COUNT(DISTINCT CASE WHEN pos IN (SELECT pos FROM PE)
+                                           THEN pos END) AS md
+                FROM CP GROUP BY doc_id, sh
+            ),
+            FLAGGED AS (
+                SELECT doc_id FROM SH GROUP BY doc_id
+                HAVING SUM(CASE WHEN md = d THEN 1 ELSE 0 END) >= 1
+            )
+            SELECT c.doc_id, c.source FROM WC c
+            WHERE c.doc_id NOT IN (SELECT doc_id FROM FLAGGED)
+        """,
+        "source_signatures": """
+            WITH T AS (
+                SELECT source,
+                       UNNEST(string_split(text, ' ')) AS token
+                FROM documents
+            ),
+            TF AS (SELECT source, token, COUNT(*) AS tf FROM T
+                   GROUP BY 1, 2),
+            GD AS (SELECT token, COUNT(*) AS gdf FROM TF GROUP BY 1),
+            G AS (SELECT COUNT(DISTINCT source) AS n_groups
+                  FROM documents),
+            S AS (
+                SELECT tf.source, tf.token, tf.tf, gd.gdf,
+                       tf.tf * CAST(FLOOR(LOG2((g.n_groups + 1.0)
+                                   / (gd.gdf + 1.0)) * 1048576.0)
+                               AS BIGINT) AS score
+                FROM TF tf JOIN GD gd ON tf.token = gd.token
+                CROSS JOIN G g
+            ),
+            R AS (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                    ORDER BY score DESC, token ASC) AS rank
+                FROM S
+            )
+            SELECT source, token, tf, gdf, score, rank
+            FROM R WHERE rank <= 5
         """,
         "bloom_decontam": """
             -- exact mirror of the Bloom probe: h1/h2 from disjoint

@@ -405,15 +405,75 @@ def bloom_contamination(
             m_bits=m_bits,
             n_hashes=n_hashes,
         )
-    if len(bitmap) != m_bits // 64:
-        raise ValueError(
-            "bitmap has %d words, m_bits=%d needs %d"
-            % (len(bitmap), m_bits, m_bits // 64)
-        )
 
     from datatest_spark.operators.dedup import shingles_col
 
+    probed, _hit, _extra = _bloom_probe(corpus, bitmap, m_bits, n_hashes)
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    sh_arr = F.coalesce(
+        shingles_col(t, k), F.array().cast("array<string>")
+    )
+    return (
+        probed.select(
+            F.col(id_col).alias("doc_id"),
+            F.size(sh_arr).alias("n_shingles"),
+            F.size(F.filter(sh_arr, _hit)).alias("n_hits"),
+        )
+        .filter(F.col("n_hits") >= F.lit(min_hits))
+    )
+
+
+def bloom_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str | None = None,
+    bench_id_col: str | None = None,
+    k: int = 13,
+    min_hits: int = 1,
+    m_bits: int = 1 << 20,
+    n_hashes: int = 5,
+    bitmap: list | None = None,
+) -> DataFrame:
+    """Survivors of the Bloom probe, all original columns intact — and
+    unlike :func:`decontaminate` (groupBy + anti-join), this is a PURE
+    FILTER: the hit-count condition evaluates inline on the scan, so
+    dropping contaminated docs from a 10^12-row corpus costs zero
+    exchanges end-to-end. The Bloom FP direction is the SAFE one for
+    dropping: a false positive discards a clean doc (recall loss bounded
+    by the FP rate), never keeps a contaminated one.
+    """
+    if min_hits < 1:
+        raise ValueError("min_hits must be >= 1, got %r" % (min_hits,))
+    if bitmap is None:
+        bitmap = bloom_bitmap(
+            benchmark,
+            text_col=bench_text_col or text_col,
+            id_col=bench_id_col or id_col,
+            k=k,
+            m_bits=m_bits,
+            n_hashes=n_hashes,
+        )
+    return _bloom_filter_survivors(
+        corpus, bitmap, text_col, k, min_hits, m_bits, n_hashes
+    )
+
+
+def _bloom_probe(corpus, bitmap, m_bits, n_hashes):
+    """Shared probe construction: returns (probed_frame, hit(shingle)
+    Column predicate, carrier_col_to_drop_or_None). The bitmap rides an
+    inline literal array up to BLOOM_LITERAL_MAX_WORDS words, else a
+    one-row broadcast cross-join (the unigram-LM two-carrier
+    discipline)."""
+    _validate_bloom_params(m_bits, n_hashes)
     n_words = len(bitmap)
+    if n_words != m_bits // 64:
+        raise ValueError(
+            "bitmap has %d words, m_bits=%d needs %d"
+            % (n_words, m_bits, m_bits // 64)
+        )
+    extra = None
     if n_words <= BLOOM_LITERAL_MAX_WORDS:
         bits_col = F.array(*[F.lit(int(w)) for w in bitmap])
         probed = corpus
@@ -424,7 +484,7 @@ def bloom_contamination(
         )
         probed = corpus.crossJoin(F.broadcast(carrier))
         bits_col = F.col("_bloom_bits")
-
+        extra = "_bloom_bits"
     masks = F.array(*[F.lit(m) for m in _BLOOM_BIT_MASKS])
 
     def _hit(s):
@@ -439,15 +499,18 @@ def bloom_contamination(
             cond = cond & (word.bitwiseAND(mask) != 0)
         return cond
 
+    return probed, _hit, extra
+
+
+def _bloom_filter_survivors(
+    corpus, bitmap, text_col, k, min_hits, m_bits, n_hashes
+):
+    from datatest_spark.operators.dedup import shingles_col
+
+    probed, _hit, extra = _bloom_probe(corpus, bitmap, m_bits, n_hashes)
     t = F.col(text_col) if isinstance(text_col, str) else text_col
     sh_arr = F.coalesce(
         shingles_col(t, k), F.array().cast("array<string>")
     )
-    return (
-        probed.select(
-            F.col(id_col).alias("doc_id"),
-            F.size(sh_arr).alias("n_shingles"),
-            F.size(F.filter(sh_arr, _hit)).alias("n_hits"),
-        )
-        .filter(F.col("n_hits") >= F.lit(min_hits))
-    )
+    out = probed.filter(F.size(F.filter(sh_arr, _hit)) < F.lit(min_hits))
+    return out.drop(extra) if extra else out

@@ -1151,3 +1151,67 @@ def mojibake_scan(
         frac.alias("bad_frac"),
         (frac > F.lit(float(max_bad_frac))).alias("bad_encoding"),
     )
+
+
+def source_signature_terms(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    group_col: str = "source",
+    k: int = 10,
+    scale_bits: int = 20,
+) -> DataFrame:
+    """TF-IDF signature terms per group — the "what makes this source
+    different" audit: terms frequent in a group but present in few
+    other groups score high; boilerplate shared by every group scores
+    exactly zero. Returns (source, token, tf, gdf, score, rank) — gdf =
+    number of groups containing the token, score = tf * idf with
+    idf = floor(log2((G+1)/(gdf+1)) * 2^scale_bits) as a FIXED-POINT
+    bigint (the unigram-LM discipline): tf and idf are exact integers,
+    so scores are associative, parallelism-invariant, and bit-identical
+    in the DuckDB oracle with no float summation order to pin.
+
+    Scale shape: explode -> map-side-combinable (group, token) agg ->
+    token-keyed agg of the |groups x vocab| rows for gdf (already tiny
+    vs the corpus) -> broadcast join of the one-row group count ->
+    rank window with ``rank <= k`` riding WindowGroupLimit. The corpus
+    crosses one exchange; everything after is vocab-bounded.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1, got %r" % (k,))
+    tf = (
+        df.select(
+            F.col(group_col).alias("source"),
+            F.explode(F.col(tokens_col)).alias("token"),
+        )
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    gdf = tf.groupBy("token").agg(F.count(F.lit(1)).alias("gdf"))
+    groups = df.select(
+        F.countDistinct(F.col(group_col)).alias("_n_groups")
+    )
+    scored = (
+        tf.join(gdf, "token")
+        .crossJoin(F.broadcast(groups))
+        .withColumn(
+            "score",
+            (
+                F.col("tf")
+                * F.floor(
+                    F.log2(
+                        (F.col("_n_groups") + F.lit(1.0))
+                        / (F.col("gdf") + F.lit(1.0))
+                    )
+                    * F.lit(float(1 << scale_bits))
+                ).cast("long")
+            ).cast("long"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("score").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("source", "token", "tf", "gdf", "score", "rank")
+    )

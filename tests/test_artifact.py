@@ -101,11 +101,22 @@ def test_driver_window_holds_every_value_oracled_query_once():
     # the md5 siblings of the rows-only ops must stay driver-checked
     for sibling in ("ivf_md5_topk", "simhash_md5_signatures"):
         assert sibling in window, sibling
-    # past-window entries: rows-only by design, or a veteran that was
+    # the window is the EXPLICIT _DRIVER_WINDOW declaration — ordering
+    # must be applied, not merely intended
+    assert window == list(mod._DRIVER_WINDOW)
+    # past-window entries: rows-only by design, a veteran that was
     # VALUE-green (hash_match) in >= 2 driver rounds and never anything
-    # but green when present — "green once, ever" is not veteran status,
-    # and a rows-count-only match never vouches for a value-oracled query
+    # but green when present, or a member of the documented overflow
+    # allowlist (non-veteran value-oracled queries now outnumber the 50
+    # slots; each overflow entry has an in-window sibling exercising the
+    # same core or a dedicated pytest pin — see the _DRIVER_WINDOW
+    # comment in __spark_entry__.py)
     rows_only = {"simhash_pairs", "ivf_ann_topk", "multimodal_features"}
+    overflow = {
+        "lsh_candidate_pairs", "bloom_survivors", "padding_audit",
+        "source_signatures", "scrub_paragraphs", "quality_bands_approx",
+        "accepted_keys", "accepted_args",
+    }
     import glob
 
     green_rounds = {}
@@ -121,9 +132,19 @@ def test_driver_window_holds_every_value_oracled_query_once():
     stragglers = [
         k for k in past
         if k not in rows_only
+        and k not in overflow
         and (green_rounds.get(k, 0) < 2 or k in ever_not_green)
     ]
     assert stragglers == [], (
         "insufficiently-verified queries pushed past the window: %r"
         % stragglers
+    )
+    # the allowlist must not hide entries that could simply be veterans
+    lazily_listed = [
+        k for k in overflow
+        if green_rounds.get(k, 0) >= 2 and k not in ever_not_green
+    ]
+    assert lazily_listed == [], (
+        "overflow entries that already qualify as veterans: %r"
+        % lazily_listed
     )

@@ -3276,3 +3276,68 @@ class TestC4LineFilterAndMojibake:
         assert rows[3]["n_control"] == 1
         assert rows[4]["bad_frac"] == 0.0 and rows[4]["bad_encoding"] is False
         assert rows[5]["bad_frac"] == 0.0 and rows[5]["n_chars_scanned"] == 0
+
+
+class TestBloomDecontaminateAndSignatures:
+    def test_bloom_survivors_complement_flagged(self, spark, docs):
+        from datatest_spark.operators import decontam
+
+        bench = docs.filter(F.col("doc_id") % 7 == 0)
+        corpus = docs.filter(F.col("doc_id") % 7 != 0)
+        stolen = bench.limit(2).withColumn("doc_id", F.col("doc_id") + 500001)
+        corpus = corpus.unionByName(stolen)
+        kw = dict(k=5, m_bits=1 << 18, n_hashes=4)
+        flagged = {
+            r["doc_id"]
+            for r in decontam.bloom_contamination(
+                corpus, bench, **kw
+            ).collect()
+        }
+        kept = {
+            r["doc_id"]
+            for r in decontam.bloom_decontaminate(
+                corpus, bench, **kw
+            ).collect()
+        }
+        allids = {r["doc_id"] for r in corpus.collect()}
+        assert kept == allids - flagged
+        assert not any(i > 500000 for i in kept)
+
+    def test_bloom_survivors_keep_all_columns(self, spark, docs):
+        from datatest_spark.operators import decontam
+
+        bench = docs.filter(F.col("doc_id") % 7 == 0)
+        corpus = docs.filter(F.col("doc_id") % 7 != 0)
+        out = decontam.bloom_decontaminate(
+            corpus, bench, k=5, m_bits=1 << 19, n_hashes=3
+        )
+        assert out.columns == corpus.columns  # large carrier col dropped
+
+    def test_signature_terms_basic(self, spark):
+        from datatest_spark.operators import text as t
+
+        rows = []
+        for i in range(20):
+            rows.append((i, "a", ["common", "alpha", "alpha"]))
+            rows.append((100 + i, "b", ["common", "beta"]))
+        df = spark.createDataFrame(
+            rows, "doc_id long, source string, tokens array<string>"
+        )
+        out = t.source_signature_terms(df, k=2)
+        rows = {(r["source"], r["rank"]): r for r in out.collect()}
+        # the ubiquitous token scores exactly 0 (idf = floor(log2(1)*B))
+        assert rows[("a", 1)]["token"] == "alpha"
+        assert rows[("b", 1)]["token"] == "beta"
+        common = [r for r in rows.values() if r["token"] == "common"]
+        assert all(r["score"] == 0 for r in common)
+        # alpha appears 40x in source a, gdf 1, G=2: idf=floor(log2(3/2)*B)
+        import math
+
+        idf = math.floor(math.log2(3 / 2) * (1 << 20))
+        assert rows[("a", 1)]["score"] == 40 * idf
+
+    def test_signature_k_validated(self, spark, docs):
+        from datatest_spark.operators import text as t
+
+        with pytest.raises(ValueError, match="k must"):
+            t.source_signature_terms(docs, k=0)

@@ -351,3 +351,39 @@ class TestRound5OperatorPlans:
             assert _exchanges(plan) == 0
             assert "codegen id" in plan
             assert "BatchEvalPython" not in plan
+
+    def test_bloom_survivors_filter_is_map_only(self, spark, docs):
+        from datatest_spark.operators import decontam
+
+        bench = docs.filter(F.col("doc_id") % 7 == 0)
+        corpus = docs.filter(F.col("doc_id") % 7 != 0)
+        bm = decontam.bloom_bitmap(bench, k=5, m_bits=1 << 16, n_hashes=3)
+        out = decontam.bloom_decontaminate(
+            corpus, None, k=5, m_bits=1 << 16, n_hashes=3, bitmap=bm
+        )
+        plan = _plan(out)
+        assert _exchanges(plan) == 0
+        assert "Join" not in plan  # literal carrier: a bare filtered scan
+
+    def test_signature_terms_corpus_crosses_one_exchange(self, spark):
+        from datatest_spark.operators import text as t
+
+        df = spark.createDataFrame(
+            [(1, "a", ["x", "y"]), (2, "b", ["y", "z"])],
+            "doc_id long, source string, tokens array<string>",
+        )
+        plan = _plan(t.source_signature_terms(df, k=3))
+        # the corpus crosses exactly one exchange (the partial-agg'd
+        # (source, token) groupBy); the tf<->gdf join may compile SMJ
+        # statically but BOTH its sides are vocab-bounded (|groups x
+        # vocab| and |vocab|), so that's fine — pin instead that the
+        # only nested-loop join is the deliberate 1-row scalar
+        # broadcast, and that nothing drops to Python.
+        import re as _re
+
+        nlj = _re.findall(r"BroadcastNestedLoopJoin", plan)
+        assert "CartesianProduct" not in plan
+        assert len(set(nlj)) <= 1  # only the scalar-count carrier
+        assert "BatchEvalPython" not in plan
+        # partial aggregation before the corpus exchange (map-side combine)
+        assert "HashAggregate" in plan
