@@ -751,7 +751,7 @@ def q_bloom_decontam(spark, sf_dir):
     bench = d.where("doc_id % 7 = 0")
     corpus = d.where("doc_id % 7 <> 0")
     return decontam.bloom_contamination(
-        corpus, bench, k=4, m_bits=1 << 20, n_hashes=5
+        corpus, bench, k=4, m_bits=1 << 20, n_hashes=5, hash_fn="md5"
     ).select(
         "doc_id",
         F.col("n_shingles").cast("long").alias("n_shingles"),
@@ -769,7 +769,7 @@ def q_bloom_survivors(spark, sf_dir):
     bench = d.where("doc_id % 7 = 0")
     corpus = d.where("doc_id % 7 <> 0")
     return decontam.bloom_decontaminate(
-        corpus, bench, k=4, m_bits=1 << 20, n_hashes=5
+        corpus, bench, k=4, m_bits=1 << 20, n_hashes=5, hash_fn="md5"
     ).select("doc_id", "source")
 
 

@@ -266,21 +266,36 @@ BLOOM_LITERAL_MAX_WORDS = 4096
 BLOOM_MAX_BITS = 1 << 27
 
 
-def _bloom_positions(s, m_bits: int, n_hashes: int):
-    """``n_hashes`` bit positions for one shingle via Kirsch-
-    Mitzenmacher double hashing: pos_i = (h1 + i*h2) mod m. h1/h2 come
-    from disjoint 60-bit halves of md5 (portable: DuckDB mirrors each as
-    ``CAST('0x' || substr(md5(s), off, 15) AS BIGINT)``); h2 is forced
-    odd so it is coprime with the power-of-two ``m_bits`` and the probe
-    sequence never degenerates into a short cycle."""
-    h1 = F.pmod(
-        F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
-        F.lit(m_bits),
-    )
-    h2 = F.pmod(
-        F.conv(F.substring(F.md5(s), 16, 15), 16, 10).cast("long"),
-        F.lit(m_bits),
-    ).bitwiseOR(F.lit(1))
+def _bloom_hash_pair(v, m_bits: int, hash_fn: str):
+    """(h1, h2) for one shingle via Kirsch-Mitzenmacher double hashing
+    inputs. ``md5``: ``v`` is the PRE-COMPUTED md5 hex of the shingle
+    (materialized once per shingle — recomputing md5 inside every probe
+    measured ~2.5x slower at sf0.1); h1/h2 come from its disjoint
+    60-bit halves (portable: DuckDB mirrors each as ``CAST('0x' ||
+    substr(md5(s), off, 15) AS BIGINT)``). ``xxhash64``: ``v`` is the
+    shingle itself; two seeded JVM hashes — the fast production path
+    (no hex strings, no conv). h2 is forced odd so it is coprime with
+    the power-of-two ``m_bits`` and the probe sequence never
+    degenerates into a short cycle."""
+    if hash_fn == "md5":
+        h1 = F.pmod(
+            F.conv(F.substring(v, 1, 15), 16, 10).cast("long"),
+            F.lit(m_bits),
+        )
+        h2 = F.pmod(
+            F.conv(F.substring(v, 16, 15), 16, 10).cast("long"),
+            F.lit(m_bits),
+        ).bitwiseOR(F.lit(1))
+    else:
+        h1 = F.pmod(F.xxhash64(v), F.lit(m_bits))
+        h2 = F.pmod(F.xxhash64(v, F.lit(1)), F.lit(m_bits)).bitwiseOR(
+            F.lit(1)
+        )
+    return h1, h2
+
+
+def _bloom_positions(v, m_bits: int, n_hashes: int, hash_fn: str):
+    h1, h2 = _bloom_hash_pair(v, m_bits, hash_fn)
     return [
         F.pmod(h1 + F.lit(i) * h2, F.lit(m_bits)) for i in range(n_hashes)
     ]
@@ -307,6 +322,7 @@ def bloom_bitmap(
     k: int = 13,
     m_bits: int = 1 << 20,
     n_hashes: int = 5,
+    hash_fn: str = "xxhash64",
 ) -> list:
     """Driver-side Bloom bitmap of the benchmark's k-word shingles:
     ``m_bits // 64`` longs (word w holds bits 64w..64w+63).
@@ -318,12 +334,15 @@ def bloom_bitmap(
     a sub-second pass; the corpus is never touched.
     """
     _validate_bloom_params(m_bits, n_hashes)
+    if hash_fn not in ("md5", "xxhash64"):
+        raise ValueError("hash_fn must be xxhash64|md5, got %r" % (hash_fn,))
     sh = doc_shingles(
         benchmark, text_col=text_col, id_col=id_col, k=k
     ).select("shingle").distinct()
+    v = F.md5(F.col("shingle")) if hash_fn == "md5" else F.col("shingle")
     pos = sh.select(
         F.explode(
-            F.array(*_bloom_positions(F.col("shingle"), m_bits, n_hashes))
+            F.array(*_bloom_positions(v, m_bits, n_hashes, hash_fn))
         ).alias("pos")
     )
     words = (
@@ -364,6 +383,7 @@ def bloom_contamination(
     m_bits: int = 1 << 20,
     n_hashes: int = 5,
     bitmap: list | None = None,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Approximate decontamination via a broadcast Bloom filter —
     (doc_id, n_shingles, n_hits): ``n_hits`` = distinct corpus shingles
@@ -385,7 +405,11 @@ def bloom_contamination(
     ``F.filter`` over Column bit arithmetic; the only data movement is
     the bitmap itself (``m_bits/8`` bytes, e.g. 128 KiB at 2^20), vs
     broadcasting every eval shingle STRING (tens of MB) for the exact
-    join. The bitmap rides an inline literal array up to
+    join. Measured at sf0.1 (same load window): probe 5.4s vs exact
+    join 5.7s — compute parity already at 43k docs; the asymptotic win
+    is the per-executor broadcast footprint when the eval set reaches
+    millions of shingles. ``hash_fn="xxhash64"`` (default) is the
+    production path; ``"md5"`` is the DuckDB-oracle form. The bitmap rides an inline literal array up to
     ``BLOOM_LITERAL_MAX_WORDS`` words, else a one-row broadcast
     cross-join (same two-carrier discipline as the unigram LM).
 
@@ -404,20 +428,24 @@ def bloom_contamination(
             k=k,
             m_bits=m_bits,
             n_hashes=n_hashes,
+            hash_fn=hash_fn,
         )
 
     from datatest_spark.operators.dedup import shingles_col
 
-    probed, _hit, _extra = _bloom_probe(corpus, bitmap, m_bits, n_hashes)
+    probed, _hit, _extra = _bloom_probe(
+        corpus, bitmap, m_bits, n_hashes, hash_fn
+    )
     t = F.col(text_col) if isinstance(text_col, str) else text_col
     sh_arr = F.coalesce(
         shingles_col(t, k), F.array().cast("array<string>")
     )
+    probe_arr = _probe_values(sh_arr, hash_fn)
     return (
         probed.select(
             F.col(id_col).alias("doc_id"),
             F.size(sh_arr).alias("n_shingles"),
-            F.size(F.filter(sh_arr, _hit)).alias("n_hits"),
+            F.size(F.filter(probe_arr, _hit)).alias("n_hits"),
         )
         .filter(F.col("n_hits") >= F.lit(min_hits))
     )
@@ -435,6 +463,7 @@ def bloom_decontaminate(
     m_bits: int = 1 << 20,
     n_hashes: int = 5,
     bitmap: list | None = None,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Survivors of the Bloom probe, all original columns intact — and
     unlike :func:`decontaminate` (groupBy + anti-join), this is a PURE
@@ -454,13 +483,25 @@ def bloom_decontaminate(
             k=k,
             m_bits=m_bits,
             n_hashes=n_hashes,
+            hash_fn=hash_fn,
         )
     return _bloom_filter_survivors(
-        corpus, bitmap, text_col, k, min_hits, m_bits, n_hashes
+        corpus, bitmap, text_col, k, min_hits, m_bits, n_hashes, hash_fn
     )
 
 
-def _bloom_probe(corpus, bitmap, m_bits, n_hashes):
+def _probe_values(sh_arr, hash_fn: str):
+    """Probe-input array for a shingle array: md5 pre-materializes ONE
+    hex per shingle (the probe then only slices/convs it — recomputing
+    md5 inside every bit test measured ~2.5x slower at sf0.1);
+    xxhash64 probes the shingle strings directly (the JVM hash is
+    cheap)."""
+    if hash_fn == "md5":
+        return F.transform(sh_arr, lambda s: F.md5(s))
+    return sh_arr
+
+
+def _bloom_probe(corpus, bitmap, m_bits, n_hashes, hash_fn="xxhash64"):
     """Shared probe construction: returns (probed_frame, hit(shingle)
     Column predicate, carrier_col_to_drop_or_None). The bitmap rides an
     inline literal array up to BLOOM_LITERAL_MAX_WORDS words, else a
@@ -487,9 +528,9 @@ def _bloom_probe(corpus, bitmap, m_bits, n_hashes):
         extra = "_bloom_bits"
     masks = F.array(*[F.lit(m) for m in _BLOOM_BIT_MASKS])
 
-    def _hit(s):
+    def _hit(v):
         cond = F.lit(True)
-        for pos in _bloom_positions(s, m_bits, n_hashes):
+        for pos in _bloom_positions(v, m_bits, n_hashes, hash_fn):
             word = F.element_at(
                 bits_col, (F.shiftright(pos, 6) + 1).cast("int")
             )
@@ -503,14 +544,20 @@ def _bloom_probe(corpus, bitmap, m_bits, n_hashes):
 
 
 def _bloom_filter_survivors(
-    corpus, bitmap, text_col, k, min_hits, m_bits, n_hashes
+    corpus, bitmap, text_col, k, min_hits, m_bits, n_hashes,
+    hash_fn="xxhash64",
 ):
     from datatest_spark.operators.dedup import shingles_col
 
-    probed, _hit, extra = _bloom_probe(corpus, bitmap, m_bits, n_hashes)
+    probed, _hit, extra = _bloom_probe(
+        corpus, bitmap, m_bits, n_hashes, hash_fn
+    )
     t = F.col(text_col) if isinstance(text_col, str) else text_col
     sh_arr = F.coalesce(
         shingles_col(t, k), F.array().cast("array<string>")
     )
-    out = probed.filter(F.size(F.filter(sh_arr, _hit)) < F.lit(min_hits))
+    probe_arr = _probe_values(sh_arr, hash_fn)
+    out = probed.filter(
+        F.size(F.filter(probe_arr, _hit)) < F.lit(min_hits)
+    )
     return out.drop(extra) if extra else out

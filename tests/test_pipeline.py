@@ -2899,7 +2899,7 @@ class TestBloomContamination:
         bench_rows = [(i, "alpha beta gamma delta w%d" % i) for i in range(5)]
         bench = spark.createDataFrame(bench_rows, "doc_id long, text string")
         bitmap = decontam.bloom_bitmap(
-            bench, k=k, m_bits=m_bits, n_hashes=n_hashes
+            bench, k=k, m_bits=m_bits, n_hashes=n_hashes, hash_fn="md5"
         )
         # python mirror of the build
         def py_shingles(text):
@@ -2924,7 +2924,8 @@ class TestBloomContamination:
         got = {
             (r["doc_id"], r["n_hits"])
             for r in decontam.bloom_contamination(
-                corpus, bench, k=k, m_bits=m_bits, n_hashes=n_hashes
+                corpus, bench, k=k, m_bits=m_bits, n_hashes=n_hashes,
+                hash_fn="md5",
             ).collect()
         }
 

@@ -347,3 +347,54 @@ def test_hash_split_stream_equals_batch(spark, tmp_path):
     got = sorted(map(tuple, spark.read.parquet(out).collect()))
     want = sorted(map(tuple, hash_split(df, weights).collect()))
     assert got == want and len(got) == 300
+
+
+def test_bloom_decontaminate_stream_equals_batch(spark, tmp_path):
+    """The Bloom survivor gate is a pure filter against a PRE-BUILT
+    broadcast bitmap — stateless, so decontaminating an ingestion
+    stream (availableNow over a file source) must keep exactly the rows
+    the batch filter keeps. This is the streaming story the map-only
+    probe buys: benchmark hygiene applied at ingest time with no state
+    store and no join."""
+    from datatest_spark.operators.decontam import (
+        bloom_bitmap, bloom_decontaminate,
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),  # stolen
+            (2, "completely unrelated clean document text here"),
+            (3, "another clean one with different words entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    df.write.mode("overwrite").parquet(src)
+    bm = bloom_bitmap(bench, k=4, m_bits=1 << 14, n_hashes=4)
+
+    def gate(frame):
+        return bloom_decontaminate(
+            frame, None, k=4, m_bits=1 << 14, n_hashes=4, bitmap=bm
+        )
+
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = (
+        gate(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    want = sorted(map(tuple, gate(df).collect()))
+    assert got == want
+    assert {r[0] for r in got} == {2, 3}  # the stolen doc is gone
