@@ -1171,6 +1171,41 @@ def q_duplicate_spans(spark, sf_dir):
     return duplicate_spans(toks, k=8, min_docs=2, hashed=False)
 
 
+def q_scrub_token_spans(spark, sf_dir):
+    """Span removal end-to-end (operators/dedup.scrub_token_spans over
+    duplicate_spans): the word-length tokenization's duplicated k=8
+    spans are cut from each doc; the rebuilt arrays are md5-hashed (as
+    comma-joined strings) for a compact value compare. The scrubbed
+    corpus is fixed-point: re-running duplicate_spans on it finds
+    nothing (pinned in tests)."""
+    from datatest_spark.operators.dedup import (
+        duplicate_spans, scrub_token_spans,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.transform(
+            F.split(F.col("text"), " "), lambda w: F.length(w)
+        ).alias("tokens"),
+    )
+    spans = duplicate_spans(toks, k=8, min_docs=2, hashed=False)
+    out = scrub_token_spans(toks, spans)
+    return out.select(
+        "doc_id",
+        # the frame's tokens column is already scrubbed — report the
+        # ORIGINAL length (scrubbed + removed) like the oracle does
+        (F.size("tokens") + F.col("n_removed")).alias("n_tokens"),
+        F.col("n_removed").cast("long").alias("n_removed"),
+        F.md5(
+            F.array_join(
+                F.transform(F.col("tokens"), lambda t: t.cast("string")),
+                ",",
+            )
+        ).alias("scrub_hash"),
+    )
+
+
 def q_order_violations(spark, sf_dir):
     """O1 RequiredOrder (ref: datatest RequiredOrder / assertValid order
     semantics): positional sequence compare of region names ordered by
@@ -1708,6 +1743,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #   accepted_keys/args   — trivial filters, property-tested
 #   source_signatures    — newest; fixed-point scoring shares the
 #                          unigram-LM discipline
+#   scrub_token_spans    — cut stage over in-window duplicate_spans'
+#                          spans; fixed-point (re-scan finds nothing)
+#                          pinned in tests
 _DRIVER_WINDOW = (
     "token_run_quality", "vocab_topk", "ks_drift", "chi2_drift",
     "token_entropy", "source_shares", "pii_scan", "pii_scrub",
@@ -1754,6 +1792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "context_length_profile": q_context_length_profile,
         "mixture_plan": q_mixture_plan,
         "self_repetition_spans": q_self_repetition_spans,
+        "scrub_token_spans": q_scrub_token_spans,
         "length_bound_violations": q_length_bound_violations,
         "token_boundary_violations": q_token_boundary_violations,
         "hash_split": q_hash_split,
@@ -3165,6 +3204,58 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_windows,
                    CAST(MAX(n_docs) AS BIGINT) AS max_dup_docs
             FROM ISL GROUP BY doc_id, isl
+        """,
+        "scrub_token_spans": """
+            WITH W AS (
+                SELECT doc_id,
+                       list_transform(string_split(text, ' '),
+                                      x -> CAST(length(x) AS VARCHAR))
+                           AS toks
+                FROM documents
+            ),
+            P AS (
+                SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+                       array_to_string(toks[CAST(i AS INT)
+                                            : CAST(i AS INT) + 7], ',')
+                           AS sh
+                FROM W,
+                     UNNEST(range(1, GREATEST(len(toks) - 8 + 1, 0) + 1))
+                         AS t(i)
+                WHERE len(toks) >= 8
+            ),
+            C AS (
+                SELECT sh FROM P GROUP BY sh
+                HAVING COUNT(DISTINCT doc_id) >= 2
+            ),
+            D AS (
+                SELECT p.doc_id, p.pos FROM P p JOIN C c USING (sh)
+            ),
+            -- every position covered by a duplicated window
+            REM AS (
+                SELECT DISTINCT d.doc_id, d.pos + j AS rp
+                FROM D d, UNNEST(range(8)) AS t(j)
+            ),
+            TI AS (
+                SELECT doc_id, CAST(i - 1 AS INT) AS idx,
+                       toks[CAST(i AS INT)] AS tok
+                FROM W, UNNEST(range(1, len(toks) + 1)) AS t(i)
+            ),
+            KEPT AS (
+                SELECT ti.doc_id, ti.idx, ti.tok
+                FROM TI ti LEFT JOIN REM r
+                  ON ti.doc_id = r.doc_id AND ti.idx = r.rp
+                WHERE r.rp IS NULL
+            ),
+            NT AS (SELECT doc_id, len(toks) AS n_tokens FROM W)
+            SELECT n.doc_id,
+                   CAST(n.n_tokens AS INT) AS n_tokens,
+                   CAST(n.n_tokens - COUNT(k.idx) AS BIGINT) AS n_removed,
+                   md5(COALESCE(
+                       array_to_string(
+                           array_agg(k.tok ORDER BY k.idx), ','),
+                       '')) AS scrub_hash
+            FROM NT n LEFT JOIN KEPT k ON n.doc_id = k.doc_id
+            GROUP BY n.doc_id, n.n_tokens
         """,
         "embedding_drift": """
             WITH V AS (

@@ -1450,3 +1450,55 @@ def prefix_jaccard_pairs(
     # inner join with cand drops candidate-doc pairs that never shared a
     # prefix shingle; losslessness guarantees every true pair IS in cand
     return cand.join(exact, ["doc_a", "doc_b"], "inner")
+
+
+def scrub_token_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Remove flagged token spans in place — the cut half of
+    exact-substring dedup (Lee et al. remove duplicated spans, not
+    documents): given a (doc_id, span_start, span_end) frame from
+    :func:`duplicate_spans` (or :func:`self_repetition_spans`), returns
+    the input with ``tokens_col`` rebuilt WITHOUT the tokens whose
+    0-based position falls in any ``[span_start, span_end)``, plus
+    ``n_removed``. Docs with no spans pass through untouched.
+
+    Scale shape: the span frame collapses to ONE row per flagged doc
+    (collect_list bounded by spans-per-doc — already merged islands, so
+    dozens at worst), then a single equi-join against the corpus (AQE
+    broadcasts the flagged side when small — the common case) and a
+    MAP-ONLY positional ``F.filter`` rebuild: per token, an ``exists``
+    over the doc's span array. No explode of the corpus, no second
+    exchange.
+    """
+    sp = (
+        spans.groupBy(F.col(id_col))
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("span_start").alias("s"),
+                    F.col("span_end").alias("e"),
+                )
+            ).alias("_spans")
+        )
+    )
+    joined = df.join(sp, id_col, "left")
+    toks = F.col(tokens_col)
+    kept = F.when(F.col("_spans").isNull(), toks).otherwise(
+        F.filter(
+            toks,
+            lambda x, i: ~F.exists(
+                F.col("_spans"),
+                lambda sp_: (i >= sp_["s"]) & (i < sp_["e"]),
+            ),
+        )
+    )
+    out_cols = [c for c in df.columns if c != tokens_col]
+    return joined.select(
+        *[F.col(c) for c in out_cols],
+        kept.alias(tokens_col),
+        (F.size(toks) - F.size(kept)).cast("int").alias("n_removed"),
+    )

@@ -3342,3 +3342,59 @@ class TestBloomDecontaminateAndSignatures:
 
         with pytest.raises(ValueError, match="k must"):
             t.source_signature_terms(docs, k=0)
+
+
+class TestScrubTokenSpans:
+    def test_cuts_flagged_spans_only(self, spark):
+        from datatest_spark.operators.dedup import scrub_token_spans
+
+        df = spark.createDataFrame(
+            [
+                (1, [10, 11, 12, 13, 14, 15]),
+                (2, [20, 21, 22]),
+                (3, [30]),
+            ],
+            "doc_id long, tokens array<int>",
+        )
+        spans = spark.createDataFrame(
+            [(1, 1, 3), (1, 5, 6)],  # cut positions 1,2 and 5
+            "doc_id long, span_start int, span_end int",
+        )
+        rows = {r["doc_id"]: r for r in
+                scrub_token_spans(df, spans).collect()}
+        assert rows[1]["tokens"] == [10, 13, 14]
+        assert rows[1]["n_removed"] == 3
+        assert rows[2]["tokens"] == [20, 21, 22]
+        assert rows[2]["n_removed"] == 0
+        assert rows[3]["tokens"] == [30] and rows[3]["n_removed"] == 0
+
+    def test_composes_with_duplicate_spans(self, spark):
+        from datatest_spark.operators.dedup import (
+            duplicate_spans, scrub_token_spans,
+        )
+
+        # two docs share an 8-token run; a third is clean
+        shared = list(range(100, 108))
+        df = spark.createDataFrame(
+            [
+                (1, [1, 2] + shared + [3]),
+                (2, [4] + shared + [5, 6]),
+                (3, list(range(50, 60))),
+            ],
+            "doc_id long, tokens array<int>",
+        )
+        spans = duplicate_spans(df, k=8, min_docs=2, hashed=False)
+        out = {r["doc_id"]: r for r in
+               scrub_token_spans(df, spans).collect()}
+        assert out[1]["tokens"] == [1, 2, 3]
+        assert out[2]["tokens"] == [4, 5, 6]
+        assert out[3]["tokens"] == list(range(50, 60))
+        # no shared 8-gram survives
+        again = duplicate_spans(
+            spark.createDataFrame(
+                [(i, out[i]["tokens"]) for i in (1, 2, 3)],
+                "doc_id long, tokens array<int>",
+            ),
+            k=8, min_docs=2, hashed=False,
+        )
+        assert again.count() == 0
