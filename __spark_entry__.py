@@ -1175,9 +1175,10 @@ def q_scrub_token_spans(spark, sf_dir):
     """Span removal end-to-end (operators/dedup.scrub_token_spans over
     duplicate_spans): the word-length tokenization's duplicated k=8
     spans are cut from each doc; the rebuilt arrays are md5-hashed (as
-    comma-joined strings) for a compact value compare. The scrubbed
-    corpus is fixed-point: re-running duplicate_spans on it finds
-    nothing (pinned in tests)."""
+    comma-joined strings) for a compact value compare. One pass is not
+    a fixed point in general (cut junctions can splice new duplicated
+    k-grams — property-tested); iterate scrub -> scan, or pass
+    sep_token, when that matters."""
     from datatest_spark.operators.dedup import (
         duplicate_spans, scrub_token_spans,
     )
@@ -1744,8 +1745,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #   source_signatures    — newest; fixed-point scoring shares the
 #                          unigram-LM discipline
 #   scrub_token_spans    — cut stage over in-window duplicate_spans'
-#                          spans; fixed-point (re-scan finds nothing)
-#                          pinned in tests
+#                          spans; python-reference parity + iterative
+#                          convergence property-tested
 _DRIVER_WINDOW = (
     "token_run_quality", "vocab_topk", "ks_drift", "chi2_drift",
     "token_entropy", "source_shares", "pii_scan", "pii_scrub",

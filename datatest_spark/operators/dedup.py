@@ -1457,6 +1457,7 @@ def scrub_token_spans(
     spans: DataFrame,
     tokens_col: str = "tokens",
     id_col: str = "doc_id",
+    sep_token=None,
 ) -> DataFrame:
     """Remove flagged token spans in place — the cut half of
     exact-substring dedup (Lee et al. remove duplicated spans, not
@@ -1465,6 +1466,15 @@ def scrub_token_spans(
     the input with ``tokens_col`` rebuilt WITHOUT the tokens whose
     0-based position falls in any ``[span_start, span_end)``, plus
     ``n_removed``. Docs with no spans pass through untouched.
+
+    A cut splices the flanking tokens together, which can form NEW
+    k-grams that happen to repeat across documents — one pass is
+    therefore not a fixed point in general (property-tested; the same
+    holds for suffix-array ExactSubstr cuts). Two standard remedies,
+    both supported: pass ``sep_token`` to drop one separator token in
+    place of each removed span (no false adjacency reaches a trained
+    model), or iterate scrub -> scan to convergence (each pass removes
+    >= k tokens per flagged doc, so it terminates in <= n/k passes).
 
     Scale shape: the span frame collapses to ONE row per flagged doc
     (collect_list bounded by spans-per-doc — already merged islands, so
@@ -1487,18 +1497,45 @@ def scrub_token_spans(
     )
     joined = df.join(sp, id_col, "left")
     toks = F.col(tokens_col)
-    kept = F.when(F.col("_spans").isNull(), toks).otherwise(
-        F.filter(
+    if sep_token is None:
+        rebuilt = F.filter(
             toks,
             lambda x, i: ~F.exists(
                 F.col("_spans"),
                 lambda sp_: (i >= sp_["s"]) & (i < sp_["e"]),
             ),
         )
-    )
+    else:
+        # span start -> [sep], span interior -> [], else [token]; one
+        # flatten keeps it a single codegen'd projection. Array types
+        # come from the frame's own element type (slice of the tokens
+        # array), so int/long/string token columns all work unchanged.
+        arr_type = df.schema[tokens_col].dataType.simpleString()
+        sep_arr = F.array(F.lit(sep_token)).cast(arr_type)
+        empty_arr = F.array().cast(arr_type)
+        rebuilt = F.flatten(
+            F.transform(
+                toks,
+                lambda x, i: F.when(
+                    F.exists(F.col("_spans"), lambda sp_: sp_["s"] == i),
+                    sep_arr,
+                )
+                .when(
+                    F.exists(
+                        F.col("_spans"),
+                        lambda sp_: (i >= sp_["s"]) & (i < sp_["e"]),
+                    ),
+                    empty_arr,
+                )
+                .otherwise(F.array(x)),
+            )
+        )
+    kept = F.when(F.col("_spans").isNull(), toks).otherwise(rebuilt)
     out_cols = [c for c in df.columns if c != tokens_col]
     return joined.select(
         *[F.col(c) for c in out_cols],
         kept.alias(tokens_col),
+        # NET length change: with sep_token each cut span contributes
+        # span_len - 1 (the separator stays in the array)
         (F.size(toks) - F.size(kept)).cast("int").alias("n_removed"),
     )

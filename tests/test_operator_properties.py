@@ -338,3 +338,132 @@ class TestQualityBandsProperties:
             assert b1 <= b2
             if s1 == s2:
                 assert b1 == b2
+
+
+class TestScrubTokenSpansProperties:
+    @settings(max_examples=15, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow,
+                                     HealthCheck.function_scoped_fixture])
+    @given(st.lists(st.lists(st.integers(0, 3), min_size=8, max_size=24),
+                    min_size=2, max_size=8))
+    def test_python_reference_and_iterative_convergence(self, spark, docs):
+        """(a) Kept tokens equal a plain-Python rebuild of the same span
+        cuts; (b) one pass is NOT a fixed point in general (a cut
+        splices flanking tokens into new k-grams — this property test
+        originally FOUND that), but iterating scrub -> scan converges
+        in <= ceil(n/k) + 1 passes because each pass removes >= k
+        tokens per flagged doc."""
+        from datatest_spark.operators.dedup import (
+            duplicate_spans, scrub_token_spans,
+        )
+
+        k = 4
+        rows = [(i, d) for i, d in enumerate(docs)]
+        df = spark.createDataFrame(rows, "doc_id long, tokens array<int>")
+        spans = duplicate_spans(df, k=k, min_docs=2, hashed=False)
+        span_rows = spans.collect()
+        out = {r["doc_id"]: r for r in
+               scrub_token_spans(df, spans).collect()}
+
+        by_doc = {}
+        for r in span_rows:
+            by_doc.setdefault(r["doc_id"], []).append(
+                (r["span_start"], r["span_end"]))
+        for i, toks in rows:
+            cut = by_doc.get(i, [])
+            want = [t for j, t in enumerate(toks)
+                    if not any(s <= j < e for s, e in cut)]
+            assert out[i]["tokens"] == want
+            assert out[i]["n_removed"] == len(toks) - len(want)
+        # iterative convergence
+        cur = {i: out[i]["tokens"] for i, _ in rows}
+        max_passes = max(len(d) for d in docs) // k + 2
+        for _ in range(max_passes):
+            frame = spark.createDataFrame(
+                list(cur.items()), "doc_id long, tokens array<int>"
+            )
+            sp = duplicate_spans(frame, k=k, min_docs=2, hashed=False)
+            if sp.count() == 0:
+                break
+            cur = {r["doc_id"]: r["tokens"] for r in
+                   scrub_token_spans(frame, sp).collect()}
+        else:
+            raise AssertionError("scrub/scan did not converge")
+
+    def test_sep_token_marks_junctions(self, spark):
+        from datatest_spark.operators.dedup import scrub_token_spans
+
+        df = spark.createDataFrame(
+            [(1, [10, 11, 12, 13, 14, 15])],
+            "doc_id long, tokens array<int>",
+        )
+        spans = spark.createDataFrame(
+            [(1, 1, 3), (1, 5, 6)],
+            "doc_id long, span_start int, span_end int",
+        )
+        row = scrub_token_spans(df, spans, sep_token=-1).collect()[0]
+        assert row["tokens"] == [10, -1, 13, 14, -1]
+        assert row["n_removed"] == 1  # 3 removed, 2 separators inserted
+
+
+class TestWeightedSampleProperties:
+    @settings(max_examples=15, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow,
+                                     HealthCheck.function_scoped_fixture])
+    @given(
+        st.lists(st.integers(1, 1000), min_size=1, max_size=30),
+        st.integers(0, 10),
+        st.integers(1, 8),
+    )
+    def test_matches_python_priority_sampling(self, spark, weights, seed, n):
+        """The kept set equals a plain-Python replay of priority
+        sampling with the same md5-derived u — the draw is a pure
+        function of (id, seed, weight)."""
+        import hashlib
+
+        from datatest_spark.operators.packing import weighted_sample
+
+        rows = [(i, "g", w) for i, w in enumerate(weights)]
+        df = spark.createDataFrame(
+            rows, "doc_id long, source string, w int"
+        )
+        got = {r["doc_id"] for r in weighted_sample(
+            df, n, weight_col="w", hash_fn="md5", seed=seed).collect()}
+
+        def prio(i, w):
+            h = int(hashlib.md5(
+                ("%d#%d" % (i, seed)).encode()).hexdigest()[:4], 16)
+            return w / ((h + 1) / 65536.0)
+
+        want = {i for i, _, w in sorted(
+            rows, key=lambda r: (-prio(r[0], r[2]), r[0]))[:n]}
+        assert got == want
+
+
+class TestBloomProperties:
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow,
+                                     HealthCheck.function_scoped_fixture])
+    @given(
+        st.lists(st.text(alphabet="abcdef ", min_size=5, max_size=40),
+                 min_size=1, max_size=10),
+        st.sampled_from(["md5", "xxhash64"]),
+    )
+    def test_never_false_negative(self, spark, texts, hash_fn):
+        """Any doc sharing a shingle with the benchmark MUST be flagged,
+        under either hash path — the Bloom guarantee that makes the
+        survivors filter safe."""
+        from datatest_spark.operators.decontam import (
+            bloom_contamination, contamination,
+        )
+
+        rows = [(i, t) for i, t in enumerate(texts)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        bench = df.limit(max(1, len(rows) // 2))
+        corpus = df
+        exact = {r["doc_id"] for r in
+                 contamination(corpus, bench, k=2).collect()}
+        bloom = {r["doc_id"] for r in bloom_contamination(
+            corpus, bench, k=2, m_bits=1 << 10, n_hashes=3,
+            hash_fn=hash_fn).collect()}
+        assert exact <= bloom

@@ -3389,7 +3389,9 @@ class TestScrubTokenSpans:
         assert out[1]["tokens"] == [1, 2, 3]
         assert out[2]["tokens"] == [4, 5, 6]
         assert out[3]["tokens"] == list(range(50, 60))
-        # no shared 8-gram survives
+        # on THIS fixture the remainders are unique, so one pass
+        # converges (not true in general: cut junctions can splice new
+        # duplicated k-grams — see the property test)
         again = duplicate_spans(
             spark.createDataFrame(
                 [(i, out[i]["tokens"]) for i in (1, 2, 3)],
