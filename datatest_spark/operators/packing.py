@@ -703,6 +703,12 @@ def epoch_shuffle(
     """
     if num_shards < 1:
         raise ValueError("num_shards must be >= 1, got %r" % (num_shards,))
+    clash = {"shard", "pos", "_h", "_shard"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            "epoch_shuffle writes columns %s; rename or drop the "
+            "conflicting input columns first" % sorted(clash)
+        )
     if hash_fn == "md5":
         h = F.conv(
             F.substring(
@@ -780,6 +786,12 @@ def length_bucket_batches(
         raise ValueError(
             "bucket_edges must be non-empty and strictly increasing, "
             "got %r" % (bucket_edges,)
+        )
+    clash = {"bucket", "shard", "_h"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            "length_bucket_batches writes columns %s; rename or drop "
+            "the conflicting input columns first" % sorted(clash)
         )
     L = F.col(length_col).cast("long")
     bucket = F.lit(len(bucket_edges))

@@ -3400,3 +3400,16 @@ class TestScrubTokenSpans:
             k=8, min_docs=2, hashed=False,
         )
         assert again.count() == 0
+
+
+class TestPackingColumnClashGuards:
+    def test_epoch_shuffle_and_buckets_reject_clashes(self, spark):
+        from datatest_spark.operators import packing
+
+        df = spark.createDataFrame(
+            [(1, 5, 0)], "doc_id long, n_tok int, shard int"
+        )
+        with pytest.raises(ValueError, match="epoch_shuffle writes"):
+            packing.epoch_shuffle(df)
+        with pytest.raises(ValueError, match="length_bucket_batches"):
+            packing.length_bucket_batches(df, batch_size=4)
