@@ -2866,8 +2866,10 @@ def oracle_sql() -> dict[str, str]:
             TF AS (SELECT source, token, COUNT(*) AS tf FROM T
                    GROUP BY 1, 2),
             GD AS (SELECT token, COUNT(*) AS gdf FROM TF GROUP BY 1),
-            G AS (SELECT COUNT(DISTINCT source) AS n_groups
-                  FROM documents),
+            -- G = groups with at least one token (the engine derives
+            -- it from the aggregated tf frame; identical here, and the
+            -- right idf denominator when a group is token-empty)
+            G AS (SELECT COUNT(DISTINCT source) AS n_groups FROM TF),
             S AS (
                 SELECT tf.source, tf.token, tf.tf, gd.gdf,
                        tf.tf * CAST(FLOOR(LOG2((g.n_groups + 1.0)

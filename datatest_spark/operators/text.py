@@ -1164,7 +1164,8 @@ def source_signature_terms(
     different" audit: terms frequent in a group but present in few
     other groups score high; boilerplate shared by every group scores
     exactly zero. Returns (source, token, tf, gdf, score, rank) — gdf =
-    number of groups containing the token, score = tf * idf with
+    number of groups containing the token (G counts groups with at
+    least one token), score = tf * idf with
     idf = floor(log2((G+1)/(gdf+1)) * 2^scale_bits) as a FIXED-POINT
     bigint (the unigram-LM discipline): tf and idf are exact integers,
     so scores are associative, parallelism-invariant, and bit-identical
@@ -1187,8 +1188,10 @@ def source_signature_terms(
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     gdf = tf.groupBy("token").agg(F.count(F.lit(1)).alias("gdf"))
-    groups = df.select(
-        F.countDistinct(F.col(group_col)).alias("_n_groups")
+    # |groups| from the ALREADY-AGGREGATED tf frame (vocab-bounded), not
+    # a second scan of the corpus
+    groups = tf.select(
+        F.countDistinct(F.col("source")).alias("_n_groups")
     )
     scored = (
         tf.join(gdf, "token")
