@@ -1040,6 +1040,32 @@ def q_mojibake_scan(spark, sf_dir):
     return t.mojibake_scan(seeded, max_bad_frac=0.002)
 
 
+def q_lang_mix(spark, sf_dir):
+    """Per-paragraph language composition (operators/text.
+    lang_mix_profile): every 5th doc gets a Spanish paragraph appended
+    (every 10th a second one), so the profile must flag them mixed with
+    the right majority under the deterministic tie-break. MAP-ONLY:
+    split + per-paragraph lang_id + array-arithmetic majority vote."""
+    from datatest_spark.operators import text as t
+
+    d = _t(spark, sf_dir, "documents")
+    seeded = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.lit("\nel la de que y en la casa"),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 10 == 0,
+                F.lit("\nque y el de la y que"),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return t.lang_mix_profile(seeded)
+
+
 def q_unigram_logloss(spark, sf_dir):
     """CCNet-style unigram LM quality score
     (operators/text.unigram_logloss): per-doc cross-entropy in
@@ -1747,6 +1773,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #   scrub_token_spans    — cut stage over in-window duplicate_spans'
 #                          spans; python-reference parity + iterative
 #                          convergence property-tested
+#   lang_mix             — per-paragraph composition of the in-window
+#                          langid heuristic (oracle GENERATED from the
+#                          same STOPWORDS table)
 _DRIVER_WINDOW = (
     "token_run_quality", "vocab_topk", "ks_drift", "chi2_drift",
     "token_entropy", "source_shares", "pii_scan", "pii_scrub",
@@ -1861,6 +1890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_hits": q_contamination_hits,
         "bloom_survivors": q_bloom_survivors,
         "source_signatures": q_source_signatures,
+        "lang_mix": q_lang_mix,
         "range_join_windows": q_range_join_windows,
         "exact_dup_groups": q_exact_dup_groups,
         "minhash_signatures": q_minhash_signatures,
@@ -2050,6 +2080,79 @@ ROUND((
      / GREATEST(LENGTH(text), 1))
 ) / 2.0, 4)
 """
+
+
+
+def _lang_mix_oracle_sql():
+    """Paragraph-level mirror of the lang_id heuristic: generated from
+    the SAME STOPWORDS table the engine uses, so the two can never
+    drift. Majority tie-break = smallest lang (ROW_NUMBER lang ASC),
+    matching both lang_id's first-sorted-winner rule and the engine's
+    array_min struct vote."""
+    from datatest_spark.operators.text import STOPWORDS
+
+    langs = sorted(STOPWORDS)
+    scores = []
+    for lang in langs:
+        cases = "\n       + ".join(
+            "CASE WHEN p LIKE '% {0} %' THEN 1 ELSE 0 END".format(w)
+            for w in STOPWORDS[lang]
+        )
+        scores.append("({0}) AS h_{1}".format(cases, lang))
+    greatest = "GREATEST({0})".format(
+        ", ".join("h_" + lang for lang in langs)
+    )
+    whens = "\n            ".join(
+        "WHEN h_{0} > 0 AND h_{0} = {1} THEN '{0}'".format(lang, greatest)
+        for lang in langs
+    )
+    return """
+        WITH S AS (
+            SELECT doc_id,
+                   text
+                   || CASE WHEN doc_id % 5 = 0
+                           THEN chr(10) || 'el la de que y en la casa'
+                           ELSE '' END
+                   || CASE WHEN doc_id % 10 = 0
+                           THEN chr(10) || 'que y el de la y que'
+                           ELSE '' END AS text
+            FROM documents
+        ),
+        P0 AS (
+            SELECT doc_id, UNNEST(string_split_regex(text, '\n+')) AS para
+            FROM S
+        ),
+        P AS (
+            SELECT doc_id, ' ' || para || ' ' AS p
+            FROM P0 WHERE len(trim(para)) >= 1
+        ),
+        SC AS (SELECT doc_id, {scores} FROM P),
+        L AS (
+            SELECT doc_id, CASE {whens} ELSE 'und' END AS lang FROM SC
+        ),
+        CNT AS (SELECT doc_id, lang, COUNT(*) AS c FROM L GROUP BY 1, 2),
+        NP AS (
+            SELECT doc_id, COUNT(*) AS n_paragraphs,
+                   COUNT(DISTINCT lang) AS n_langs
+            FROM L GROUP BY 1
+        ),
+        MAJ AS (
+            SELECT doc_id, lang, c,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                       ORDER BY c DESC, lang ASC) AS rk
+            FROM CNT
+        )
+        SELECT s.doc_id,
+               COALESCE(np.n_paragraphs, 0) AS n_paragraphs,
+               m.lang AS majority_lang,
+               ROUND(m.c * 1.0 / np.n_paragraphs, 6) AS majority_frac,
+               COALESCE(np.n_langs, 0) AS n_langs,
+               COALESCE(np.n_langs > 1, FALSE) AS mixed
+        FROM (SELECT DISTINCT doc_id FROM S) s
+        LEFT JOIN NP np ON s.doc_id = np.doc_id
+        LEFT JOIN (SELECT * FROM MAJ WHERE rk = 1) m
+          ON s.doc_id = m.doc_id
+    """.format(scores=",\n            ".join(scores), whens=whens)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2886,6 +2989,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, token, tf, gdf, score, rank
             FROM R WHERE rank <= 5
         """,
+        "lang_mix": _lang_mix_oracle_sql(),
         "bloom_decontam": """
             -- exact mirror of the Bloom probe: h1/h2 from disjoint
             -- 60-bit md5 halves, h2 forced odd, 5 double-hash probes

@@ -1218,3 +1218,61 @@ def source_signature_terms(
         .where(F.col("rank") <= k)
         .select("source", "token", "tf", "gdf", "score", "rank")
     )
+
+
+def lang_mix_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    split: str = "\\n+",
+    min_chars: int = 1,
+) -> DataFrame:
+    """Per-document language composition over paragraphs — the
+    mixed-language detector: a web page with an English body and a
+    Spanish boilerplate footer poisons monolingual training slices, and
+    whole-doc language ID (majority stopwords) cannot see it. Returns
+    (id, n_paragraphs, majority_lang, majority_frac, n_langs, mixed).
+
+    Paragraphs = ``split`` regex segments with >= ``min_chars``
+    non-blank chars; each is classified by :func:`lang_id` (same
+    heuristic, same tie-break). The majority is the most frequent
+    paragraph language, ties to the lexicographically smallest (the
+    deterministic oracle order); ``mixed`` = more than one distinct
+    language. Null/empty text yields 0 paragraphs, null majority,
+    mixed=false.
+
+    Scale shape: MAP-ONLY — split, per-paragraph ``lang_id`` inside an
+    ``F.transform``, and the majority vote as array arithmetic
+    (array_min over (-count, lang) structs); no explode, no exchange, a
+    10^12-row scan stays a scan.
+    """
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    paras = F.filter(
+        F.coalesce(F.split(t, split), F.array().cast("array<string>")),
+        lambda p: F.length(F.trim(p)) >= F.lit(int(min_chars)),
+    )
+    langs = F.transform(paras, lambda p: lang_id(p))
+    n_paras = F.size(langs)
+    distinct_langs = F.array_distinct(langs)
+    best = F.array_min(
+        F.transform(
+            distinct_langs,
+            lambda l: F.struct(
+                (-F.size(F.filter(langs, lambda x: x == l))).alias("nc"),
+                l.alias("lang"),
+            ),
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        n_paras.cast("long").alias("n_paragraphs"),
+        F.when(n_paras > 0, best["lang"]).alias("majority_lang"),
+        F.when(
+            n_paras > 0,
+            F.round((-best["nc"]).cast("double") / n_paras, 6),
+        ).alias("majority_frac"),
+        F.coalesce(F.size(distinct_langs), F.lit(0))
+        .cast("long")
+        .alias("n_langs"),
+        F.coalesce(F.size(distinct_langs) > 1, F.lit(False)).alias("mixed"),
+    )

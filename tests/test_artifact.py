@@ -116,6 +116,7 @@ def test_driver_window_holds_every_value_oracled_query_once():
         "lsh_candidate_pairs", "bloom_survivors", "padding_audit",
         "source_signatures", "scrub_paragraphs", "quality_bands_approx",
         "accepted_keys", "accepted_args", "scrub_token_spans",
+        "lang_mix",
     }
     import glob
 

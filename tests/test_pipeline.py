@@ -3413,3 +3413,45 @@ class TestPackingColumnClashGuards:
             packing.epoch_shuffle(df)
         with pytest.raises(ValueError, match="length_bucket_batches"):
             packing.length_bucket_batches(df, batch_size=4)
+
+
+class TestLangMixProfile:
+    def test_mixed_doc_detected(self, spark):
+        from datatest_spark.operators import text as t
+
+        df = spark.createDataFrame(
+            [
+                (1, "the cat and the dog of a to\nel la de que y el la"),
+                (2, "the cat and the dog"),
+                (3, None),
+                (4, "   \n  "),
+                (5, "el la de que y\nel la de que y\nthe cat and a dog"),
+            ],
+            "doc_id long, text string",
+        )
+        rows = {r["doc_id"]: r for r in t.lang_mix_profile(df).collect()}
+        assert rows[1]["mixed"] is True and rows[1]["n_langs"] == 2
+        # tie at 1-1 resolves to the lexicographically smallest lang
+        assert rows[1]["majority_lang"] == "en"
+        assert rows[1]["majority_frac"] == 0.5
+        assert rows[2] == (2, 1, "en", 1.0, 1, False)
+        assert rows[3]["n_paragraphs"] == 0
+        assert rows[3]["majority_lang"] is None and rows[3]["mixed"] is False
+        assert rows[4]["n_paragraphs"] == 0
+        assert rows[5]["majority_lang"] == "es"
+        assert rows[5]["majority_frac"] == round(2 / 3, 6)
+
+    def test_agrees_with_doc_level_langid_on_single_paragraph(
+        self, spark, docs
+    ):
+        from datatest_spark.operators import text as t
+
+        single = docs.filter(~F.col("text").contains("\n")).limit(50)
+        mix = t.lang_mix_profile(single).select("doc_id", "majority_lang")
+        whole = single.select(
+            "doc_id", t.lang_id().alias("lang")
+        )
+        bad = mix.join(whole, "doc_id").filter(
+            F.col("majority_lang") != F.col("lang")
+        ).count()
+        assert bad == 0
