@@ -906,6 +906,22 @@ def q_chi2_drift(spark, sf_dir):
     ).select(F.col("group").alias("source"), "chi2", "dof", "novel_buckets")
 
 
+def q_emd_drift(spark, sf_dir):
+    """Binned Wasserstein-1 (earth-mover) drift per source vs src0
+    baseline (operators/drift.emd_from_histogram) on n_chars: integer
+    cumulative counts, one division per CDF value, |difference| terms
+    summed in bucket order and scaled by bin width once — so DuckDB
+    reproduces the doubles bit-for-bit. Completes the drift family with
+    the lens that scales with HOW FAR mass moved (KL/PSI: mass-weighted;
+    KS: worst boundary; chi2: testable null)."""
+    from datatest_spark.operators import drift
+
+    d = _t(spark, sf_dir, "documents")
+    return drift.emd_from_histogram(
+        d, "n_chars", "source", "src0", lo=0.0, hi=1000.0, nbins=10
+    ).select(F.col("group").alias("source"), "emd")
+
+
 def q_token_entropy(spark, sf_dir):
     """Per-sequence unigram entropy + type-token ratio
     (operators/text.token_entropy) over the deterministic word-length
@@ -1804,6 +1820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": q_vocab_topk,
         "ks_drift": q_ks_drift,
         "chi2_drift": q_chi2_drift,
+        "emd_drift": q_emd_drift,
         "token_entropy": q_token_entropy,
         "source_shares": q_source_shares,
         "pii_scan": q_pii_scan,
@@ -3182,6 +3199,42 @@ def oracle_sql() -> dict[str, str]:
                      WHERE grp = 'src0')
             SELECT cd.grp AS source, ROUND(MAX(ABS(cd.cdf - base_cdf)), 4)
                        AS ks
+            FROM CD cd JOIN BASE USING (bucket) GROUP BY 1
+        """,
+        "emd_drift": """
+            WITH C AS (
+                SELECT COALESCE(source, '__null__') AS grp,
+                       CASE WHEN CAST(n_chars AS DOUBLE) < 0.0 THEN 0
+                            WHEN CAST(n_chars AS DOUBLE) >= 1000.0 THEN 11
+                            ELSE CAST(FLOOR(CAST(n_chars AS DOUBLE) * 10.0
+                                            / 1000.0) AS INT) + 1
+                       END AS bucket,
+                       COUNT(*) AS n
+                FROM documents WHERE n_chars IS NOT NULL
+                GROUP BY 1, 2
+            ),
+            G AS (SELECT DISTINCT grp FROM C),
+            B AS (SELECT UNNEST(range(0, 12)) AS bucket),
+            D AS (
+                SELECT g.grp, b.bucket, COALESCE(c.n, 0) AS n
+                FROM G g CROSS JOIN B b
+                LEFT JOIN C c ON c.grp = g.grp AND c.bucket = b.bucket
+            ),
+            CU AS (
+                SELECT grp, bucket,
+                       SUM(n) OVER (PARTITION BY grp ORDER BY bucket) AS cum_n
+                FROM D
+            ),
+            TT AS (SELECT grp, MAX(cum_n) AS tot FROM CU GROUP BY grp),
+            CD AS (
+                SELECT cu.grp, cu.bucket, cum_n * 1.0 / tot AS cdf
+                FROM CU cu JOIN TT USING (grp)
+            ),
+            BASE AS (SELECT bucket, cdf AS base_cdf FROM CD
+                     WHERE grp = 'src0')
+            SELECT cd.grp AS source,
+                   ROUND(SUM(ABS(cd.cdf - base_cdf) ORDER BY cd.bucket)
+                         * 100.0, 4) AS emd
             FROM CD cd JOIN BASE USING (bucket) GROUP BY 1
         """,
         "chi2_drift": """

@@ -397,3 +397,68 @@ def chi2_from_histogram(
         (F.sum("_used") - F.lit(1)).cast("long").alias("dof"),
         F.sum("_novel").cast("long").alias("novel_buckets"),
     )
+
+
+def emd_from_histogram(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    baseline_group: str,
+    lo: float,
+    hi: float,
+    nbins: int = 10,
+) -> DataFrame:
+    """Binned Wasserstein-1 (earth-mover) distance per group vs a
+    baseline group: ``sum_b |CDF_g(b) - CDF_base(b)| * bin_width``.
+
+    The fourth drift lens: KL/PSI weight by probability mass (blind to
+    HOW FAR mass moved), KS takes the single worst boundary, chi-square
+    has a testable null — EMD is the one that scales with the DISTANCE
+    the distribution shifted, so "every document got 5% longer" reads
+    differently from "5% of documents doubled". On the clamped grid the
+    under/overflow buckets carry one ``bin_width`` step like any other
+    (documented approximation; widen [lo, hi) if tail mass matters).
+
+    Cross-engine determinism: cumulative sums run on integer counts with
+    ONE division per CDF value; |difference| terms are summed in BUCKET
+    ORDER on both engines (here ``F.aggregate`` over a bucket-sorted
+    array, DuckDB ``SUM(term ORDER BY bucket)``) and multiplied by the
+    width once at the end, so the doubles match bit-for-bit before the
+    final round.
+
+    Scale shape: identical to ``ks_from_histogram`` — one map-side
+    combinable (group, bucket) aggregation over the scan, then all
+    arithmetic on the dense |groups| x (nbins+2) grid. Returns
+    (group, emd); the baseline group's own emd is 0.0 by construction.
+    """
+    dense = _dense_counts(df, value_col, group_col, lo, hi, nbins)
+    w = Window.partitionBy("group").orderBy("bucket")
+    cum = dense.withColumn("cum_n", F.sum("n").over(w))
+    totals = cum.groupBy("group").agg(F.max("cum_n").alias("_tot"))
+    cdf = cum.join(totals, "group").select(
+        "group", "bucket", (F.col("cum_n") / F.col("_tot")).alias("cdf")
+    )
+    base = cdf.where(F.col("group") == baseline_group).select(
+        "bucket", F.col("cdf").alias("_base_cdf")
+    )
+    guarded = _absent_baseline_guard(
+        F.col("_base_cdf"), baseline_group, "emd_from_histogram", "double"
+    )
+    width = (float(hi) - float(lo)) / int(nbins)
+    per = cdf.join(F.broadcast(base), "bucket", "left").select(
+        "group",
+        F.struct(
+            F.col("bucket"), F.abs(F.col("cdf") - guarded).alias("term")
+        ).alias("_bt_term"),
+    )
+    return per.groupBy("group").agg(
+        F.round(
+            F.aggregate(
+                F.array_sort(F.collect_list("_bt_term")),
+                F.lit(0.0),
+                lambda a, x: a + x["term"],
+            )
+            * F.lit(width),
+            4,
+        ).alias("emd")
+    )

@@ -1937,6 +1937,54 @@ class TestVocabAndKs:
                 df, "x", "source", "nope", lo=0.0, hi=10.0, nbins=5
             ).collect()
 
+    def test_emd_scales_with_shift_distance(self, spark):
+        from datatest_spark.operators import drift
+
+        # KS reads 1.0 for ANY fully-separated pair; EMD must grow with
+        # the distance the mass moved: a one-bucket shift (100 units)
+        # vs a nine-bucket shift (900 units).
+        base = [("base", 50.0)] * 4
+        near = [("near", 150.0)] * 4
+        far = [("far", 950.0)] * 4
+        df = spark.createDataFrame(base + near + far, "source string, x double")
+        emd = {
+            r["group"]: r["emd"]
+            for r in drift.emd_from_histogram(
+                df, "x", "source", "base", lo=0.0, hi=1000.0, nbins=10
+            ).collect()
+        }
+        assert emd["base"] == 0.0
+        assert emd["near"] == 100.0
+        assert emd["far"] == 900.0
+
+    def test_emd_missing_bucket_carries_cdf(self, spark):
+        from datatest_spark.operators import drift
+
+        # same dense-grid trap as KS: group 'g' sits in bucket 1,
+        # baseline splits between buckets 1 and 10 -> |CDF diff| = 0.5
+        # across the 8 empty interior buckets plus bucket 1 itself,
+        # 9 * 0.5 * 100 = 450; a sparse join would read 0.
+        df = spark.createDataFrame(
+            [("b", 50.0), ("b", 950.0), ("g", 50.0), ("g", 60.0)],
+            "source string, x double",
+        )
+        emd = {
+            r["group"]: r["emd"]
+            for r in drift.emd_from_histogram(
+                df, "x", "source", "b", lo=0.0, hi=1000.0, nbins=10
+            ).collect()
+        }
+        assert emd["g"] == 450.0
+
+    def test_emd_missing_baseline_raises(self, spark):
+        from datatest_spark.operators import drift
+
+        df = spark.createDataFrame([("a", 1.0)], "source string, x double")
+        with pytest.raises(Exception, match="baseline_group"):
+            drift.emd_from_histogram(
+                df, "x", "source", "nope", lo=0.0, hi=10.0, nbins=5
+            ).collect()
+
 
 class TestBigramLM:
     def _df(self, spark):
