@@ -922,6 +922,21 @@ def q_emd_drift(spark, sf_dir):
     ).select(F.col("group").alias("source"), "emd")
 
 
+def q_corr_length_words(spark, sf_dir):
+    """Per-source Pearson correlation between n_chars and whitespace
+    word count (operators/stats.group_corr): fixed-point integer sums
+    (associative, parallelism-invariant) with the final r/slope/
+    intercept as a fixed IEEE op sequence mirrored verbatim in the
+    oracle — unlike built-in corr(), whose streaming doubles depend on
+    partition order. The audit for 'is this signal just length?'."""
+    from datatest_spark.operators import stats, text
+
+    d = _t(spark, sf_dir, "documents")
+    return stats.group_corr(
+        d, "n_chars", text.token_count("text"), "source"
+    ).select(F.col("group").alias("source"), "n", "corr", "slope", "intercept")
+
+
 def q_token_entropy(spark, sf_dir):
     """Per-sequence unigram entropy + type-token ratio
     (operators/text.token_entropy) over the deterministic word-length
@@ -1821,6 +1836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_drift": q_ks_drift,
         "chi2_drift": q_chi2_drift,
         "emd_drift": q_emd_drift,
+        "corr_length_words": q_corr_length_words,
         "token_entropy": q_token_entropy,
         "source_shares": q_source_shares,
         "pii_scan": q_pii_scan,
@@ -3200,6 +3216,46 @@ def oracle_sql() -> dict[str, str]:
             SELECT cd.grp AS source, ROUND(MAX(ABS(cd.cdf - base_cdf)), 4)
                        AS ks
             FROM CD cd JOIN BASE USING (bucket) GROUP BY 1
+        """,
+        "corr_length_words": """
+            WITH V AS (
+                SELECT COALESCE(source, '__null__') AS grp,
+                       CAST(FLOOR(CAST(n_chars AS DOUBLE) * 1.0) AS BIGINT)
+                           AS x,
+                       CAST(FLOOR(CAST(LEN(string_split(text, ' '))
+                                       AS DOUBLE) * 1.0) AS BIGINT) AS y
+                FROM documents
+                WHERE n_chars IS NOT NULL AND text IS NOT NULL
+            ),
+            A AS (
+                SELECT grp, COUNT(*) AS n,
+                       CAST(SUM(x) AS BIGINT) AS sx,
+                       CAST(SUM(y) AS BIGINT) AS sy,
+                       CAST(SUM(x * x) AS BIGINT) AS sxx,
+                       CAST(SUM(y * y) AS BIGINT) AS syy,
+                       CAST(SUM(x * y) AS BIGINT) AS sxy
+                FROM V GROUP BY grp
+            ),
+            M AS (
+                SELECT grp, n,
+                       CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+                       CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS dx,
+                       CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS dy,
+                       CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+                FROM A
+            )
+            SELECT grp AS source, n,
+                   ROUND(CASE WHEN n >= 2 AND dx > 0 AND dy > 0
+                              THEN num / SQRT(dx * dy) END, 6) AS corr,
+                   ROUND(CASE WHEN n >= 2 AND dx > 0
+                              THEN num / dx END, 6) AS slope,
+                   ROUND(CASE WHEN n >= 2 AND dx > 0
+                              THEN (syd - (num / dx) * sxd)
+                                   / CAST(n AS DOUBLE) END, 6) AS intercept
+            FROM M
         """,
         "emd_drift": """
             WITH C AS (

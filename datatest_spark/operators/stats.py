@@ -463,3 +463,79 @@ def mad_outliers(
             F.round(z, 4).alias("robust_z"),
         )
     )
+
+
+def group_corr(
+    df: DataFrame,
+    x_col,
+    y_col,
+    group_col: str = "source",
+    scale_bits: int = 0,
+) -> DataFrame:
+    """Per-group Pearson correlation + least-squares line between two
+    numeric columns from FIXED-POINT integer sums — the audit that says
+    whether a quality signal is just length in disguise (corr(quality,
+    n_chars) ≈ 1 means the "quality" gate is a length gate), or whether
+    token count tracks characters the way the tokenizer promised.
+
+    Built-in ``corr()`` streams doubles, so its result depends on
+    partition order; here every moment (n, Σx, Σy, Σx², Σy², Σxy) is an
+    exact BIGINT after ``floor(v·2^scale_bits)`` quantization
+    (``scale_bits=0`` for already-integer columns) — associative,
+    parallelism-invariant, and bit-identical to the DuckDB oracle. The
+    final r/slope/intercept are a fixed sequence of IEEE double ops over
+    those integers (num = n·Σxy − Σx·Σy; r = num/sqrt(dx·dy);
+    slope = num/dx; intercept = (Σy − slope·Σx)/n), mirrored verbatim in
+    SQL, so even the doubles match bit-for-bit before the round.
+
+    Rows where either value is null are excluded (pairwise deletion);
+    null groups coalesce to ``'__null__'`` (histogram convention).
+    Groups with n < 2 or zero variance in either column yield NULL
+    r/slope — never a division blow-up.
+
+    Scale shape: ONE map-side-combinable aggregation over the scan
+    (six integer sums), all arithmetic on |groups| rows. Exactness
+    bound: sums stay exact while |Σ| < 2^63 and convert exactly to
+    double below 2^53 — at 10^12 rows keep |v·2^scale_bits| under ~2^21
+    (e.g. corpus lengths at scale_bits=0) or shard by a finer group.
+    """
+    gx = F.col(x_col) if isinstance(x_col, str) else x_col
+    gy = F.col(y_col) if isinstance(y_col, str) else y_col
+    mult = float(2 ** int(scale_bits))
+    xi = F.floor(gx.cast("double") * F.lit(mult)).cast("long")
+    yi = F.floor(gy.cast("double") * F.lit(mult)).cast("long")
+    agg = (
+        df.where(gx.isNotNull() & gy.isNotNull())
+        .select(
+            F.coalesce(F.col(group_col).cast("string"), F.lit("__null__"))
+            .alias("group"),
+            xi.alias("_x"),
+            yi.alias("_y"),
+        )
+        .groupBy("group")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_x").alias("_sx"),
+            F.sum("_y").alias("_sy"),
+            F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+            F.sum(F.col("_y") * F.col("_y")).alias("_syy"),
+            F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    num = nd * F.col("_sxy").cast("double") - sx * sy
+    dx = nd * F.col("_sxx").cast("double") - sx * sx
+    dy = nd * F.col("_syy").cast("double") - sy * sy
+    ok = (F.col("n") >= 2) & (dx > 0) & (dy > 0)
+    slope = F.when((F.col("n") >= 2) & (dx > 0), num / dx)
+    return agg.select(
+        "group",
+        "n",
+        F.round(F.when(ok, num / F.sqrt(dx * dy)), 6).alias("corr"),
+        F.round(slope, 6).alias("slope"),
+        F.round(
+            F.when((F.col("n") >= 2) & (dx > 0), (sy - slope * sx) / nd), 6
+        ).alias("intercept"),
+    )

@@ -2433,6 +2433,65 @@ class TestQualityBands:
         assert rows[2] == 1 and rows[3] == 1
 
 
+class TestGroupCorr:
+    def test_perfect_lines(self, spark):
+        from datatest_spark.operators.stats import group_corr
+
+        rows = [("a", x, 3 * x + 2) for x in range(1, 6)]
+        rows += [("b", x, 10 - 2 * x) for x in range(1, 6)]
+        df = spark.createDataFrame(rows, "source string, x long, y long")
+        out = {r["group"]: r for r in group_corr(df, "x", "y").collect()}
+        assert out["a"]["corr"] == 1.0 and out["a"]["slope"] == 3.0
+        assert out["a"]["intercept"] == 2.0
+        assert out["b"]["corr"] == -1.0 and out["b"]["slope"] == -2.0
+
+    def test_zero_variance_and_small_n_are_null(self, spark):
+        from datatest_spark.operators.stats import group_corr
+
+        df = spark.createDataFrame(
+            [("c", 5, 1), ("c", 5, 2), ("c", 5, 3),  # x constant
+             ("d", 1, 9)],                            # n = 1
+            "source string, x long, y long",
+        )
+        out = {r["group"]: r for r in group_corr(df, "x", "y").collect()}
+        assert out["c"]["corr"] is None and out["c"]["slope"] is None
+        assert out["d"]["corr"] is None and out["d"]["n"] == 1
+
+    def test_pairwise_null_deletion_and_null_group(self, spark):
+        from datatest_spark.operators.stats import group_corr
+
+        df = spark.createDataFrame(
+            [(None, 1.0, 2.0), (None, 2.0, 4.0), (None, 3.0, None),
+             (None, None, 8.0)],
+            "source string, x double, y double",
+        )
+        out = group_corr(df, "x", "y").collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r["group"] == "__null__" and r["n"] == 2 and r["corr"] == 1.0
+
+    def test_scale_bits_quantizes_fractions(self, spark):
+        from datatest_spark.operators.stats import group_corr
+
+        # x in quarter steps: exact at scale_bits=2 (x*4 integral).
+        # Both columns scale by 2^bits, so the slope stays in RAW
+        # units: y = i on x = 0.25*i -> dy/dx = 4.
+        rows = [("a", 0.25 * i, float(i)) for i in range(1, 9)]
+        df = spark.createDataFrame(rows, "source string, x double, y double")
+        r = group_corr(df, "x", "y", scale_bits=2).collect()[0]
+        assert r["corr"] == 1.0 and r["slope"] == 4.0
+
+    def test_parallelism_invariance(self, spark):
+        from datatest_spark.operators.stats import group_corr
+
+        rows = [("g%d" % (i % 3), i * 7 % 23, i * 13 % 29)
+                for i in range(200)]
+        df = spark.createDataFrame(rows, "source string, x long, y long")
+        a = sorted(map(tuple, group_corr(df.coalesce(1), "x", "y").collect()))
+        b = sorted(map(tuple, group_corr(df.repartition(16), "x", "y").collect()))
+        assert a == b
+
+
 class TestMadOutliers:
     def test_hand_example(self, spark):
         from datatest_spark.operators.stats import mad_outliers
