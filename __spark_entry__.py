@@ -922,6 +922,17 @@ def q_emd_drift(spark, sf_dir):
     ).select(F.col("group").alias("source"), "emd")
 
 
+def q_readability(spark, sf_dir):
+    """Per-doc Flesch Reading Ease + Flesch-Kincaid grade
+    (operators/text.readability_profile): three RE2∩Java regexp_count
+    integers, single divisions, published-constant score expressions in
+    one fixed IEEE op order — bit-exact vs DuckDB. MAP-ONLY scan."""
+    from datatest_spark.operators import text
+
+    d = _t(spark, sf_dir, "documents")
+    return text.readability_profile(d)
+
+
 def q_corr_length_words(spark, sf_dir):
     """Per-source Pearson correlation between n_chars and whitespace
     word count (operators/stats.group_corr): fixed-point integer sums
@@ -1837,6 +1848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chi2_drift": q_chi2_drift,
         "emd_drift": q_emd_drift,
         "corr_length_words": q_corr_length_words,
+        "readability": q_readability,
         "token_entropy": q_token_entropy,
         "source_shares": q_source_shares,
         "pii_scan": q_pii_scan,
@@ -3216,6 +3228,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT cd.grp AS source, ROUND(MAX(ABS(cd.cdf - base_cdf)), 4)
                        AS ks
             FROM CD cd JOIN BASE USING (bucket) GROUP BY 1
+        """,
+        "readability": """
+            WITH C AS (
+                SELECT doc_id,
+                       CASE WHEN text IS NOT NULL AND LENGTH(text) > 0
+                            THEN LEN(string_split(text, ' '))
+                            ELSE 0 END AS n_words,
+                       CASE WHEN text IS NOT NULL AND LENGTH(text) > 0
+                            THEN LEN(regexp_extract_all(text, '[.!?]+'))
+                            ELSE 0 END AS n_sentences,
+                       CASE WHEN text IS NOT NULL AND LENGTH(text) > 0
+                            THEN LEN(regexp_extract_all(text,
+                                                        '[AaEeIiOoUuYy]+'))
+                            ELSE 0 END AS n_syllables
+                FROM documents
+            ),
+            R AS (
+                SELECT doc_id, n_words, n_sentences, n_syllables,
+                       CAST(n_words AS DOUBLE)
+                           / CAST(GREATEST(n_sentences, 1) AS DOUBLE) AS wps,
+                       CAST(n_syllables AS DOUBLE)
+                           / CAST(n_words AS DOUBLE) AS spw
+                FROM C
+            )
+            SELECT doc_id,
+                   CAST(n_words AS BIGINT) AS n_words,
+                   CAST(n_sentences AS BIGINT) AS n_sentences,
+                   CAST(n_syllables AS BIGINT) AS n_syllables,
+                   ROUND(CASE WHEN n_words > 0 THEN wps END, 4)
+                       AS words_per_sentence,
+                   ROUND(CASE WHEN n_words > 0 THEN spw END, 4)
+                       AS syllables_per_word,
+                   ROUND(CASE WHEN n_words > 0 THEN
+                         206.835 - 1.015 * wps - 84.6 * spw END, 4)
+                       AS flesch,
+                   ROUND(CASE WHEN n_words > 0 THEN
+                         0.39 * wps + 11.8 * spw - 15.59 END, 4)
+                       AS fk_grade
+            FROM R
         """,
         "corr_length_words": """
             WITH V AS (

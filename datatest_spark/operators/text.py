@@ -1276,3 +1276,62 @@ def lang_mix_profile(
         .alias("n_langs"),
         F.coalesce(F.size(distinct_langs) > 1, F.lit(False)).alias("mixed"),
     )
+
+
+def readability_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    passthrough: tuple = (),
+) -> DataFrame:
+    """Per-doc readability scores — the classic Flesch Reading Ease and
+    Flesch-Kincaid grade level (public formulas, Kincaid et al. 1975)
+    over cheap structural proxies: words = whitespace tokens, sentences
+    = terminal-punctuation runs (``[.!?]+``, floored at 1 when the doc
+    has words), syllables = vowel-group runs (``[AaEeIiOoUuYy]+`` — the
+    standard heuristic; no monosyllable floor, documented proxy). Web
+    corpora use these as quality bands: boilerplate/navigation text
+    reads implausibly low or high.
+
+    Cross-engine determinism: three ``regexp_count`` integers per doc
+    (RE2 ∩ java.util.regex patterns), ratios are single divisions of
+    exact integers, and each score is the published constant expression
+    evaluated in one fixed IEEE op order mirrored in the oracle — so
+    the doubles match bit-for-bit before the round. Null/empty text
+    yields zero counts and NULL scores (not a divide blow-up).
+
+    Scale shape: MAP-ONLY codegen scan (the pii_scan discipline) —
+    zero Exchange, composes into the quality-gate scan via
+    ``passthrough``.
+    """
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    has = t.isNotNull() & (F.length(t) > 0)
+    n_words = F.when(has, F.size(words_col(t))).otherwise(F.lit(0))
+    n_sent = F.when(has, F.regexp_count(t, F.lit("[.!?]+"))).otherwise(
+        F.lit(0)
+    )
+    n_syll = F.when(
+        has, F.regexp_count(t, F.lit("[AaEeIiOoUuYy]+"))
+    ).otherwise(F.lit(0))
+    w = n_words.cast("double")
+    s = F.greatest(n_sent, F.lit(1)).cast("double")
+    wps = w / s
+    spw = n_syll.cast("double") / w
+    ok = n_words > 0
+    flesch = F.when(
+        ok, F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw
+    )
+    fk = F.when(
+        ok, F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59)
+    )
+    return df.select(
+        F.col(id_col),
+        *[F.col(c) for c in passthrough],
+        n_words.cast("long").alias("n_words"),
+        n_sent.cast("long").alias("n_sentences"),
+        n_syll.cast("long").alias("n_syllables"),
+        F.round(F.when(ok, wps), 4).alias("words_per_sentence"),
+        F.round(F.when(ok, spw), 4).alias("syllables_per_word"),
+        F.round(flesch, 4).alias("flesch"),
+        F.round(fk, 4).alias("fk_grade"),
+    )

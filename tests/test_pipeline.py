@@ -3324,6 +3324,32 @@ class TestEpochShuffleAndLengthBuckets:
         )
 
 
+class TestReadability:
+    def test_hand_example(self, spark):
+        from datatest_spark.operators import text as t
+
+        df = spark.createDataFrame(
+            [(1, "The cat sat. The dog ran!"),  # 6 words, 2 sentences
+             (2, ""), (3, None),
+             (4, "no terminal punctuation here")],  # sentences floor 1
+            "doc_id long, text string",
+        )
+        rows = {r["doc_id"]: r for r in t.readability_profile(df).collect()}
+        r1 = rows[1]
+        # vowel groups: The(1) cat(1) sat.(1) The(1) dog(1) ran!(1) = 6
+        assert (r1["n_words"], r1["n_sentences"], r1["n_syllables"]) == (6, 2, 6)
+        assert r1["words_per_sentence"] == 3.0
+        assert r1["syllables_per_word"] == 1.0
+        assert r1["flesch"] == round(206.835 - 1.015 * 3.0 - 84.6 * 1.0, 4)
+        assert r1["fk_grade"] == round(0.39 * 3.0 + 11.8 * 1.0 - 15.59, 4)
+        for d in (2, 3):
+            assert rows[d]["n_words"] == 0 and rows[d]["flesch"] is None
+        r4 = rows[4]
+        assert r4["n_sentences"] == 0
+        # formula floors sentences at 1: wps = 4 words / 1
+        assert r4["words_per_sentence"] == 4.0
+
+
 class TestC4LineFilterAndMojibake:
     def test_line_filter_rules(self, spark):
         from datatest_spark.operators import text as t

@@ -352,6 +352,14 @@ class TestRound5OperatorPlans:
             assert "codegen id" in plan
             assert "BatchEvalPython" not in plan
 
+    def test_readability_is_map_only(self, docs):
+        from datatest_spark.operators import text as t
+
+        plan = _plan(t.readability_profile(docs))
+        assert _exchanges(plan) == 0
+        assert "codegen id" in plan
+        assert "BatchEvalPython" not in plan
+
     def test_bloom_survivors_filter_is_map_only(self, spark, docs):
         from datatest_spark.operators import decontam
 
