@@ -922,6 +922,18 @@ def q_emd_drift(spark, sf_dir):
     ).select(F.col("group").alias("source"), "emd")
 
 
+def q_fertility(spark, sf_dir):
+    """Tokenizer fertility per (source, lang)
+    (operators/text.fertility_profile): ratio-of-exact-BIGINT-sums
+    (corpus-level tokens/word and chars/token — not mean-of-ratios),
+    one map-side-combinable agg. The tokenizer-mismatch alarm for
+    multilingual slices."""
+    from datatest_spark.operators import text
+
+    d = _t(spark, sf_dir, "documents")
+    return text.fertility_profile(d)
+
+
 def q_readability(spark, sf_dir):
     """Per-doc Flesch Reading Ease + Flesch-Kincaid grade
     (operators/text.readability_profile): three RE2∩Java regexp_count
@@ -1849,6 +1861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emd_drift": q_emd_drift,
         "corr_length_words": q_corr_length_words,
         "readability": q_readability,
+        "fertility": q_fertility,
         "token_entropy": q_token_entropy,
         "source_shares": q_source_shares,
         "pii_scan": q_pii_scan,
@@ -3228,6 +3241,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT cd.grp AS source, ROUND(MAX(ABS(cd.cdf - base_cdf)), 4)
                        AS ks
             FROM CD cd JOIN BASE USING (bucket) GROUP BY 1
+        """,
+        "fertility": """
+            WITH C AS (
+                SELECT COALESCE(source, '__null__') AS source,
+                       COALESCE(lang, '__null__') AS lang,
+                       COALESCE(LENGTH(text), 0) AS n_chars,
+                       CASE WHEN text IS NOT NULL AND LENGTH(text) > 0
+                            THEN LEN(string_split(text, ' '))
+                            ELSE 0 END AS n_words,
+                       CASE WHEN text IS NOT NULL AND LENGTH(text) > 0
+                            THEN LEN(regexp_extract_all(text,
+                                                        '[A-Za-z0-9]+'))
+                            ELSE 0 END AS n_tokens
+                FROM documents
+            ),
+            A AS (
+                SELECT source, lang, COUNT(*) AS n_docs,
+                       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                       CAST(SUM(n_words) AS BIGINT) AS sum_words,
+                       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+                FROM C GROUP BY 1, 2
+            )
+            SELECT source, lang, n_docs, sum_chars, sum_words, sum_tokens,
+                   ROUND(CASE WHEN sum_tokens > 0 THEN
+                         CAST(sum_chars AS DOUBLE)
+                             / CAST(sum_tokens AS DOUBLE) END, 6)
+                       AS chars_per_token,
+                   ROUND(CASE WHEN sum_words > 0 THEN
+                         CAST(sum_tokens AS DOUBLE)
+                             / CAST(sum_words AS DOUBLE) END, 6)
+                       AS fertility
+            FROM A
         """,
         "readability": """
             WITH C AS (

@@ -1335,3 +1335,68 @@ def readability_profile(
         F.round(flesch, 4).alias("flesch"),
         F.round(fk, 4).alias("fk_grade"),
     )
+
+
+def fertility_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    group_cols: tuple = ("source", "lang"),
+    tokens_col=None,
+) -> DataFrame:
+    """Tokenizer-fertility audit per group (source × lang by default):
+    how many tokens the tokenizer spends per word and how many
+    characters each token covers. Multilingual pipelines watch this
+    because a vocabulary tuned for English can burn 3-5x the tokens per
+    word on other scripts — fertility (tokens/word) is the standard
+    metric (SentencePiece / mBERT literature), and a fertility spike
+    per (source, lang) slice is a tokenizer-mismatch alarm no per-doc
+    gate raises.
+
+    Token counts come from the BPE-ish alnum-run proxy
+    (``regex_token_count``) unless ``tokens_col`` names a real
+    ``array<int>`` token-id column, in which case its ``size`` is used.
+    Ratios are SINGLE divisions of exact BIGINT sums (ratio-of-sums ==
+    corpus-level fertility — NOT the mean of per-doc ratios, which
+    overweights short docs); zero denominators yield NULL.
+
+    Scale shape: ONE map-side-combinable aggregation over the scan;
+    output is |groups| rows. Null group values coalesce to
+    ``'__null__'`` (histogram convention); null text counts zeros.
+    """
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    has = t.isNotNull() & (F.length(t) > 0)
+    n_words = F.when(has, F.size(words_col(t))).otherwise(F.lit(0))
+    if tokens_col is None:
+        n_toks = F.when(has, regex_token_count(t)).otherwise(F.lit(0))
+    else:
+        c = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+        n_toks = F.coalesce(F.size(c), F.lit(0))
+    n_chars = F.coalesce(F.length(t), F.lit(0))
+    keys = [
+        F.coalesce(F.col(g).cast("string"), F.lit("__null__")).alias(g)
+        for g in group_cols
+    ]
+    agg = df.select(*keys, n_chars.alias("_c"), n_words.alias("_w"),
+                    n_toks.alias("_t")).groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_c").cast("long").alias("sum_chars"),
+        F.sum("_w").cast("long").alias("sum_words"),
+        F.sum("_t").cast("long").alias("sum_tokens"),
+    )
+    cpt = F.when(
+        F.col("sum_tokens") > 0,
+        F.col("sum_chars").cast("double") / F.col("sum_tokens").cast("double"),
+    )
+    tpw = F.when(
+        F.col("sum_words") > 0,
+        F.col("sum_tokens").cast("double") / F.col("sum_words").cast("double"),
+    )
+    return agg.select(
+        *group_cols,
+        "n_docs",
+        "sum_chars",
+        "sum_words",
+        "sum_tokens",
+        F.round(cpt, 6).alias("chars_per_token"),
+        F.round(tpw, 6).alias("fertility"),
+    )

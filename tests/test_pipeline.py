@@ -3350,6 +3350,41 @@ class TestReadability:
         assert r4["words_per_sentence"] == 4.0
 
 
+class TestFertility:
+    def test_ratio_of_sums_not_mean_of_ratios(self, spark):
+        from datatest_spark.operators import text as t
+
+        df = spark.createDataFrame(
+            # doc1: 2 words, 2 alnum tokens; doc2: 1 word split into
+            # 3 alnum runs by punctuation ("a-b-c" -> a, b, c)
+            [(1, "en", "web", "hi there"), (2, "en", "web", "a-b-c"),
+             (3, "de", "web", None), (4, "de", "web", "")],
+            "doc_id long, lang string, source string, text string",
+        )
+        rows = {(r["source"], r["lang"]): r
+                for r in t.fertility_profile(df).collect()}
+        en = rows[("web", "en")]
+        assert en["sum_words"] == 3 and en["sum_tokens"] == 5
+        # corpus-level fertility 5/3, not mean(2/2, 3/1) = 2
+        assert en["fertility"] == round(5.0 / 3.0, 6)
+        de = rows[("web", "de")]
+        assert de["n_docs"] == 2 and de["sum_tokens"] == 0
+        assert de["fertility"] is None and de["chars_per_token"] is None
+
+    def test_real_token_array_column(self, spark):
+        from datatest_spark.operators import text as t
+
+        df = spark.createDataFrame(
+            [(1, "en", "s", "two words", [7, 8, 9]), (2, "en", "s", "x", None)],
+            "doc_id long, lang string, source string, text string,"
+            " tokens array<int>",
+        )
+        r = t.fertility_profile(df, tokens_col="tokens").collect()[0]
+        # null array counts 0 tokens; 3 tokens over 3 words
+        assert r["sum_tokens"] == 3 and r["sum_words"] == 3
+        assert r["fertility"] == 1.0
+
+
 class TestC4LineFilterAndMojibake:
     def test_line_filter_rules(self, spark):
         from datatest_spark.operators import text as t

@@ -352,6 +352,13 @@ class TestRound5OperatorPlans:
             assert "codegen id" in plan
             assert "BatchEvalPython" not in plan
 
+    def test_fertility_is_one_exchange(self, docs):
+        from datatest_spark.operators import text as t
+
+        plan = _plan(t.fertility_profile(docs))
+        assert _exchanges(plan) == 1  # the (source, lang) groupBy
+        assert "BatchEvalPython" not in plan
+
     def test_readability_is_map_only(self, docs):
         from datatest_spark.operators import text as t
 
