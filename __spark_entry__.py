@@ -922,6 +922,21 @@ def q_emd_drift(spark, sf_dir):
     ).select(F.col("group").alias("source"), "emd")
 
 
+def q_shard_manifest(spark, sf_dir):
+    """Deterministic export-shard manifest
+    (operators/packing.shard_manifest): hashed shard assignment (pure
+    function of id — stable under re-runs and appends), per-shard row
+    count / payload length / ORDER-INSENSITIVE bit_xor content checksum.
+    md5 oracle variant; production uses xxhash64. The verification
+    artifact a 100 TB export ships with."""
+    from datatest_spark.operators import packing
+
+    d = _t(spark, sf_dir, "documents")
+    return packing.shard_manifest(
+        d, num_shards=8, length_col="n_chars", hash_fn="md5"
+    )
+
+
 def q_fertility(spark, sf_dir):
     """Tokenizer fertility per (source, lang)
     (operators/text.fertility_profile): ratio-of-exact-BIGINT-sums
@@ -1862,6 +1877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_length_words": q_corr_length_words,
         "readability": q_readability,
         "fertility": q_fertility,
+        "shard_manifest": q_shard_manifest,
         "token_entropy": q_token_entropy,
         "source_shares": q_source_shares,
         "pii_scan": q_pii_scan,
@@ -3241,6 +3257,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT cd.grp AS source, ROUND(MAX(ABS(cd.cdf - base_cdf)), 4)
                        AS ks
             FROM CD cd JOIN BASE USING (bucket) GROUP BY 1
+        """,
+        "shard_manifest": """
+            WITH S AS (
+                SELECT CAST(FLOOR(
+                           CAST(CONCAT('0x',
+                               substr(md5(doc_id || '#shard#0'), 1, 4))
+                               AS INT) / 65536.0 * 8.0) AS INT) AS shard,
+                       CAST(CONCAT('0x',
+                           substr(md5(doc_id || '#' || COALESCE(text, '')),
+                                  1, 15)) AS BIGINT) AS h,
+                       COALESCE(n_chars, 0) AS len
+                FROM documents
+            )
+            SELECT shard, COUNT(*) AS n_rows,
+                   CAST(SUM(len) AS BIGINT) AS sum_length,
+                   bit_xor(h) AS checksum
+            FROM S GROUP BY shard
         """,
         "fertility": """
             WITH C AS (

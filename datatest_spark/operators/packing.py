@@ -882,3 +882,119 @@ def padding_efficiency(
             ),
         )
     )
+
+
+def assign_shards(
+    df: DataFrame,
+    num_shards: int,
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
+    seed: int = 0,
+    shard_col: str = "shard",
+) -> DataFrame:
+    """Deterministic output-shard assignment: ``floor(u(id) * n)`` over
+    the domain-tagged uniform (tag ``'shard'`` — independent of
+    mixture_sample / hash_split decisions by construction, same
+    argument as hash_split's tag). A pure function of (id, seed), so a
+    re-run, a different partitioning, or an incremental append places
+    every existing row in the SAME shard — which ``repartition`` /
+    ``randomSplit`` cannot promise. MAP-ONLY, zero Exchange.
+    """
+    if num_shards < 1:
+        raise ValueError("assign_shards: num_shards must be >= 1")
+    u = _uniform01(F.col(id_col), F.lit("shard"), hash_fn, seed)
+    return df.withColumn(
+        shard_col, F.floor(u * F.lit(float(num_shards))).cast("int")
+    )
+
+
+def shard_manifest(
+    df: DataFrame,
+    num_shards: int = 16,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+    length_col: str | None = None,
+    hash_fn: str = "xxhash64",
+    seed: int = 0,
+) -> DataFrame:
+    """Per-shard manifest for a training-data export: row count, total
+    payload length, and an ORDER-INSENSITIVE content checksum —
+    ``bit_xor`` of a per-row hash of (id, content) — so a loader (or a
+    re-run) can verify a shard byte-for-byte without assuming any row
+    order. XOR is associative/commutative with no overflow, so the
+    checksum is parallelism-invariant and identical across engines;
+    content is coalesced to '' before hashing so null-text rows still
+    contribute (a vanished row always changes the checksum).
+
+    ``hash_fn='xxhash64'`` is the production path (one JVM hash);
+    ``'md5'`` is the portable oracle path (first 15 hex digits → 60-bit
+    int, same arithmetic both engines).
+
+    Scale shape: one MAP-ONLY shard+hash projection, then ONE
+    map-side-combinable aggregation to |shards| rows.
+    """
+    sharded = assign_shards(df, num_shards, id_col, hash_fn, seed)
+    idc = F.col(id_col)
+    content = F.coalesce(
+        (F.col(content_col) if isinstance(content_col, str) else content_col)
+        .cast("string"),
+        F.lit(""),
+    )
+    if hash_fn == "md5":
+        row_hash = F.conv(
+            F.substring(
+                F.md5(F.concat(idc.cast("string"), F.lit("#"), content)),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+    else:
+        row_hash = F.xxhash64(idc, content, F.lit(seed))
+    length = (
+        F.coalesce(F.col(length_col), F.lit(0)).cast("long")
+        if length_col
+        else F.length(content).cast("long")
+    )
+    return (
+        sharded.select(
+            "shard", row_hash.alias("_h"), length.alias("_len")
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("_len").cast("long").alias("sum_length"),
+            F.bit_xor("_h").alias("checksum"),
+        )
+    )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    num_shards: int = 16,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+    length_col: str | None = None,
+    hash_fn: str = "xxhash64",
+    seed: int = 0,
+) -> DataFrame:
+    """Write the frame as ``path/shard=N/*.parquet`` with deterministic
+    shard membership and return the shard manifest (computed from the
+    SAME assignments) for the loader to verify against.
+
+    The write repartitions BY the shard column first, so each shard
+    directory is produced by one task group (no tiny-file explosion
+    from every input partition writing every shard); at 100 TB raise
+    ``num_shards`` so a shard fits a loader's appetite — membership is
+    per-row hashed, so shard sizes stay balanced regardless of input
+    skew or append order.
+    """
+    sharded = assign_shards(df, num_shards, id_col, hash_fn, seed)
+    sharded.repartition(F.col("shard")).write.mode("overwrite").partitionBy(
+        "shard"
+    ).parquet(path)
+    return shard_manifest(
+        df, num_shards, id_col, content_col, length_col, hash_fn, seed
+    )

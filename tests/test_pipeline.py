@@ -3324,6 +3324,68 @@ class TestEpochShuffleAndLengthBuckets:
         )
 
 
+class TestShardManifest:
+    def _docs(self, spark):
+        rows = [(i, "doc %d body" % i, 10 + i) for i in range(200)]
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, n_chars int"
+        )
+
+    def test_checksum_is_order_and_partitioning_invariant(self, spark):
+        from datatest_spark.operators import packing
+
+        df = self._docs(spark)
+        a = sorted(map(tuple, packing.shard_manifest(
+            df.coalesce(1), 4, length_col="n_chars").collect()))
+        b = sorted(map(tuple, packing.shard_manifest(
+            df.repartition(16).orderBy(F.desc("doc_id")), 4,
+            length_col="n_chars").collect()))
+        assert a == b
+        assert sum(r[1] for r in a) == 200  # n_rows totals
+
+    def test_checksum_detects_loss_and_mutation(self, spark):
+        from datatest_spark.operators import packing
+
+        df = self._docs(spark)
+        base = {r["shard"]: r["checksum"]
+                for r in packing.shard_manifest(df, 1).collect()}
+        dropped = {r["shard"]: r["checksum"]
+                   for r in packing.shard_manifest(
+                       df.where(F.col("doc_id") != 7), 1).collect()}
+        mutated = {r["shard"]: r["checksum"]
+                   for r in packing.shard_manifest(
+                       df.withColumn("text", F.when(
+                           F.col("doc_id") == 7, F.lit("tampered")
+                       ).otherwise(F.col("text"))), 1).collect()}
+        assert base[0] != dropped[0] and base[0] != mutated[0]
+
+    def test_assignment_stable_under_append(self, spark):
+        from datatest_spark.operators import packing
+
+        df = self._docs(spark)
+        small = packing.assign_shards(df.where(F.col("doc_id") < 50), 8)
+        big = packing.assign_shards(df, 8)
+        a = {r["doc_id"]: r["shard"] for r in small.collect()}
+        b = {r["doc_id"]: r["shard"] for r in big.collect()}
+        assert all(b[k] == v for k, v in a.items())
+
+    def test_write_roundtrip_matches_manifest(self, spark, tmp_path):
+        from datatest_spark.operators import packing
+
+        df = self._docs(spark)
+        path = str(tmp_path / "shards")
+        manifest = packing.write_training_shards(
+            df, path, num_shards=4, length_col="n_chars"
+        )
+        back = spark.read.parquet(path)
+        assert back.count() == 200
+        # recompute per-shard counts from the written shard column
+        got = {r["shard"]: r["n"] for r in
+               back.groupBy("shard").agg(F.count(F.lit(1)).alias("n")).collect()}
+        want = {r["shard"]: r["n_rows"] for r in manifest.collect()}
+        assert got == want
+
+
 class TestReadability:
     def test_hand_example(self, spark):
         from datatest_spark.operators import text as t

@@ -352,6 +352,15 @@ class TestRound5OperatorPlans:
             assert "codegen id" in plan
             assert "BatchEvalPython" not in plan
 
+    def test_shard_manifest_is_one_exchange(self, docs):
+        from datatest_spark.operators import packing
+
+        plan = _plan(packing.shard_manifest(docs, 8, length_col="n_chars"))
+        assert _exchanges(plan) == 1  # the shard groupBy
+        assert "BatchEvalPython" not in plan
+        plan2 = _plan(packing.assign_shards(docs, 8))
+        assert _exchanges(plan2) == 0  # assignment itself is map-only
+
     def test_fertility_is_one_exchange(self, docs):
         from datatest_spark.operators import text as t
 
