@@ -922,6 +922,20 @@ def q_emd_drift(spark, sf_dir):
     ).select(F.col("group").alias("source"), "emd")
 
 
+def q_vocab_overlap(spark, sf_dir):
+    """Source-pair vocabulary Jaccard/containment
+    (operators/text.vocab_overlap) over whitespace words: corpus
+    collapses to distinct (source, token) in ONE exchange, then
+    everything is vocabulary-sized; full pair matrix from a broadcast
+    cross of the |sources|-row size table (zero-overlap pairs
+    included)."""
+    from datatest_spark.operators import text
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("source", F.split(F.col("text"), " ").alias("tokens"))
+    return text.vocab_overlap(toks)
+
+
 def q_shard_manifest(spark, sf_dir):
     """Deterministic export-shard manifest
     (operators/packing.shard_manifest): hashed shard assignment (pure
@@ -1878,6 +1892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability": q_readability,
         "fertility": q_fertility,
         "shard_manifest": q_shard_manifest,
+        "vocab_overlap": q_vocab_overlap,
         "token_entropy": q_token_entropy,
         "source_shares": q_source_shares,
         "pii_scan": q_pii_scan,
@@ -3257,6 +3272,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT cd.grp AS source, ROUND(MAX(ABS(cd.cdf - base_cdf)), 4)
                        AS ks
             FROM CD cd JOIN BASE USING (bucket) GROUP BY 1
+        """,
+        "vocab_overlap": """
+            WITH E AS (
+                SELECT COALESCE(source, '__null__') AS grp,
+                       UNNEST(string_split(text, ' ')) AS token
+                FROM documents
+            ),
+            B AS (
+                SELECT DISTINCT grp, token FROM E WHERE token IS NOT NULL
+            ),
+            S AS (SELECT grp, COUNT(*) AS n FROM B GROUP BY grp),
+            I AS (
+                SELECT a.grp AS g1, b.grp AS g2, COUNT(*) AS n_common
+                FROM B a JOIN B b ON a.token = b.token AND a.grp < b.grp
+                GROUP BY 1, 2
+            ),
+            P AS (
+                SELECT s1.grp AS g1, s2.grp AS g2,
+                       s1.n AS n1, s2.n AS n2
+                FROM S s1 JOIN S s2 ON s1.grp < s2.grp
+            )
+            SELECT g1, g2, n1, n2,
+                   CAST(COALESCE(n_common, 0) AS BIGINT) AS n_common,
+                   ROUND(CAST(COALESCE(n_common, 0) AS DOUBLE)
+                         / CAST(n1 + n2 - COALESCE(n_common, 0) AS DOUBLE),
+                         6) AS jaccard,
+                   ROUND(CAST(COALESCE(n_common, 0) AS DOUBLE)
+                         / CAST(n1 AS DOUBLE), 6) AS containment_1,
+                   ROUND(CAST(COALESCE(n_common, 0) AS DOUBLE)
+                         / CAST(n2 AS DOUBLE), 6) AS containment_2
+            FROM P LEFT JOIN I USING (g1, g2)
         """,
         "shard_manifest": """
             WITH S AS (

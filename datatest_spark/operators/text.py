@@ -1400,3 +1400,76 @@ def fertility_profile(
         F.round(cpt, 6).alias("chars_per_token"),
         F.round(tpw, 6).alias("fertility"),
     )
+
+
+def vocab_overlap(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    group_col: str = "source",
+) -> DataFrame:
+    """Source-pair VOCABULARY overlap: distinct-token Jaccard and both
+    containments for every group pair. Document-level overlap
+    (``dedup.cross_source_duplication``) catches wholesale ingestion;
+    this is the coarser lens that catches REGISTER overlap — two
+    sources writing about the same things in the same words — and its
+    inverse: a source whose vocabulary barely intersects the rest is a
+    language/encoding outlier worth a langid/mojibake pass.
+
+    Scale shape: the corpus collapses to DISTINCT (group, token) in ONE
+    exchange — everything after is vocabulary-sized, never
+    document-sized. The token self-join fans out at most |groups| per
+    (token, group) row, and the full |groups|²/2 pair matrix (including
+    zero-overlap pairs — absence would read as "no data") comes from a
+    broadcast cross of the |groups|-row size table. Null tokens are
+    dropped; null groups coalesce to ``'__null__'``.
+    """
+    toks = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    base = (
+        df.select(
+            F.coalesce(F.col(group_col).cast("string"), F.lit("__null__"))
+            .alias("group"),
+            F.explode(toks).alias("token"),
+        )
+        .where(F.col("token").isNotNull())
+        .distinct()
+    )
+    sizes = base.groupBy("group").agg(F.count(F.lit(1)).alias("n_vocab"))
+    inter = (
+        base.alias("a")
+        .join(base.alias("b"), "token")
+        .where(F.col("a.group") < F.col("b.group"))
+        .groupBy(
+            F.col("a.group").alias("g1"), F.col("b.group").alias("g2")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    pairs = (
+        sizes.select(F.col("group").alias("g1"), F.col("n_vocab").alias("n1"))
+        .crossJoin(
+            F.broadcast(
+                sizes.select(
+                    F.col("group").alias("g2"), F.col("n_vocab").alias("n2")
+                )
+            )
+        )
+        .where(F.col("g1") < F.col("g2"))
+    )
+    out = pairs.join(F.broadcast(inter), ["g1", "g2"], "left").withColumn(
+        "n_common", F.coalesce(F.col("n_common"), F.lit(0))
+    )
+    union = F.col("n1") + F.col("n2") - F.col("n_common")
+    return out.select(
+        "g1",
+        "g2",
+        "n1",
+        "n2",
+        F.col("n_common").cast("long").alias("n_common"),
+        F.round(F.col("n_common").cast("double") / union.cast("double"), 6)
+        .alias("jaccard"),
+        F.round(
+            F.col("n_common").cast("double") / F.col("n1").cast("double"), 6
+        ).alias("containment_1"),
+        F.round(
+            F.col("n_common").cast("double") / F.col("n2").cast("double"), 6
+        ).alias("containment_2"),
+    )

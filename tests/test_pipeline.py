@@ -3324,6 +3324,39 @@ class TestEpochShuffleAndLengthBuckets:
         )
 
 
+class TestVocabOverlap:
+    def test_hand_example_with_zero_overlap_pair(self, spark):
+        from datatest_spark.operators import text as t
+
+        df = spark.createDataFrame(
+            [("a", ["x", "y", "x"]), ("a", ["z"]),   # vocab a = {x,y,z}
+             ("b", ["y", "z", "w"]),                  # vocab b = {y,z,w}
+             ("c", ["qq"])],                          # disjoint
+            "source string, tokens array<string>",
+        )
+        rows = {(r["g1"], r["g2"]): r for r in t.vocab_overlap(df).collect()}
+        ab = rows[("a", "b")]
+        assert (ab["n1"], ab["n2"], ab["n_common"]) == (3, 3, 2)
+        assert ab["jaccard"] == 0.5  # 2 / (3+3-2)
+        assert ab["containment_1"] == round(2 / 3, 6)
+        # zero-overlap pairs MUST appear (absence would read as no data)
+        ac = rows[("a", "c")]
+        assert ac["n_common"] == 0 and ac["jaccard"] == 0.0
+        assert len(rows) == 3
+
+    def test_duplicate_tokens_and_nulls_collapse(self, spark):
+        from datatest_spark.operators import text as t
+
+        df = spark.createDataFrame(
+            [("a", ["x", "x", None]), ("b", ["x"]), (None, ["x"])],
+            "source string, tokens array<string>",
+        )
+        rows = {(r["g1"], r["g2"]): r for r in t.vocab_overlap(df).collect()}
+        # null token dropped; null group becomes '__null__'
+        assert rows[("a", "b")]["jaccard"] == 1.0
+        assert ("__null__", "a") in rows
+
+
 class TestShardManifest:
     def _docs(self, spark):
         rows = [(i, "doc %d body" % i, 10 + i) for i in range(200)]
