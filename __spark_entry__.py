@@ -418,6 +418,36 @@ def q_sessionization(spark, sf_dir):
     )
 
 
+def q_retention_cohorts(spark, sf_dir):
+    """User-retention cohort triangle over events: cohort = each user's
+    first activity day (epoch-day integer, TZ-free NTZ math); for each
+    (cohort_day, day_offset) count the distinct users active at that
+    offset.
+
+    Scale shape: ONE user_id exchange carries both the per-user min
+    (window aggregate) and the implicit (user, day) locality; the final
+    (cohort_day, day_offset) distinct-count aggregates with map-side
+    partial dedup. No join, no collect; the output is bounded by
+    |days|^2 / 2 rows regardless of corpus size.
+    """
+    e = _t(spark, sf_dir, "events")
+    ms = F.timestamp_diff(
+        "MILLISECOND",
+        F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+        F.col("ts"),
+    )
+    day = F.floor(ms / F.lit(86_400_000)).cast("long")
+    w = Window.partitionBy("user_id")
+    d = e.select("user_id", day.alias("day")).withColumn(
+        "cohort_day", F.min("day").over(w)
+    )
+    return (
+        d.withColumn("day_offset", (F.col("day") - F.col("cohort_day")))
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
 def q_pivot_order_status(spark, sf_dir):
     """Pivot (portable sum-case form): order counts by priority x status."""
     o = _t(spark, sf_dir, "orders")
@@ -1859,6 +1889,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #   lang_mix             — per-paragraph composition of the in-window
 #                          langid heuristic (oracle GENERATED from the
 #                          same STOPWORDS table)
+#   emd_drift / corr_length_words / readability / fertility /
+#   shard_manifest / vocab_overlap / retention_cohorts
+#                        — session-3+ operators, each value-oracled and
+#                          pinned by dedicated pytest tests; the window
+#                          was already full of never-driver-checked
+#                          round-5 ops when they landed
 _DRIVER_WINDOW = (
     "token_run_quality", "vocab_topk", "ks_drift", "chi2_drift",
     "token_entropy", "source_shares", "pii_scan", "pii_scrub",
@@ -2008,6 +2044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": q_winnow_fingerprints,
         "embedding_norms": q_embedding_norms,
         "sessionization": q_sessionization,
+        "retention_cohorts": q_retention_cohorts,
         "pivot_order_status": q_pivot_order_status,
         "rollup_revenue": q_rollup_revenue,
         "simhash_pairs": q_simhash_pairs,
@@ -2790,6 +2827,20 @@ def oracle_sql() -> dict[str, str]:
                             THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
                    COUNT(*) AS n_events
             FROM G GROUP BY user_id
+        """,
+        "retention_cohorts": """
+            WITH D AS (
+                SELECT user_id, epoch_ms(ts) // 86400000 AS day
+                FROM events
+            ),
+            C AS (
+                SELECT user_id, day,
+                       MIN(day) OVER (PARTITION BY user_id) AS cohort_day
+                FROM D
+            )
+            SELECT cohort_day, day - cohort_day AS day_offset,
+                   COUNT(DISTINCT user_id) AS n_users
+            FROM C GROUP BY cohort_day, day - cohort_day
         """,
         "pivot_order_status": """
             SELECT o_orderpriority,

@@ -117,6 +117,13 @@ def test_driver_window_holds_every_value_oracled_query_once():
         "source_signatures", "scrub_paragraphs", "quality_bands_approx",
         "accepted_keys", "accepted_args", "scrub_token_spans",
         "lang_mix",
+        # session-3+ operators: each value-oracled (swept by
+        # tools/check_oracles.py) AND pinned by dedicated pytest tests
+        # (test_pipeline.py / test_plans.py); the 50-slot window was
+        # already full of never-driver-checked round-5 ops when these
+        # landed
+        "emd_drift", "corr_length_words", "readability", "fertility",
+        "shard_manifest", "vocab_overlap", "retention_cohorts",
     }
     import glob
 

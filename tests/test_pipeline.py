@@ -3718,3 +3718,42 @@ class TestLangMixProfile:
             F.col("majority_lang") != F.col("lang")
         ).count()
         assert bad == 0
+
+
+class TestRetentionCohorts:
+    """Pin for the q:retention_cohorts entry query (overflow allowlist:
+    value-oracled by tools/check_oracles.py + this dedicated pin)."""
+
+    def _run(self, spark, sf_dir):
+        import importlib.util
+        import os
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        spec = importlib.util.spec_from_file_location(
+            "entry", os.path.join(repo, "__spark_entry__.py")
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod.q_retention_cohorts(spark, sf_dir)
+
+    def test_cohort_triangle_invariants(self, spark, sf_dir):
+        out = self._run(spark, sf_dir)
+        rows = out.collect()
+        assert rows, "empty retention triangle"
+        # offsets are non-negative by construction (day >= min(day))
+        assert all(r["day_offset"] >= 0 for r in rows)
+        # every cohort has an offset-0 row and no offset exceeds the
+        # cohort's own size
+        by_cohort = {}
+        for r in rows:
+            by_cohort.setdefault(r["cohort_day"], {})[r["day_offset"]] = r[
+                "n_users"
+            ]
+        for cohort, offs in by_cohort.items():
+            assert 0 in offs, "cohort %r missing its day-0 row" % cohort
+            assert all(n <= offs[0] for n in offs.values())
+        # day-0 counts partition the user population: every user appears
+        # in exactly one cohort
+        e = spark.read.parquet(sf_dir + "/events.parquet")
+        total_users = e.select("user_id").distinct().count()
+        assert sum(offs[0] for offs in by_cohort.values()) == total_users
