@@ -1004,6 +1004,48 @@ def q_readability(spark, sf_dir):
     return text.readability_profile(d)
 
 
+def q_fd_violations(spark, sf_dir):
+    """Approximate functional-dependency audit (operators/stats.fd_audit)
+    for the claimed FD lang -> source over documents: per lang, the
+    distinct source count, majority source, and the Kivinen-Mannila g3
+    violation count (rows off the majority). ONE map-side-combinable
+    (det, dep) count + a window over the tiny aggregated frame."""
+    from datatest_spark.operators import stats
+
+    d = _t(spark, sf_dir, "documents")
+    return stats.fd_audit(d, "lang", "source")
+
+
+def q_benford_digits(spark, sf_dir):
+    """First-significant-digit Benford conformance profile
+    (operators/stats.benford_profile) of l_extendedprice per
+    l_returnflag: fixed-point cents first, leading digit from the
+    INTEGER's decimal string (never float log10/pow), observed vs
+    log10(1+1/d) expected fractions. Map-only extraction + one
+    |groups|x9-key agg."""
+    from datatest_spark.operators import stats
+
+    l = _t(spark, sf_dir, "lineitem")
+    return stats.benford_profile(
+        l, "l_extendedprice", "l_returnflag"
+    ).withColumnRenamed("group", "l_returnflag")
+
+
+def q_null_pattern(spark, sf_dir):
+    """Missingness-shape profile (operators/stats.null_pattern_profile):
+    rows counted by their joint NULL bitmap over (text, lang, n_chars)
+    per source — the check that separates 'missing at random' from
+    'fields missing together'. Map-only bitmap + one tiny-key agg; the
+    clean testdata yields exactly one '000' row per source, which is
+    the assertion a conformance suite makes."""
+    from datatest_spark.operators import stats
+
+    d = _t(spark, sf_dir, "documents")
+    return stats.null_pattern_profile(
+        d, ["text", "lang", "n_chars"], "source"
+    ).withColumnRenamed("group", "source")
+
+
 def q_corr_length_words(spark, sf_dir):
     """Per-source Pearson correlation between n_chars and whitespace
     word count (operators/stats.group_corr): fixed-point integer sums
@@ -1890,7 +1932,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #                          langid heuristic (oracle GENERATED from the
 #                          same STOPWORDS table)
 #   emd_drift / corr_length_words / readability / fertility /
-#   shard_manifest / vocab_overlap / retention_cohorts
+#   shard_manifest / vocab_overlap / retention_cohorts /
+#   fd_violations / benford_digits / null_pattern
 #                        — session-3+ operators, each value-oracled and
 #                          pinned by dedicated pytest tests; the window
 #                          was already full of never-driver-checked
@@ -2045,6 +2088,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norms": q_embedding_norms,
         "sessionization": q_sessionization,
         "retention_cohorts": q_retention_cohorts,
+        "fd_violations": q_fd_violations,
+        "benford_digits": q_benford_digits,
+        "null_pattern": q_null_pattern,
         "pivot_order_status": q_pivot_order_status,
         "rollup_revenue": q_rollup_revenue,
         "simhash_pairs": q_simhash_pairs,
@@ -2827,6 +2873,63 @@ def oracle_sql() -> dict[str, str]:
                             THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
                    COUNT(*) AS n_events
             FROM G GROUP BY user_id
+        """,
+        "fd_violations": """
+            WITH P AS (
+                SELECT lang, source, COUNT(*) AS n
+                FROM documents GROUP BY lang, source
+            ),
+            R AS (
+                SELECT lang, source, n,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY lang
+                           ORDER BY n DESC, source ASC NULLS LAST
+                       ) AS rk,
+                       SUM(n) OVER (PARTITION BY lang) AS n_rows,
+                       COUNT(*) OVER (PARTITION BY lang) AS n_distinct_dep
+                FROM P
+            )
+            SELECT lang, n_rows, n_distinct_dep,
+                   source AS majority_dep,
+                   n_rows - n AS n_violations
+            FROM R WHERE rk = 1
+        """,
+        "benford_digits": """
+            WITH B AS (
+                SELECT l_returnflag,
+                       CAST(SUBSTR(CAST(CAST(ROUND(l_extendedprice * 100)
+                                    AS BIGINT) AS VARCHAR), 1, 1) AS INT)
+                           AS digit
+                FROM lineitem
+                WHERE l_extendedprice IS NOT NULL
+                  AND CAST(ROUND(l_extendedprice * 100) AS BIGINT) > 0
+            ),
+            A AS (
+                SELECT l_returnflag, digit, COUNT(*) AS n
+                FROM B GROUP BY l_returnflag, digit
+            )
+            SELECT l_returnflag, digit, n,
+                   ROUND(n / SUM(n) OVER (PARTITION BY l_returnflag), 6)
+                       AS obs_frac,
+                   ROUND(LOG10(1.0 + 1.0 / digit), 6) AS exp_frac
+            FROM A
+        """,
+        "null_pattern": """
+            WITH B AS (
+                SELECT source,
+                       CONCAT(
+                           CASE WHEN text IS NULL THEN '1' ELSE '0' END,
+                           CASE WHEN lang IS NULL THEN '1' ELSE '0' END,
+                           CASE WHEN n_chars IS NULL THEN '1' ELSE '0' END
+                       ) AS pattern,
+                       CAST(CAST(text IS NULL AS INT)
+                          + CAST(lang IS NULL AS INT)
+                          + CAST(n_chars IS NULL AS INT) AS BIGINT)
+                           AS n_nulls
+                FROM documents
+            )
+            SELECT source, pattern, COUNT(*) AS n, n_nulls
+            FROM B GROUP BY source, pattern, n_nulls
         """,
         "retention_cohorts": """
             WITH D AS (

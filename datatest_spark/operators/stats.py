@@ -539,3 +539,158 @@ def group_corr(
             F.when((F.col("n") >= 2) & (dx > 0), (sy - slope * sx) / nd), 6
         ).alias("intercept"),
     )
+
+
+def fd_audit(
+    df: DataFrame,
+    determinant: str,
+    dependent: str,
+) -> DataFrame:
+    """Approximate functional-dependency audit: for the claimed FD
+    ``determinant -> dependent``, emit one row per determinant value
+    with the number of distinct dependent values it maps to, its
+    majority dependent value, and ``n_violations`` = rows NOT carrying
+    the majority value — the per-key term of Kivinen-Mannila's g3
+    error (the minimum number of row deletions that would make the FD
+    hold). A clean FD yields ``n_distinct_dep = 1, n_violations = 0``
+    everywhere; schema-conformance suites assert exactly that, and the
+    violation rows name the offending keys when it breaks.
+
+    NULL dependent values form their own group (an FD where some rows
+    lost the dependent IS violated), and the majority tie-break is
+    deterministic: highest count first, then smallest dependent value
+    with NULL sorted last (matching ``ASC NULLS LAST`` in the oracle).
+
+    Scale shape: ONE corpus-wide ``groupBy(det, dep)`` count — fully
+    map-side combinable, so a 10^12-row table reduces to the
+    |distinct (det, dep)| frame before the shuffle — then a window
+    over that already-aggregated frame partitioned by ``det``. The
+    corpus itself crosses the wire once, pre-combined; no join.
+    """
+    from pyspark.sql import Window
+
+    det, dep = F.col(determinant), F.col(dependent)
+    pair = df.groupBy(
+        det.alias("_fd_det"), dep.alias("_fd_dep")
+    ).agg(F.count(F.lit(1)).alias("_fd_n"))
+    w = Window.partitionBy("_fd_det")
+    ranked = pair.select(
+        "_fd_det",
+        "_fd_dep",
+        "_fd_n",
+        F.row_number()
+        .over(
+            w.orderBy(
+                F.col("_fd_n").desc(), F.asc_nulls_last("_fd_dep")
+            )
+        )
+        .alias("_fd_rk"),
+        F.sum("_fd_n").over(w).alias("n_rows"),
+        F.count(F.lit(1)).over(w).alias("n_distinct_dep"),
+    )
+    return ranked.filter(F.col("_fd_rk") == 1).select(
+        F.col("_fd_det").alias(determinant),
+        "n_rows",
+        "n_distinct_dep",
+        F.col("_fd_dep").alias("majority_dep"),
+        (F.col("n_rows") - F.col("_fd_n")).alias("n_violations"),
+    )
+
+
+def benford_profile(
+    df: DataFrame,
+    value_col: str,
+    group_col: str | None = None,
+    decimals: int = 2,
+) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law — the
+    classic fabricated-/corrupted-numeric-column screen for columns
+    spanning several orders of magnitude (prices, revenues, counts).
+
+    Values are fixed-pointed first (``round(value * 10^decimals)`` as
+    BIGINT) and the leading digit is taken from the INTEGER's decimal
+    string — never from float ``log10``/``pow``, whose boundary
+    behaviour at exact powers of ten differs between engines and would
+    flip a 1000.00 into digit 10. Non-positive and NULL values are
+    excluded (Benford is defined on positive magnitudes; they surface
+    through interval/null-rate checks instead).
+
+    Output: one row per (group, digit 1-9) with ``n``, the observed
+    fraction, and Benford's expected ``log10(1 + 1/d)`` — both rounded
+    to 6 so engine float formatting cannot differ.
+
+    Scale shape: map-only digit extraction + ONE groupBy over at most
+    |groups| x 9 keys (map-side combinable); the per-group totals ride
+    a window over the already-aggregated frame. No join, no second
+    pass over the corpus.
+    """
+    from pyspark.sql import Window
+
+    cents = F.round(
+        F.col(value_col).cast("double") * F.lit(float(10 ** decimals))
+    ).cast("long")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
+    base = df.where(
+        F.col(value_col).isNotNull() & (cents > 0)
+    ).select(
+        (F.col(group_col) if group_col else F.lit("all")).alias("group"),
+        digit.alias("digit"),
+    )
+    agg = base.groupBy("group", "digit").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("group")
+    exp_frac = F.log(10.0, F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    return agg.select(
+        "group",
+        "digit",
+        "n",
+        F.round(
+            F.col("n") / F.sum("n").over(w), 6
+        ).alias("obs_frac"),
+        F.round(exp_frac, 6).alias("exp_frac"),
+    )
+
+
+def null_pattern_profile(
+    df: DataFrame,
+    columns,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Missingness-shape profile: count rows by their NULL pattern over
+    ``columns`` — the '0110'-style bitmap (1 = NULL) that separates
+    "lang missing at random" from "lang and text missing TOGETHER",
+    which no per-column null-rate can see. Joint patterns are how
+    upstream failures actually present (a broken extractor drops a
+    correlated set of fields), so suites assert on pattern counts, not
+    just marginals.
+
+    Output: (group, pattern, n, n_nulls) with ``pattern`` ordered as
+    the caller's column list and ``n_nulls`` its popcount; an
+    all-clean table yields exactly one '000...' row per group.
+
+    Scale shape: map-only bitmap construction + ONE groupBy over at
+    most |groups| x 2^len(columns) keys — map-side combinable, so the
+    corpus reduces to the tiny pattern frame before the shuffle.
+    """
+    if not columns:
+        raise ValueError("null_pattern_profile needs at least one column")
+    bits = [
+        F.when(F.col(c).isNull(), F.lit("1")).otherwise(F.lit("0"))
+        for c in columns
+    ]
+    pattern = F.concat(*bits) if len(bits) > 1 else bits[0]
+    n_nulls = None
+    for c in columns:
+        term = F.col(c).isNull().cast("int")
+        n_nulls = term if n_nulls is None else (n_nulls + term)
+    return (
+        df.select(
+            (F.col(group_col) if group_col else F.lit("all")).alias("group"),
+            pattern.alias("pattern"),
+            n_nulls.cast("long").alias("n_nulls"),
+        )
+        .groupBy("group", "pattern", "n_nulls")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("group", "pattern", "n", "n_nulls")
+    )

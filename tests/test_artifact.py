@@ -124,6 +124,7 @@ def test_driver_window_holds_every_value_oracled_query_once():
         # landed
         "emd_drift", "corr_length_words", "readability", "fertility",
         "shard_manifest", "vocab_overlap", "retention_cohorts",
+        "fd_violations", "benford_digits", "null_pattern",
     }
     import glob
 

@@ -3757,3 +3757,129 @@ class TestRetentionCohorts:
         e = spark.read.parquet(sf_dir + "/events.parquet")
         total_users = e.select("user_id").distinct().count()
         assert sum(offs[0] for offs in by_cohort.values()) == total_users
+
+
+class TestFdAudit:
+    def test_clean_fd_has_zero_violations(self, spark):
+        from datatest_spark.operators import stats
+
+        df = spark.createDataFrame(
+            [(1, "a"), (1, "a"), (2, "b")], "k int, v string"
+        )
+        rows = {r["k"]: r for r in stats.fd_audit(df, "k", "v").collect()}
+        assert rows[1] == (1, 2, 1, "a", 0)
+        assert rows[2] == (2, 1, 1, "b", 0)
+
+    def test_g3_counts_rows_off_the_majority(self, spark):
+        from datatest_spark.operators import stats
+
+        df = spark.createDataFrame(
+            [(1, "a")] * 3 + [(1, "b")] * 2 + [(1, "c")],
+            "k int, v string",
+        )
+        (r,) = stats.fd_audit(df, "k", "v").collect()
+        assert r == (1, 6, 3, "a", 3)
+
+    def test_majority_tie_breaks_to_smallest_with_null_last(self, spark):
+        from datatest_spark.operators import stats
+
+        df = spark.createDataFrame(
+            [(1, "b"), (1, "a"), (1, None), (1, None)], "k int, v string"
+        )
+        (r,) = stats.fd_audit(df, "k", "v").collect()
+        # null count 2 wins outright; tie case next
+        assert r["majority_dep"] is None and r["n_violations"] == 2
+        df2 = spark.createDataFrame(
+            [(1, "b"), (1, "a"), (1, None)], "k int, v string"
+        )
+        (r2,) = stats.fd_audit(df2, "k", "v").collect()
+        # 1-1-1 tie: smallest non-null value wins, NULL sorts last
+        assert r2["majority_dep"] == "a" and r2["n_violations"] == 2
+
+    def test_null_determinant_is_its_own_group(self, spark):
+        from datatest_spark.operators import stats
+
+        df = spark.createDataFrame(
+            [(None, "a"), (None, "b"), (2, "c")], "k int, v string"
+        )
+        rows = {r["k"]: r for r in stats.fd_audit(df, "k", "v").collect()}
+        assert rows[None]["n_distinct_dep"] == 2
+        assert rows[None]["n_violations"] == 1
+
+
+class TestBenfordProfile:
+    def test_digits_and_fractions(self, spark):
+        from datatest_spark.operators import stats
+
+        df = spark.createDataFrame(
+            [(1.0,), (19.99,), (2.5,), (0.0,), (-3.0,), (None,), (0.001,)],
+            "v double",
+        )
+        rows = {r["digit"]: r for r in stats.benford_profile(df, "v").collect()}
+        # 0.001 fixed-points to 0 cents -> excluded with 0/-3/None
+        assert set(rows) == {1, 2}
+        assert rows[1]["n"] == 2 and rows[2]["n"] == 1
+        assert rows[1]["obs_frac"] == round(2 / 3, 6)
+        assert rows[1]["exp_frac"] == round(__import__("math").log10(2), 6)
+
+    def test_power_of_ten_boundary_stays_single_digit(self, spark):
+        """The float-log10 trap: exactly 1000.00 must yield digit 1,
+        never 10 — the string-of-integer path is immune by design."""
+        from datatest_spark.operators import stats
+
+        df = spark.createDataFrame(
+            [(1000.0,), (10.0,), (0.01,), (999999.99,)], "v double"
+        )
+        rows = stats.benford_profile(df, "v").collect()
+        assert {r["digit"] for r in rows} == {1, 9}
+        assert all(1 <= r["digit"] <= 9 for r in rows)
+
+    def test_decimals_parameter_controls_the_fixed_point(self, spark):
+        from datatest_spark.operators import stats
+
+        df = spark.createDataFrame([(0.001,), (0.05,)], "v double")
+        rows = {r["digit"]: r["n"]
+                for r in stats.benford_profile(df, "v", decimals=3).collect()}
+        assert rows == {1: 1, 5: 1}
+
+
+class TestNullPatternProfile:
+    def test_joint_patterns_counted(self, spark):
+        from datatest_spark.operators import stats
+
+        df = spark.createDataFrame(
+            [
+                ("g", "t", "en"),
+                ("g", None, None),
+                ("g", None, None),
+                ("g", "t", None),
+                ("h", "t", "en"),
+            ],
+            "src string, text string, lang string",
+        )
+        out = stats.null_pattern_profile(df, ["text", "lang"], "src")
+        rows = {(r["group"], r["pattern"]): r for r in out.collect()}
+        assert rows[("g", "00")]["n"] == 1
+        assert rows[("g", "11")]["n"] == 2
+        assert rows[("g", "11")]["n_nulls"] == 2
+        assert rows[("g", "01")]["n"] == 1
+        assert rows[("h", "00")]["n"] == 1
+
+    def test_pattern_order_follows_caller_columns(self, spark):
+        from datatest_spark.operators import stats
+
+        df = spark.createDataFrame([("t", None)], "a string, b string")
+        (r,) = stats.null_pattern_profile(df, ["b", "a"]).collect()
+        assert r["pattern"] == "10" and r["group"] == "all"
+
+    def test_single_column_and_empty_list(self, spark):
+        from datatest_spark.operators import stats
+
+        df = spark.createDataFrame([("t",), (None,)], "a string")
+        out = {r["pattern"]: r["n"]
+               for r in stats.null_pattern_profile(df, ["a"]).collect()}
+        assert out == {"0": 1, "1": 1}
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            stats.null_pattern_profile(df, [])

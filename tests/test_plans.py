@@ -411,3 +411,35 @@ class TestRound5OperatorPlans:
         assert "BatchEvalPython" not in plan
         # partial aggregation before the corpus exchange (map-side combine)
         assert "HashAggregate" in plan
+
+
+class TestAuditPlans:
+    def test_fd_audit_pre_aggregates_before_the_window(self, docs):
+        """The corpus must cross the wire ONCE, pre-combined: exactly
+        two Exchanges (the (det,dep) count and the det window over the
+        already-aggregated frame), with partial_count before the
+        first."""
+        from datatest_spark.operators import stats
+
+        plan = _plan(stats.fd_audit(docs, "lang", "source"))
+        assert _exchanges(plan) == 2, plan
+        assert "partial_count" in plan, plan
+
+    def test_benford_is_map_only_plus_tiny_aggs(self, lineitem):
+        from datatest_spark.operators import stats
+
+        plan = _plan(stats.benford_profile(lineitem, "l_extendedprice",
+                                           "l_returnflag"))
+        assert _exchanges(plan) == 2, plan
+        assert "partial_count" in plan, plan
+        # the 9-digit extraction must not widen the scan
+        assert "l_comment" not in plan, plan
+
+    def test_null_pattern_costs_one_exchange(self, docs):
+        from datatest_spark.operators import stats
+
+        plan = _plan(
+            stats.null_pattern_profile(docs, ["text", "lang"], "source")
+        )
+        assert _exchanges(plan) == 1, plan
+        assert "partial_count" in plan, plan
