@@ -1449,6 +1449,37 @@ def q_bigram_logloss(spark, sf_dir):
     return bigram_logloss(toks)
 
 
+def q_pmi_collocations(spark, sf_dir):
+    """Top-k PMI collocations (operators/text.pmi_collocations) over
+    word tokens: the lexical-association audit for boilerplate /
+    templated spam. Fixed-point log2 with double-cast products (int64
+    overflow starts at ~10^12 pairs); deterministic (pmi, t1, t2)
+    rank; WindowGroupLimit top-k."""
+    from datatest_spark.operators.text import pmi_collocations
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(F.split(F.col("text"), " ").alias("tokens"))
+    return pmi_collocations(toks, top_k=40, min_count=3)
+
+
+def q_heavy_hitters(spark, sf_dir):
+    """Per-source phi-heavy-hitter tokens (operators/stats.heavy_hitters,
+    prefilter path): hash-bucket counts bound the exchange at
+    |groups| x n_buckets keys, exact counting only inside buckets that
+    clear the threshold — zero false negatives by the bucket >= member
+    bound, collisions discarded by the exact phase. Oracle runs the
+    direct form; outputs are identical by construction."""
+    from datatest_spark.operators.stats import heavy_hitters
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    return heavy_hitters(
+        toks, "tok", "source", phi=0.01, prefilter=True, n_buckets=4096
+    ).withColumnRenamed("group", "source")
+
+
 def q_context_length_profile(spark, sf_dir):
     """Pre-packing context-window diagnostics
     (operators/stats.context_length_profile): per-source length
@@ -1933,7 +1964,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #                          same STOPWORDS table)
 #   emd_drift / corr_length_words / readability / fertility /
 #   shard_manifest / vocab_overlap / retention_cohorts /
-#   fd_violations / benford_digits / null_pattern
+#   fd_violations / benford_digits / null_pattern /
+#   pmi_collocations / heavy_hitters
 #                        — session-3+ operators, each value-oracled and
 #                          pinned by dedicated pytest tests; the window
 #                          was already full of never-driver-checked
@@ -2091,6 +2123,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fd_violations": q_fd_violations,
         "benford_digits": q_benford_digits,
         "null_pattern": q_null_pattern,
+        "pmi_collocations": q_pmi_collocations,
+        "heavy_hitters": q_heavy_hitters,
         "pivot_order_status": q_pivot_order_status,
         "rollup_revenue": q_rollup_revenue,
         "simhash_pairs": q_simhash_pairs,
@@ -2873,6 +2907,59 @@ def oracle_sql() -> dict[str, str]:
                             THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
                    COUNT(*) AS n_events
             FROM G GROUP BY user_id
+        """,
+        "pmi_collocations": """
+            WITH T AS (
+                SELECT string_split(text, ' ') AS tk FROM documents
+            ),
+            P AS (
+                SELECT tk[CAST(i AS INT)] AS t1,
+                       tk[CAST(i AS INT) + 1] AS t2
+                FROM T,
+                     UNNEST(range(1, GREATEST(len(tk) - 1, 0) + 1))
+                         AS u(i)
+                WHERE len(tk) >= 2
+            ),
+            C AS (SELECT t1, t2, COUNT(*) AS c12 FROM P GROUP BY t1, t2),
+            L AS (SELECT t1, SUM(c12) AS c1 FROM C GROUP BY t1),
+            R AS (SELECT t2, SUM(c12) AS c2 FROM C GROUP BY t2),
+            N AS (SELECT SUM(c12) AS n_pairs FROM C),
+            S AS (
+                SELECT c.t1, c.t2, c.c12,
+                       CAST(FLOOR(LOG2(
+                           (CAST(c.c12 AS DOUBLE) * CAST(n.n_pairs AS DOUBLE))
+                           / (CAST(l.c1 AS DOUBLE) * CAST(r.c2 AS DOUBLE))
+                       ) * 1048576.0) AS BIGINT) AS pmi_fixed
+                FROM C c
+                JOIN L l ON c.t1 = l.t1
+                JOIN R r ON c.t2 = r.t2
+                CROSS JOIN N n
+                WHERE c.c12 >= 3
+            ),
+            K AS (
+                SELECT ROW_NUMBER() OVER (
+                           ORDER BY pmi_fixed DESC, t1 ASC, t2 ASC
+                       ) AS rk,
+                       t1, t2, c12, pmi_fixed
+                FROM S
+            )
+            SELECT CAST(rk AS BIGINT) AS rk, t1, t2, c12, pmi_fixed
+            FROM K WHERE rk <= 40
+        """,
+        "heavy_hitters": """
+            WITH B AS (
+                SELECT source, UNNEST(string_split(text, ' ')) AS tok
+                FROM documents
+            ),
+            T AS (SELECT source, COUNT(*) AS n_total FROM B GROUP BY source),
+            C AS (
+                SELECT source, tok AS value, COUNT(*) AS n
+                FROM B GROUP BY source, tok
+            )
+            SELECT c.source, c.value, c.n, t.n_total,
+                   ROUND(c.n / t.n_total, 6) AS frac
+            FROM C c JOIN T t USING (source)
+            WHERE c.n >= 0.01 * t.n_total
         """,
         "fd_violations": """
             WITH P AS (

@@ -694,3 +694,72 @@ def null_pattern_profile(
         .agg(F.count(F.lit(1)).alias("n"))
         .select("group", "pattern", "n", "n_nulls")
     )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    value_col: str,
+    group_col: str | None = None,
+    phi: float = 0.001,
+    prefilter: bool = True,
+    n_buckets: int = 1 << 20,
+) -> DataFrame:
+    """Per-group phi-heavy hitters: values carrying at least ``phi`` of
+    their group's rows, with exact counts. The uniqueness screen's
+    inverse — instead of "is every key rare enough", "which keys are
+    suspiciously common" (a stuck upstream id, a default value flood, a
+    crawler loop emitting one URL).
+
+    ``prefilter=True`` (default, the 10^12 path) is a count-min row in
+    DataFrame ops: phase 1 counts hash BUCKETS per group — the exchange
+    carries at most |groups| x n_buckets keys after map-side combine,
+    never |distinct values| — and only values living in a bucket that
+    already clears the threshold are exactly counted in phase 2. A
+    value's count never exceeds its bucket's, so the prefilter has ZERO
+    false negatives; collisions only admit extra candidates, and the
+    exact phase-2 count discards them. Output is therefore IDENTICAL to
+    ``prefilter=False`` (the direct (group, value) groupBy — fine when
+    the value domain is small, catastrophic when it is doc_id-sized);
+    the equivalence is property-tested, and the oracle runs the direct
+    form. Cost shape: two scans of (group, value) instead of one
+    full-vocabulary shuffle.
+
+    Thresholding uses ``n >= phi * n_total`` with the multiplication in
+    IEEE double on both engines. NULL values participate like any other
+    value (a NULL flood is exactly what this should catch).
+    """
+    if not (0.0 < phi <= 1.0):
+        raise ValueError("phi must be in (0, 1], got %r" % (phi,))
+    grp = (F.col(group_col) if group_col else F.lit("all")).alias("_hh_grp")
+    base = df.select(grp, F.col(value_col).alias("_hh_val"))
+    totals = base.groupBy("_hh_grp").agg(
+        F.count(F.lit(1)).alias("n_total")
+    )
+    cand = base
+    if prefilter:
+        bucket = F.pmod(
+            F.xxhash64(F.col("_hh_val")), F.lit(int(n_buckets))
+        ).alias("_hh_b")
+        heavy_buckets = (
+            base.groupBy("_hh_grp", bucket)
+            .agg(F.count(F.lit(1)).alias("_hh_bn"))
+            .join(F.broadcast(totals), "_hh_grp")
+            .where(F.col("_hh_bn") >= F.lit(float(phi)) * F.col("n_total"))
+            .select("_hh_grp", "_hh_b")
+        )
+        cand = base.withColumn("_hh_b", bucket).join(
+            heavy_buckets, ["_hh_grp", "_hh_b"], "left_semi"
+        ).drop("_hh_b")
+    return (
+        cand.groupBy("_hh_grp", "_hh_val")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .join(F.broadcast(totals), "_hh_grp")
+        .where(F.col("n") >= F.lit(float(phi)) * F.col("n_total"))
+        .select(
+            F.col("_hh_grp").alias("group"),
+            F.col("_hh_val").alias("value"),
+            "n",
+            "n_total",
+            F.round(F.col("n") / F.col("n_total"), 6).alias("frac"),
+        )
+    )

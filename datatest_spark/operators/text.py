@@ -1473,3 +1473,87 @@ def vocab_overlap(
             F.col("n_common").cast("double") / F.col("n2").cast("double"), 6
         ).alias("containment_2"),
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    top_k: int = 50,
+    min_count: int = 5,
+    scale_bits: int = 20,
+) -> DataFrame:
+    """Top-k adjacent-pair collocations by pointwise mutual information:
+    ``pmi(t1, t2) = log2(c12 * N / (c1+ * c+2))`` with c1+ / c+2 the
+    positional (left/right) marginals and N the total pair count — the
+    lexical-association audit that surfaces boilerplate ("all rights
+    reserved"), templated spam, and tokenizer damage as unnaturally
+    glued pairs. ``min_count`` floors c12 because PMI is noise-maximal
+    on hapax pairs (a pair seen once between two rare tokens scores
+    near log2(N)).
+
+    PMI is emitted fixed-point (``floor(log2(ratio) * 2^scale_bits)``
+    as bigint, the bigram_model discipline) with the ratio formed as
+    ONE double division of two double products — counts are cast to
+    double BEFORE multiplying because c12 * N overflows int64 once N
+    reaches ~10^12 pairs, exactly the target scale — so both engines
+    run the identical IEEE op sequence. Ties (same pmi_fixed) break on
+    (t1 asc, t2 asc); rank is dense over that total order, so the
+    top-k cut is deterministic.
+
+    Scale shape: one explode + one (t1, t2) map-side-combinable count;
+    both marginals and N re-aggregate the |bigrams| pair frame (no
+    second corpus pass); marginal joins ride the pair frame; the
+    global top-k is ``orderBy().limit(k)`` — TakeOrderedAndProject,
+    i.e. per-partition top-k then a k-row merge, never a global sort —
+    and the rank window runs over the <= k survivors only.
+    """
+    if top_k < 1:
+        raise ValueError("top_k must be >= 1, got %r" % (top_k,))
+    if min_count < 1:
+        raise ValueError("min_count must be >= 1, got %r" % (min_count,))
+    from pyspark.sql import Window
+
+    s = float(1 << scale_bits)
+    pairs = (
+        df.select(F.explode(_adjacent_pairs(tokens_col)).alias("p"))
+        .select(F.col("p.t1").alias("t1"), F.col("p.t2").alias("t2"))
+    )
+    c12 = pairs.groupBy("t1", "t2").agg(F.count(F.lit(1)).alias("c12"))
+    left = c12.groupBy("t1").agg(F.sum("c12").alias("c1"))
+    right = c12.groupBy("t2").agg(F.sum("c12").alias("c2"))
+    n_tot = c12.agg(F.sum("c12").alias("n_pairs"))
+    scored = (
+        c12.where(F.col("c12") >= F.lit(int(min_count)))
+        .join(left, "t1")
+        .join(right, "t2")
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "t1",
+            "t2",
+            "c12",
+            F.floor(
+                F.log2(
+                    (F.col("c12").cast("double")
+                     * F.col("n_pairs").cast("double"))
+                    / (F.col("c1").cast("double")
+                       * F.col("c2").cast("double"))
+                )
+                * F.lit(s)
+            )
+            .cast("long")
+            .alias("pmi_fixed"),
+        )
+    )
+    order = [
+        F.col("pmi_fixed").desc(), F.col("t1").asc(), F.col("t2").asc()
+    ]
+    # global top-k as TakeOrderedAndProject (per-partition top-k, then a
+    # k-row merge on the driver side of the exchange — never a global
+    # sort); the rank window then runs over <= k rows, so its
+    # single-partition shape is irrelevant at any corpus size
+    top = scored.orderBy(*order).limit(int(top_k))
+    w = Window.orderBy(*order)
+    return top.select(
+        F.row_number().over(w).cast("long").alias("rk"),
+        "t1", "t2", "c12", "pmi_fixed",
+    )

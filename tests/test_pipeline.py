@@ -3883,3 +3883,110 @@ class TestNullPatternProfile:
 
         with _pytest.raises(ValueError):
             stats.null_pattern_profile(df, [])
+
+
+class TestHeavyHitters:
+    def test_prefilter_equals_direct_even_with_collisions(self, spark):
+        """n_buckets=2 forces every value into one of two buckets, so
+        the prefilter admits many false candidates — the exact phase
+        must discard them and match the direct path exactly."""
+        from datatest_spark.operators import stats
+
+        rows = [("g", "hot")] * 50 + [("g", "w%d" % i) for i in range(50)]
+        rows += [("h", "x")] * 8 + [("h", "y")]
+        df = spark.createDataFrame(rows, "src string, v string")
+        fast = sorted(map(tuple, stats.heavy_hitters(
+            df, "v", "src", phi=0.2, prefilter=True, n_buckets=2
+        ).collect()))
+        direct = sorted(map(tuple, stats.heavy_hitters(
+            df, "v", "src", phi=0.2, prefilter=False
+        ).collect()))
+        assert fast == direct
+        assert ("g", "hot", 50, 100, 0.5) in fast
+        assert ("h", "x", 8, 9, round(8 / 9, 6)) in fast
+        # y is 1/9 ~ 0.111, below phi -> excluded
+        assert all(t[1] != "y" for t in fast)
+
+    def test_threshold_boundary_is_inclusive(self, spark):
+        from datatest_spark.operators import stats
+
+        df = spark.createDataFrame(
+            [("a",)] * 25 + [("b",)] * 75, "v string"
+        )
+        out = {r["value"]: r for r in stats.heavy_hitters(
+            df, "v", phi=0.25).collect()}
+        assert set(out) == {"a", "b"}
+        assert out["a"]["frac"] == 0.25
+
+    def test_null_flood_is_reported(self, spark):
+        from datatest_spark.operators import stats
+
+        df = spark.createDataFrame(
+            [(None,)] * 9 + [("x",)], "v string"
+        )
+        out = stats.heavy_hitters(df, "v", phi=0.5).collect()
+        assert len(out) == 1 and out[0]["value"] is None
+        assert out[0]["n"] == 9
+
+    def test_phi_validation(self, spark):
+        import pytest as _pytest
+        from datatest_spark.operators import stats
+
+        df = spark.createDataFrame([("x",)], "v string")
+        for bad in (0.0, -0.1, 1.5):
+            with _pytest.raises(ValueError):
+                stats.heavy_hitters(df, "v", phi=bad)
+
+
+class TestPmiCollocations:
+    def test_glued_pair_scores_highest(self, spark):
+        """'new york' always adjacent; 'the'+anything is diffuse —
+        PMI must rank the glued pair first."""
+        import math
+
+        from datatest_spark.operators import text as t
+
+        docs = (
+            ["new york"] * 10
+            + ["the cat", "the dog", "the fish", "the cow"] * 5
+        )
+        df = spark.createDataFrame(
+            [(d.split(" "),) for d in docs], "tokens array<string>"
+        )
+        out = t.pmi_collocations(df, top_k=5, min_count=2).collect()
+        assert out[0]["t1"] == "new" and out[0]["t2"] == "york"
+        assert out[0]["rk"] == 1 and out[0]["c12"] == 10
+        # exact fixed-point value: c12=10, N=30, c1=c2=10
+        exp = math.floor(math.log2((10.0 * 30.0) / (10.0 * 10.0)) * (1 << 20))
+        assert out[0]["pmi_fixed"] == exp
+
+    def test_min_count_floors_hapax_pairs(self, spark):
+        from datatest_spark.operators import text as t
+
+        df = spark.createDataFrame(
+            [(["rare", "pair"],), (["a", "b"],), (["a", "b"],)],
+            "tokens array<string>",
+        )
+        out = t.pmi_collocations(df, top_k=10, min_count=2).collect()
+        assert [(r["t1"], r["t2"]) for r in out] == [("a", "b")]
+
+    def test_rank_is_deterministic_on_ties(self, spark):
+        from datatest_spark.operators import text as t
+
+        df = spark.createDataFrame(
+            [(["b", "y"],), (["a", "x"],)] * 3, "tokens array<string>"
+        )
+        out = t.pmi_collocations(df, top_k=2, min_count=1).collect()
+        # identical pmi; (a,x) < (b,y) lexicographically
+        assert (out[0]["t1"], out[0]["rk"]) == ("a", 1)
+        assert (out[1]["t1"], out[1]["rk"]) == ("b", 2)
+
+    def test_param_validation(self, spark):
+        import pytest as _pytest
+        from datatest_spark.operators import text as t
+
+        df = spark.createDataFrame([(["a", "b"],)], "tokens array<string>")
+        with _pytest.raises(ValueError):
+            t.pmi_collocations(df, top_k=0)
+        with _pytest.raises(ValueError):
+            t.pmi_collocations(df, min_count=0)

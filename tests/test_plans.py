@@ -443,3 +443,29 @@ class TestAuditPlans:
         )
         assert _exchanges(plan) == 1, plan
         assert "partial_count" in plan, plan
+
+
+class TestHeavyHitterPlans:
+    def test_prefilter_joins_broadcast_and_semi(self, docs):
+        """The totals join must broadcast (|groups| rows) and the
+        candidate restriction must be a semi-join — never a sort-merge
+        join shuffling the corpus against itself."""
+        from datatest_spark.operators import stats
+
+        toks = docs.select(
+            "source", F.explode(F.split(F.col("text"), " ")).alias("tok")
+        )
+        plan = _plan(stats.heavy_hitters(toks, "tok", "source",
+                                         phi=0.01, n_buckets=4096))
+        assert "LeftSemi" in plan, plan
+        assert "SortMergeJoin" not in plan, plan
+        assert "partial_count" in plan, plan
+
+    def test_pmi_topk_is_take_ordered_not_global_sort(self, docs):
+        """Global top-k must be TakeOrderedAndProject (per-partition
+        top-k + k-row merge); the rank window then sees <= k rows."""
+        from datatest_spark.operators import text as t
+
+        toks = docs.select(F.split(F.col("text"), " ").alias("tokens"))
+        plan = _plan(t.pmi_collocations(toks, top_k=10, min_count=2))
+        assert "TakeOrderedAndProject" in plan, plan
