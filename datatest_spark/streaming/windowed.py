@@ -283,3 +283,132 @@ def to_violation_rows(windowed: DataFrame, check_id: str = "windowed",
         ).alias("detail"),
     )
     return shaped.select(*VIOLATION_SCHEMA.names)
+
+
+def windowed_histogram(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    group_col: str = "source",
+    value_col: str = "n_tok",
+    lo: float = 0.0,
+    hi: float = 4096.0,
+    nbins: int = 10,
+    window: str = "10 minutes",
+    watermark: str = "5 minutes",
+) -> DataFrame:
+    """Per-event-time-window bucket counts — the streaming half of a
+    drift gate. ONE stateful aggregation keyed on (window, group,
+    bucket): at most |groups| x (nbins+2) state rows per open window,
+    watermark-evicted, regardless of stream volume. Bucketization is
+    the EXACT expression batch drift uses (``width_bucket`` over
+    [lo, hi] with 0 / nbins+1 under/overflow buckets, null groups
+    coalesced to '__null__') so a finalized window's histogram is
+    bit-identical to running operators/drift.histogram on the same
+    slice — stream ≡ batch is pinned in tests, and
+    :func:`drift_from_windowed` consumes either side.
+    """
+    w = _with_event_time(stream, ts_col).withWatermark(ts_col, watermark)
+    v = F.col(value_col).cast("double")
+    bucketed = w.filter(v.isNotNull()).select(
+        F.col(ts_col),
+        F.coalesce(F.col(group_col).cast("string"), F.lit("__null__")).alias(
+            "group"
+        ),
+        F.width_bucket(v, F.lit(lo), F.lit(hi), F.lit(nbins)).alias("bucket"),
+    )
+    return (
+        bucketed.groupBy(
+            F.window(F.col(ts_col), window).alias("win"), "group", "bucket"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "group",
+            "bucket",
+            "n",
+        )
+    )
+
+
+def drift_from_windowed(
+    hist: DataFrame,
+    reference: DataFrame,
+    nbins: int = 10,
+    eps: float = 1e-9,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """PSI per finalized (window, group) slice against a REFERENCE
+    bucket distribution — the batch half of the streaming drift gate:
+    :func:`windowed_histogram` keeps the stream-side state tiny, and
+    this runs on its sink (or on any batch histogram with the same
+    (window_start, window_end, group, bucket, n) shape).
+
+    ``reference`` is (bucket, q): the expected bucket fractions (e.g.
+    the training corpus's n_tok distribution) — normalized here so
+    callers can pass raw counts. The PSI term matches the engine's
+    batch drift convention exactly: ``(max(p,eps) - max(q,eps)) *
+    ln(max(p,eps) / max(q,eps))`` summed over the DENSE bucket grid
+    (a bucket absent from the window slice must contribute its
+    reference mass at p=eps; a sparse join would silently drop it).
+
+    Scale shape: the input is already aggregate (|windows| x |groups|
+    x (nbins+2) rows); the grid cross-join, reference broadcast, and
+    final (window, group) agg never touch stream volume. Returns
+    (window_start, window_end, group, n_rows, psi, status).
+    """
+    spark = hist.sparkSession
+    slices = hist.select("window_start", "window_end", "group").distinct()
+    grid = slices.crossJoin(
+        spark.range(0, nbins + 2).select(F.col("id").cast("int").alias("bucket"))
+    )
+    dense = grid.join(
+        hist, ["window_start", "window_end", "group", "bucket"], "left"
+    ).select(
+        "window_start",
+        "window_end",
+        "group",
+        "bucket",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+    )
+    ref_tot = reference.agg(F.sum("q").alias("_rt"))
+    ref = reference.crossJoin(F.broadcast(ref_tot)).select(
+        "bucket", (F.col("q") / F.col("_rt")).alias("_q")
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("window_start", "window_end", "group")
+    pq = (
+        dense.withColumn("_p", F.col("n") / F.sum("n").over(w))
+        .join(F.broadcast(ref), "bucket", "left")
+        .select(
+            "window_start",
+            "window_end",
+            "group",
+            "n",
+            F.greatest(F.coalesce(F.col("_p"), F.lit(0.0)), F.lit(eps)).alias(
+                "_pe"
+            ),
+            F.greatest(F.coalesce(F.col("_q"), F.lit(0.0)), F.lit(eps)).alias(
+                "_qe"
+            ),
+        )
+    )
+    term = (F.col("_pe") - F.col("_qe")) * F.log(F.col("_pe") / F.col("_qe"))
+    return (
+        pq.groupBy("window_start", "window_end", "group")
+        .agg(
+            F.sum("n").alias("n_rows"),
+            F.round(F.sum(term), 4).alias("psi"),
+        )
+        .select(
+            "window_start",
+            "window_end",
+            "group",
+            "n_rows",
+            "psi",
+            F.when(F.col("psi") > F.lit(float(threshold)), "drift")
+            .otherwise("ok")
+            .alias("status"),
+        )
+    )

@@ -398,3 +398,87 @@ def test_bloom_decontaminate_stream_equals_batch(spark, tmp_path):
     want = sorted(map(tuple, gate(df).collect()))
     assert got == want
     assert {r[0] for r in got} == {2, 3}  # the stolen doc is gone
+
+
+@pytest.mark.spark
+def test_windowed_histogram_stream_equals_batch(spark, tmp_path):
+    """A finalized streaming window's histogram must be bit-identical
+    to batch drift.histogram counts over the same slice."""
+    from datatest_spark.operators import drift
+    from datatest_spark.streaming import windowed
+
+    src = str(tmp_path / "hsrc")
+    rows = [
+        ("web", "2024-01-01 00:0%d:00" % i, v)
+        for i, v in enumerate([5, 50, 500, 50, 5])
+    ] + [
+        ("books", "2024-01-01 00:03:00", 120),
+        (None, "2024-01-01 00:04:00", 60),
+        ("web", "2024-01-01 00:02:00", None),  # null value: excluded
+    ]
+    _write_event_source(spark, src, rows)
+
+    stream = spark.readStream.schema(
+        "source string, ts timestamp_ntz, n_tok int"
+    ).parquet(src)
+    hist = windowed.windowed_histogram(
+        stream, lo=0.0, hi=1000.0, nbins=10, window="10 minutes"
+    )
+    got = {
+        (r["group"], r["bucket"]): r["n"]
+        for r in windowed.run_available_now(
+            hist, "whist", str(tmp_path / "hckpt")
+        )
+    }
+    batch = spark.read.parquet(src)
+    want = {
+        (r["group"], r["bucket"]): r["n"]
+        for r in drift.histogram(
+            batch, "n_tok", "source", 0.0, 1000.0, 10
+        ).collect()
+    }
+    assert got == want
+    assert ("__null__", 1) in got  # null group coalesced, not dropped
+
+
+@pytest.mark.spark
+def test_drift_from_windowed_flags_shifted_window(spark, tmp_path):
+    from datatest_spark.streaming import windowed
+
+    # window A matches the reference; window B is mass-shifted
+    rows = [("web", "2024-01-01 00:0%d:00" % i, 100) for i in range(5)]
+    rows += [("web", "2024-01-01 00:1%d:00" % i, 900) for i in range(5)]
+    src = str(tmp_path / "dsrc")
+    _write_event_source(spark, src, rows)
+    batch = spark.read.parquet(src)
+    hist = (
+        batch.select(
+            F.col("ts"),
+            F.col("source").alias("group"),
+            F.width_bucket(
+                F.col("n_tok").cast("double"), F.lit(0.0), F.lit(1000.0),
+                F.lit(10),
+            ).alias("bucket"),
+        )
+        .groupBy(
+            F.window("ts", "10 minutes").alias("win"), "group", "bucket"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "group", "bucket", "n",
+        )
+    )
+    ref = spark.createDataFrame([(2, 10.0)], "bucket int, q double")
+    out = {
+        (str(r["window_start"]), r["status"]): r["psi"]
+        for r in windowed.drift_from_windowed(
+            hist, ref, nbins=10, threshold=0.2
+        ).collect()
+    }
+    assert len(out) == 2
+    ok = [k for k in out if k[1] == "ok"]
+    drifted = [k for k in out if k[1] == "drift"]
+    assert len(ok) == 1 and "00:00" in ok[0][0]
+    assert len(drifted) == 1 and out[drifted[0]] > 1.0
