@@ -1449,6 +1449,20 @@ def q_bigram_logloss(spark, sf_dir):
     return bigram_logloss(toks)
 
 
+def q_bootstrap_ci(spark, sf_dir):
+    """Per-source mean n_chars with a deterministic Poisson-bootstrap
+    95% CI (operators/stats.bootstrap_ci): resample b's weight for a
+    row is Poisson(1) inverse-CDF'd from md5(id#b#seed) — map-only
+    reweighting, |groups| x B shuffle keys, fixed-point sums; the
+    DuckDB oracle reproduces every interval bit-for-bit."""
+    from datatest_spark.operators.stats import bootstrap_ci
+
+    d = _t(spark, sf_dir, "documents")
+    return bootstrap_ci(
+        d, "n_chars", "source", n_boot=64, alpha=0.05, seed=0
+    ).withColumnRenamed("group", "source")
+
+
 def q_pmi_collocations(spark, sf_dir):
     """Top-k PMI collocations (operators/text.pmi_collocations) over
     word tokens: the lexical-association audit for boilerplate /
@@ -1965,7 +1979,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #   emd_drift / corr_length_words / readability / fertility /
 #   shard_manifest / vocab_overlap / retention_cohorts /
 #   fd_violations / benford_digits / null_pattern /
-#   pmi_collocations / heavy_hitters
+#   pmi_collocations / heavy_hitters / bootstrap_ci
 #                        — session-3+ operators, each value-oracled and
 #                          pinned by dedicated pytest tests; the window
 #                          was already full of never-driver-checked
@@ -2125,6 +2139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "null_pattern": q_null_pattern,
         "pmi_collocations": q_pmi_collocations,
         "heavy_hitters": q_heavy_hitters,
+        "bootstrap_ci": q_bootstrap_ci,
         "pivot_order_status": q_pivot_order_status,
         "rollup_revenue": q_rollup_revenue,
         "simhash_pairs": q_simhash_pairs,
@@ -2907,6 +2922,74 @@ def oracle_sql() -> dict[str, str]:
                             THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
                    COUNT(*) AS n_events
             FROM G GROUP BY user_id
+        """,
+        "bootstrap_ci": """
+            WITH BASE AS (
+                SELECT source AS g, CAST(doc_id AS VARCHAR) AS id,
+                       CAST(FLOOR(CAST(n_chars AS DOUBLE) * 1048576.0)
+                            AS BIGINT) AS xf
+                FROM documents WHERE n_chars IS NOT NULL
+            ),
+            FULLSTAT AS (
+                SELECT g, COUNT(*) AS n_rows,
+                       (CAST(SUM(xf) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+                           / 1048576.0 AS mean
+                FROM BASE GROUP BY g
+            ),
+            REP AS (
+                SELECT g, id, xf, CAST(b AS INT) AS b
+                FROM BASE, UNNEST(range(1, 65)) AS t(b)
+            ),
+            W AS (
+                SELECT g, b, xf,
+                       CASE
+                         WHEN u <= 0.36787944117144233 THEN 0
+                         WHEN u <= 0.7357588823428847 THEN 1
+                         WHEN u <= 0.9196986029286058 THEN 2
+                         WHEN u <= 0.9810118431238463 THEN 3
+                         WHEN u <= 0.9963401531726563 THEN 4
+                         WHEN u <= 0.9994058151824183 THEN 5
+                         WHEN u <= 0.999916758850712 THEN 6
+                         WHEN u <= 0.9999897508033253 THEN 7
+                         ELSE 8
+                       END AS w
+                FROM (
+                    SELECT g, b, xf,
+                           (CAST(CAST('0x' || substr(
+                                md5(id || '#' || CAST(b AS VARCHAR) || '#0'),
+                                1, 4) AS BIGINT) AS DOUBLE) + 1.0)
+                               / 65536.0 AS u
+                    FROM REP
+                )
+            ),
+            M AS (
+                SELECT g, b,
+                       (CAST(SUM(w * xf) AS DOUBLE)
+                        / CAST(SUM(w) AS DOUBLE)) / 1048576.0 AS mb
+                FROM W GROUP BY g, b HAVING SUM(w) > 0
+            ),
+            R AS (
+                SELECT g, b, mb,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY g ORDER BY mb ASC, b ASC
+                       ) AS rk,
+                       COUNT(*) OVER (PARTITION BY g) AS nb
+                FROM M
+            ),
+            CI AS (
+                SELECT g,
+                       MIN(CASE WHEN rk = CAST(CEIL(0.025 * nb) AS INT)
+                                THEN mb END) AS lo,
+                       MIN(CASE WHEN rk = CAST(CEIL(0.975 * nb) AS INT)
+                                THEN mb END) AS hi,
+                       MAX(nb) AS n_boot_used
+                FROM R GROUP BY g
+            )
+            SELECT f.g AS source, f.n_rows, ROUND(f.mean, 6) AS mean,
+                   ROUND(c.lo, 6) AS ci_lo, ROUND(c.hi, 6) AS ci_hi,
+                   CAST(COALESCE(c.n_boot_used, 0) AS BIGINT)
+                       AS n_boot_used
+            FROM FULLSTAT f LEFT JOIN CI c USING (g)
         """,
         "pmi_collocations": """
             WITH T AS (

@@ -763,3 +763,148 @@ def heavy_hitters(
             F.round(F.col("n") / F.col("n_total"), 6).alias("frac"),
         )
     )
+
+
+# Poisson(1) inverse-CDF thresholds (k = 0..7; u above the last -> 8).
+# Written as exact double literals so the Spark when-chain and the SQL
+# CASE chain compare against bit-identical constants.
+POISSON1_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238463,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.999916758850712,
+    0.9999897508033253,
+)
+
+
+def bootstrap_ci(
+    df: DataFrame,
+    value_col: str,
+    group_col: str | None = None,
+    id_col: str = "doc_id",
+    n_boot: int = 64,
+    alpha: float = 0.05,
+    seed: int = 0,
+    scale_bits: int = 20,
+) -> DataFrame:
+    """Per-group mean with a POISSON-BOOTSTRAP confidence interval —
+    the resampling scheme that actually works on a distributed table:
+    classic bootstrap draws n-with-replacement (needs the whole group
+    in one place); the Poisson bootstrap gives every row an i.i.d.
+    Poisson(1) multiplicity instead, so resample b is a MAP-ONLY
+    weighting of the original partitioning (Chamandy et al., Google
+    2012, "Estimating Uncertainty for Massive Data Streams").
+
+    Every weight is a PURE FUNCTION of (id, b, seed): u = (h+1)/2^16
+    from the md5 of "id#b#seed" (power-of-two division — exact in
+    binary fp, the weighted_sample discipline), pushed through the
+    Poisson(1) inverse CDF as a when-chain over exact double literals.
+    Reruns, resumes, any cluster size, and the DuckDB oracle produce
+    identical intervals. Values are fixed-pointed
+    (``floor(x * 2^scale_bits)`` bigint) so per-resample sums are
+    associative; each resample mean is two IEEE divisions mirrored in
+    the oracle.
+
+    The interval is percentile-bootstrap: rank the resample means and
+    take the ceil(alpha/2 * B)-th and ceil((1-alpha/2) * B)-th order
+    statistics (deterministic resample-index tie-break). Resamples
+    whose total weight is 0 (possible only for tiny groups) are
+    dropped from the ranking; ``n_boot_used`` reports the survivors.
+
+    Scale shape: the corpus is projected to (group, id, xf) FIRST,
+    then exploded x B — CPU pays B small-row passes, but the shuffle
+    carries only |groups| x B keys after map-side combine, and nothing
+    is ever re-partitioned by id. Null values are excluded (they
+    surface through null-rate checks).
+    """
+    if n_boot < 2:
+        raise ValueError("n_boot must be >= 2, got %r" % (n_boot,))
+    if not (0.0 < alpha < 1.0):
+        raise ValueError("alpha must be in (0, 1), got %r" % (alpha,))
+    from pyspark.sql import Window
+
+    s = float(1 << scale_bits)
+    grp = (F.col(group_col) if group_col else F.lit("all")).alias("_bs_grp")
+    x = F.col(value_col).cast("double")
+    base = df.where(x.isNotNull()).select(
+        grp,
+        F.col(id_col).cast("string").alias("_bs_id"),
+        F.floor(x * F.lit(s)).cast("long").alias("_bs_xf"),
+    )
+    full = base.groupBy("_bs_grp").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (
+            (F.sum("_bs_xf").cast("double") / F.count(F.lit(1)).cast("double"))
+            / F.lit(s)
+        ).alias("_mean"),
+    )
+    rep = base.withColumn(
+        "_bs_b", F.explode(F.sequence(F.lit(1), F.lit(int(n_boot))))
+    )
+    hx = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("_bs_id"),
+                    F.lit("#"),
+                    F.col("_bs_b").cast("string"),
+                    F.lit("#{0}".format(int(seed))),
+                )
+            ),
+            1,
+            4,
+        ),
+        16,
+        10,
+    ).cast("double")
+    u = (hx + F.lit(1.0)) / F.lit(65536.0)
+    w = F.lit(8)
+    for k in range(len(POISSON1_CDF) - 1, -1, -1):
+        w = F.when(u <= F.lit(POISSON1_CDF[k]), F.lit(k)).otherwise(w)
+    means = (
+        rep.select("_bs_grp", "_bs_b", w.alias("_bs_w"), F.col("_bs_xf"))
+        .groupBy("_bs_grp", "_bs_b")
+        .agg(
+            F.sum("_bs_w").cast("long").alias("_ne"),
+            F.sum(F.col("_bs_w") * F.col("_bs_xf")).cast("long").alias("_s"),
+        )
+        .where(F.col("_ne") > 0)
+        .select(
+            "_bs_grp",
+            "_bs_b",
+            (
+                (F.col("_s").cast("double") / F.col("_ne").cast("double"))
+                / F.lit(s)
+            ).alias("_mb"),
+        )
+    )
+    win = Window.partitionBy("_bs_grp")
+    ranked = means.select(
+        "_bs_grp",
+        "_mb",
+        F.row_number()
+        .over(win.orderBy(F.col("_mb").asc(), F.col("_bs_b").asc()))
+        .alias("_rk"),
+        F.count(F.lit(1)).over(win).alias("_nb"),
+    )
+    lo_rk = F.ceil(F.lit(alpha / 2.0) * F.col("_nb")).cast("int")
+    hi_rk = F.ceil(F.lit(1.0 - alpha / 2.0) * F.col("_nb")).cast("int")
+    ci = ranked.groupBy("_bs_grp").agg(
+        F.min(F.when(F.col("_rk") == lo_rk, F.col("_mb"))).alias("_lo"),
+        F.min(F.when(F.col("_rk") == hi_rk, F.col("_mb"))).alias("_hi"),
+        F.max("_nb").alias("n_boot_used"),
+    )
+    return (
+        full.join(ci, "_bs_grp", "left")
+        .select(
+            F.col("_bs_grp").alias("group"),
+            "n_rows",
+            F.round("_mean", 6).alias("mean"),
+            F.round("_lo", 6).alias("ci_lo"),
+            F.round("_hi", 6).alias("ci_hi"),
+            F.coalesce(F.col("n_boot_used"), F.lit(0)).alias("n_boot_used"),
+        )
+    )

@@ -125,7 +125,7 @@ def test_driver_window_holds_every_value_oracled_query_once():
         "emd_drift", "corr_length_words", "readability", "fertility",
         "shard_manifest", "vocab_overlap", "retention_cohorts",
         "fd_violations", "benford_digits", "null_pattern",
-        "pmi_collocations", "heavy_hitters",
+        "pmi_collocations", "heavy_hitters", "bootstrap_ci",
     }
     import glob
 

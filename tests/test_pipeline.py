@@ -3990,3 +3990,95 @@ class TestPmiCollocations:
             t.pmi_collocations(df, top_k=0)
         with _pytest.raises(ValueError):
             t.pmi_collocations(df, min_count=0)
+
+
+class TestBootstrapCI:
+    def test_weights_match_python_md5_mirror(self, spark):
+        """The Poisson weight for (id, b) must equal the hashlib mirror
+        of the same md5 -> u -> inverse-CDF pipeline."""
+        import hashlib
+
+        from datatest_spark.operators import stats
+
+        def py_w(doc_id, b, seed=0):
+            h = hashlib.md5(
+                ("%s#%d#%d" % (doc_id, b, seed)).encode()
+            ).hexdigest()
+            u = (int(h[:4], 16) + 1.0) / 65536.0
+            for k, c in enumerate(stats.POISSON1_CDF):
+                if u <= c:
+                    return k
+            return 8
+
+        # single row, single resample -> the resample mean equals the
+        # value whenever w > 0 and the resample is dropped when w == 0;
+        # scan b until both cases are exercised
+        df = spark.createDataFrame([("d0", 7.0)], "doc_id string, v double")
+        out = stats.bootstrap_ci(df, "v", id_col="doc_id", n_boot=16)
+        (r,) = out.collect()
+        expected_used = sum(1 for b in range(1, 17) if py_w("d0", b) > 0)
+        assert r["n_boot_used"] == expected_used
+        assert r["mean"] == 7.0
+        if expected_used:
+            assert r["ci_lo"] == 7.0 and r["ci_hi"] == 7.0
+
+    def test_deterministic_and_ci_brackets_mean(self, spark, docs):
+        from datatest_spark.operators import stats
+
+        a = sorted(map(tuple, stats.bootstrap_ci(
+            docs, "n_chars", "source", n_boot=32
+        ).collect()))
+        b = sorted(map(tuple, stats.bootstrap_ci(
+            docs, "n_chars", "source", n_boot=32
+        ).collect()))
+        assert a == b
+        for row in a:
+            _, n_rows, mean, lo, hi, used = row
+            assert used == 32
+            assert lo <= hi
+            # percentile bootstrap brackets the sample mean on any
+            # non-degenerate group of this size
+            assert lo <= mean <= hi
+
+    def test_interval_narrows_with_more_data(self, spark):
+        from datatest_spark.operators import stats
+
+        rows = [("big", "b%d" % i, float(i % 100)) for i in range(2000)]
+        rows += [("small", "s%d" % i, float(i % 100)) for i in range(20)]
+        df = spark.createDataFrame(rows, "g string, doc_id string, v double")
+        out = {r["group"]: r for r in stats.bootstrap_ci(
+            df, "v", "g", n_boot=64
+        ).collect()}
+        big_w = out["big"]["ci_hi"] - out["big"]["ci_lo"]
+        small_w = out["small"]["ci_hi"] - out["small"]["ci_lo"]
+        assert big_w < small_w
+
+    def test_seed_changes_resamples_not_mean(self, spark, docs):
+        from datatest_spark.operators import stats
+
+        a = {r["group"]: r for r in stats.bootstrap_ci(
+            docs, "n_chars", "source", n_boot=32, seed=0
+        ).collect()}
+        b = {r["group"]: r for r in stats.bootstrap_ci(
+            docs, "n_chars", "source", n_boot=32, seed=1
+        ).collect()}
+        assert set(a) == set(b)
+        assert all(a[g]["mean"] == b[g]["mean"] for g in a)
+        assert any(
+            (a[g]["ci_lo"], a[g]["ci_hi"]) != (b[g]["ci_lo"], b[g]["ci_hi"])
+            for g in a
+        )
+
+    def test_param_validation_and_null_exclusion(self, spark):
+        import pytest as _pytest
+        from datatest_spark.operators import stats
+
+        df = spark.createDataFrame(
+            [("a", 1.0), ("b", None)], "doc_id string, v double"
+        )
+        (r,) = stats.bootstrap_ci(df, "v", id_col="doc_id").collect()
+        assert r["n_rows"] == 1
+        with _pytest.raises(ValueError):
+            stats.bootstrap_ci(df, "v", n_boot=1)
+        with _pytest.raises(ValueError):
+            stats.bootstrap_ci(df, "v", alpha=0.0)

@@ -469,3 +469,18 @@ class TestHeavyHitterPlans:
         toks = docs.select(F.split(F.col("text"), " ").alias("tokens"))
         plan = _plan(t.pmi_collocations(toks, top_k=10, min_count=2))
         assert "TakeOrderedAndProject" in plan, plan
+
+
+class TestBootstrapPlan:
+    def test_bootstrap_never_shuffles_by_id(self, docs):
+        """The resample shuffle must be keyed (group, b) — tiny — with
+        map-side partial aggregation; no exchange on the id column."""
+        from datatest_spark.operators import stats
+
+        plan = _plan(stats.bootstrap_ci(docs, "n_chars", "source",
+                                        n_boot=16))
+        assert "partial_sum" in plan or "partial_count" in plan, plan
+        import re as _re
+
+        for m in _re.findall(r"hashpartitioning\(([^)]*)\)", plan):
+            assert "_bs_id" not in m, plan
