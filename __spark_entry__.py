@@ -1449,6 +1449,17 @@ def q_bigram_logloss(spark, sf_dir):
     return bigram_logloss(toks)
 
 
+def q_association(spark, sf_dir):
+    """source x lang association (operators/stats.association_audit):
+    chi-square independence, mutual information in bits, Cramér's V —
+    one (a, b) pre-combined count, everything else on the |A| x |B|
+    cell frame; fixed-point bigint term sums, double-cast products."""
+    from datatest_spark.operators.stats import association_audit
+
+    d = _t(spark, sf_dir, "documents")
+    return association_audit(d, "source", "lang")
+
+
 def q_bootstrap_ci(spark, sf_dir):
     """Per-source mean n_chars with a deterministic Poisson-bootstrap
     95% CI (operators/stats.bootstrap_ci): resample b's weight for a
@@ -1979,7 +1990,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #   emd_drift / corr_length_words / readability / fertility /
 #   shard_manifest / vocab_overlap / retention_cohorts /
 #   fd_violations / benford_digits / null_pattern /
-#   pmi_collocations / heavy_hitters / bootstrap_ci
+#   pmi_collocations / heavy_hitters / bootstrap_ci / association
 #                        — session-3+ operators, each value-oracled and
 #                          pinned by dedicated pytest tests; the window
 #                          was already full of never-driver-checked
@@ -2140,6 +2151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_collocations": q_pmi_collocations,
         "heavy_hitters": q_heavy_hitters,
         "bootstrap_ci": q_bootstrap_ci,
+        "association": q_association,
         "pivot_order_status": q_pivot_order_status,
         "rollup_revenue": q_rollup_revenue,
         "simhash_pairs": q_simhash_pairs,
@@ -2922,6 +2934,66 @@ def oracle_sql() -> dict[str, str]:
                             THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
                    COUNT(*) AS n_events
             FROM G GROUP BY user_id
+        """,
+        "association": """
+            WITH CELLS AS (
+                SELECT COALESCE(CAST(source AS VARCHAR), '__null__') AS a,
+                       COALESCE(CAST(lang AS VARCHAR), '__null__') AS b,
+                       COUNT(*) AS o
+                FROM documents GROUP BY 1, 2
+            ),
+            RA AS (SELECT a, SUM(o) AS ra FROM CELLS GROUP BY a),
+            CB AS (SELECT b, SUM(o) AS cb FROM CELLS GROUP BY b),
+            TOT AS (SELECT SUM(o) AS n FROM CELLS),
+            GRID AS (
+                SELECT ra.a, cb.b, ra.ra, cb.cb,
+                       COALESCE(c.o, 0) AS o, t.n
+                FROM RA ra CROSS JOIN CB cb
+                LEFT JOIN CELLS c ON c.a = ra.a AND c.b = cb.b
+                CROSS JOIN TOT t
+            ),
+            TERMS AS (
+                SELECT n,
+                       a, b,
+                       CAST(FLOOR(
+                           ((CAST(o AS DOUBLE) * CAST(n AS DOUBLE)
+                             - CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE))
+                            * (CAST(o AS DOUBLE) * CAST(n AS DOUBLE)
+                               - CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE)))
+                           / (CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE)
+                              * CAST(n AS DOUBLE))
+                           * 1048576.0
+                       ) AS BIGINT) AS chi_f,
+                       CASE WHEN o > 0 THEN
+                           CAST(FLOOR(LOG2(
+                               (CAST(o AS DOUBLE) * CAST(n AS DOUBLE))
+                               / (CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE))
+                           ) * 1048576.0) AS BIGINT) * o
+                       ELSE 0 END AS mi_f
+                FROM GRID
+            ),
+            AGG AS (
+                SELECT MAX(n) AS n,
+                       COUNT(DISTINCT a) AS n_a,
+                       COUNT(DISTINCT b) AS n_b,
+                       SUM(chi_f) AS chi_f,
+                       SUM(mi_f) AS mi_f
+                FROM TERMS
+            )
+            SELECT CAST(n AS BIGINT) AS n,
+                   CAST(n_a AS BIGINT) AS n_a,
+                   CAST(n_b AS BIGINT) AS n_b,
+                   CAST((n_a - 1) * (n_b - 1) AS BIGINT) AS dof,
+                   ROUND(CAST(chi_f AS DOUBLE) / 1048576.0, 4) AS chi2,
+                   ROUND((CAST(mi_f AS DOUBLE) / 1048576.0)
+                         / CAST(n AS DOUBLE), 6) AS mi_bits,
+                   ROUND(CASE WHEN n > 0 AND LEAST(n_a - 1, n_b - 1) > 0
+                              THEN SQRT((CAST(chi_f AS DOUBLE) / 1048576.0)
+                                        / (CAST(n AS DOUBLE)
+                                           * CAST(LEAST(n_a - 1, n_b - 1)
+                                                  AS DOUBLE)))
+                         END, 6) AS cramers_v
+            FROM AGG
         """,
         "bootstrap_ci": """
             WITH BASE AS (

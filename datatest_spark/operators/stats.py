@@ -908,3 +908,102 @@ def bootstrap_ci(
             F.coalesce(F.col("n_boot_used"), F.lit(0)).alias("n_boot_used"),
         )
     )
+
+
+def association_audit(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    scale_bits: int = 20,
+) -> DataFrame:
+    """Association between two categorical columns — ONE row with the
+    chi-square independence statistic, mutual information (bits), and
+    Cramér's V. The generalization of :func:`fd_audit`: an FD is the
+    V = 1 extreme; V near 0 certifies independence (e.g. "is quality
+    band independent of source?" — if not, a per-source quality gate
+    is leaking source identity into the mixture).
+
+    NULLs in either column form their own '__null__' category (a
+    missing label is information, and silently dropping those rows
+    would fake independence). All statistics come from fixed-point
+    bigint sums of per-cell terms — each term is a deterministic IEEE
+    double expression over exact integer counts with products cast to
+    double BEFORE multiplying (int64 overflow starts at ~10^12 rows),
+    floored at 2^scale_bits — so any parallelism and the SQL oracle
+    reproduce the same result to the final rounding. Zero cells of the
+    dense |A| x |B| grid contribute their expected mass to chi-square
+    (omitting them understates dependence) and 0 to MI.
+
+    Scale shape: ONE corpus-wide (a, b) count — map-side combinable,
+    so the wire carries |A| x |B| cells — then margins, the dense
+    grid, and the final 1-row agg all run on the cell frame. The
+    corpus crosses the wire once, pre-combined.
+    """
+    s = float(1 << scale_bits)
+    a = F.coalesce(F.col(col_a).cast("string"), F.lit("__null__"))
+    b = F.coalesce(F.col(col_b).cast("string"), F.lit("__null__"))
+    cells = df.groupBy(a.alias("_a"), b.alias("_b")).agg(
+        F.count(F.lit(1)).alias("_o")
+    )
+    ra = cells.groupBy("_a").agg(F.sum("_o").alias("_ra"))
+    cb = cells.groupBy("_b").agg(F.sum("_o").alias("_cb"))
+    tot = cells.agg(
+        F.sum("_o").alias("_n"),
+        F.count(F.lit(1)).alias("_cells"),
+    )
+    grid = (
+        ra.crossJoin(cb)
+        .join(cells, ["_a", "_b"], "left")
+        .select(
+            "_a",
+            "_b",
+            "_ra",
+            "_cb",
+            F.coalesce(F.col("_o"), F.lit(0)).alias("_o"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    od = F.col("_o").cast("double")
+    rad = F.col("_ra").cast("double")
+    cbd = F.col("_cb").cast("double")
+    nd = F.col("_n").cast("double")
+    # chi2 term: (o*N - ra*cb)^2 / (ra*cb*N), doubles throughout
+    num = od * nd - rad * cbd
+    chi_term = F.floor((num * num) / (rad * cbd * nd) * F.lit(s)).cast("long")
+    # MI term (bits): o * log2(o*N / (ra*cb)); zero cells contribute 0
+    mi_term = F.when(
+        F.col("_o") > 0,
+        F.floor(
+            F.log2((od * nd) / (rad * cbd)) * F.lit(s)
+        ).cast("long")
+        * F.col("_o"),
+    ).otherwise(F.lit(0))
+    agg = grid.agg(
+        F.max("_n").alias("n"),
+        F.count_distinct("_a").alias("n_a"),
+        F.count_distinct("_b").alias("n_b"),
+        F.sum(chi_term).alias("_chi_f"),
+        F.sum(mi_term).alias("_mi_f"),
+    )
+    chi2 = F.col("_chi_f").cast("double") / F.lit(s)
+    dof = (F.col("n_a") - 1) * (F.col("n_b") - 1)
+    vmin = F.least(F.col("n_a") - 1, F.col("n_b") - 1)
+    return agg.select(
+        "n",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        dof.cast("long").alias("dof"),
+        F.round(chi2, 4).alias("chi2"),
+        F.round(
+            (F.col("_mi_f").cast("double") / F.lit(s))
+            / F.col("n").cast("double"),
+            6,
+        ).alias("mi_bits"),
+        F.round(
+            F.when(
+                (F.col("n") > 0) & (vmin > 0),
+                F.sqrt(chi2 / (F.col("n").cast("double") * vmin.cast("double"))),
+            ),
+            6,
+        ).alias("cramers_v"),
+    )

@@ -4082,3 +4082,64 @@ class TestBootstrapCI:
             stats.bootstrap_ci(df, "v", n_boot=1)
         with _pytest.raises(ValueError):
             stats.bootstrap_ci(df, "v", alpha=0.0)
+
+
+class TestAssociationAudit:
+    def test_perfect_dependence_gives_v_one(self, spark):
+        from datatest_spark.operators import stats
+
+        # b is a function of a, balanced 2x2 -> chi2 = n, V = 1, MI = 1 bit
+        rows = [("x", "p")] * 10 + [("y", "q")] * 10
+        df = spark.createDataFrame(rows, "a string, b string")
+        (r,) = stats.association_audit(df, "a", "b").collect()
+        assert r["n"] == 20 and r["dof"] == 1
+        assert abs(r["chi2"] - 20.0) < 0.01
+        assert abs(r["cramers_v"] - 1.0) < 0.001
+        assert abs(r["mi_bits"] - 1.0) < 0.001
+
+    def test_independence_gives_zero(self, spark):
+        from datatest_spark.operators import stats
+
+        # exactly proportional cells: o = ra*cb/n for every cell
+        rows = (
+            [("x", "p")] * 6 + [("x", "q")] * 2
+            + [("y", "p")] * 3 + [("y", "q")] * 1
+        )
+        df = spark.createDataFrame(rows, "a string, b string")
+        (r,) = stats.association_audit(df, "a", "b").collect()
+        assert r["chi2"] == 0.0 and r["mi_bits"] == 0.0
+        assert r["cramers_v"] == 0.0
+
+    def test_null_category_participates(self, spark):
+        from datatest_spark.operators import stats
+
+        rows = [("x", None)] * 5 + [("y", "q")] * 5
+        df = spark.createDataFrame(rows, "a string, b string")
+        (r,) = stats.association_audit(df, "a", "b").collect()
+        # null is its own category -> perfect dependence again
+        assert r["n_b"] == 2 and abs(r["cramers_v"] - 1.0) < 0.001
+
+    def test_single_category_column_yields_null_v(self, spark):
+        from datatest_spark.operators import stats
+
+        df = spark.createDataFrame(
+            [("x", "p"), ("x", "q")], "a string, b string"
+        )
+        (r,) = stats.association_audit(df, "a", "b").collect()
+        assert r["dof"] == 0 and r["cramers_v"] is None
+
+    def test_zero_cells_contribute_expected_mass(self, spark):
+        import math
+
+        from datatest_spark.operators import stats
+
+        # 2x2 with one empty cell: chi2 must include the (0-e)^2/e term
+        rows = [("x", "p")] * 4 + [("y", "p")] * 2 + [("y", "q")] * 2
+        df = spark.createDataFrame(rows, "a string, b string")
+        (r,) = stats.association_audit(df, "a", "b").collect()
+        # exact chi2 by hand: n=8, ra(x)=4, ra(y)=4, cb(p)=6, cb(q)=2
+        exp = {("x", "p"): 3.0, ("x", "q"): 1.0,
+               ("y", "p"): 3.0, ("y", "q"): 1.0}
+        obs = {("x", "p"): 4, ("x", "q"): 0, ("y", "p"): 2, ("y", "q"): 2}
+        want = sum((obs[k] - e) ** 2 / e for k, e in exp.items())
+        assert abs(r["chi2"] - want) < 0.01

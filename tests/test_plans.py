@@ -484,3 +484,14 @@ class TestBootstrapPlan:
 
         for m in _re.findall(r"hashpartitioning\(([^)]*)\)", plan):
             assert "_bs_id" not in m, plan
+
+
+class TestAssociationPlan:
+    def test_corpus_crosses_wire_once_precombined(self, docs):
+        from datatest_spark.operators import stats
+
+        plan = _plan(stats.association_audit(docs, "source", "lang"))
+        assert "partial_count" in plan, plan
+        # everything after the (a, b) count runs on the cell frame:
+        # no sort-merge join anywhere
+        assert "SortMergeJoin" not in plan, plan
