@@ -1449,6 +1449,54 @@ def q_bigram_logloss(spark, sf_dir):
     return bigram_logloss(toks)
 
 
+def q_windowed_drift(spark, sf_dir):
+    """Per-day PSI of event values per event_type vs the corpus-wide
+    distribution — the BATCH twin of the streaming drift gate, run
+    through the SAME streaming.drift_from_windowed code the sink uses
+    (windowed_histogram's width_bucket path is stream≡batch pinned;
+    this value-oracles the PSI half). TZ-free epoch-day windows;
+    buckets from EXACT integer cents (round(value*100) // 5000) so a
+    double sitting one ulp off a boundary cannot flip buckets across
+    engines — same under/overflow convention as width_bucket."""
+    from datatest_spark.streaming.windowed import drift_from_windowed
+
+    e = _t(spark, sf_dir, "events")
+    ms = F.timestamp_diff(
+        "MILLISECOND",
+        F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+        F.col("ts"),
+    )
+    day = F.floor(ms / F.lit(86_400_000)).cast("long")
+    cents = F.round(F.col("value").cast("double") * F.lit(100.0)).cast("long")
+    bucket = (
+        F.when(cents < 0, F.lit(0))
+        .when(cents >= 50_000, F.lit(11))
+        .otherwise(F.floor(cents / F.lit(5_000)).cast("int") + 1)
+    )
+    base = e.where(F.col("value").isNotNull()).select(
+        day.alias("window_start"),
+        (day + 1).alias("window_end"),
+        F.coalesce(F.col("event_type").cast("string"), F.lit("__null__"))
+        .alias("group"),
+        bucket.alias("bucket"),
+    )
+    hist = base.groupBy(
+        "window_start", "window_end", "group", "bucket"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    ref = (
+        base.groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("double").alias("q"))
+    )
+    out = drift_from_windowed(hist, ref, nbins=10, threshold=0.2)
+    return out.select(
+        F.col("window_start").alias("day"),
+        F.col("group").alias("event_type"),
+        "n_rows",
+        "psi",
+        "status",
+    )
+
+
 def q_association(spark, sf_dir):
     """source x lang association (operators/stats.association_audit):
     chi-square independence, mutual information in bits, Cramér's V —
@@ -1990,7 +2038,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #   emd_drift / corr_length_words / readability / fertility /
 #   shard_manifest / vocab_overlap / retention_cohorts /
 #   fd_violations / benford_digits / null_pattern /
-#   pmi_collocations / heavy_hitters / bootstrap_ci / association
+#   pmi_collocations / heavy_hitters / bootstrap_ci / association /
+#   windowed_drift
 #                        — session-3+ operators, each value-oracled and
 #                          pinned by dedicated pytest tests; the window
 #                          was already full of never-driver-checked
@@ -2152,6 +2201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": q_heavy_hitters,
         "bootstrap_ci": q_bootstrap_ci,
         "association": q_association,
+        "windowed_drift": q_windowed_drift,
         "pivot_order_status": q_pivot_order_status,
         "rollup_revenue": q_rollup_revenue,
         "simhash_pairs": q_simhash_pairs,
@@ -2934,6 +2984,57 @@ def oracle_sql() -> dict[str, str]:
                             THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
                    COUNT(*) AS n_events
             FROM G GROUP BY user_id
+        """,
+        "windowed_drift": """
+            WITH B AS (
+                SELECT epoch_ms(ts) // 86400000 AS day,
+                       COALESCE(CAST(event_type AS VARCHAR), '__null__')
+                           AS grp,
+                       CASE WHEN CAST(ROUND(value * 100) AS BIGINT) < 0
+                                THEN 0
+                            WHEN CAST(ROUND(value * 100) AS BIGINT) >= 50000
+                                THEN 11
+                            ELSE CAST(FLOOR(CAST(ROUND(value * 100)
+                                     AS BIGINT) / 5000.0) AS INT) + 1
+                       END AS bucket
+                FROM events WHERE value IS NOT NULL
+            ),
+            H AS (
+                SELECT day, grp, bucket, COUNT(*) AS n
+                FROM B GROUP BY day, grp, bucket
+            ),
+            REF AS (
+                SELECT bucket, CAST(COUNT(*) AS DOUBLE) AS q
+                FROM B GROUP BY bucket
+            ),
+            REFN AS (
+                SELECT bucket, q / (SELECT SUM(q) FROM REF) AS qn FROM REF
+            ),
+            SLICES AS (SELECT DISTINCT day, grp FROM H),
+            GRID AS (
+                SELECT s.day, s.grp, CAST(g.b AS INT) AS bucket
+                FROM SLICES s, UNNEST(range(0, 12)) AS g(b)
+            ),
+            DENSE AS (
+                SELECT g.day, g.grp, g.bucket, COALESCE(h.n, 0) AS n
+                FROM GRID g LEFT JOIN H h
+                  ON h.day = g.day AND h.grp = g.grp AND h.bucket = g.bucket
+            ),
+            PQ AS (
+                SELECT day, grp, n,
+                       GREATEST(COALESCE(
+                           CAST(n AS DOUBLE)
+                           / SUM(n) OVER (PARTITION BY day, grp), 0.0),
+                           1e-9) AS pe,
+                       GREATEST(COALESCE(r.qn, 0.0), 1e-9) AS qe
+                FROM DENSE LEFT JOIN REFN r USING (bucket)
+            )
+            SELECT day, grp AS event_type,
+                   CAST(SUM(n) AS BIGINT) AS n_rows,
+                   ROUND(SUM((pe - qe) * LN(pe / qe)), 4) AS psi,
+                   CASE WHEN ROUND(SUM((pe - qe) * LN(pe / qe)), 4) > 0.2
+                        THEN 'drift' ELSE 'ok' END AS status
+            FROM PQ GROUP BY day, grp
         """,
         "association": """
             WITH CELLS AS (
