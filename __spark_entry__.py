@@ -1449,6 +1449,18 @@ def q_bigram_logloss(spark, sf_dir):
     return bigram_logloss(toks)
 
 
+def q_position_entropy(spark, sf_dir):
+    """Per-position token entropy over the first 16 word positions
+    (operators/text.position_entropy) — the templated-prefix detector.
+    Map-only slice bounds the explode at 16 rows/doc; one (pos, token)
+    pre-combined count; fixed-point entropy terms."""
+    from datatest_spark.operators.text import position_entropy
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(F.split(F.col("text"), " ").alias("tokens"))
+    return position_entropy(toks, max_pos=16)
+
+
 def q_windowed_drift(spark, sf_dir):
     """Per-day PSI of event values per event_type vs the corpus-wide
     distribution — the BATCH twin of the streaming drift gate, run
@@ -2039,7 +2051,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #   shard_manifest / vocab_overlap / retention_cohorts /
 #   fd_violations / benford_digits / null_pattern /
 #   pmi_collocations / heavy_hitters / bootstrap_ci / association /
-#   windowed_drift
+#   windowed_drift / position_entropy
 #                        — session-3+ operators, each value-oracled and
 #                          pinned by dedicated pytest tests; the window
 #                          was already full of never-driver-checked
@@ -2202,6 +2214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bootstrap_ci": q_bootstrap_ci,
         "association": q_association,
         "windowed_drift": q_windowed_drift,
+        "position_entropy": q_position_entropy,
         "pivot_order_status": q_pivot_order_status,
         "rollup_revenue": q_rollup_revenue,
         "simhash_pairs": q_simhash_pairs,
@@ -2984,6 +2997,37 @@ def oracle_sql() -> dict[str, str]:
                             THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
                    COUNT(*) AS n_events
             FROM G GROUP BY user_id
+        """,
+        "position_entropy": """
+            WITH T AS (
+                SELECT string_split(text, ' ') AS tk FROM documents
+            ),
+            P AS (
+                SELECT CAST(i AS INT) AS pos, tk[CAST(i AS INT)] AS tok
+                FROM T, UNNEST(range(1, LEAST(len(tk), 16) + 1)) AS u(i)
+            ),
+            C AS (SELECT pos, tok, COUNT(*) AS c FROM P GROUP BY pos, tok),
+            R AS (
+                SELECT pos, tok, c,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY pos ORDER BY c DESC, tok ASC
+                       ) AS rk,
+                       SUM(c) OVER (PARTITION BY pos) AS n_seqs,
+                       COUNT(*) OVER (PARTITION BY pos) AS n_distinct,
+                       SUM(CAST(FLOOR(LOG2(c) * 1048576.0) AS BIGINT) * c)
+                           OVER (PARTITION BY pos) AS hf
+                FROM C
+            )
+            SELECT pos,
+                   CAST(n_seqs AS BIGINT) AS n_seqs,
+                   CAST(n_distinct AS BIGINT) AS n_distinct,
+                   ROUND(LOG2(CAST(n_seqs AS DOUBLE))
+                         - (CAST(hf AS DOUBLE) / 1048576.0)
+                           / CAST(n_seqs AS DOUBLE), 6) AS entropy_bits,
+                   tok AS top_token,
+                   ROUND(CAST(c AS DOUBLE) / CAST(n_seqs AS DOUBLE), 6)
+                       AS top_frac
+            FROM R WHERE rk = 1
         """,
         "windowed_drift": """
             WITH B AS (

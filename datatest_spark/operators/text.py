@@ -1557,3 +1557,70 @@ def pmi_collocations(
         F.row_number().over(w).cast("long").alias("rk"),
         "t1", "t2", "c12", "pmi_fixed",
     )
+
+
+def position_entropy(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    max_pos: int = 32,
+    scale_bits: int = 20,
+) -> DataFrame:
+    """Per-POSITION token entropy over the first ``max_pos`` positions
+    of every sequence — the templated-prefix detector. A healthy corpus
+    has high entropy at every position; boilerplate openings ("Chapter
+    1", injected headers, a tokenizer emitting a constant prefix)
+    crater it, and the per-position view localizes HOW DEEP the
+    template runs, which a whole-document entropy average hides.
+
+    Returns one row per position 1..max_pos seen: (pos, n_seqs,
+    n_distinct, entropy_bits, top_token, top_frac). Entropy uses the
+    fixed-point discipline (``H = log2(N) - (sum c*floor(log2(c)*2^s))
+    / 2^s / N``) so the bigint term sum is associative and the oracle
+    bit-exact; top-token ties break to the smallest token value.
+
+    Scale shape: a map-only slice to ``max_pos`` elements bounds the
+    explode at max_pos rows/doc (NOT sequence length); ONE
+    (pos, token) map-side-combinable count is the only corpus-wide
+    exchange; the per-position window runs on the counts frame
+    (bounded by max_pos x per-position vocabulary).
+    """
+    if max_pos < 1:
+        raise ValueError("max_pos must be >= 1, got %r" % (max_pos,))
+    from pyspark.sql import Window
+
+    s = float(1 << scale_bits)
+    toks = F.slice(
+        F.filter(F.col(tokens_col), lambda t: t.isNotNull()),
+        1,
+        int(max_pos),
+    )
+    pe = df.where(F.col(tokens_col).isNotNull()).select(
+        F.posexplode(toks).alias("_pos0", "_tok")
+    )
+    counts = pe.groupBy(
+        (F.col("_pos0") + 1).alias("pos"), F.col("_tok")
+    ).agg(F.count(F.lit(1)).alias("_c"))
+    w = Window.partitionBy("pos")
+    term = (F.floor(F.log2("_c") * F.lit(s)).cast("long") * F.col("_c"))
+    ranked = counts.select(
+        "pos",
+        "_tok",
+        "_c",
+        F.row_number()
+        .over(w.orderBy(F.col("_c").desc(), F.col("_tok").asc()))
+        .alias("_rk"),
+        F.sum("_c").over(w).alias("n_seqs"),
+        F.count(F.lit(1)).over(w).alias("n_distinct"),
+        F.sum(term).over(w).alias("_hf"),
+    )
+    n = F.col("n_seqs").cast("double")
+    return ranked.where(F.col("_rk") == 1).select(
+        F.col("pos").cast("int").alias("pos"),
+        "n_seqs",
+        "n_distinct",
+        F.round(
+            F.log2(n) - (F.col("_hf").cast("double") / F.lit(s)) / n, 6
+        ).alias("entropy_bits"),
+        F.col("_tok").cast("string").alias("top_token"),
+        F.round(F.col("_c").cast("double") / n, 6).alias("top_frac"),
+    )

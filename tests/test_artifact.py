@@ -126,7 +126,7 @@ def test_driver_window_holds_every_value_oracled_query_once():
         "shard_manifest", "vocab_overlap", "retention_cohorts",
         "fd_violations", "benford_digits", "null_pattern",
         "pmi_collocations", "heavy_hitters", "bootstrap_ci",
-        "association", "windowed_drift",
+        "association", "windowed_drift", "position_entropy",
     }
     import glob
 

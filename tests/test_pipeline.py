@@ -4143,3 +4143,48 @@ class TestAssociationAudit:
         obs = {("x", "p"): 4, ("x", "q"): 0, ("y", "p"): 2, ("y", "q"): 2}
         want = sum((obs[k] - e) ** 2 / e for k, e in exp.items())
         assert abs(r["chi2"] - want) < 0.01
+
+
+class TestPositionEntropy:
+    def test_templated_prefix_craters_early_positions(self, spark):
+        import math
+
+        from datatest_spark.operators import text as t
+
+        rows = [
+            (["chapter", "one", "w%d" % i, "w%d" % (i * 7 % 13)],)
+            for i in range(16)
+        ]
+        df = spark.createDataFrame(rows, "tokens array<string>")
+        out = {r["pos"]: r for r in t.position_entropy(df, max_pos=4).collect()}
+        assert out[1]["entropy_bits"] == 0.0
+        assert out[1]["top_token"] == "chapter" and out[1]["top_frac"] == 1.0
+        assert out[2]["entropy_bits"] == 0.0
+        assert out[3]["entropy_bits"] == round(math.log2(16), 6)
+        assert out[3]["n_distinct"] == 16
+
+    def test_slice_bounds_positions_and_nulls_skipped(self, spark):
+        from datatest_spark.operators import text as t
+
+        df = spark.createDataFrame(
+            [(["a", None, "b", "c"],), (None,), (["a"],)],
+            "tokens array<string>",
+        )
+        out = {r["pos"]: r for r in t.position_entropy(df, max_pos=2).collect()}
+        # null token filtered BEFORE positions: doc1 = [a, b, ...]
+        assert set(out) == {1, 2}
+        assert out[1]["n_seqs"] == 2 and out[1]["top_token"] == "a"
+        assert out[2]["n_seqs"] == 1 and out[2]["top_token"] == "b"
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            t.position_entropy(df, max_pos=0)
+
+    def test_top_token_tie_breaks_to_smallest(self, spark):
+        from datatest_spark.operators import text as t
+
+        df = spark.createDataFrame(
+            [(["z"],), (["a"],)], "tokens array<string>"
+        )
+        (r,) = t.position_entropy(df, max_pos=1).collect()
+        assert r["top_token"] == "a" and r["entropy_bits"] == 1.0

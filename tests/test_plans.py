@@ -495,3 +495,15 @@ class TestAssociationPlan:
         # everything after the (a, b) count runs on the cell frame:
         # no sort-merge join anywhere
         assert "SortMergeJoin" not in plan, plan
+
+
+class TestPositionEntropyPlan:
+    def test_one_corpus_exchange_pre_combined(self, docs):
+        from datatest_spark.operators import text as t
+
+        toks = docs.select(F.split(F.col("text"), " ").alias("tokens"))
+        plan = _plan(t.position_entropy(toks, max_pos=16))
+        # (pos, token) count pre-combines map-side; the per-position
+        # window re-keys the counts frame only -> exactly 2 exchanges
+        assert _exchanges(plan) == 2, plan
+        assert "partial_count" in plan, plan
