@@ -1449,6 +1449,27 @@ def q_bigram_logloss(spark, sf_dir):
     return bigram_logloss(toks)
 
 
+def q_oov_profile(spark, sf_dir):
+    """Per-source OOV profile (operators/text.oov_profile) against the
+    corpus's own frequency->=5 closed vocabulary: occurrence- and
+    type-level OOV rates — the tokenizer/vocab-mismatch gate. Corpus
+    pre-aggregates to (group, token) before the one broadcast vocab
+    join."""
+    from datatest_spark.operators.text import oov_profile
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("source", F.split(F.col("text"), " ").alias("tokens"))
+    vocab = (
+        toks.select(F.explode("tokens").alias("token"))
+        .where(F.col("token").isNotNull())
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= 5)
+        .select("token")
+    )
+    return oov_profile(toks, vocab).withColumnRenamed("group", "source")
+
+
 def q_position_entropy(spark, sf_dir):
     """Per-position token entropy over the first 16 word positions
     (operators/text.position_entropy) — the templated-prefix detector.
@@ -2051,7 +2072,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #   shard_manifest / vocab_overlap / retention_cohorts /
 #   fd_violations / benford_digits / null_pattern /
 #   pmi_collocations / heavy_hitters / bootstrap_ci / association /
-#   windowed_drift / position_entropy
+#   windowed_drift / position_entropy / oov_profile
 #                        — session-3+ operators, each value-oracled and
 #                          pinned by dedicated pytest tests; the window
 #                          was already full of never-driver-checked
@@ -2215,6 +2236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "association": q_association,
         "windowed_drift": q_windowed_drift,
         "position_entropy": q_position_entropy,
+        "oov_profile": q_oov_profile,
         "pivot_order_status": q_pivot_order_status,
         "rollup_revenue": q_rollup_revenue,
         "simhash_pairs": q_simhash_pairs,
@@ -2997,6 +3019,42 @@ def oracle_sql() -> dict[str, str]:
                             THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
                    COUNT(*) AS n_events
             FROM G GROUP BY user_id
+        """,
+        "oov_profile": """
+            WITH T AS (
+                SELECT COALESCE(CAST(source AS VARCHAR), '__null__')
+                           AS "group",
+                       UNNEST(string_split(text, ' ')) AS tok
+                FROM documents
+            ),
+            C AS (
+                SELECT "group", tok, COUNT(*) AS c
+                FROM T WHERE tok IS NOT NULL GROUP BY "group", tok
+            ),
+            V AS (
+                SELECT tok AS token FROM (
+                    SELECT tok, SUM(c) AS tc FROM C GROUP BY tok
+                ) WHERE tc >= 5
+            ),
+            M AS (
+                SELECT c."group", c.c,
+                       (v.token IS NOT NULL) AS iv
+                FROM C c LEFT JOIN V v ON c.tok = v.token
+            )
+            SELECT "group" AS source,
+                   CAST(SUM(c) AS BIGINT) AS n_tokens,
+                   CAST(SUM(CASE WHEN NOT iv THEN c ELSE 0 END) AS BIGINT)
+                       AS n_oov,
+                   ROUND(CAST(SUM(CASE WHEN NOT iv THEN c ELSE 0 END)
+                              AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6)
+                       AS oov_rate,
+                   COUNT(*) AS n_types,
+                   CAST(SUM(CASE WHEN NOT iv THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_oov_types,
+                   ROUND(CAST(SUM(CASE WHEN NOT iv THEN 1 ELSE 0 END)
+                              AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+                       AS type_oov_rate
+            FROM M GROUP BY "group"
         """,
         "position_entropy": """
             WITH T AS (

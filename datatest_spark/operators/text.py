@@ -1624,3 +1624,63 @@ def position_entropy(
         F.col("_tok").cast("string").alias("top_token"),
         F.round(F.col("_c").cast("double") / n, 6).alias("top_frac"),
     )
+
+
+def oov_profile(
+    df: DataFrame,
+    vocab: DataFrame,
+    tokens_col: str = "tokens",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-group out-of-vocabulary profile against a reference ``vocab``
+    frame (one ``token`` column): token-level OOV rate (occurrence-
+    weighted) and type-level OOV rate (distinct tokens) — the
+    closed-vocabulary conformance gate. A tokenizer/vocab mismatch
+    between pipeline stages shows up here as a type-OOV explosion long
+    before a TokenRangeCheck fires (ids can be in-range and still be
+    the WRONG vocab's ids).
+
+    Scale shape: the exploded corpus pre-aggregates to (group, token)
+    counts BEFORE touching the vocab — the only corpus-wide exchange
+    carries |groups| x vocab-sized keys after map-side combine — then
+    ONE broadcast-able left join against the distinct vocab marks each
+    type, and a |groups|-row agg finishes. Null tokens are excluded
+    (they surface through null-rate checks).
+    """
+    toks = (
+        df.select(
+            F.coalesce(F.col(group_col).cast("string"), F.lit("__null__"))
+            .alias("group"),
+            F.explode(F.col(tokens_col)).alias("_tok"),
+        )
+        .where(F.col("_tok").isNotNull())
+        .groupBy("group", "_tok")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    v = vocab.select(
+        F.col("token").alias("_tok"), F.lit(True).alias("_in_vocab")
+    ).distinct()
+    marked = toks.join(F.broadcast(v), "_tok", "left").select(
+        "group",
+        "_c",
+        F.coalesce(F.col("_in_vocab"), F.lit(False)).alias("_iv"),
+    )
+    return marked.groupBy("group").agg(
+        F.sum("_c").alias("n_tokens"),
+        F.sum(F.when(~F.col("_iv"), F.col("_c")).otherwise(F.lit(0))).alias(
+            "n_oov"
+        ),
+        F.round(
+            F.sum(F.when(~F.col("_iv"), F.col("_c")).otherwise(F.lit(0)))
+            .cast("double")
+            / F.sum("_c").cast("double"),
+            6,
+        ).alias("oov_rate"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum((~F.col("_iv")).cast("long")).alias("n_oov_types"),
+        F.round(
+            F.sum((~F.col("_iv")).cast("long")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("type_oov_rate"),
+    )

@@ -4188,3 +4188,49 @@ class TestPositionEntropy:
         )
         (r,) = t.position_entropy(df, max_pos=1).collect()
         assert r["top_token"] == "a" and r["entropy_bits"] == 1.0
+
+
+class TestOovProfile:
+    def test_rates_against_hand_count(self, spark):
+        from datatest_spark.operators import text as t
+
+        df = spark.createDataFrame(
+            [
+                ("g", ["a", "a", "b", "x"]),
+                ("g", ["a", "y", None]),
+                ("h", ["a"]),
+            ],
+            "source string, tokens array<string>",
+        )
+        vocab = spark.createDataFrame([("a",), ("b",)], "token string")
+        out = {r["group"]: r for r in t.oov_profile(df, vocab).collect()}
+        g = out["g"]
+        # g tokens: a,a,b,x,a,y -> 6 occurrences, oov x,y -> 2
+        assert (g["n_tokens"], g["n_oov"]) == (6, 2)
+        assert g["oov_rate"] == round(2 / 6, 6)
+        # types: a,b,x,y -> 4, oov types x,y -> 2
+        assert (g["n_types"], g["n_oov_types"]) == (4, 2)
+        assert g["type_oov_rate"] == 0.5
+        assert out["h"]["n_oov"] == 0 and out["h"]["type_oov_rate"] == 0.0
+
+    def test_duplicate_vocab_rows_do_not_double_count(self, spark):
+        from datatest_spark.operators import text as t
+
+        df = spark.createDataFrame(
+            [("g", ["a", "a"])], "source string, tokens array<string>"
+        )
+        vocab = spark.createDataFrame(
+            [("a",), ("a",)], "token string"
+        )  # dup vocab row: the join must stay 1:1
+        (r,) = t.oov_profile(df, vocab).collect()
+        assert r["n_tokens"] == 2 and r["n_oov"] == 0
+
+    def test_null_group_is_its_own_row(self, spark):
+        from datatest_spark.operators import text as t
+
+        df = spark.createDataFrame(
+            [(None, ["z"])], "source string, tokens array<string>"
+        )
+        vocab = spark.createDataFrame([("a",)], "token string")
+        (r,) = t.oov_profile(df, vocab).collect()
+        assert r["group"] == "__null__" and r["n_oov_types"] == 1

@@ -507,3 +507,17 @@ class TestPositionEntropyPlan:
         # window re-keys the counts frame only -> exactly 2 exchanges
         assert _exchanges(plan) == 2, plan
         assert "partial_count" in plan, plan
+
+
+class TestOovPlan:
+    def test_vocab_join_broadcasts_over_precombined_counts(self, docs):
+        from datatest_spark.operators import text as t
+
+        toks = docs.select(
+            "source", F.split(F.col("text"), " ").alias("tokens")
+        )
+        vocab = toks.select(F.explode("tokens").alias("token")).limit(100)
+        plan = _plan(t.oov_profile(toks, vocab))
+        assert "BroadcastHashJoin" in plan, plan
+        assert "SortMergeJoin" not in plan, plan
+        assert "partial_count" in plan, plan
