@@ -1449,6 +1449,20 @@ def q_bigram_logloss(spark, sf_dir):
     return bigram_logloss(toks)
 
 
+def q_mwu_drift(spark, sf_dir):
+    """Binned Mann-Whitney rank-sum drift per source vs src0
+    (operators/drift.mwu_from_histogram): the location-sensitive,
+    DIRECTIONAL drift lens (sign of z = shift direction), tie-corrected.
+    Double products (bigint would overflow at 10^12 counts), bucket-
+    ordered sums — bit-exact vs the oracle."""
+    from datatest_spark.operators.drift import mwu_from_histogram
+
+    d = _t(spark, sf_dir, "documents")
+    return mwu_from_histogram(
+        d, "n_chars", "source", "src0", 0.0, 1000.0, 10
+    ).withColumnRenamed("group", "source")
+
+
 def q_oov_profile(spark, sf_dir):
     """Per-source OOV profile (operators/text.oov_profile) against the
     corpus's own frequency->=5 closed vocabulary: occurrence- and
@@ -2072,7 +2086,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #   shard_manifest / vocab_overlap / retention_cohorts /
 #   fd_violations / benford_digits / null_pattern /
 #   pmi_collocations / heavy_hitters / bootstrap_ci / association /
-#   windowed_drift / position_entropy / oov_profile
+#   windowed_drift / position_entropy / oov_profile / mwu_drift
 #                        — session-3+ operators, each value-oracled and
 #                          pinned by dedicated pytest tests; the window
 #                          was already full of never-driver-checked
@@ -2237,6 +2251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_drift": q_windowed_drift,
         "position_entropy": q_position_entropy,
         "oov_profile": q_oov_profile,
+        "mwu_drift": q_mwu_drift,
         "pivot_order_status": q_pivot_order_status,
         "rollup_revenue": q_rollup_revenue,
         "simhash_pairs": q_simhash_pairs,
@@ -3019,6 +3034,71 @@ def oracle_sql() -> dict[str, str]:
                             THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
                    COUNT(*) AS n_events
             FROM G GROUP BY user_id
+        """,
+        "mwu_drift": """
+            WITH C AS (
+                SELECT COALESCE(source, '__null__') AS grp,
+                       CASE WHEN CAST(n_chars AS DOUBLE) < 0.0 THEN 0
+                            WHEN CAST(n_chars AS DOUBLE) >= 1000.0 THEN 11
+                            ELSE CAST(FLOOR(CAST(n_chars AS DOUBLE) * 10.0
+                                            / 1000.0) AS INT) + 1
+                       END AS bucket,
+                       COUNT(*) AS n
+                FROM documents WHERE n_chars IS NOT NULL
+                GROUP BY 1, 2
+            ),
+            G AS (SELECT DISTINCT grp FROM C),
+            B AS (SELECT UNNEST(range(0, 12)) AS bucket),
+            D AS (
+                SELECT g.grp, b.bucket, COALESCE(c.n, 0) AS n
+                FROM G g CROSS JOIN B b
+                LEFT JOIN C c ON c.grp = g.grp AND c.bucket = b.bucket
+            ),
+            BASE AS (
+                SELECT bucket, n AS m,
+                       SUM(n) OVER (ORDER BY bucket) - n AS m_below
+                FROM D WHERE grp = 'src0'
+            ),
+            T AS (
+                SELECT d.grp, d.bucket, d.n, b.m, b.m_below,
+                       CAST(d.n AS DOUBLE)
+                           * (2.0 * CAST(b.m_below AS DOUBLE)
+                              + CAST(b.m AS DOUBLE)) AS u2t,
+                       (CAST(d.n AS DOUBLE) + CAST(b.m AS DOUBLE))
+                         * (CAST(d.n AS DOUBLE) + CAST(b.m AS DOUBLE))
+                         * (CAST(d.n AS DOUBLE) + CAST(b.m AS DOUBLE))
+                       - (CAST(d.n AS DOUBLE) + CAST(b.m AS DOUBLE))
+                           AS tiet
+                FROM D d JOIN BASE b USING (bucket)
+            ),
+            A AS (
+                SELECT grp,
+                       CAST(SUM(n) AS BIGINT) AS n,
+                       CAST(SUM(m) AS BIGINT) AS m,
+                       SUM(u2t ORDER BY bucket) AS u2,
+                       SUM(tiet ORDER BY bucket) AS ties
+                FROM T GROUP BY grp
+            )
+            SELECT grp AS source, n, m,
+                   ROUND(u2 / 2.0, 2) AS u,
+                   ROUND(CASE WHEN n > 0 AND m > 0 AND
+                           (CAST(n AS DOUBLE) * CAST(m AS DOUBLE) / 12.0)
+                           * ((CAST(n AS DOUBLE) + CAST(m AS DOUBLE) + 1.0)
+                              - ties / ((CAST(n AS DOUBLE)
+                                         + CAST(m AS DOUBLE))
+                                        * (CAST(n AS DOUBLE)
+                                           + CAST(m AS DOUBLE) - 1.0))) > 0
+                         THEN (u2 / 2.0
+                               - CAST(n AS DOUBLE) * CAST(m AS DOUBLE) / 2.0)
+                              / SQRT(
+                           (CAST(n AS DOUBLE) * CAST(m AS DOUBLE) / 12.0)
+                           * ((CAST(n AS DOUBLE) + CAST(m AS DOUBLE) + 1.0)
+                              - ties / ((CAST(n AS DOUBLE)
+                                         + CAST(m AS DOUBLE))
+                                        * (CAST(n AS DOUBLE)
+                                           + CAST(m AS DOUBLE) - 1.0))))
+                         END, 4) AS z
+            FROM A
         """,
         "oov_profile": """
             WITH T AS (

@@ -462,3 +462,102 @@ def emd_from_histogram(
             4,
         ).alias("emd")
     )
+
+
+def mwu_from_histogram(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    baseline_group: str,
+    lo: float,
+    hi: float,
+    nbins: int = 10,
+) -> DataFrame:
+    """Binned two-sample Mann-Whitney U per group vs a baseline group —
+    the LOCATION-sensitive drift lens: KS takes the worst single
+    boundary, PSI/chi-square weight by mass, EMD by distance; the
+    rank-sum statistic answers the directional question "did this
+    source's values systematically shift UP or DOWN vs baseline?", with
+    a tie-corrected normal z-score whose sign is the shift direction.
+
+    Each bucket is treated as one tie group (the binned test's
+    standard reading): ``2U = sum_b n_g[b] * (2 * M_below[b] + m[b])``
+    with m the baseline counts and M_below their running sum. The
+    identity-vs-self case cancels exactly (z = 0 for the baseline
+    group — the same self-test ks/emd have).
+
+    Cross-engine determinism: every product is formed in IEEE double
+    (counts can be 10^12 — the bigint product overflows int64 exactly
+    like the PMI case) and both the 2U and tie-correction sums run in
+    BUCKET ORDER (``F.aggregate`` over a bucket-sorted array here,
+    ``SUM(term ORDER BY bucket)`` in the oracle), so the doubles match
+    bit-for-bit before the final round.
+
+    Scale shape: identical to ks/emd_from_histogram — one map-side
+    combinable (group, bucket) aggregation over the scan, then all
+    arithmetic on the dense |groups| x (nbins+2) grid. Returns
+    (group, n, m, u, z); z is NULL when either side is empty or the
+    variance degenerates (all mass in one bucket).
+    """
+    dense = _dense_counts(df, value_col, group_col, lo, hi, nbins)
+    w = Window.partitionBy("group").orderBy("bucket")
+    cum = dense.withColumn(
+        "_below", F.sum("n").over(w) - F.col("n")
+    )
+    base = cum.where(F.col("group") == baseline_group).select(
+        "bucket",
+        F.col("n").alias("_m"),
+        F.col("_below").alias("_m_below"),
+    )
+    guarded_m = _absent_baseline_guard(
+        F.col("_m"), baseline_group, "mwu_from_histogram", "long"
+    )
+    j2 = dense.join(F.broadcast(base), "bucket", "left")
+    u2_term = F.col("n").cast("double") * (
+        F.lit(2.0) * F.col("_m_below").cast("double")
+        + guarded_m.cast("double")
+    )
+    t = F.col("n").cast("double") + guarded_m.cast("double")
+    tie_term = t * t * t - t
+    per_g = j2.select(
+        "group",
+        F.col("n"),
+        guarded_m.alias("_mb"),
+        F.struct(
+            F.col("bucket"),
+            u2_term.alias("u2"),
+            tie_term.alias("tie"),
+        ).alias("_t"),
+    ).groupBy("group").agg(
+        F.sum("n").alias("n"),
+        F.sum("_mb").alias("m"),
+        F.aggregate(
+            F.array_sort(F.collect_list("_t")),
+            F.lit(0.0),
+            lambda acc, s: acc + s["u2"],
+        ).alias("_u2"),
+        F.aggregate(
+            F.array_sort(F.collect_list("_t")),
+            F.lit(0.0),
+            lambda acc, s: acc + s["tie"],
+        ).alias("_ties"),
+    )
+    nd = F.col("n").cast("double")
+    md = F.col("m").cast("double")
+    u = F.col("_u2") / F.lit(2.0)
+    big_n = nd + md
+    var = (
+        (nd * md / F.lit(12.0))
+        * ((big_n + F.lit(1.0)) - F.col("_ties") / (big_n * (big_n - F.lit(1.0))))
+    )
+    z = F.when(
+        (F.col("n") > 0) & (F.col("m") > 0) & (var > 0),
+        (u - nd * md / F.lit(2.0)) / F.sqrt(var),
+    )
+    return per_g.select(
+        "group",
+        "n",
+        "m",
+        F.round(u, 2).alias("u"),
+        F.round(z, 4).alias("z"),
+    )

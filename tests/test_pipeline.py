@@ -4234,3 +4234,49 @@ class TestOovProfile:
         vocab = spark.createDataFrame([("a",)], "token string")
         (r,) = t.oov_profile(df, vocab).collect()
         assert r["group"] == "__null__" and r["n_oov_types"] == 1
+
+
+class TestMwuDrift:
+    def test_upward_shift_positive_z_and_max_u(self, spark):
+        from datatest_spark.operators import drift
+
+        rows = [("base", float(v)) for v in (10, 20, 30, 40, 50)] * 4
+        rows += [("up", float(v)) for v in (60, 70, 80, 90)] * 5
+        rows += [("down", 5.0)] * 10
+        df = spark.createDataFrame(rows, "g string, v double")
+        out = {r["group"]: r for r in drift.mwu_from_histogram(
+            df, "v", "g", "base", 0.0, 100.0, 10
+        ).collect()}
+        # 'up' entirely above baseline: U = n*m (maximum), z > 0
+        assert out["up"]["u"] == 20.0 * 20.0
+        assert out["up"]["z"] > 3
+        # 'down' entirely below: U = 0, z < 0
+        assert out["down"]["u"] == 0.0
+        assert out["down"]["z"] < -3
+        # baseline vs itself cancels exactly
+        assert out["base"]["u"] == 20.0 * 20.0 / 2
+        assert out["base"]["z"] == 0.0
+
+    def test_degenerate_variance_yields_null_z(self, spark):
+        from datatest_spark.operators import drift
+
+        # all mass in ONE shared bucket: tie correction kills the
+        # variance; z must be NULL, not a division blowup
+        df = spark.createDataFrame(
+            [("base", 15.0)] * 5 + [("g", 15.0)] * 3, "g string, v double"
+        )
+        out = {r["group"]: r for r in drift.mwu_from_histogram(
+            df, "v", "g", "base", 0.0, 100.0, 10
+        ).collect()}
+        assert out["g"]["z"] is None
+        assert out["g"]["u"] == 3 * 5 / 2.0
+
+    def test_missing_baseline_raises(self, spark):
+        import pytest as _pytest
+        from datatest_spark.operators import drift
+
+        df = spark.createDataFrame([("g", 1.0)], "g string, v double")
+        with _pytest.raises(Exception, match="baseline_group"):
+            drift.mwu_from_histogram(
+                df, "v", "g", "nope", 0.0, 10.0, 5
+            ).collect()
