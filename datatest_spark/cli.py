@@ -62,7 +62,23 @@ def build_parser() -> argparse.ArgumentParser:
                    "each sequence outside [MIN,MAX] is a Deviation "
                    "(use e.g. 1,4096; either side may be empty for "
                    "one-sided bounds: ',4096' or '1,')")
+    p.add_argument("--fd", action="append", default=None,
+                   metavar="DET:DEP[:RATE]",
+                   help="adds a FunctionalDependencyCheck asserting "
+                   "DET -> DEP within every partition (repeatable); "
+                   "optional RATE in [0,1) tolerates that fraction of "
+                   "violating rows per key (default 0 = strict)")
     return p
+
+
+def _parse_fd(spec: str):
+    parts = spec.split(":")
+    if len(parts) not in (2, 3) or not parts[0].strip() or not parts[1].strip():
+        raise ValueError(
+            "--fd must be DET:DEP or DET:DEP:RATE, got %r" % (spec,)
+        )
+    rate = float(parts[2]) if len(parts) == 3 and parts[2].strip() else 0.0
+    return parts[0].strip(), parts[1].strip(), rate
 
 
 def _parse_length_bounds(spec: str):
@@ -95,18 +111,33 @@ def main(argv=None) -> int:
         parser.error("cannot read --allowed-sources file: %s" % e)
     if not allowed:
         parser.error("--allowed-sources resolved to an empty list")
-    extra_checks = None
+    extra_checks = []
     if args.row_length_bounds:
         from datatest_spark.operators.checks import LengthBoundCheck
 
         try:
             lo, hi = _parse_length_bounds(args.row_length_bounds)
-            extra_checks = [LengthBoundCheck(length_col="n_tok",
-                                             min_len=lo, max_len=hi)]
+            extra_checks.append(LengthBoundCheck(length_col="n_tok",
+                                                 min_len=lo, max_len=hi))
         except ValueError as e:
             # usage error (exit 2) BEFORE any Spark session spins up:
             # exit 1 stays unambiguous for 'failed partition verdict'
             parser.error(str(e))
+    if args.fd:
+        from datatest_spark.operators.checks import (
+            FunctionalDependencyCheck,
+        )
+
+        for spec in args.fd:
+            try:
+                det, dep, rate = _parse_fd(spec)
+                extra_checks.append(
+                    FunctionalDependencyCheck(det, dep,
+                                              max_violation_rate=rate)
+                )
+            except ValueError as e:
+                parser.error(str(e))
+    extra_checks = extra_checks or None
     from pyspark.sql import SparkSession
 
     from datatest_spark.plans.suite import north_star_suite

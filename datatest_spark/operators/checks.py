@@ -751,3 +751,81 @@ class FreshnessCheck(BaseCheck):
                 )
             )
         return plan
+
+
+class FunctionalDependencyCheck(BaseCheck):
+    """Suite form of the FD-g3 audit (operators/stats.fd_audit): assert
+    the claimed FD ``determinant -> dependent`` holds within every
+    partition, emitting one ``invalid`` row per (partition, determinant
+    value) that maps to more than one dependent value. ``value`` is the
+    offending determinant value, ``expected`` its majority dependent,
+    ``deviation`` the g3 violation count (rows off the majority), and
+    ``detail.n_distinct_dep`` the fan-out. ``max_violation_rate``
+    tolerates approximate FDs: a key is only flagged when its violating
+    fraction exceeds the rate (default 0 = strict).
+
+    Scale shape: one map-side-combinable (partition, det, dep) count —
+    the corpus crosses the wire once, pre-combined — then a window over
+    the aggregated frame; same proof as fd_audit, partition-scoped.
+    """
+
+    def __init__(self, determinant, dependent, max_violation_rate=0.0,
+                 check_id=None):
+        if not (0.0 <= float(max_violation_rate) < 1.0):
+            raise ValueError(
+                "max_violation_rate must be in [0, 1), got %r"
+                % (max_violation_rate,)
+            )
+        self.determinant = determinant
+        self.dependent = dependent
+        self.max_violation_rate = float(max_violation_rate)
+        self.check_id = check_id or "fd_{0}_to_{1}".format(
+            determinant, dependent
+        )
+
+    def violations(self, df):
+        from pyspark.sql import Window
+
+        det, dep = F.col(self.determinant), F.col(self.dependent)
+        pair = df.groupBy(
+            F.col("partition_key"),
+            det.alias("_fd_det"),
+            dep.alias("_fd_dep"),
+        ).agg(F.count(F.lit(1)).alias("_fd_n"))
+        w = Window.partitionBy("partition_key", "_fd_det")
+        ranked = pair.select(
+            "partition_key",
+            "_fd_det",
+            "_fd_dep",
+            "_fd_n",
+            F.row_number()
+            .over(w.orderBy(F.col("_fd_n").desc(),
+                            F.asc_nulls_last("_fd_dep")))
+            .alias("_rk"),
+            F.sum("_fd_n").over(w).alias("_rows"),
+            F.count(F.lit(1)).over(w).alias("_ndep"),
+        )
+        bad = ranked.filter(
+            (F.col("_rk") == 1)
+            & (F.col("_ndep") > 1)
+            & (
+                (F.col("_rows") - F.col("_fd_n")).cast("double")
+                > F.lit(self.max_violation_rate)
+                * F.col("_rows").cast("double")
+            )
+        )
+        return _sel(
+            bad,
+            self.check_id,
+            "invalid",
+            F.col("_fd_det"),
+            expected=F.col("_fd_dep"),
+            deviation=(F.col("_rows") - F.col("_fd_n")).cast("double"),
+            group_key=F.col("_fd_det").cast("string"),
+            detail=F.create_map(
+                F.lit("n_distinct_dep"),
+                F.col("_ndep").cast("string"),
+                F.lit("n_rows"),
+                F.col("_rows").cast("string"),
+            ),
+        )

@@ -286,3 +286,36 @@ class TestPrepareCorpusJob:
                 .agg(F.sum("n_tok").alias("t")).collect()}
         for src, t in toks.items():
             assert 400 <= t <= 1700, (src, t)
+
+
+class TestFdFlag:
+    def test_fd_violation_fails(self, spark, tmp_path, capsys):
+        # source -> n_tok is violated inside 'web' (n_tok 3 and 4)
+        path = str(tmp_path / "fdin")
+        rows = [("1", [1, 2, 3], 3, "web"), ("2", [1, 2, 3, 4], 4, "web"),
+                ("3", [1, 2, 3], 3, "wiki")]
+        spark.createDataFrame(
+            rows, "doc_id string, tokens array<int>, n_tok int, source string"
+        ).write.parquet(path)
+        rc, s = _run(capsys, [
+            "--input", path, "--allowed-sources", "web,wiki",
+            "--run-id", "t-fd-fail", "--fd", "source:n_tok",
+        ])
+        assert rc == 1 and s["status"] == "fail"
+
+    def test_fd_holds_passes_and_rate_tolerates(self, spark, token_table,
+                                                capsys):
+        # every row has n_tok=3: source -> n_tok holds
+        rc, s = _run(capsys, [
+            "--input", token_table, "--allowed-sources", "web,wiki",
+            "--run-id", "t-fd-pass", "--fd", "source:n_tok",
+        ])
+        assert rc == 0 and s["status"] == "pass"
+
+    def test_bad_fd_spec_exit_2(self, token_table, capsys):
+        with pytest.raises(SystemExit) as e:
+            main([
+                "--input", token_table, "--allowed-sources", "web",
+                "--fd", "only_one_part",
+            ])
+        assert e.value.code == 2

@@ -758,3 +758,67 @@ class TestTokenBoundaryCheck:
 
         with pytest.raises(ValueError, match="bos_id and/or eos_id"):
             TokenBoundaryCheck()
+
+
+class TestFunctionalDependencyCheck:
+    def _df(self, spark):
+        # within source=web, lang is NOT a function of domain ('a' maps
+        # to en/en/de); within wiki the FD holds
+        return spark.createDataFrame(
+            [
+                (1, "web", "a", "en"), (2, "web", "a", "en"),
+                (3, "web", "a", "de"), (4, "web", "b", "fr"),
+                (5, "wiki", "c", "en"), (6, "wiki", "c", "en"),
+            ],
+            "doc_id long, source string, dom string, lang string",
+        )
+
+    def test_violations_name_key_majority_and_g3(self, spark):
+        from datatest_spark.operators.checks import (
+            FunctionalDependencyCheck,
+        )
+
+        suite = ValidationSuite(
+            [FunctionalDependencyCheck("dom", "lang")],
+            partition_cols=("source",),
+            stats_columns=["doc_id"],
+        )
+        res = suite.run(self._df(spark), run_id="fd1")
+        rows = res.violations.collect()
+        assert len(rows) == 1
+        (r,) = rows
+        assert r["check_id"] == "fd_dom_to_lang"
+        assert r["partition_key"] == "source=web"
+        assert r["value"] == "a" and r["expected"] == "en"
+        assert r["deviation"] == 1.0  # one row off the majority
+        assert r["detail"]["n_distinct_dep"] == "2"
+        assert res.failed
+        verdicts = {
+            (v["partition_key"], v["check_id"]): v["status"]
+            for v in res.verdicts.collect()
+        }
+        assert verdicts[("source=web", "fd_dom_to_lang")] == "fail"
+        assert verdicts[("source=wiki", "fd_dom_to_lang")] == "pass"
+
+    def test_tolerated_rate_passes(self, spark):
+        from datatest_spark.operators.checks import (
+            FunctionalDependencyCheck,
+        )
+
+        suite = ValidationSuite(
+            [FunctionalDependencyCheck("dom", "lang",
+                                       max_violation_rate=0.5)],
+            partition_cols=("source",),
+            stats_columns=["doc_id"],
+        )
+        res = suite.run(self._df(spark), run_id="fd2")
+        # 1 violating row out of 3 for key 'a' = 0.33 <= 0.5 -> clean
+        assert res.violations.count() == 0 and not res.failed
+
+    def test_rate_validated(self, spark):
+        from datatest_spark.operators.checks import (
+            FunctionalDependencyCheck,
+        )
+
+        with pytest.raises(ValueError, match="max_violation_rate"):
+            FunctionalDependencyCheck("a", "b", max_violation_rate=1.0)
