@@ -1,0 +1,116 @@
+"""spark-submit corpus data-card job: one pass of audit operators, one
+JSON report.
+
+    spark-submit --py-files dist/datatest_spark.zip jobs/profile_corpus.py \
+        --input /path/tokens [--baseline-source web] [--output card.json]
+
+Composes the AUDIT operators over the north-star table (doc_id string,
+tokens array<int>, n_tok int, source string) into a machine-readable
+"data card":
+
+  stats       per-source wide stats pass (count/nulls/HLL/min/max/
+              quantiles) — ONE shuffle
+  shares      corpus mixture (per-source share, cumulative, rank)
+  ci          per-source mean n_tok with a deterministic
+              Poisson-bootstrap 95% interval
+  drift       per-source PSI + binned KS + directional Mann-Whitney z
+              of n_tok vs --baseline-source
+  hot_tokens  phi-heavy-hitter token ids per source (bucket-prefilter
+              path — the exchange never carries the vocabulary)
+  prefix      per-position token entropy over the first --max-pos
+              positions (templated-prefix detector)
+
+Every stage is the library operator the per-operator tests and DuckDB
+oracles pin; this file only wires them and collects the tiny aggregate
+outputs (every frame here is bounded by |sources|, positions, or
+heavy-hitter counts — never corpus rows).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import functions as F
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--input", required=True, help="tokens table (parquet)")
+    p.add_argument("--output", default=None,
+                   help="optional path for the JSON card (also printed)")
+    p.add_argument("--baseline-source", default=None,
+                   help="drift baseline source (default: largest source)")
+    p.add_argument("--phi", type=float, default=0.001,
+                   help="heavy-hitter threshold fraction")
+    p.add_argument("--max-pos", type=int, default=16,
+                   help="positions profiled by the prefix-entropy audit")
+    p.add_argument("--n-tok-hi", type=float, default=4096.0,
+                   help="histogram upper bound for the drift lenses")
+    p.add_argument("--nbins", type=int, default=10)
+    return p
+
+
+def _rows(df):
+    return [r.asDict(recursive=True) for r in df.collect()]
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    from pyspark.sql import SparkSession
+
+    from datatest_spark.operators import drift, stats, text
+
+    spark = SparkSession.builder.appName(
+        "datatest_spark.profile"
+    ).getOrCreate()
+    df = spark.read.parquet(args.input)
+
+    shares = stats.group_shares(df, "source")
+    share_rows = _rows(shares)
+    baseline = args.baseline_source or (
+        share_rows[0]["group"] if share_rows else None
+    )
+
+    card = {
+        "input": args.input,
+        "n_rows": sum(r["n"] for r in share_rows),
+        "baseline_source": baseline,
+        "shares": share_rows,
+        "stats": _rows(
+            stats.column_stats(df, ("source",), ["doc_id", "tokens",
+                                                 "n_tok", "source"])
+        ),
+        "ci_n_tok": _rows(
+            stats.bootstrap_ci(df, "n_tok", "source", id_col="doc_id")
+        ),
+        "prefix_entropy": _rows(
+            text.position_entropy(df, "tokens", max_pos=args.max_pos)
+        ),
+        "hot_tokens": _rows(
+            stats.heavy_hitters(
+                df.select("source", F.explode("tokens").alias("tok")),
+                "tok", "source", phi=args.phi,
+            )
+        ),
+    }
+    if baseline is not None:
+        kw = dict(value_col="n_tok", group_col="source",
+                  baseline_group=baseline, lo=0.0, hi=args.n_tok_hi,
+                  nbins=args.nbins)
+        card["drift"] = {
+            "ks": _rows(drift.ks_from_histogram(df, **kw)),
+            "mwu": _rows(drift.mwu_from_histogram(df, **kw)),
+            "emd": _rows(drift.emd_from_histogram(df, **kw)),
+        }
+    out = json.dumps(card, default=str, sort_keys=True)
+    print(out)
+    if args.output:
+        with open(args.output, "w") as fh:
+            fh.write(out + "\n")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -319,3 +319,41 @@ class TestFdFlag:
                 "--fd", "only_one_part",
             ])
         assert e.value.code == 2
+
+
+class TestProfileCorpusJob:
+    def test_data_card_end_to_end(self, spark, tmp_path, capsys):
+        from datatest_spark.sources.synth import tokenized_sequences
+
+        path = str(tmp_path / "pin")
+        tokenized_sequences(spark, 300, seed=11).write.parquet(path)
+        out_json = str(tmp_path / "card.json")
+
+        import importlib.util
+        import os
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        spec = importlib.util.spec_from_file_location(
+            "profile_corpus", os.path.join(repo, "jobs", "profile_corpus.py")
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        rc = mod.main(["--input", path, "--output", out_json,
+                       "--max-pos", "4", "--phi", "0.01"])
+        assert rc == 0
+        card = json.loads(open(out_json).read())
+        assert card["n_rows"] == 300
+        # shares cover every source and sum to ~1 (rounded to 6dp each)
+        assert abs(sum(r["share"] for r in card["shares"]) - 1.0) < 1e-4
+        # baseline defaults to the largest source = shares[0]
+        assert card["baseline_source"] == card["shares"][0]["group"]
+        # drift lenses exist and the baseline's own z/ks are exact zeros
+        mwu = {r["group"]: r for r in card["drift"]["mwu"]}
+        ks = {r["group"]: r for r in card["drift"]["ks"]}
+        b = card["baseline_source"]
+        assert mwu[b]["z"] == 0.0 and ks[b]["ks"] == 0.0
+        # prefix entropy rows bounded by max-pos
+        assert 1 <= len(card["prefix_entropy"]) <= 4
+        # bootstrap CI brackets the mean per source
+        for r in card["ci_n_tok"]:
+            assert r["ci_lo"] <= r["mean"] <= r["ci_hi"]
