@@ -829,3 +829,94 @@ class FunctionalDependencyCheck(BaseCheck):
                 F.col("_rows").cast("string"),
             ),
         )
+
+
+class BenfordCheck(BaseCheck):
+    """First-digit forensic gate (suite form of stats.benford_profile):
+    per partition, the chi-square statistic of the leading-digit
+    distribution of ``value_col`` against Benford's law, failing
+    partitions whose statistic exceeds ``max_chi2`` (default 20.09 =
+    the 99th percentile of chi2 with 8 dof). Emits ONE ``deviation``
+    row per failing partition: value = the chi-square statistic,
+    expected = the threshold, deviation = the excess. Partitions with
+    fewer than ``min_rows`` usable values are skipped (the test is
+    meaningless on tiny samples; they surface through count checks).
+
+    Digit extraction is the benford_profile discipline — fixed-point
+    cents, leading digit from the INTEGER's decimal string, never float
+    log10/pow. Non-positive/null values are excluded.
+
+    Scale shape: one map-side-combinable (partition, digit) count (at
+    most |partitions| x 9 keys cross the wire), then driver-free
+    arithmetic on that frame.
+    """
+
+    def __init__(self, value_col, max_chi2=20.09, min_rows=100,
+                 decimals=2, check_id=None):
+        if max_chi2 <= 0:
+            raise ValueError("max_chi2 must be positive, got %r"
+                             % (max_chi2,))
+        self.value_col = value_col
+        self.max_chi2 = float(max_chi2)
+        self.min_rows = int(min_rows)
+        self.decimals = int(decimals)
+        self.check_id = check_id or "benford_{0}".format(value_col)
+
+    def violations(self, df):
+        import math
+
+        from pyspark.sql import Window
+
+        cents = F.round(
+            F.col(self.value_col).cast("double")
+            * F.lit(float(10 ** self.decimals))
+        ).cast("long")
+        digit = F.substring(cents.cast("string"), 1, 1).cast("int")
+        counts = (
+            df.where(F.col(self.value_col).isNotNull() & (cents > 0))
+            .groupBy("partition_key", digit.alias("_d"))
+            .agg(F.count(F.lit(1)).alias("_n"))
+        )
+        # dense 9-digit grid per partition: a digit with ZERO observed
+        # rows still contributes its full expected mass to chi-square
+        spark = df.sparkSession
+        grid = counts.select("partition_key").distinct().crossJoin(
+            spark.range(1, 10).select(F.col("id").cast("int").alias("_d"))
+        )
+        dense = grid.join(counts, ["partition_key", "_d"], "left").select(
+            "partition_key",
+            "_d",
+            F.coalesce(F.col("_n"), F.lit(0)).alias("_n"),
+        )
+        probs = {d: math.log10(1.0 + 1.0 / d) for d in range(1, 10)}
+        p = None
+        for d, v in probs.items():
+            term = F.when(F.col("_d") == d, F.lit(v))
+            p = term if p is None else p.when(F.col("_d") == d, F.lit(v))
+        exp = F.col("_tot").cast("double") * p
+        stat = (
+            dense.withColumn(
+                "_tot",
+                F.sum("_n").over(Window.partitionBy("partition_key")),
+            )
+            .where(F.col("_tot") >= self.min_rows)
+            .select(
+                "partition_key",
+                ((F.col("_n").cast("double") - exp)
+                 * (F.col("_n").cast("double") - exp) / exp).alias("_t"),
+            )
+            .groupBy("partition_key")
+            .agg(F.round(F.sum("_t"), 4).alias("_chi2"))
+        )
+        bad = stat.filter(F.col("_chi2") > F.lit(self.max_chi2))
+        return _sel(
+            bad,
+            self.check_id,
+            "deviation",
+            F.col("_chi2"),
+            expected=F.lit(self.max_chi2),
+            deviation=F.col("_chi2") - F.lit(self.max_chi2),
+            detail=F.create_map(
+                F.lit("reason"), F.lit("first-digit distribution off Benford")
+            ),
+        )

@@ -822,3 +822,56 @@ class TestFunctionalDependencyCheck:
 
         with pytest.raises(ValueError, match="max_violation_rate"):
             FunctionalDependencyCheck("a", "b", max_violation_rate=1.0)
+
+
+class TestBenfordCheck:
+    def test_uniform_digits_fail_benford_data_passes(self, spark):
+        import math
+        import random
+
+        from datatest_spark.operators.checks import BenfordCheck
+
+        rng = random.Random(7)
+        # 'clean': log-uniform magnitudes follow Benford closely
+        clean = [("clean", float(10 ** rng.uniform(0, 4))) for _ in range(600)]
+        # 'cooked': uniform [100, 1000) -> uniform first digits, way off
+        cooked = [("cooked", float(rng.uniform(100, 1000)))
+                  for _ in range(600)]
+        df = spark.createDataFrame(clean + cooked, "source string, v double")
+        suite = ValidationSuite(
+            [BenfordCheck("v")],
+            partition_cols=("source",),
+            stats_columns=["v"],
+        )
+        res = suite.run(df, run_id="bf1")
+        rows = {r["partition_key"]: r for r in res.violations.collect()}
+        assert "source=cooked" in rows
+        assert "source=clean" not in rows
+        assert rows["source=cooked"]["kind"] == "deviation"
+        assert float(rows["source=cooked"]["value"]) > 20.09
+        verdicts = {
+            (v["partition_key"], v["check_id"]): v["status"]
+            for v in res.verdicts.collect()
+        }
+        assert verdicts[("source=cooked", "benford_v")] == "fail"
+        assert verdicts[("source=clean", "benford_v")] == "pass"
+
+    def test_small_partitions_skipped(self, spark):
+        from datatest_spark.operators.checks import BenfordCheck
+
+        df = spark.createDataFrame(
+            [("tiny", 500.0)] * 10, "source string, v double"
+        )
+        suite = ValidationSuite(
+            [BenfordCheck("v", min_rows=100)],
+            partition_cols=("source",),
+            stats_columns=["v"],
+        )
+        res = suite.run(df, run_id="bf2")
+        assert res.violations.count() == 0 and not res.failed
+
+    def test_threshold_validated(self, spark):
+        from datatest_spark.operators.checks import BenfordCheck
+
+        with pytest.raises(ValueError, match="max_chi2"):
+            BenfordCheck("v", max_chi2=0)
