@@ -1449,6 +1449,21 @@ def q_bigram_logloss(spark, sf_dir):
     return bigram_logloss(toks)
 
 
+def q_ngram_novelty(spark, sf_dir):
+    """Snapshot content novelty (operators/dedup.ngram_novelty): per
+    source, the fraction of the odd-doc_id snapshot's distinct
+    5-shingles never seen in the even-doc_id snapshot, plus
+    mostly-novel doc counts — the 'did the refresh add new CONTENT or
+    re-crawl the same text' audit. Both sides reduce to distinct
+    shingle frames before the join."""
+    from datatest_spark.operators.dedup import ngram_novelty
+
+    d = _t(spark, sf_dir, "documents")
+    new = d.where(F.col("doc_id") % 2 == 1)
+    old = d.where(F.col("doc_id") % 2 == 0)
+    return ngram_novelty(new, old).withColumnRenamed("group", "source")
+
+
 def q_mwu_drift(spark, sf_dir):
     """Binned Mann-Whitney rank-sum drift per source vs src0
     (operators/drift.mwu_from_histogram): the location-sensitive,
@@ -2086,7 +2101,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #   shard_manifest / vocab_overlap / retention_cohorts /
 #   fd_violations / benford_digits / null_pattern /
 #   pmi_collocations / heavy_hitters / bootstrap_ci / association /
-#   windowed_drift / position_entropy / oov_profile / mwu_drift
+#   windowed_drift / position_entropy / oov_profile / mwu_drift /
+#   ngram_novelty
 #                        — session-3+ operators, each value-oracled and
 #                          pinned by dedicated pytest tests; the window
 #                          was already full of never-driver-checked
@@ -2252,6 +2268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "position_entropy": q_position_entropy,
         "oov_profile": q_oov_profile,
         "mwu_drift": q_mwu_drift,
+        "ngram_novelty": q_ngram_novelty,
         "pivot_order_status": q_pivot_order_status,
         "rollup_revenue": q_rollup_revenue,
         "simhash_pairs": q_simhash_pairs,
@@ -3034,6 +3051,73 @@ def oracle_sql() -> dict[str, str]:
                             THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
                    COUNT(*) AS n_events
             FROM G GROUP BY user_id
+        """,
+        "ngram_novelty": """
+            WITH WN AS (
+                SELECT doc_id, COALESCE(source, '__null__') AS grp,
+                       string_split(text, ' ') AS w
+                FROM documents WHERE doc_id % 2 = 1
+            ),
+            SN AS (
+                SELECT DISTINCT doc_id, grp,
+                       array_to_string(w[i : i + 4], ' ') AS shingle
+                FROM WN,
+                     UNNEST(range(1, GREATEST(len(w) - 3, 2))) AS t(i)
+            ),
+            WO AS (
+                SELECT string_split(text, ' ') AS w
+                FROM documents WHERE doc_id % 2 = 0
+            ),
+            SO AS (
+                SELECT DISTINCT array_to_string(w[i : i + 4], ' ') AS shingle
+                FROM WO,
+                     UNNEST(range(1, GREATEST(len(w) - 3, 2))) AS t(i)
+            ),
+            M AS (
+                SELECT sn.grp, sn.doc_id, sn.shingle,
+                       (so.shingle IS NOT NULL) AS seen
+                FROM SN sn LEFT JOIN SO so USING (shingle)
+            ),
+            PD AS (
+                SELECT grp, doc_id, COUNT(*) AS n_sh,
+                       SUM(CASE WHEN NOT seen THEN 1 ELSE 0 END) AS n_nov
+                FROM M GROUP BY grp, doc_id
+            ),
+            GS AS (
+                SELECT grp, COUNT(*) AS n_shingles,
+                       CAST(SUM(CASE WHEN NOT seen THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_novel
+                FROM (SELECT DISTINCT grp, shingle, seen FROM M)
+                GROUP BY grp
+            ),
+            DT AS (
+                SELECT COALESCE(source, '__null__') AS grp,
+                       COUNT(*) AS n_docs
+                FROM documents WHERE doc_id % 2 = 1 GROUP BY 1
+            ),
+            DF AS (
+                SELECT grp,
+                       CAST(SUM(CASE WHEN CAST(n_nov AS DOUBLE)
+                                      > 0.5 * CAST(n_sh AS DOUBLE)
+                                THEN 1 ELSE 0 END) AS BIGINT)
+                           AS n_docs_mostly_novel
+                FROM PD GROUP BY grp
+            )
+            SELECT dt.grp AS source, dt.n_docs,
+                   COALESCE(gs.n_shingles, 0) AS n_shingles,
+                   COALESCE(gs.n_novel, 0) AS n_novel,
+                   ROUND(CASE WHEN COALESCE(gs.n_shingles, 0) > 0
+                         THEN CAST(gs.n_novel AS DOUBLE)
+                              / CAST(gs.n_shingles AS DOUBLE) END, 6)
+                       AS novelty_rate,
+                   COALESCE(df.n_docs_mostly_novel, 0)
+                       AS n_docs_mostly_novel,
+                   ROUND(CAST(COALESCE(df.n_docs_mostly_novel, 0)
+                              AS DOUBLE) / CAST(dt.n_docs AS DOUBLE), 6)
+                       AS mostly_novel_rate
+            FROM DT dt
+            LEFT JOIN GS gs USING (grp)
+            LEFT JOIN DF df USING (grp)
         """,
         "mwu_drift": """
             WITH C AS (

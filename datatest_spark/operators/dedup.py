@@ -1539,3 +1539,115 @@ def scrub_token_spans(
         # span_len - 1 (the separator stays in the array)
         (F.size(toks) - F.size(kept)).cast("int").alias("n_removed"),
     )
+
+
+def ngram_novelty(
+    df_new: DataFrame,
+    df_old: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    k: int = 5,
+    doc_novel_frac: float = 0.5,
+) -> DataFrame:
+    """Content-level novelty of a NEW snapshot against an OLD one: per
+    group of ``df_new``, the fraction of its distinct k-shingles never
+    seen in ``df_old``, plus how many documents are MOSTLY novel
+    (novel-shingle fraction > ``doc_novel_frac``). The dataset-
+    versioning question :func:`snapshot_delta` (doc-level add/remove/
+    change) cannot answer: "did this refresh actually add new CONTENT,
+    or re-crawl the same text under new doc_ids?".
+
+    Returns (group, n_docs, n_shingles, n_novel, novelty_rate,
+    n_docs_mostly_novel, mostly_novel_rate); shingle-less docs (shorter
+    than k words) count in ``n_docs`` but never in ``mostly_novel``
+    (no evidence either way).
+
+    Scale shape: both sides reduce to DISTINCT shingle frames before
+    meeting (the old side additionally collapses to one row per
+    shingle), so the anti-join shuffles vocabulary-sized frames, never
+    corpus rows; per-doc novel fractions ride the same exploded frame
+    with ONE (doc) re-aggregation, and the final agg is |groups| rows.
+    The old side is NOT broadcast by default — at 10^12 rows its
+    shingle set is itself corpus-scale; AQE downgrades the join to
+    broadcast when it happens to be small.
+    """
+    if not (0.0 <= doc_novel_frac < 1.0):
+        raise ValueError(
+            "doc_novel_frac must be in [0, 1), got %r" % (doc_novel_frac,)
+        )
+    # null text yields a single NULL shingle from shingles_col — filter
+    # it so such docs count in n_docs but contribute no (novel) content
+    new_sh = df_new.select(
+        F.col(id_col).alias("_id"),
+        F.coalesce(F.col(group_col).cast("string"), F.lit("__null__")).alias(
+            "_grp"
+        ),
+        F.explode(shingles_col(F.col(text_col), k)).alias("shingle"),
+    ).where(F.col("shingle").isNotNull())
+    old_sh = (
+        df_old.select(F.explode(shingles_col(F.col(text_col), k)).alias("shingle"))
+        .where(F.col("shingle").isNotNull())
+        .distinct()
+    )
+    marked = new_sh.join(
+        old_sh.withColumn("_seen", F.lit(True)), "shingle", "left"
+    ).select(
+        "_id",
+        "_grp",
+        "shingle",
+        F.coalesce(F.col("_seen"), F.lit(False)).alias("_seen"),
+    )
+    per_doc = marked.groupBy("_grp", "_id").agg(
+        F.count(F.lit(1)).alias("_n_sh"),
+        F.sum((~F.col("_seen")).cast("long")).alias("_n_nov"),
+    )
+    # distinct-shingle novelty needs group-level distinct counts (a
+    # shingle may repeat across docs of the group): second tiny agg on
+    # the deduped (group, shingle) frame
+    grp_sh = marked.select("_grp", "shingle", "_seen").distinct()
+    grp_rates = grp_sh.groupBy("_grp").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum((~F.col("_seen")).cast("long")).alias("n_novel"),
+    )
+    docs_total = df_new.groupBy(
+        F.coalesce(F.col(group_col).cast("string"), F.lit("__null__")).alias(
+            "_grp"
+        )
+    ).agg(F.count(F.lit(1)).alias("n_docs"))
+    doc_flags = per_doc.groupBy("_grp").agg(
+        F.sum(
+            (
+                F.col("_n_nov").cast("double")
+                > F.lit(float(doc_novel_frac)) * F.col("_n_sh").cast("double")
+            ).cast("long")
+        ).alias("n_docs_mostly_novel")
+    )
+    return (
+        docs_total.join(grp_rates, "_grp", "left")
+        .join(doc_flags, "_grp", "left")
+        .select(
+            F.col("_grp").alias("group"),
+            "n_docs",
+            F.coalesce(F.col("n_shingles"), F.lit(0)).alias("n_shingles"),
+            F.coalesce(F.col("n_novel"), F.lit(0)).alias("n_novel"),
+            F.round(
+                F.when(
+                    F.coalesce(F.col("n_shingles"), F.lit(0)) > 0,
+                    F.col("n_novel").cast("double")
+                    / F.col("n_shingles").cast("double"),
+                ),
+                6,
+            ).alias("novelty_rate"),
+            F.coalesce(F.col("n_docs_mostly_novel"), F.lit(0)).alias(
+                "n_docs_mostly_novel"
+            ),
+            F.round(
+                F.coalesce(F.col("n_docs_mostly_novel"), F.lit(0)).cast(
+                    "double"
+                )
+                / F.col("n_docs").cast("double"),
+                6,
+            ).alias("mostly_novel_rate"),
+        )
+    )

@@ -4280,3 +4280,58 @@ class TestMwuDrift:
             drift.mwu_from_histogram(
                 df, "v", "g", "nope", 0.0, 10.0, 5
             ).collect()
+
+
+class TestNgramNovelty:
+    def test_rates_against_hand_construction(self, spark):
+        from datatest_spark.operators import dedup
+
+        old = spark.createDataFrame(
+            [(1, "g", "a b c d e f")], "doc_id long, source string, text string"
+        )
+        new = spark.createDataFrame(
+            [
+                # doc 2: same text -> zero novel shingles
+                (2, "g", "a b c d e f"),
+                # doc 3: fully new text -> all shingles novel
+                (3, "g", "p q r s t u v"),
+                # doc 4: short doc (3 words) -> one whole-text shingle
+                (4, "g", "x y z"),
+            ],
+            "doc_id long, source string, text string",
+        )
+        (r,) = dedup.ngram_novelty(new, old).collect()
+        # old shingles: 'a b c d e','b c d e f' (2). new distinct:
+        # same 2 (seen) + 3 from doc3 + 1 from doc4 = 6, novel = 4
+        assert r["n_docs"] == 3
+        assert r["n_shingles"] == 6 and r["n_novel"] == 4
+        assert r["novelty_rate"] == round(4 / 6, 6)
+        # docs 3 and 4 are 100% novel; doc 2 is 0%
+        assert r["n_docs_mostly_novel"] == 2
+        assert r["mostly_novel_rate"] == round(2 / 3, 6)
+
+    def test_disjoint_group_and_empty_overlap(self, spark):
+        from datatest_spark.operators import dedup
+
+        old = spark.createDataFrame(
+            [(1, "g", "a b c d e")], "doc_id long, source string, text string"
+        )
+        new = spark.createDataFrame(
+            [(2, "h", "a b c d e"), (3, "h", None)],
+            "doc_id long, source string, text string",
+        )
+        (r,) = dedup.ngram_novelty(new, old).collect()
+        # the null-text doc contributes to n_docs but no shingles
+        assert r["group"] == "h" and r["n_docs"] == 2
+        assert r["n_novel"] == 0 and r["novelty_rate"] == 0.0
+        assert r["n_docs_mostly_novel"] == 0
+
+    def test_frac_validated(self, spark):
+        import pytest as _pytest
+        from datatest_spark.operators import dedup
+
+        df = spark.createDataFrame(
+            [(1, "g", "a")], "doc_id long, source string, text string"
+        )
+        with _pytest.raises(ValueError):
+            dedup.ngram_novelty(df, df, doc_novel_frac=1.0)
