@@ -467,3 +467,123 @@ class TestBloomProperties:
             corpus, bench, k=2, m_bits=1 << 10, n_hashes=3,
             hash_fn=hash_fn).collect()}
         assert exact <= bloom
+
+
+class TestHeavyHitterProperties:
+    @settings(max_examples=15, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow,
+                                     HealthCheck.function_scoped_fixture])
+    @given(
+        st.lists(
+            st.tuples(st.sampled_from(["g", "h"]),
+                      st.integers(min_value=0, max_value=6)),
+            min_size=1, max_size=60,
+        ),
+        st.floats(min_value=0.05, max_value=0.9),
+        st.integers(min_value=1, max_value=8),
+    )
+    def test_prefilter_equals_direct_and_python(self, spark, rows, phi,
+                                                n_buckets):
+        from datatest_spark.operators.stats import heavy_hitters
+
+        df = spark.createDataFrame(
+            [(g, str(v)) for g, v in rows], "src string, v string"
+        )
+        fast = sorted(map(tuple, heavy_hitters(
+            df, "v", "src", phi=phi, prefilter=True, n_buckets=n_buckets
+        ).collect()))
+        direct = sorted(map(tuple, heavy_hitters(
+            df, "v", "src", phi=phi, prefilter=False
+        ).collect()))
+        assert fast == direct
+        # python reference on the threshold semantics
+        want = set()
+        per = Counter(rows)
+        tot = Counter(g for g, _ in rows)
+        for (g, v), c in per.items():
+            if c >= phi * tot[g]:
+                want.add((g, str(v), c))
+        assert {(t[0], t[1], t[2]) for t in fast} == want
+
+
+class TestFdAuditProperties:
+    @settings(max_examples=15, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow,
+                                     HealthCheck.function_scoped_fixture])
+    @given(st.lists(
+        st.tuples(st.integers(min_value=0, max_value=3),
+                  st.one_of(st.none(),
+                            st.sampled_from(["a", "b", "c"]))),
+        min_size=1, max_size=50,
+    ))
+    def test_g3_matches_python_reference(self, spark, rows):
+        from datatest_spark.operators.stats import fd_audit
+
+        df = spark.createDataFrame(rows, "k int, v string")
+        got = {r["k"]: r for r in fd_audit(df, "k", "v").collect()}
+        by_k = {}
+        for k, v in rows:
+            by_k.setdefault(k, Counter())[v] += 1
+        for k, counts in by_k.items():
+            n_rows = sum(counts.values())
+            # majority: highest count, then smallest value, None LAST
+            best = sorted(
+                counts.items(),
+                key=lambda kv: (-kv[1], kv[0] is None, kv[0]),
+            )[0]
+            r = got[k]
+            assert r["n_rows"] == n_rows
+            assert r["n_distinct_dep"] == len(counts)
+            assert r["majority_dep"] == best[0]
+            assert r["n_violations"] == n_rows - best[1]
+
+
+class TestBootstrapProperties:
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow,
+                                     HealthCheck.function_scoped_fixture])
+    @given(st.lists(st.integers(min_value=0, max_value=1000),
+                    min_size=2, max_size=40),
+           st.integers(min_value=0, max_value=3))
+    def test_weights_and_interval_match_python_mirror(self, spark, vals,
+                                                      seed):
+        import hashlib
+
+        from datatest_spark.operators.stats import POISSON1_CDF, bootstrap_ci
+
+        B = 16
+        df = spark.createDataFrame(
+            [("d%d" % i, float(v)) for i, v in enumerate(vals)],
+            "doc_id string, v double",
+        )
+        (r,) = bootstrap_ci(df, "v", id_col="doc_id", n_boot=B,
+                            seed=seed).collect()
+
+        def w(doc_id, b):
+            h = hashlib.md5(
+                ("%s#%d#%d" % (doc_id, b, seed)).encode()
+            ).hexdigest()
+            u = (int(h[:4], 16) + 1.0) / 65536.0
+            for k, c in enumerate(POISSON1_CDF):
+                if u <= c:
+                    return k
+            return 8
+
+        s = 1 << 20
+        means = []
+        for b in range(1, B + 1):
+            ws = [(w("d%d" % i, b), math.floor(float(v) * s))
+                  for i, v in enumerate(vals)]
+            ne = sum(x for x, _ in ws)
+            if ne > 0:
+                means.append(
+                    ((sum(x * xf for x, xf in ws) * 1.0) / ne) / s
+                )
+        means.sort()
+        nb = len(means)
+        assert r["n_boot_used"] == nb
+        if nb:
+            lo = means[math.ceil(0.025 * nb) - 1]
+            hi = means[math.ceil(0.975 * nb) - 1]
+            assert abs(r["ci_lo"] - lo) < 1e-6
+            assert abs(r["ci_hi"] - hi) < 1e-6
