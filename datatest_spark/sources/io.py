@@ -83,6 +83,44 @@ class Catalog(object):
         files = sorted(self.read(name).inputFiles())
         return hashlib.sha256("\n".join(files).encode()).hexdigest()[:16]
 
+    def write_bucketed(self, df: DataFrame, name: str,
+                       bucket_col: str = "doc_id", n_buckets: int = 16,
+                       sort: bool = True, mode: str = "overwrite"):
+        """Bucketed layout for CO-LOCATED joins (SURVEY §2 hard part #3:
+        'bucketed-by-doc_id layout makes the exact pass shuffle-free'):
+        two tables bucketed by the same column into the same bucket
+        count equi-join with ZERO Exchange — the 10^12 path for
+        token-equality-vs-reference and exact-uniqueness repair joins,
+        where a doc_id shuffle IS the cost.
+
+        parquet backend: ``bucketBy`` metadata lives in the session
+        catalog, so the write goes through ``saveAsTable`` with an
+        external path and reads MUST come from :meth:`read_table` —
+        a path-based ``spark.read.parquet`` cannot see bucketing and
+        silently reintroduces the shuffle. iceberg backend: the
+        ``bucket(n, col)`` partition transform, same property via
+        storage-partitioned joins.
+        """
+        if self.format == "iceberg":
+            (df.writeTo("{0}.{1}".format(self.warehouse, name))
+               .partitionedBy(F.bucket(int(n_buckets), F.col(bucket_col)))
+               .createOrReplace())
+            return
+        w = (df.write.mode(mode)
+             .bucketBy(int(n_buckets), bucket_col))
+        if sort:
+            w = w.sortBy(bucket_col)
+        (w.option("path", self._path(name))
+          .format("parquet")
+          .saveAsTable(name))
+
+    def read_table(self, name: str) -> DataFrame:
+        """Catalog-aware read: REQUIRED for bucketed tables (bucket
+        metadata is in the metastore, not the files)."""
+        if self.format == "iceberg":
+            return self.read(name)
+        return self.spark.table(name)
+
     def partitions(self, name: str):
         """Distinct partition identities (the verdict domain)."""
         df = self.read(name)

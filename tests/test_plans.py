@@ -521,3 +521,45 @@ class TestOovPlan:
         assert "BroadcastHashJoin" in plan, plan
         assert "SortMergeJoin" not in plan, plan
         assert "partial_count" in plan, plan
+
+
+class TestBucketedJoin:
+    def test_colocated_join_has_zero_exchange(self, spark, tmp_path):
+        """Two tables bucketed by doc_id into the same bucket count must
+        equi-join with NO shuffle — the 10^12 path for token-equality
+        and uniqueness-repair joins. A path-based read of the same files
+        (no bucket metadata) must show the Exchanges come back."""
+        from datatest_spark.sources.io import Catalog
+        from datatest_spark.sources.synth import tokenized_sequences
+
+        cat = Catalog(spark, str(tmp_path / "wh"))
+        df = tokenized_sequences(spark, 400, seed=3)
+        cat.write_bucketed(df, "bk_left", "doc_id", n_buckets=4)
+        cat.write_bucketed(df.select("doc_id", "n_tok"), "bk_right",
+                           "doc_id", n_buckets=4)
+        prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        # force the shuffle-join path: at test scale AQE broadcasts both
+        # variants, hiding exactly the shuffle bucketing removes at 10^12
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            left = cat.read_table("bk_left")
+            right = cat.read_table("bk_right").withColumnRenamed(
+                "n_tok", "ref_n_tok"
+            )
+            joined = left.join(right, "doc_id").where(
+                F.col("n_tok") != F.col("ref_n_tok")
+            )
+            plan = _plan(joined)
+            assert _exchanges(plan) == 0, plan
+            assert joined.count() == 0  # plan executes, values agree
+            # control: the same files read WITHOUT catalog metadata
+            p_left = spark.read.parquet(str(tmp_path / "wh" / "bk_left"))
+            p_right = spark.read.parquet(
+                str(tmp_path / "wh" / "bk_right")
+            ).withColumnRenamed("n_tok", "ref_n_tok")
+            control = _plan(p_left.join(p_right, "doc_id"))
+            assert _exchanges(control) > 0, control
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+            spark.sql("DROP TABLE IF EXISTS bk_left")
+            spark.sql("DROP TABLE IF EXISTS bk_right")
