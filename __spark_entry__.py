@@ -1449,6 +1449,25 @@ def q_bigram_logloss(spark, sf_dir):
     return bigram_logloss(toks)
 
 
+def q_sample_rate_audit(spark, sf_dir):
+    """Post-hoc sampler validation (operators/packing.sample_rate_audit):
+    run the deterministic md5 mixture sampler at sub-1.0 rates, then
+    audit the output against the requested rates — exact binomial z per
+    source, verdict at |z| > 4. Two tiny counts + a |groups| join; the
+    oracle recomputes the kept set AND the audit."""
+    from datatest_spark.operators import packing
+
+    d = _t(spark, sf_dir, "documents")
+    rates = {"src%d" % i: 0.1 for i in range(20)}
+    rates["src0"] = 0.25
+    rates["src1"] = 0.5
+    sampled = packing.mixture_sample(
+        d, {"src0": 0.25, "src1": 0.5}, hash_fn="md5", default_rate=0.1,
+        seed=0,
+    )
+    return packing.sample_rate_audit(d, sampled, rates)
+
+
 def q_ngram_novelty(spark, sf_dir):
     """Snapshot content novelty (operators/dedup.ngram_novelty): per
     source, the fraction of the odd-doc_id snapshot's distinct
@@ -2102,7 +2121,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #   fd_violations / benford_digits / null_pattern /
 #   pmi_collocations / heavy_hitters / bootstrap_ci / association /
 #   windowed_drift / position_entropy / oov_profile / mwu_drift /
-#   ngram_novelty
+#   ngram_novelty / sample_rate_audit
 #                        — session-3+ operators, each value-oracled and
 #                          pinned by dedicated pytest tests; the window
 #                          was already full of never-driver-checked
@@ -2269,6 +2288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "oov_profile": q_oov_profile,
         "mwu_drift": q_mwu_drift,
         "ngram_novelty": q_ngram_novelty,
+        "sample_rate_audit": q_sample_rate_audit,
         "pivot_order_status": q_pivot_order_status,
         "rollup_revenue": q_rollup_revenue,
         "simhash_pairs": q_simhash_pairs,
@@ -3051,6 +3071,62 @@ def oracle_sql() -> dict[str, str]:
                             THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
                    COUNT(*) AS n_events
             FROM G GROUP BY user_id
+        """,
+        "sample_rate_audit": """
+            WITH R AS (
+                SELECT doc_id, source,
+                       CASE source
+                           WHEN 'src0' THEN 0.25
+                           WHEN 'src1' THEN 0.5
+                           ELSE 0.1
+                       END AS rate
+                FROM documents
+            ),
+            KEPT AS (
+                SELECT source FROM R
+                WHERE (CAST(CONCAT('0x',
+                          substr(md5(doc_id || '#0#0'), 1, 4))
+                          AS INT) / 65536.0) < rate
+            ),
+            O AS (SELECT source, COUNT(*) AS n_orig
+                  FROM documents GROUP BY source),
+            S AS (SELECT source, COUNT(*) AS n_sampled
+                  FROM KEPT GROUP BY source),
+            J AS (
+                SELECT o.source AS "group", o.n_orig,
+                       COALESCE(s.n_sampled, 0) AS n_sampled,
+                       CAST(CASE o.source
+                           WHEN 'src0' THEN 0.25
+                           WHEN 'src1' THEN 0.5
+                           ELSE 0.1
+                       END AS DOUBLE) AS p
+                FROM O o LEFT JOIN S s ON o.source = s.source
+            )
+            SELECT "group", n_orig, n_sampled,
+                   ROUND(p, 6) AS requested_rate,
+                   ROUND(CASE WHEN n_orig > 0 THEN
+                         CAST(n_sampled AS DOUBLE)
+                         / CAST(n_orig AS DOUBLE) END, 6)
+                       AS achieved_rate,
+                   ROUND(CASE WHEN p * (1.0 - p)
+                                   * CAST(n_orig AS DOUBLE) > 0
+                         THEN (CAST(n_sampled AS DOUBLE)
+                               - p * CAST(n_orig AS DOUBLE))
+                              / SQRT(p * (1.0 - p)
+                                     * CAST(n_orig AS DOUBLE)) END, 4)
+                       AS z,
+                   CASE WHEN n_orig = 0 THEN 'unexpected'
+                        WHEN ABS(COALESCE(
+                            CASE WHEN p * (1.0 - p)
+                                      * CAST(n_orig AS DOUBLE) > 0
+                            THEN (CAST(n_sampled AS DOUBLE)
+                                  - p * CAST(n_orig AS DOUBLE))
+                                 / SQRT(p * (1.0 - p)
+                                        * CAST(n_orig AS DOUBLE)) END,
+                            0.0)) > 4.0 THEN 'fail'
+                        ELSE 'pass'
+                   END AS status
+            FROM J
         """,
         "ngram_novelty": """
             WITH WN AS (

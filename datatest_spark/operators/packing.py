@@ -998,3 +998,73 @@ def write_training_shards(
     return shard_manifest(
         df, num_shards, id_col, content_col, length_col, hash_fn, seed
     )
+
+
+def sample_rate_audit(
+    df_orig: DataFrame,
+    df_sampled: DataFrame,
+    rates,
+    group_col: str = "source",
+    max_z: float = 4.0,
+) -> DataFrame:
+    """Did the sampling stage actually deliver its requested rates?
+    Per group: original count, sampled count, achieved vs requested
+    rate, the exact binomial z-score of the deviation, and a verdict —
+    the post-hoc VALIDATION of any sampler (this engine's hash
+    samplers are deterministic, but upstream/external samplers are
+    not, and a mixture that silently under-delivers one source skews
+    the trained model's diet).
+
+    ``rates``: {group: p} requested inclusion probabilities; groups of
+    the original frame absent from ``rates`` are audited against p=1
+    (nothing should have been dropped). Groups that appear ONLY in the
+    sampled frame are emitted with kind 'unexpected' (a sampler must
+    never invent rows). z = (k - p*n) / sqrt(p*(1-p)*n) — NULL when
+    p is 0/1 or n = 0 (no variance); verdict 'fail' when |z| exceeds
+    ``max_z`` or an unexpected group appears.
+
+    Scale shape: one map-side-combinable count per frame, a
+    |groups|-row outer join, map arithmetic. Nothing corpus-sized
+    crosses the wire.
+    """
+    if max_z <= 0:
+        raise ValueError("max_z must be positive, got %r" % (max_z,))
+    for g, p in dict(rates).items():
+        if not (0.0 <= float(p) <= 1.0):
+            raise ValueError("rate for %r must be in [0, 1], got %r" % (g, p))
+    key = lambda df: F.coalesce(  # noqa: E731
+        F.col(group_col).cast("string"), F.lit("__null__")
+    ).alias("group")
+    orig = df_orig.groupBy(key(df_orig)).agg(F.count(F.lit(1)).alias("n_orig"))
+    samp = df_sampled.groupBy(key(df_sampled)).agg(
+        F.count(F.lit(1)).alias("n_sampled")
+    )
+    joined = orig.join(samp, "group", "full_outer").select(
+        "group",
+        F.coalesce(F.col("n_orig"), F.lit(0)).alias("n_orig"),
+        F.coalesce(F.col("n_sampled"), F.lit(0)).alias("n_sampled"),
+    )
+    p_req = F.lit(1.0)
+    for g, p in dict(rates).items():
+        p_req = F.when(F.col("group") == str(g), F.lit(float(p))).otherwise(
+            p_req
+        )
+    n = F.col("n_orig").cast("double")
+    k = F.col("n_sampled").cast("double")
+    var = p_req * (F.lit(1.0) - p_req) * n
+    z = F.when(var > 0, (k - p_req * n) / F.sqrt(var))
+    unexpected = F.col("n_orig") == 0
+    return joined.select(
+        "group",
+        "n_orig",
+        "n_sampled",
+        F.round(p_req, 6).alias("requested_rate"),
+        F.round(
+            F.when(F.col("n_orig") > 0, k / n), 6
+        ).alias("achieved_rate"),
+        F.round(z, 4).alias("z"),
+        F.when(unexpected, F.lit("unexpected"))
+        .when(F.abs(F.coalesce(z, F.lit(0.0))) > F.lit(float(max_z)), "fail")
+        .otherwise("pass")
+        .alias("status"),
+    )

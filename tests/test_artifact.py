@@ -127,7 +127,7 @@ def test_driver_window_holds_every_value_oracled_query_once():
         "fd_violations", "benford_digits", "null_pattern",
         "pmi_collocations", "heavy_hitters", "bootstrap_ci",
         "association", "windowed_drift", "position_entropy",
-        "oov_profile", "mwu_drift", "ngram_novelty",
+        "oov_profile", "mwu_drift", "ngram_novelty", "sample_rate_audit",
     }
     import glob
 

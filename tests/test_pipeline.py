@@ -4335,3 +4335,50 @@ class TestNgramNovelty:
         )
         with _pytest.raises(ValueError):
             dedup.ngram_novelty(df, df, doc_novel_frac=1.0)
+
+
+class TestSampleRateAudit:
+    def test_exact_delivery_passes_underdelivery_fails(self, spark):
+        from datatest_spark.operators import packing
+
+        orig = spark.createDataFrame(
+            [("g", i) for i in range(1000)] + [("h", i) for i in range(100)],
+            "source string, i long",
+        )
+        # g: exactly half kept; h: requested 0.5 but nothing kept
+        sampled = orig.where(
+            ((F.col("source") == "g") & (F.col("i") % 2 == 0))
+        )
+        out = {r["group"]: r for r in packing.sample_rate_audit(
+            orig, sampled, {"g": 0.5, "h": 0.5}
+        ).collect()}
+        assert out["g"]["status"] == "pass" and out["g"]["z"] == 0.0
+        assert out["g"]["achieved_rate"] == 0.5
+        assert out["h"]["status"] == "fail"
+        assert out["h"]["z"] == round(-0.5 * 100 / (0.25 * 100) ** 0.5, 4)
+
+    def test_unexpected_group_and_default_rate_one(self, spark):
+        from datatest_spark.operators import packing
+
+        orig = spark.createDataFrame([("g", 1)], "source string, i long")
+        sampled = spark.createDataFrame(
+            [("g", 1), ("ghost", 2)], "source string, i long"
+        )
+        out = {r["group"]: r for r in packing.sample_rate_audit(
+            orig, sampled, {}
+        ).collect()}
+        # g audited against p=1 (nothing should drop): kept -> pass,
+        # variance 0 -> z NULL
+        assert out["g"]["status"] == "pass" and out["g"]["z"] is None
+        assert out["ghost"]["status"] == "unexpected"
+        assert out["ghost"]["n_orig"] == 0
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+        from datatest_spark.operators import packing
+
+        df = spark.createDataFrame([("g", 1)], "source string, i long")
+        with _pytest.raises(ValueError, match="max_z"):
+            packing.sample_rate_audit(df, df, {}, max_z=0)
+        with _pytest.raises(ValueError, match="rate for"):
+            packing.sample_rate_audit(df, df, {"g": 1.5})
