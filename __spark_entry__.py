@@ -1458,14 +1458,14 @@ def q_sample_rate_audit(spark, sf_dir):
     from datatest_spark.operators import packing
 
     d = _t(spark, sf_dir, "documents")
-    rates = {"src%d" % i: 0.1 for i in range(20)}
-    rates["src0"] = 0.25
-    rates["src1"] = 0.5
+    rates = {"src0": 0.25, "src1": 0.5}
     sampled = packing.mixture_sample(
-        d, {"src0": 0.25, "src1": 0.5}, hash_fn="md5", default_rate=0.1,
-        seed=0,
+        d, rates, hash_fn="md5", default_rate=0.1, seed=0
     )
-    return packing.sample_rate_audit(d, sampled, rates)
+    # the audit mirrors the sampler call EXACTLY (same dict + same
+    # default), so a new source in testdata audits against 0.1 on both
+    # engines instead of drifting to the p=1 fallback
+    return packing.sample_rate_audit(d, sampled, rates, default_rate=0.1)
 
 
 def q_ngram_novelty(spark, sf_dir):
@@ -3130,9 +3130,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ngram_novelty": """
             WITH WN AS (
+                -- text IS NOT NULL mirrors the operator's NULL-shingle
+                -- filter (GREATEST(len(NULL)-3, 2) = 2 would otherwise
+                -- emit one NULL shingle per null-text doc)
                 SELECT doc_id, COALESCE(source, '__null__') AS grp,
                        string_split(text, ' ') AS w
-                FROM documents WHERE doc_id % 2 = 1
+                FROM documents
+                WHERE doc_id % 2 = 1 AND text IS NOT NULL
             ),
             SN AS (
                 SELECT DISTINCT doc_id, grp,
@@ -3142,7 +3146,8 @@ def oracle_sql() -> dict[str, str]:
             ),
             WO AS (
                 SELECT string_split(text, ' ') AS w
-                FROM documents WHERE doc_id % 2 = 0
+                FROM documents
+                WHERE doc_id % 2 = 0 AND text IS NOT NULL
             ),
             SO AS (
                 SELECT DISTINCT array_to_string(w[i : i + 4], ' ') AS shingle
@@ -3298,7 +3303,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "position_entropy": """
             WITH T AS (
-                SELECT string_split(text, ' ') AS tk FROM documents
+                -- text IS NOT NULL mirrors the operator (LEAST(len(NULL),
+                -- 16) = 16 would otherwise emit 16 NULL-token rows/doc)
+                SELECT string_split(text, ' ') AS tk
+                FROM documents WHERE text IS NOT NULL
             ),
             P AS (
                 SELECT CAST(i AS INT) AS pos, tk[CAST(i AS INT)] AS tok
@@ -3329,7 +3337,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "windowed_drift": """
             WITH B AS (
-                SELECT epoch_ms(ts) // 86400000 AS day,
+                SELECT CAST(FLOOR(epoch_ms(ts) / 86400000) AS BIGINT)
+                           AS day,
                        COALESCE(CAST(event_type AS VARCHAR), '__null__')
                            AS grp,
                        CASE WHEN CAST(ROUND(value * 100) AS BIGINT) < 0
@@ -3440,7 +3449,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bootstrap_ci": """
             WITH BASE AS (
-                SELECT source AS g, CAST(doc_id AS VARCHAR) AS id,
+                SELECT COALESCE(CAST(source AS VARCHAR), '__null__') AS g,
+                       CAST(doc_id AS VARCHAR) AS id,
                        CAST(FLOOR(CAST(n_chars AS DOUBLE) * 1048576.0)
                             AS BIGINT) AS xf
                 FROM documents WHERE n_chars IS NOT NULL
@@ -3546,7 +3556,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "heavy_hitters": """
             WITH B AS (
-                SELECT source, UNNEST(string_split(text, ' ')) AS tok
+                SELECT COALESCE(CAST(source AS VARCHAR), '__null__')
+                           AS source,
+                       UNNEST(string_split(text, ' ')) AS tok
                 FROM documents
             ),
             T AS (SELECT source, COUNT(*) AS n_total FROM B GROUP BY source),
@@ -3618,7 +3630,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "retention_cohorts": """
             WITH D AS (
-                SELECT user_id, epoch_ms(ts) // 86400000 AS day
+                -- FLOOR, not //: DuckDB // truncates toward zero, which
+                -- diverges from Spark's F.floor for pre-1970 timestamps
+                SELECT user_id,
+                       CAST(FLOOR(epoch_ms(ts) / 86400000) AS BIGINT) AS day
                 FROM events
             ),
             C AS (

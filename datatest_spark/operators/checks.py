@@ -784,49 +784,34 @@ class FunctionalDependencyCheck(BaseCheck):
         )
 
     def violations(self, df):
-        from pyspark.sql import Window
+        # fd_audit carries the (det, dep) count + NULLS-LAST majority
+        # tie-break; extra_keys scopes it per partition so the g3
+        # semantics are pinned in exactly ONE place
+        from .stats import fd_audit
 
-        det, dep = F.col(self.determinant), F.col(self.dependent)
-        pair = df.groupBy(
-            F.col("partition_key"),
-            det.alias("_fd_det"),
-            dep.alias("_fd_dep"),
-        ).agg(F.count(F.lit(1)).alias("_fd_n"))
-        w = Window.partitionBy("partition_key", "_fd_det")
-        ranked = pair.select(
-            "partition_key",
-            "_fd_det",
-            "_fd_dep",
-            "_fd_n",
-            F.row_number()
-            .over(w.orderBy(F.col("_fd_n").desc(),
-                            F.asc_nulls_last("_fd_dep")))
-            .alias("_rk"),
-            F.sum("_fd_n").over(w).alias("_rows"),
-            F.count(F.lit(1)).over(w).alias("_ndep"),
-        )
-        bad = ranked.filter(
-            (F.col("_rk") == 1)
-            & (F.col("_ndep") > 1)
+        audit = fd_audit(df, self.determinant, self.dependent,
+                         extra_keys=("partition_key",))
+        bad = audit.filter(
+            (F.col("n_distinct_dep") > 1)
             & (
-                (F.col("_rows") - F.col("_fd_n")).cast("double")
+                F.col("n_violations").cast("double")
                 > F.lit(self.max_violation_rate)
-                * F.col("_rows").cast("double")
+                * F.col("n_rows").cast("double")
             )
         )
         return _sel(
             bad,
             self.check_id,
             "invalid",
-            F.col("_fd_det"),
-            expected=F.col("_fd_dep"),
-            deviation=(F.col("_rows") - F.col("_fd_n")).cast("double"),
-            group_key=F.col("_fd_det").cast("string"),
+            F.col(self.determinant),
+            expected=F.col("majority_dep"),
+            deviation=F.col("n_violations").cast("double"),
+            group_key=F.col(self.determinant).cast("string"),
             detail=F.create_map(
                 F.lit("n_distinct_dep"),
-                F.col("_ndep").cast("string"),
+                F.col("n_distinct_dep").cast("string"),
                 F.lit("n_rows"),
-                F.col("_rows").cast("string"),
+                F.col("n_rows").cast("string"),
             ),
         )
 
@@ -863,15 +848,11 @@ class BenfordCheck(BaseCheck):
         self.check_id = check_id or "benford_{0}".format(value_col)
 
     def violations(self, df):
-        import math
-
         from pyspark.sql import Window
 
-        cents = F.round(
-            F.col(self.value_col).cast("double")
-            * F.lit(float(10 ** self.decimals))
-        ).cast("long")
-        digit = F.substring(cents.cast("string"), 1, 1).cast("int")
+        from .stats import benford_digit_col, benford_expected
+
+        cents, digit = benford_digit_col(self.value_col, self.decimals)
         counts = (
             df.where(F.col(self.value_col).isNotNull() & (cents > 0))
             .groupBy("partition_key", digit.alias("_d"))
@@ -888,12 +869,7 @@ class BenfordCheck(BaseCheck):
             "_d",
             F.coalesce(F.col("_n"), F.lit(0)).alias("_n"),
         )
-        probs = {d: math.log10(1.0 + 1.0 / d) for d in range(1, 10)}
-        p = None
-        for d, v in probs.items():
-            term = F.when(F.col("_d") == d, F.lit(v))
-            p = term if p is None else p.when(F.col("_d") == d, F.lit(v))
-        exp = F.col("_tot").cast("double") * p
+        exp = F.col("_tot").cast("double") * benford_expected("_d")
         stat = (
             dense.withColumn(
                 "_tot",

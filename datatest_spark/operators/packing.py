@@ -1006,6 +1006,7 @@ def sample_rate_audit(
     rates,
     group_col: str = "source",
     max_z: float = 4.0,
+    default_rate: float = 1.0,
 ) -> DataFrame:
     """Did the sampling stage actually deliver its requested rates?
     Per group: original count, sampled count, achieved vs requested
@@ -1015,13 +1016,18 @@ def sample_rate_audit(
     not, and a mixture that silently under-delivers one source skews
     the trained model's diet).
 
-    ``rates``: {group: p} requested inclusion probabilities; groups of
-    the original frame absent from ``rates`` are audited against p=1
-    (nothing should have been dropped). Groups that appear ONLY in the
-    sampled frame are emitted with kind 'unexpected' (a sampler must
-    never invent rows). z = (k - p*n) / sqrt(p*(1-p)*n) — NULL when
-    p is 0/1 or n = 0 (no variance); verdict 'fail' when |z| exceeds
-    ``max_z`` or an unexpected group appears.
+    ``rates``: {group: p} requested inclusion probabilities; groups
+    absent from ``rates`` are audited against ``default_rate``
+    (default 1.0: nothing should have been dropped — pass the
+    sampler's own default rate to mirror its semantics exactly).
+    Groups that appear ONLY in the sampled frame are emitted with kind
+    'unexpected' (a sampler must never invent rows).
+    z = (k - p*n) / sqrt(p*(1-p)*n) — NULL when p is 0/1 or n = 0 (no
+    variance); the DEGENERATE rates are checked exactly instead: p=1
+    fails unless every row survived, p=0 fails if anything did (a
+    z-of-NULL must never read as a pass — the audit's whole point).
+    Verdict 'fail' when |z| exceeds ``max_z`` or an exact check
+    breaks.
 
     Scale shape: one map-side-combinable count per frame, a
     |groups|-row outer join, map arithmetic. Nothing corpus-sized
@@ -1032,6 +1038,10 @@ def sample_rate_audit(
     for g, p in dict(rates).items():
         if not (0.0 <= float(p) <= 1.0):
             raise ValueError("rate for %r must be in [0, 1], got %r" % (g, p))
+    if not (0.0 <= float(default_rate) <= 1.0):
+        raise ValueError(
+            "rate for default must be in [0, 1], got %r" % (default_rate,)
+        )
     key = lambda df: F.coalesce(  # noqa: E731
         F.col(group_col).cast("string"), F.lit("__null__")
     ).alias("group")
@@ -1044,7 +1054,7 @@ def sample_rate_audit(
         F.coalesce(F.col("n_orig"), F.lit(0)).alias("n_orig"),
         F.coalesce(F.col("n_sampled"), F.lit(0)).alias("n_sampled"),
     )
-    p_req = F.lit(1.0)
+    p_req = F.lit(float(default_rate))
     for g, p in dict(rates).items():
         p_req = F.when(F.col("group") == str(g), F.lit(float(p))).otherwise(
             p_req
@@ -1054,6 +1064,9 @@ def sample_rate_audit(
     var = p_req * (F.lit(1.0) - p_req) * n
     z = F.when(var > 0, (k - p_req * n) / F.sqrt(var))
     unexpected = F.col("n_orig") == 0
+    degenerate_fail = (
+        (p_req == F.lit(1.0)) & (F.col("n_sampled") != F.col("n_orig"))
+    ) | ((p_req == F.lit(0.0)) & (F.col("n_sampled") > 0))
     return joined.select(
         "group",
         "n_orig",
@@ -1064,6 +1077,7 @@ def sample_rate_audit(
         ).alias("achieved_rate"),
         F.round(z, 4).alias("z"),
         F.when(unexpected, F.lit("unexpected"))
+        .when(degenerate_fail, F.lit("fail"))
         .when(F.abs(F.coalesce(z, F.lit(0.0))) > F.lit(float(max_z)), "fail")
         .otherwise("pass")
         .alias("status"),

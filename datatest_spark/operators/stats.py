@@ -545,6 +545,7 @@ def fd_audit(
     df: DataFrame,
     determinant: str,
     dependent: str,
+    extra_keys=(),
 ) -> DataFrame:
     """Approximate functional-dependency audit: for the claimed FD
     ``determinant -> dependent``, emit one row per determinant value
@@ -561,6 +562,10 @@ def fd_audit(
     deterministic: highest count first, then smallest dependent value
     with NULL sorted last (matching ``ASC NULLS LAST`` in the oracle).
 
+    ``extra_keys`` prepends scoping columns (e.g. ``partition_key``)
+    to both the count and the window so suite checks can assert the FD
+    per partition without re-implementing the tie-break.
+
     Scale shape: ONE corpus-wide ``groupBy(det, dep)`` count — fully
     map-side combinable, so a 10^12-row table reduces to the
     |distinct (det, dep)| frame before the shuffle — then a window
@@ -569,12 +574,16 @@ def fd_audit(
     """
     from pyspark.sql import Window
 
+    extra = [str(k) for k in extra_keys]
     det, dep = F.col(determinant), F.col(dependent)
     pair = df.groupBy(
-        det.alias("_fd_det"), dep.alias("_fd_dep")
+        *[F.col(k) for k in extra],
+        det.alias("_fd_det"),
+        dep.alias("_fd_dep"),
     ).agg(F.count(F.lit(1)).alias("_fd_n"))
-    w = Window.partitionBy("_fd_det")
+    w = Window.partitionBy(*extra, "_fd_det")
     ranked = pair.select(
+        *extra,
         "_fd_det",
         "_fd_dep",
         "_fd_n",
@@ -589,12 +598,31 @@ def fd_audit(
         F.count(F.lit(1)).over(w).alias("n_distinct_dep"),
     )
     return ranked.filter(F.col("_fd_rk") == 1).select(
+        *extra,
         F.col("_fd_det").alias(determinant),
         "n_rows",
         "n_distinct_dep",
         F.col("_fd_dep").alias("majority_dep"),
         (F.col("n_rows") - F.col("_fd_n")).alias("n_violations"),
     )
+
+
+def benford_digit_col(value_col: str, decimals: int = 2):
+    """(cents, digit) Columns of the Benford digit discipline: values
+    fixed-pointed to ``round(v * 10^decimals)`` BIGINT, leading digit
+    from the INTEGER's decimal string — never float log10/pow, whose
+    power-of-ten boundary behaviour differs between engines. Shared by
+    :func:`benford_profile` and ``checks.BenfordCheck`` so the digit
+    semantics are pinned in one place."""
+    cents = F.round(
+        F.col(value_col).cast("double") * F.lit(float(10 ** decimals))
+    ).cast("long")
+    return cents, F.substring(cents.cast("string"), 1, 1).cast("int")
+
+
+def benford_expected(digit="digit"):
+    """Benford's expected fraction log10(1 + 1/d) for a digit Column."""
+    return F.log(10.0, F.lit(1.0) + F.lit(1.0) / F.col(digit))
 
 
 def benford_profile(
@@ -626,10 +654,7 @@ def benford_profile(
     """
     from pyspark.sql import Window
 
-    cents = F.round(
-        F.col(value_col).cast("double") * F.lit(float(10 ** decimals))
-    ).cast("long")
-    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
+    cents, digit = benford_digit_col(value_col, decimals)
     base = df.where(
         F.col(value_col).isNotNull() & (cents > 0)
     ).select(
@@ -640,7 +665,7 @@ def benford_profile(
         F.count(F.lit(1)).alias("n")
     )
     w = Window.partitionBy("group")
-    exp_frac = F.log(10.0, F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    exp_frac = benford_expected("digit")
     return agg.select(
         "group",
         "digit",
@@ -726,11 +751,21 @@ def heavy_hitters(
 
     Thresholding uses ``n >= phi * n_total`` with the multiplication in
     IEEE double on both engines. NULL values participate like any other
-    value (a NULL flood is exactly what this should catch).
+    value (a NULL flood is exactly what this should catch), and a NULL
+    GROUP becomes its own '__null__' row rather than vanishing through
+    the equi-joins.
     """
     if not (0.0 < phi <= 1.0):
         raise ValueError("phi must be in (0, 1], got %r" % (phi,))
-    grp = (F.col(group_col) if group_col else F.lit("all")).alias("_hh_grp")
+    # group key coalesced to '__null__' (the histogram convention): the
+    # totals and prefilter joins are equi-joins, and a raw NULL key
+    # would silently drop the whole null-group slice — the corrupted
+    # partition this should catch most
+    grp = (
+        F.coalesce(F.col(group_col).cast("string"), F.lit("__null__"))
+        if group_col
+        else F.lit("all")
+    ).alias("_hh_grp")
     base = df.select(grp, F.col(value_col).alias("_hh_val"))
     totals = base.groupBy("_hh_grp").agg(
         F.count(F.lit(1)).alias("n_total")
@@ -827,7 +862,15 @@ def bootstrap_ci(
     from pyspark.sql import Window
 
     s = float(1 << scale_bits)
-    grp = (F.col(group_col) if group_col else F.lit("all")).alias("_bs_grp")
+    # same '__null__' group coalesce as heavy_hitters: the final
+    # full-stats <- ci join is an equi-join, and a raw NULL group would
+    # report n_boot_used=0 with a NULL interval — indistinguishable from
+    # "every resample had zero weight", which is a lie
+    grp = (
+        F.coalesce(F.col(group_col).cast("string"), F.lit("__null__"))
+        if group_col
+        else F.lit("all")
+    ).alias("_bs_grp")
     x = F.col(value_col).cast("double")
     base = df.where(x.isNotNull()).select(
         grp,

@@ -69,8 +69,10 @@ def main(argv=None) -> int:
 
     shares = stats.group_shares(df, "source")
     share_rows = _rows(shares)
-    baseline = args.baseline_source or (
-        share_rows[0]["group"] if share_rows else None
+    # baseline = the rank-1 (largest) source BY CONTRACT, not by collect()
+    # row order — output order of an un-sorted frame is a plan artifact
+    baseline = args.baseline_source or next(
+        (r["group"] for r in share_rows if r["rank"] == 1), None
     )
 
     card = {

@@ -345,8 +345,9 @@ class TestProfileCorpusJob:
         assert card["n_rows"] == 300
         # shares cover every source and sum to ~1 (rounded to 6dp each)
         assert abs(sum(r["share"] for r in card["shares"]) - 1.0) < 1e-4
-        # baseline defaults to the largest source = shares[0]
-        assert card["baseline_source"] == card["shares"][0]["group"]
+        # baseline defaults to the rank-1 (largest) source by contract
+        top = next(r for r in card["shares"] if r["rank"] == 1)
+        assert card["baseline_source"] == top["group"]
         # drift lenses exist and the baseline's own z/ks are exact zeros
         mwu = {r["group"]: r for r in card["drift"]["mwu"]}
         ks = {r["group"]: r for r in card["drift"]["ks"]}

@@ -4382,3 +4382,56 @@ class TestSampleRateAudit:
             packing.sample_rate_audit(df, df, {}, max_z=0)
         with _pytest.raises(ValueError, match="rate for"):
             packing.sample_rate_audit(df, df, {"g": 1.5})
+
+
+class TestReviewFixes:
+    """Pins for the round-5 session-4 review findings."""
+
+    def test_heavy_hitters_null_group_not_dropped(self, spark):
+        from datatest_spark.operators import stats
+
+        df = spark.createDataFrame(
+            [(None, "hot")] * 9 + [(None, "w")] + [("g", "x")],
+            "src string, v string",
+        )
+        out = {(r["group"], r["value"]): r for r in stats.heavy_hitters(
+            df, "v", "src", phi=0.5).collect()}
+        assert ("__null__", "hot") in out
+        assert out[("__null__", "hot")]["n"] == 9
+        assert ("g", "x") in out
+
+    def test_bootstrap_null_group_gets_interval(self, spark):
+        from datatest_spark.operators import stats
+
+        df = spark.createDataFrame(
+            [(None, "d%d" % i, float(i)) for i in range(30)],
+            "src string, doc_id string, v double",
+        )
+        (r,) = stats.bootstrap_ci(df, "v", "src", id_col="doc_id",
+                                  n_boot=16).collect()
+        assert r["group"] == "__null__"
+        assert r["n_boot_used"] == 16
+        assert r["ci_lo"] is not None and r["ci_lo"] <= r["ci_hi"]
+
+    def test_sample_audit_degenerate_rates_cannot_pass(self, spark):
+        from datatest_spark.operators import packing
+
+        orig = spark.createDataFrame(
+            [("g", i) for i in range(100)] + [("z", 1)],
+            "source string, i long",
+        )
+        # p=1 (default) but 60 rows dropped -> must FAIL, not z-NULL-pass
+        sampled = orig.where((F.col("source") == "g") & (F.col("i") < 40))
+        out = {r["group"]: r for r in packing.sample_rate_audit(
+            orig, sampled, {}
+        ).collect()}
+        assert out["g"]["status"] == "fail" and out["g"]["z"] is None
+        assert out["z"]["status"] == "fail"  # p=1, nothing survived
+        # p=0 but rows delivered -> fail
+        out0 = {r["group"]: r for r in packing.sample_rate_audit(
+            orig, sampled, {"g": 0.0, "z": 0.0}
+        ).collect()}
+        assert out0["g"]["status"] == "fail"
+        assert out0["z"]["status"] == "pass"  # p=0, zero delivered
+        with __import__("pytest").raises(ValueError, match="default"):
+            packing.sample_rate_audit(orig, sampled, {}, default_rate=2.0)
