@@ -1449,6 +1449,36 @@ def q_bigram_logloss(spark, sf_dir):
     return bigram_logloss(toks)
 
 
+def q_volume_anomalies(spark, sf_dir):
+    """Ingest-volume monitoring BY COMPOSITION: per-(event_type, day)
+    row counts, then operators/stats.mad_outliers over the daily-count
+    frame — days whose volume robust-z exceeds 2 vs their type's median
+    day. The anomaly stage runs on the |types x days| aggregate, so the
+    corpus pays one pre-combined count; the composition itself is the
+    point (library operators chain on aggregates unchanged)."""
+    from datatest_spark.operators.stats import mad_outliers
+
+    e = _t(spark, sf_dir, "events")
+    ms = F.timestamp_diff(
+        "MILLISECOND",
+        F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+        F.col("ts"),
+    )
+    day = F.floor(ms / F.lit(86_400_000)).cast("long")
+    daily = e.groupBy(
+        F.col("event_type"), day.alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+    out = mad_outliers(
+        daily, "n_rows", group_col="event_type", id_col="day",
+        threshold=2.0, exact=True,
+    )
+    return out.select(
+        "day", "event_type",
+        F.col("value").cast("long").alias("n_rows"),
+        "med", "mad", "robust_z",
+    )
+
+
 def q_sample_rate_audit(spark, sf_dir):
     """Post-hoc sampler validation (operators/packing.sample_rate_audit):
     run the deterministic md5 mixture sampler at sub-1.0 rates, then
@@ -2121,7 +2151,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #   fd_violations / benford_digits / null_pattern /
 #   pmi_collocations / heavy_hitters / bootstrap_ci / association /
 #   windowed_drift / position_entropy / oov_profile / mwu_drift /
-#   ngram_novelty / sample_rate_audit
+#   ngram_novelty / sample_rate_audit / volume_anomalies
 #                        — session-3+ operators, each value-oracled and
 #                          pinned by dedicated pytest tests; the window
 #                          was already full of never-driver-checked
@@ -2289,6 +2319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mwu_drift": q_mwu_drift,
         "ngram_novelty": q_ngram_novelty,
         "sample_rate_audit": q_sample_rate_audit,
+        "volume_anomalies": q_volume_anomalies,
         "pivot_order_status": q_pivot_order_status,
         "rollup_revenue": q_rollup_revenue,
         "simhash_pairs": q_simhash_pairs,
@@ -3071,6 +3102,37 @@ def oracle_sql() -> dict[str, str]:
                             THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
                    COUNT(*) AS n_events
             FROM G GROUP BY user_id
+        """,
+        "volume_anomalies": """
+            WITH D AS (
+                SELECT event_type,
+                       CAST(FLOOR(epoch_ms(ts) / 86400000) AS BIGINT)
+                           AS day,
+                       COUNT(*) AS n
+                FROM events GROUP BY 1, 2
+            ),
+            MED AS (
+                SELECT event_type,
+                       quantile_cont(CAST(n AS DOUBLE), 0.5) AS med
+                FROM D GROUP BY event_type
+            ),
+            WM AS (
+                SELECT d.day, d.event_type, CAST(d.n AS DOUBLE) AS x,
+                       m.med
+                FROM D d JOIN MED m USING (event_type)
+            ),
+            MADT AS (
+                SELECT event_type,
+                       quantile_cont(ABS(x - med), 0.5) AS mad
+                FROM WM GROUP BY event_type
+            )
+            SELECT w.day, w.event_type, CAST(w.x AS BIGINT) AS n_rows,
+                   ROUND(w.med, 6) AS med,
+                   ROUND(a.mad, 6) AS mad,
+                   ROUND((w.x - w.med) / (1.4826 * a.mad), 4) AS robust_z
+            FROM WM w JOIN MADT a USING (event_type)
+            WHERE a.mad > 0
+              AND ABS((w.x - w.med) / (1.4826 * a.mad)) > 2.0
         """,
         "sample_rate_audit": """
             WITH R AS (

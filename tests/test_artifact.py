@@ -128,6 +128,7 @@ def test_driver_window_holds_every_value_oracled_query_once():
         "pmi_collocations", "heavy_hitters", "bootstrap_ci",
         "association", "windowed_drift", "position_entropy",
         "oov_profile", "mwu_drift", "ngram_novelty", "sample_rate_audit",
+        "volume_anomalies",
     }
     import glob
 

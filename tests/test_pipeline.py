@@ -4435,3 +4435,26 @@ class TestReviewFixes:
         assert out0["z"]["status"] == "pass"  # p=0, zero delivered
         with __import__("pytest").raises(ValueError, match="default"):
             packing.sample_rate_audit(orig, sampled, {}, default_rate=2.0)
+
+
+class TestVolumeAnomalies:
+    def test_volume_spike_flagged_by_composition(self, spark):
+        """mad_outliers over an aggregated daily-count frame — the
+        composition q:volume_anomalies runs — must flag a spike day."""
+        from datatest_spark.operators.stats import mad_outliers
+
+        rows = []
+        for d in range(11):
+            # normal days wobble (MAD must be nonzero — identical days
+            # are the documented MAD=0 no-flag case); day 7 spikes 5x
+            n = 1000 + d if d != 7 else 5000
+            rows.append(("click", d, n))
+        daily = spark.createDataFrame(
+            rows, "event_type string, day long, n_rows long"
+        )
+        out = mad_outliers(
+            daily, "n_rows", group_col="event_type", id_col="day",
+            threshold=2.0, exact=True,
+        ).collect()
+        assert [r["day"] for r in out] == [7]
+        assert out[0]["robust_z"] > 2.0
