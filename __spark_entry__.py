@@ -936,6 +936,23 @@ def q_chi2_drift(spark, sf_dir):
     ).select(F.col("group").alias("source"), "chi2", "dof", "novel_buckets")
 
 
+def q_js_drift(spark, sf_dir):
+    """Bounded symmetric Jensen-Shannon drift per source vs src0
+    baseline (operators/drift.js_from_histogram) on n_chars: each
+    term's mixture (p+q)/2 is positive wherever either side has mass,
+    so novel buckets contribute finite terms with NO epsilon floor
+    (unlike KL/PSI) and the statistic is capped at ln 2 — one alarm
+    threshold works for every column. Terms are a fixed IEEE op
+    sequence over exact integer-count ratios, summed in bucket order,
+    so DuckDB reproduces the doubles bit-for-bit."""
+    from datatest_spark.operators import drift
+
+    d = _t(spark, sf_dir, "documents")
+    return drift.js_from_histogram(
+        d, "n_chars", "source", "src0", lo=0.0, hi=1000.0, nbins=10
+    ).select(F.col("group").alias("source"), "js")
+
+
 def q_emd_drift(spark, sf_dir):
     """Binned Wasserstein-1 (earth-mover) drift per source vs src0
     baseline (operators/drift.emd_from_histogram) on n_chars: integer
@@ -2184,6 +2201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": q_vocab_topk,
         "ks_drift": q_ks_drift,
         "chi2_drift": q_chi2_drift,
+        "js_drift": q_js_drift,
         "emd_drift": q_emd_drift,
         "corr_length_words": q_corr_length_words,
         "readability": q_readability,
@@ -4428,6 +4446,52 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(term ORDER BY bucket), 4) AS chi2,
                    CAST(SUM(used) - 1 AS BIGINT) AS dof,
                    CAST(SUM(novel) AS BIGINT) AS novel_buckets
+            FROM T GROUP BY 1
+        """,
+        "js_drift": """
+            WITH C AS (
+                SELECT COALESCE(source, '__null__') AS grp,
+                       CASE WHEN CAST(n_chars AS DOUBLE) < 0.0 THEN 0
+                            WHEN CAST(n_chars AS DOUBLE) >= 1000.0 THEN 11
+                            ELSE CAST(FLOOR(CAST(n_chars AS DOUBLE) * 10.0
+                                            / 1000.0) AS INT) + 1
+                       END AS bucket,
+                       COUNT(*) AS n
+                FROM documents WHERE n_chars IS NOT NULL
+                GROUP BY 1, 2
+            ),
+            G AS (SELECT DISTINCT grp FROM C),
+            B AS (SELECT UNNEST(range(0, 12)) AS bucket),
+            D AS (
+                SELECT g.grp, b.bucket, COALESCE(c.n, 0) AS n
+                FROM G g CROSS JOIN B b
+                LEFT JOIN C c ON c.grp = g.grp AND c.bucket = b.bucket
+            ),
+            TT AS (SELECT grp, CAST(SUM(n) AS BIGINT) AS tot
+                   FROM D GROUP BY grp),
+            BASE AS (
+                SELECT d.bucket, d.n AS bn, tt.tot AS bt
+                FROM D d JOIN TT tt USING (grp) WHERE d.grp = 'src0'
+            ),
+            PQ AS (
+                SELECT d.grp, d.bucket,
+                       CAST(d.n AS DOUBLE) / CAST(tt.tot AS DOUBLE) AS p,
+                       CAST(b.bn AS DOUBLE) / CAST(b.bt AS DOUBLE) AS q
+                FROM D d JOIN TT tt USING (grp)
+                JOIN BASE b USING (bucket)
+            ),
+            T AS (
+                SELECT grp, bucket,
+                       CASE WHEN p > 0
+                            THEN p * LN(p / ((p + q) / 2.0)) / 2.0
+                            ELSE 0.0 END
+                     + CASE WHEN q > 0
+                            THEN q * LN(q / ((p + q) / 2.0)) / 2.0
+                            ELSE 0.0 END AS term
+                FROM PQ
+            )
+            SELECT grp AS source,
+                   ROUND(SUM(term ORDER BY bucket), 4) AS js
             FROM T GROUP BY 1
         """,
         "token_entropy": """

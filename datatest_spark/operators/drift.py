@@ -561,3 +561,78 @@ def mwu_from_histogram(
         F.round(u, 2).alias("u"),
         F.round(z, 4).alias("z"),
     )
+
+
+def js_from_histogram(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    baseline_group: str,
+    lo: float,
+    hi: float,
+    nbins: int = 10,
+) -> DataFrame:
+    """Binned Jensen-Shannon divergence per group vs a baseline group —
+    the BOUNDED, SYMMETRIC drift lens: KL blows up on novel buckets and
+    PSI patches that with an epsilon floor, but JS is finite by
+    construction (each term's mixture m = (p+q)/2 is positive wherever
+    either side has mass) and capped at ln 2, so one threshold works for
+    every column regardless of how disjoint the histograms get. The
+    natural alarm metric when sources can have genuinely novel buckets
+    (PSI's epsilon makes those look arbitrarily severe).
+
+    JS(P,Q) = ½·Σ p·ln(p/m) + ½·Σ q·ln(q/m), with a zero side
+    contributing zero (lim x→0 of x·ln(x/m) = 0) — no epsilon anywhere.
+
+    Cross-engine determinism: p and q are single divisions of exact
+    integer counts; each term is a fixed IEEE op sequence mirrored
+    verbatim in the SQL oracle, and terms are summed in BUCKET ORDER on
+    both engines (aggregate over a bucket-sorted array here,
+    ``SUM(term ORDER BY bucket)`` in DuckDB), so the doubles match
+    bit-for-bit before the final round.
+
+    Scale shape: same as the other binned lenses — one (group, bucket)
+    aggregation over the scan, then all arithmetic on the dense
+    |groups| x (nbins+2) grid. Returns (group, js) for every group
+    including the baseline (its js is 0.0 by construction).
+    """
+    dense = _dense_counts(df, value_col, group_col, lo, hi, nbins)
+    totals = dense.groupBy("group").agg(F.sum("n").alias("_tot"))
+    withtot = dense.join(F.broadcast(totals), "group")
+    base = withtot.where(F.col("group") == baseline_group).select(
+        "bucket",
+        F.col("n").alias("_bn"),
+        F.col("_tot").alias("_bt"),
+    )
+    joined = withtot.join(F.broadcast(base), "bucket", "left")
+    bn = _absent_baseline_guard(
+        F.col("_bn"), baseline_group, "js_from_histogram", "long"
+    )
+    p = F.col("n").cast("double") / F.col("_tot").cast("double")
+    q = bn.cast("double") / F.col("_bt").cast("double")
+    m = (p + q) / F.lit(2.0)
+    # both branch CONDITIONS test the guarded integer count, not the
+    # ratio: if the baseline is absent, AQE's empty-relation propagation
+    # turns _bt into a literal null and null-propagation would fold
+    # q = bn/null to null — silently deleting the raise_error guard from
+    # a `q > 0` condition. `bn > 0` keeps the guard in the evaluated
+    # path and is equivalent (q > 0 iff bn > 0 whenever the baseline
+    # exists, since _bt >= 1 then).
+    term = (
+        F.when(p > 0, p * F.log(p / m) / F.lit(2.0)).otherwise(F.lit(0.0))
+        + F.when(bn > 0, q * F.log(q / m) / F.lit(2.0)).otherwise(F.lit(0.0))
+    )
+    per = joined.select(
+        "group",
+        F.struct(F.col("bucket"), term.alias("term")).alias("_bt_term"),
+    )
+    return per.groupBy("group").agg(
+        F.round(
+            F.aggregate(
+                F.array_sort(F.collect_list("_bt_term")),
+                F.lit(0.0),
+                lambda a, x: a + x["term"],
+            ),
+            4,
+        ).alias("js")
+    )

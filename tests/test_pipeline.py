@@ -4282,6 +4282,65 @@ class TestMwuDrift:
             ).collect()
 
 
+class TestJsDrift:
+    def test_bounds_and_hand_case(self, spark):
+        import math
+
+        from datatest_spark.operators import drift
+
+        rows = [("base", 10.0)] * 3 + [("base", 50.0)] * 1
+        rows += [("same", 10.0)] * 3 + [("same", 50.0)] * 1
+        rows += [("disjoint", 90.0)] * 5
+        rows += [("half", 10.0)] * 2 + [("half", 90.0)] * 2
+        df = spark.createDataFrame(rows, "g string, v double")
+        out = {r["group"]: r["js"] for r in drift.js_from_histogram(
+            df, "v", "g", "base", 0.0, 100.0, 10
+        ).collect()}
+        # baseline vs itself and an identical distribution: exactly 0
+        assert out["base"] == 0.0
+        assert out["same"] == 0.0
+        # fully disjoint histograms: the ln 2 cap, never above it
+        assert out["disjoint"] == round(math.log(2.0), 4)
+        # hand case: p=(.5,0,.5 over buckets 2,6,10), q=(.75,.25,0)
+        p = [0.5, 0.0, 0.5]
+        q = [0.75, 0.25, 0.0]
+        expect = 0.0
+        for pi, qi in zip(p, q):
+            m = (pi + qi) / 2.0
+            if pi > 0:
+                expect += pi * math.log(pi / m) / 2.0
+            if qi > 0:
+                expect += qi * math.log(qi / m) / 2.0
+        assert out["half"] == round(expect, 4)
+
+    def test_novel_bucket_finite_no_epsilon_blowup(self, spark):
+        import math
+
+        from datatest_spark.operators import drift
+
+        # one group has 90% mass in a bucket the baseline never saw:
+        # KL would be infinite, PSI epsilon-dependent; JS must stay
+        # finite and below ln 2
+        rows = [("base", 10.0)] * 10
+        rows += [("novel", 90.0)] * 9 + [("novel", 10.0)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        out = {r["group"]: r["js"] for r in drift.js_from_histogram(
+            df, "v", "g", "base", 0.0, 100.0, 10
+        ).collect()}
+        assert 0.0 < out["novel"] < math.log(2.0)
+
+    def test_missing_baseline_raises(self, spark):
+        import pytest as _pytest
+
+        from datatest_spark.operators import drift
+
+        df = spark.createDataFrame([("g", 1.0)], "g string, v double")
+        with _pytest.raises(Exception, match="baseline_group"):
+            drift.js_from_histogram(
+                df, "v", "g", "nope", 0.0, 10.0, 5
+            ).collect()
+
+
 class TestNgramNovelty:
     def test_rates_against_hand_construction(self, spark):
         from datatest_spark.operators import dedup
