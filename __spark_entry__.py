@@ -1108,6 +1108,19 @@ def q_source_shares(spark, sf_dir):
     return group_shares(d, "source", n_alias="n_docs")
 
 
+def q_source_concentration(spark, sf_dir):
+    """Scalar mixture-concentration alarms
+    (operators/stats.concentration_indices): Gini, HHI and top-source
+    share over per-source document counts — the thresholdable
+    companions to group_shares' per-source breakdown. Exact integer
+    rank products; the squared-share sum runs in rank order on both
+    engines, so DuckDB reproduces the doubles bit-for-bit."""
+    from datatest_spark.operators.stats import concentration_indices
+
+    d = _t(spark, sf_dir, "documents")
+    return concentration_indices(d, "source")
+
+
 def q_pii_scan(spark, sf_dir):
     """PII audit (operators/text.pii_scan): per-doc email/phone/ipv4
     match counts + has_pii flag — map-only regexp_count inside codegen.
@@ -2210,6 +2223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_overlap": q_vocab_overlap,
         "token_entropy": q_token_entropy,
         "source_shares": q_source_shares,
+        "source_concentration": q_source_concentration,
         "pii_scan": q_pii_scan,
         "pii_scrub": q_pii_scrub,
         "c4_line_filter": q_c4_line_filter,
@@ -4931,6 +4945,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROW_NUMBER() OVER (ORDER BY n_docs DESC, grp ASC)
                         AS INT) AS rank
             FROM C CROSS JOIN T
+        """,
+        "source_concentration": """
+            WITH M AS (
+                SELECT COALESCE(source, '__null__') AS grp,
+                       CAST(COUNT(*) AS BIGINT) AS mass
+                FROM documents GROUP BY 1
+            ),
+            R AS (
+                SELECT grp, mass,
+                       CAST(ROW_NUMBER() OVER (ORDER BY mass ASC, grp ASC)
+                            AS BIGINT) AS i
+                FROM M
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+                   CAST(SUM(mass) AS BIGINT) AS total,
+                   arg_max(grp, i) AS top_group,
+                   ROUND(CAST(MAX(mass) AS DOUBLE)
+                         / CAST(SUM(mass) AS DOUBLE), 6) AS top_share,
+                   ROUND(SUM(CAST(mass AS DOUBLE) * CAST(mass AS DOUBLE)
+                             ORDER BY i)
+                         / (CAST(SUM(mass) AS DOUBLE)
+                            * CAST(SUM(mass) AS DOUBLE)), 6) AS hhi,
+                   ROUND(2.0 * CAST(SUM(i * mass) AS DOUBLE)
+                         / (CAST(COUNT(*) AS DOUBLE)
+                            * CAST(SUM(mass) AS DOUBLE))
+                         - (CAST(COUNT(*) AS DOUBLE) + 1.0)
+                           / CAST(COUNT(*) AS DOUBLE), 6) AS gini
+            FROM R
         """,
         "order_violations": """
             WITH d AS (

@@ -1050,3 +1050,96 @@ def association_audit(
             6,
         ).alias("cramers_v"),
     )
+
+
+def concentration_indices(
+    df: DataFrame,
+    group_col: str = "source",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Single-row corpus concentration audit: Gini coefficient, HHI
+    (Herfindahl-Hirschman index) and top-group share over per-group
+    mass — the scalar alarms a mixture monitor thresholds, where
+    :func:`group_shares` is the per-group breakdown a human reads.
+    Gini answers "how unequal is the blend overall" (0 = uniform,
+    →1 = one group holds everything); HHI is the antitrust-style
+    sum of squared shares (1/|groups| = uniform, 1 = monopoly) that
+    moves sharply when the top few groups grow.
+
+    ``weight_col=None`` counts rows; otherwise masses are
+    ``sum(weight_col)`` (e.g. ``n_chars`` for byte-weighted shares —
+    nulls skipped, negative weights are the caller's nonsense).
+
+    Gini uses the sorted-rank identity G = 2·Σi·xᵢ/(n·Σx) − (n+1)/n
+    with ascending mass rank (group-asc tie-break, deterministic).
+
+    Cross-engine determinism: counts and rank products are exact
+    BIGINTs; Σx² runs in IEEE doubles (exact int→double per factor,
+    deterministic per-multiply) summed in RANK ORDER on both engines
+    (sorted-array aggregate here, ``SUM(sq ORDER BY i)`` in DuckDB);
+    the final ratios are a fixed op sequence mirrored verbatim in SQL.
+
+    Scale shape: one map-side-combinable ``groupBy(group)`` over the
+    scan; the rank window and every index run on the aggregated
+    |groups| rows (tens, not 10^12). Exactness bound: Σi·x stays an
+    exact long while |groups|·Σx < 2^63. An empty frame (or an all-null
+    weight column) yields one row with n_groups=0 and null indices —
+    never a division blow-up.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        F.count(F.lit(1))
+        if weight_col is None
+        else F.sum(F.col(weight_col).cast("long"))
+    )
+    per = (
+        df.select(
+            F.coalesce(
+                F.col(group_col).cast("string"), F.lit("__null__")
+            ).alias("group"),
+            *([] if weight_col is None else [F.col(weight_col)]),
+        )
+        .groupBy("group")
+        .agg(w.alias("mass"))
+        .where(F.col("mass").isNotNull())
+    )
+    win = Window.orderBy(F.col("mass").asc(), F.col("group").asc())
+    ranked = per.select(
+        "group", "mass", F.row_number().over(win).cast("long").alias("i")
+    )
+    md = F.col("mass").cast("double")
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum("mass").alias("total"),
+        F.sum(F.col("i") * F.col("mass")).alias("_sit"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("i"), (md * md).alias("sq")))
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x["sq"],
+        ).alias("_ssq"),
+        F.max("mass").alias("_top_mass"),
+        F.max_by("group", "i").alias("top_group"),
+    )
+    nd = F.col("n_groups").cast("double")
+    td = F.col("total").cast("double")
+    ok = (F.col("n_groups") > 0) & (F.col("total") > 0)
+    return agg.select(
+        "n_groups",
+        "total",
+        "top_group",
+        F.round(
+            F.when(ok, F.col("_top_mass").cast("double") / td), 6
+        ).alias("top_share"),
+        F.round(F.when(ok, F.col("_ssq") / (td * td)), 6).alias("hhi"),
+        F.round(
+            F.when(
+                ok,
+                F.lit(2.0) * F.col("_sit").cast("double") / (nd * td)
+                - (nd + F.lit(1.0)) / nd,
+            ),
+            6,
+        ).alias("gini"),
+    )

@@ -1665,6 +1665,62 @@ class TestGroupShares:
         assert [r["group"] for r in rows] == ["a", "b"]
 
 
+class TestConcentrationIndices:
+    def test_hand_case_against_python(self, spark):
+        from datatest_spark.operators.stats import concentration_indices
+
+        masses = {"a": 1, "b": 2, "c": 3, "d": 6}
+        rows = [(g,) for g, m in masses.items() for _ in range(m)]
+        df = spark.createDataFrame(rows, "s string")
+        (r,) = concentration_indices(df, "s").collect()
+        xs = sorted(masses.values())
+        n, tot = len(xs), sum(xs)
+        gini = 2.0 * sum((i + 1) * x for i, x in enumerate(xs)) / (
+            n * tot
+        ) - (n + 1.0) / n
+        hhi = sum(float(x) * x for x in xs) / (float(tot) * tot)
+        assert r["n_groups"] == 4 and r["total"] == 12
+        assert r["top_group"] == "d" and r["top_share"] == 0.5
+        assert r["gini"] == round(gini, 6)
+        assert r["hhi"] == round(hhi, 6)
+
+    def test_uniform_is_zero_gini_monopoly_is_one_hhi(self, spark):
+        from datatest_spark.operators.stats import concentration_indices
+
+        uni = spark.createDataFrame(
+            [("a",), ("b",), ("c",), ("d",)], "s string"
+        )
+        (r,) = concentration_indices(uni, "s").collect()
+        assert r["gini"] == 0.0 and r["hhi"] == 0.25
+        mono = spark.createDataFrame([("only",)] * 7, "s string")
+        (r,) = concentration_indices(mono, "s").collect()
+        assert r["gini"] == 0.0 and r["hhi"] == 1.0 and r["top_share"] == 1.0
+
+    def test_weighted_and_null_group(self, spark):
+        from datatest_spark.operators.stats import concentration_indices
+
+        df = spark.createDataFrame(
+            [("a", 9), ("a", 1), (None, 10), ("b", None)],
+            "s string, w long",
+        )
+        (r,) = concentration_indices(df, "s", weight_col="w").collect()
+        # b's only weight is null -> sum null -> the group drops;
+        # null group coalesces to '__null__' and ties with a at 10,
+        # so the ascending group-asc tie-break ranks '__null__' first
+        # and 'a' is the top group; equal masses -> gini exactly 0
+        assert r["n_groups"] == 2 and r["total"] == 20
+        assert r["top_group"] == "a"
+        assert r["hhi"] == 0.5 and r["gini"] == 0.0
+
+    def test_empty_frame_yields_nulls_not_blowup(self, spark):
+        from datatest_spark.operators.stats import concentration_indices
+
+        df = spark.createDataFrame([], "s string")
+        (r,) = concentration_indices(df, "s").collect()
+        assert r["n_groups"] == 0
+        assert r["gini"] is None and r["hhi"] is None
+
+
 class TestReviewFixesR3:
     def test_asof_numeric_tiebreak_not_lexicographic(self, spark):
         from datatest_spark.operators import temporal
