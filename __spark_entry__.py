@@ -953,6 +953,25 @@ def q_js_drift(spark, sf_dir):
     ).select(F.col("group").alias("source"), "js")
 
 
+def q_spearman_drift(spark, sf_dir):
+    """Ordinal drift per source vs src0
+    (operators/drift.spearman_rank_drift): tie-corrected Spearman rho of
+    word frequencies over each (source, baseline) SHARED vocabulary — a
+    tokenizer swap or template takeover reorders frequency ranks long
+    before PSI-visible mass moves. Doubled average ranks are exact
+    BIGINTs and the moment math reuses group_corr's integer-sum
+    discipline, so DuckDB reproduces the doubles bit-for-bit."""
+    from datatest_spark.operators import drift
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    return drift.spearman_rank_drift(toks, "token", "source", "src0").select(
+        F.col("group").alias("source"), "n_shared", "rho"
+    )
+
+
 def q_emd_drift(spark, sf_dir):
     """Binned Wasserstein-1 (earth-mover) drift per source vs src0
     baseline (operators/drift.emd_from_histogram) on n_chars: integer
@@ -2215,6 +2234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_drift": q_ks_drift,
         "chi2_drift": q_chi2_drift,
         "js_drift": q_js_drift,
+        "spearman_drift": q_spearman_drift,
         "emd_drift": q_emd_drift,
         "corr_length_words": q_corr_length_words,
         "readability": q_readability,
@@ -4507,6 +4527,57 @@ def oracle_sql() -> dict[str, str]:
             SELECT grp AS source,
                    ROUND(SUM(term ORDER BY bucket), 4) AS js
             FROM T GROUP BY 1
+        """,
+        "spearman_drift": """
+            WITH E AS (
+                SELECT COALESCE(source, '__null__') AS grp,
+                       UNNEST(string_split(text, ' ')) AS key
+                FROM documents
+            ),
+            C AS (
+                SELECT grp, key, CAST(COUNT(*) AS BIGINT) AS f
+                FROM E WHERE key IS NOT NULL GROUP BY 1, 2
+            ),
+            BASE AS (SELECT key, f AS bf FROM C WHERE grp = 'src0'),
+            P AS (
+                SELECT c.grp, c.key, c.f, b.bf
+                FROM C c JOIN BASE b USING (key)
+            ),
+            R AS (
+                SELECT grp,
+                       CAST(2 * RANK() OVER (
+                                PARTITION BY grp ORDER BY f ASC)
+                            + COUNT(*) OVER (PARTITION BY grp, f) - 1
+                            AS BIGINT) AS x,
+                       CAST(2 * RANK() OVER (
+                                PARTITION BY grp ORDER BY bf ASC)
+                            + COUNT(*) OVER (PARTITION BY grp, bf) - 1
+                            AS BIGINT) AS y
+                FROM P
+            ),
+            A AS (
+                SELECT grp, COUNT(*) AS n,
+                       CAST(SUM(x) AS BIGINT) AS sx,
+                       CAST(SUM(y) AS BIGINT) AS sy,
+                       CAST(SUM(x * x) AS BIGINT) AS sxx,
+                       CAST(SUM(y * y) AS BIGINT) AS syy,
+                       CAST(SUM(x * y) AS BIGINT) AS sxy
+                FROM R GROUP BY grp
+            ),
+            M AS (
+                SELECT grp, n,
+                       CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+                       CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS dx,
+                       CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS dy
+                FROM A
+            )
+            SELECT grp AS source, CAST(n AS BIGINT) AS n_shared,
+                   ROUND(CASE WHEN n >= 2 AND dx > 0 AND dy > 0
+                              THEN num / SQRT(dx * dy) END, 6) AS rho
+            FROM M
         """,
         "token_entropy": """
             WITH W AS (

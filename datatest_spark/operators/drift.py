@@ -636,3 +636,103 @@ def js_from_histogram(
             4,
         ).alias("js")
     )
+
+
+def spearman_rank_drift(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    baseline_group: str,
+) -> DataFrame:
+    """Spearman rank correlation of per-key frequencies between each
+    group and a baseline group — the ORDINAL drift lens for categorical
+    distributions: the binned lenses above ask "did the histogram move",
+    this asks "did the FREQUENCY ORDERING of tokens/categories change"
+    (rho 1 = same ranking, 0 = unrelated, <0 = inverted). A tokenizer
+    swap or template takeover reorders the vocabulary's frequency ranks
+    long before the mass moves enough to trip PSI.
+
+    Each row of ``df`` is one observation of ``key_col`` (e.g. an
+    exploded token); rho is computed over the SHARED key set of (group,
+    baseline) — the intersection, so novel/vanished keys don't distort
+    the ranks they're absent from (audit those with vocab_overlap /
+    oov_profile). Ties get average ranks (the tie-corrected Spearman:
+    Pearson on average ranks).
+
+    Cross-engine determinism: 2·avg_rank = 2·rank + tie_count − 1 is an
+    exact BIGINT (rho is invariant to the affine 2× scaling), and the
+    moment sums + final ratio reuse :func:`stats.group_corr`'s exact
+    integer-sum discipline, so DuckDB reproduces the doubles
+    bit-for-bit. An absent baseline group raises inside the one
+    existing action (same contract as the binned lenses) — an inner
+    join alone would silently return zero rows.
+
+    Scale shape: one (group, key) count aggregation over the scan
+    (map-side combinable), one equi-join on key against the baseline
+    slice, rank windows partitioned per group over the shared-vocab
+    rows (|V| is tokenizer-bounded, not corpus-bounded), one moment
+    aggregation. Returns (group, n_shared, rho) for every group with
+    shared keys, including the baseline itself (rho 1.0 by construction
+    — a cheap self-test; null when fewer than 2 shared keys or zero
+    rank variance).
+    """
+    from .stats import group_corr
+
+    counts = (
+        df.filter(F.col(key_col).isNotNull())
+        .select(
+            F.coalesce(
+                F.col(group_col).cast("string"), F.lit("__null__")
+            ).alias("group"),
+            F.col(key_col).cast("string").alias("_key"),
+        )
+        .groupBy("group", "_key")
+        .agg(F.count(F.lit(1)).alias("_f"))
+    )
+    base = counts.where(F.col("group") == baseline_group).select(
+        "_key", F.col("_f").alias("_bf")
+    )
+    pairs = counts.join(base, "_key", "inner")
+    wg = Window.partitionBy("group").orderBy(F.col("_f").asc())
+    wgt = Window.partitionBy("group", "_f")
+    wb = Window.partitionBy("group").orderBy(F.col("_bf").asc())
+    wbt = Window.partitionBy("group", "_bf")
+    ranked = pairs.select(
+        "group",
+        (2 * F.rank().over(wg) + F.count(F.lit(1)).over(wgt) - 1)
+        .cast("long")
+        .alias("_x"),
+        (2 * F.rank().over(wb) + F.count(F.lit(1)).over(wbt) - 1)
+        .cast("long")
+        .alias("_y"),
+    )
+    corr = group_corr(ranked, "_x", "_y", "group")
+    out = corr.select("group", F.col("n").alias("n_shared"), F.col("corr").alias("rho"))
+    # execution-time absent-baseline guard: a misspelled baseline makes
+    # the inner join — and therefore the WHOLE result — empty, so a
+    # row-level guard column would never be evaluated and a drift
+    # monitor would read "no drift anywhere". Union in a sentinel branch
+    # instead: its single aggregated row is always evaluated (raising
+    # when the baseline has zero keys) and always filtered out when it
+    # doesn't raise.
+    base_n = counts.where(F.col("group") == baseline_group).agg(
+        F.count(F.lit(1)).alias("_base_n")
+    )
+    sentinel = base_n.select(
+        F.lit("__baseline_guard__").alias("group"),
+        F.when(
+            F.col("_base_n") == 0,
+            F.raise_error(
+                F.lit(
+                    "spearman_rank_drift: baseline_group %r has no "
+                    "keys (misspelled group, or all keys null?)"
+                    % baseline_group
+                )
+            ).cast("long"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_shared"),
+        F.lit(None).cast("double").alias("rho"),
+    ).where(F.col("n_shared") < 0)
+    return out.unionByName(sentinel)

@@ -4397,6 +4397,78 @@ class TestJsDrift:
             ).collect()
 
 
+class TestSpearmanDrift:
+    @staticmethod
+    def _rows(g, freqs):
+        return [(g, k) for k, f in freqs.items() for _ in range(f)]
+
+    def test_identical_inverted_and_shared_vocab(self, spark):
+        from datatest_spark.operators import drift
+
+        base = {"a": 1, "b": 2, "c": 3, "d": 4}
+        rows = self._rows("base", base)
+        rows += self._rows("same", base)
+        rows += self._rows("inv", {"a": 4, "b": 3, "c": 2, "d": 1})
+        # 'partial' shares only a,b with inverted order; its novel key
+        # 'z' must not distort the ranks (shared-vocab semantics)
+        rows += self._rows("partial", {"a": 2, "b": 1, "z": 99})
+        df = spark.createDataFrame(rows, "g string, k string")
+        out = {r["group"]: r for r in drift.spearman_rank_drift(
+            df, "k", "g", "base"
+        ).collect()}
+        assert out["base"]["rho"] == 1.0  # self-test row
+        assert out["same"]["rho"] == 1.0
+        assert out["inv"]["rho"] == -1.0
+        assert out["partial"]["n_shared"] == 2
+        assert out["partial"]["rho"] == -1.0
+
+    def test_tie_average_ranks_match_python(self, spark):
+        from datatest_spark.operators import drift
+
+        base = {"a": 1, "b": 2, "c": 3, "d": 4}
+        cur = {"a": 5, "b": 5, "c": 5, "d": 7}
+        rows = self._rows("base", base) + self._rows("g", cur)
+        df = spark.createDataFrame(rows, "g string, k string")
+        out = {r["group"]: r for r in drift.spearman_rank_drift(
+            df, "k", "g", "base"
+        ).collect()}
+        # hand tie-corrected spearman: x ranks (avg) for 5,5,5,7 =
+        # (2,2,2,4); y ranks for 1,2,3,4 = (1,2,3,4); pearson of those
+        import statistics as st
+
+        x = [2.0, 2.0, 2.0, 4.0]
+        y = [1.0, 2.0, 3.0, 4.0]
+        mx, my = st.mean(x), st.mean(y)
+        num = sum((a - mx) * (b - my) for a, b in zip(x, y))
+        den = (
+            sum((a - mx) ** 2 for a in x)
+            * sum((b - my) ** 2 for b in y)
+        ) ** 0.5
+        assert out["g"]["rho"] == round(num / den, 6)
+
+    def test_degenerate_rank_variance_yields_null(self, spark):
+        from datatest_spark.operators import drift
+
+        # every shared key equally frequent in the group: zero rank
+        # variance -> null rho, not a division blow-up
+        rows = self._rows("base", {"a": 1, "b": 2})
+        rows += self._rows("flat", {"a": 3, "b": 3})
+        df = spark.createDataFrame(rows, "g string, k string")
+        out = {r["group"]: r for r in drift.spearman_rank_drift(
+            df, "k", "g", "base"
+        ).collect()}
+        assert out["flat"]["rho"] is None
+
+    def test_missing_baseline_raises(self, spark):
+        import pytest as _pytest
+
+        from datatest_spark.operators import drift
+
+        df = spark.createDataFrame([("g", "a")], "g string, k string")
+        with _pytest.raises(Exception, match="baseline_group"):
+            drift.spearman_rank_drift(df, "k", "g", "nope").collect()
+
+
 class TestNgramNovelty:
     def test_rates_against_hand_construction(self, spark):
         from datatest_spark.operators import dedup
