@@ -2160,6 +2160,24 @@ def q_normalized_dup_groups(spark, sf_dir):
     )
 
 
+def q_split_leakage(spark, sf_dir):
+    """Train/test contamination audit (operators/dedup.split_leakage):
+    normalized-content duplicate groups that STRADDLE the deterministic
+    hash split — id-keyed splitting puts normalization-identical copies
+    on both sides of the eval boundary, the leakage that inflates eval
+    scores. Same md5 split arithmetic as q:hash_split (dyadic weights,
+    exact in binary) and the same 80-char normalized key as
+    q:normalized_dup_groups, so the oracle rebuilds both byte-for-byte."""
+    d = _t(spark, sf_dir, "documents")
+    key = F.substring(text.normalize_text(), 1, 80)
+    return dedup.split_leakage(
+        d,
+        {"train": 0.75, "val": 0.125, "test": 0.125},
+        key_col=key,
+        hash_fn="md5",
+    )
+
+
 # ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2287,6 +2305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dup_pairs": q_semantic_dup_pairs,
         "semantic_dedup_survivors": q_semantic_dedup_survivors,
         "normalized_dup_groups": q_normalized_dup_groups,
+        "split_leakage": q_split_leakage,
         # --- group 3: round-5 session-2 operators (first driver shot) ---
         # (suite_verdicts / lsh_candidate_pairs / dedup_cluster_labels /
         # embedding_dedup_survivors rotated past the 50-query window:
@@ -5766,6 +5785,39 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_docs,
                    list_sort(list(doc_id)) AS doc_ids
             FROM P GROUP BY 1 HAVING COUNT(*) > 1
+        """,
+        "split_leakage": """
+            WITH N AS (
+                SELECT doc_id,
+                       trim(regexp_replace(
+                           regexp_replace(
+                               lower(text),
+                               '[^\\p{L}\\p{N} \\t\\n\\r\\f]', '', 'g'),
+                           '[ \\t\\n\\r\\f]+', ' ', 'g')) AS norm0
+                FROM documents
+            ),
+            P AS (SELECT doc_id, substr(norm0, 1, 80) AS norm FROM N),
+            U AS (
+                SELECT doc_id, norm,
+                       CAST(CONCAT('0x',
+                           substr(md5(doc_id || '#split#0'), 1, 4))
+                           AS INT) / 65536.0 AS u
+                FROM P
+            ),
+            A AS (
+                SELECT doc_id, md5(norm) AS content_hash,
+                       CASE WHEN u < 0.75 THEN 'train'
+                            WHEN u < 0.875 THEN 'val'
+                            ELSE 'test' END AS split
+                FROM U
+            )
+            SELECT content_hash,
+                   COUNT(*) AS n_docs,
+                   CAST(COUNT(DISTINCT split) AS BIGINT) AS n_splits,
+                   list_sort(list(DISTINCT split)) AS splits,
+                   list_sort(list(doc_id)) AS doc_ids
+            FROM A GROUP BY 1
+            HAVING COUNT(DISTINCT split) > 1
         """,
         "mad_outliers": """
             WITH MED AS (

@@ -1651,3 +1651,62 @@ def ngram_novelty(
             ).alias("mostly_novel_rate"),
         )
     )
+
+
+def split_leakage(
+    df: DataFrame,
+    weights: dict,
+    key_col="text",
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
+    seed: int = 0,
+) -> DataFrame:
+    """Train/test contamination audit for a deterministic hash split:
+    duplicate-content groups whose members land in MORE THAN ONE split.
+    Hash splitting is id-keyed, so byte-identical (or
+    normalization-identical) documents with different ids routinely
+    straddle the train/test boundary — exactly the leakage that inflates
+    eval scores. This composes :func:`packing.hash_split` with the
+    content-hash grouping of :func:`exact_duplicates` and keeps only
+    the straddling groups.
+
+    ``key_col`` is the content key — a column name or a Column
+    expression (pass ``text.normalize_text()`` for
+    normalization-tolerant leakage, or a shingle/minhash-derived key
+    for fuzzier notions). ``weights``/``hash_fn``/``seed`` are
+    forwarded verbatim to ``hash_split``, so the audit sees the same
+    assignment the pipeline ships.
+
+    Returns (content_hash, n_docs, n_splits, splits, doc_ids) with
+    splits and doc_ids sorted for determinism — one row per leaked
+    group. Remediate by re-splitting on the CONTENT hash instead of the
+    id (then every copy lands in one split by construction), or by
+    dropping the eval-side copies.
+
+    Scale shape: the split assignment is MAP-ONLY (one hash +
+    when-chain), then ONE groupBy(content_hash) over the scan;
+    doc_ids/splits lists are bounded by dup-group size, same contract
+    as exact_duplicates. The n_splits > 1 filter runs inside the
+    aggregation's output, so only leaked groups survive to the driver
+    or sink.
+    """
+    from .packing import hash_split
+
+    t = F.col(key_col) if isinstance(key_col, str) else key_col
+    assigned = hash_split(
+        df, weights, id_col=id_col, hash_fn=hash_fn, seed=seed,
+        split_col="_split",
+    )
+    return (
+        assigned.select(
+            F.col(id_col), F.md5(t).alias("content_hash"), F.col("_split")
+        )
+        .groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.size(F.collect_set("_split")).cast("long").alias("n_splits"),
+            F.array_sort(F.collect_set("_split")).alias("splits"),
+            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+        )
+        .filter(F.col("n_splits") > 1)
+    )

@@ -1665,6 +1665,62 @@ class TestGroupShares:
         assert [r["group"] for r in rows] == ["a", "b"]
 
 
+class TestSplitLeakage:
+    @staticmethod
+    def _md5_split(doc_id, bounds=(("train", 0.75), ("val", 0.875))):
+        import hashlib
+
+        h = hashlib.md5(("%s#split#0" % doc_id).encode()).hexdigest()
+        u = int(h[:4], 16) / 65536.0
+        for name, ub in bounds:
+            if u < ub:
+                return name
+        return "test"
+
+    def test_straddling_groups_only(self, spark):
+        from datatest_spark.operators import dedup
+
+        # find ids whose md5 split assignments differ / agree, so the
+        # fixture is deterministic rather than probabilistic
+        ids = list(range(200))
+        by_split = {}
+        for i in ids:
+            by_split.setdefault(self._md5_split(i), []).append(i)
+        train = by_split["train"]
+        other = by_split["val"] + by_split["test"]
+        leak_ids = [train[0], other[0]]          # straddles
+        safe_ids = [train[1], train[2]]          # same split twice
+        rows = [(i, "LEAKED CONTENT") for i in leak_ids]
+        rows += [(i, "safe content") for i in safe_ids]
+        rows += [(train[3], "unique content")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = dedup.split_leakage(
+            df, {"train": 0.75, "val": 0.125, "test": 0.125},
+            hash_fn="md5",
+        ).collect()
+        assert len(out) == 1
+        (r,) = out
+        assert r["doc_ids"] == sorted(leak_ids)
+        assert r["n_docs"] == 2 and r["n_splits"] == 2
+        assert r["splits"][0] == "train"
+
+    def test_content_keyed_split_never_leaks(self, spark):
+        from datatest_spark.operators import dedup
+
+        # the documented remediation: split on the CONTENT key instead
+        # of the id -> every copy lands in one split by construction
+        from pyspark.sql import functions as SF
+
+        rows = [(i, "dup text %d" % (i % 3)) for i in range(60)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        df = df.withColumn("content_key", SF.md5("text"))
+        out = dedup.split_leakage(
+            df, {"train": 0.5, "test": 0.5},
+            id_col="content_key", hash_fn="md5",
+        ).collect()
+        assert out == []
+
+
 class TestConcentrationIndices:
     def test_hand_case_against_python(self, spark):
         from datatest_spark.operators.stats import concentration_indices
