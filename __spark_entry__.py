@@ -2160,6 +2160,16 @@ def q_normalized_dup_groups(spark, sf_dir):
     )
 
 
+def q_prefix_boilerplate(spark, sf_dir):
+    """Boilerplate-prefix groups (operators/dedup.common_prefix_groups):
+    documents opening with the same first 6 tokens — template headers /
+    license preambles, the actionable WHICH-prefix/WHICH-docs companion
+    to position_entropy's corpus-wide THAT-it's-templated signal.
+    Map-only slice+join, one groupBy(prefix)."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.common_prefix_groups(d, k=6)
+
+
 def q_split_leakage(spark, sf_dir):
     """Train/test contamination audit (operators/dedup.split_leakage):
     normalized-content duplicate groups that STRADDLE the deterministic
@@ -2306,6 +2316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_survivors": q_semantic_dedup_survivors,
         "normalized_dup_groups": q_normalized_dup_groups,
         "split_leakage": q_split_leakage,
+        "prefix_boilerplate": q_prefix_boilerplate,
         # --- group 3: round-5 session-2 operators (first driver shot) ---
         # (suite_verdicts / lsh_candidate_pairs / dedup_cluster_labels /
         # embedding_dedup_survivors rotated past the 50-query window:
@@ -5818,6 +5829,22 @@ def oracle_sql() -> dict[str, str]:
                    list_sort(list(doc_id)) AS doc_ids
             FROM A GROUP BY 1
             HAVING COUNT(DISTINCT split) > 1
+        """,
+        "prefix_boilerplate": """
+            WITH T AS (
+                SELECT doc_id, string_split(text, ' ') AS toks
+                FROM documents
+            ),
+            P AS (
+                SELECT doc_id,
+                       array_to_string(list_slice(toks, 1, 6), ' ')
+                           AS prefix
+                FROM T WHERE len(toks) >= 6
+            )
+            SELECT prefix,
+                   COUNT(*) AS n_docs,
+                   list_sort(list(doc_id)) AS doc_ids
+            FROM P GROUP BY 1 HAVING COUNT(*) >= 2
         """,
         "mad_outliers": """
             WITH MED AS (

@@ -1710,3 +1710,51 @@ def split_leakage(
         )
         .filter(F.col("n_splits") > 1)
     )
+
+
+def common_prefix_groups(
+    df: DataFrame,
+    text_col="text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Boilerplate-prefix detector: groups of documents that OPEN with
+    the same first ``k`` whitespace tokens — scraped template headers,
+    license preambles, navigation chrome. The per-position entropy
+    profile (text.position_entropy) says THAT early positions are
+    templated corpus-wide; this says WHICH prefixes and WHICH documents,
+    the actionable form (strip the prefix, or drop the group to one
+    representative).
+
+    Documents with fewer than ``k`` tokens are excluded — a whole-doc
+    "prefix" is exact-dedup territory (exact_duplicates), not
+    boilerplate. ``text_col`` may be a Column (pass
+    ``text.normalize_text()`` for case/punct-tolerant prefixes).
+
+    Returns (prefix, n_docs, doc_ids) sorted lists, one row per group
+    with at least ``min_docs`` members. The prefix string itself is
+    k-token bounded, so carrying it (not just its hash) is safe.
+
+    Scale shape: MAP-ONLY slice/join inside codegen, then ONE
+    groupBy(prefix); doc_ids bounded by group size (same contract as
+    exact_duplicates — cap-sensitive callers aggregate counts off this
+    frame instead of collecting ids).
+    """
+    if k < 1:
+        raise ValueError("common_prefix_groups: k must be >= 1")
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = F.split(t, " ")
+    return (
+        df.where(F.size(toks) >= k)
+        .select(
+            F.col(id_col),
+            F.array_join(F.slice(toks, 1, k), " ").alias("prefix"),
+        )
+        .groupBy("prefix")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )

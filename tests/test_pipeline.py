@@ -1665,6 +1665,37 @@ class TestGroupShares:
         assert [r["group"] for r in rows] == ["a", "b"]
 
 
+class TestCommonPrefixGroups:
+    def test_groups_and_short_doc_exclusion(self, spark):
+        from datatest_spark.operators import dedup
+
+        rows = [
+            (1, "the same header tail one"),
+            (2, "the same header tail two"),
+            (3, "the same header tail three"),
+            (4, "a different opening entirely here"),
+            (5, "the same header"),  # 3 tokens < k -> excluded
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = dedup.common_prefix_groups(df, k=4).collect()
+        assert len(out) == 1
+        (r,) = out
+        assert r["prefix"] == "the same header tail"
+        assert r["n_docs"] == 3 and r["doc_ids"] == [1, 2, 3]
+
+    def test_min_docs_and_k_validation(self, spark):
+        import pytest as _pytest
+
+        from datatest_spark.operators import dedup
+
+        df = spark.createDataFrame(
+            [(1, "a b c"), (2, "a b c")], "doc_id long, text string"
+        )
+        assert dedup.common_prefix_groups(df, k=2, min_docs=3).collect() == []
+        with _pytest.raises(ValueError, match="k must be"):
+            dedup.common_prefix_groups(df, k=0)
+
+
 class TestSplitLeakage:
     @staticmethod
     def _md5_split(doc_id, bounds=(("train", 0.75), ("val", 0.875))):
