@@ -2160,6 +2160,21 @@ def q_normalized_dup_groups(spark, sf_dir):
     )
 
 
+def q_source_cross_entropy(spark, sf_dir):
+    """Pairwise source unigram cross-entropy matrix
+    (operators/text.source_cross_entropy): bits/token each source costs
+    under every other source's add-one-smoothed unigram LM — the
+    mixture-design map (interchangeable vs novel sources) and a drift
+    alarm with an information-theoretic unit. Fixed-point log-probs
+    (unigram_model discipline) make every mass-weighted sum an exact
+    integer; absent tokens cost a closed-form per-ref constant."""
+    from datatest_spark.operators import text as t
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("source", F.split(F.col("text"), " ").alias("toks"))
+    return t.source_cross_entropy(toks, "toks", "source")
+
+
 def q_prefix_boilerplate(spark, sf_dir):
     """Boilerplate-prefix groups (operators/dedup.common_prefix_groups):
     documents opening with the same first 6 tokens — template headers /
@@ -2317,6 +2332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalized_dup_groups": q_normalized_dup_groups,
         "split_leakage": q_split_leakage,
         "prefix_boilerplate": q_prefix_boilerplate,
+        "source_cross_entropy": q_source_cross_entropy,
         # --- group 3: round-5 session-2 operators (first driver shot) ---
         # (suite_verdicts / lsh_candidate_pairs / dedup_cluster_labels /
         # embedding_dedup_survivors rotated past the 50-query window:
@@ -5845,6 +5861,52 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_docs,
                    list_sort(list(doc_id)) AS doc_ids
             FROM P GROUP BY 1 HAVING COUNT(*) >= 2
+        """,
+        "source_cross_entropy": """
+            WITH E AS (
+                SELECT COALESCE(source, '__null__') AS grp,
+                       UNNEST(string_split(text, ' ')) AS token
+                FROM documents
+            ),
+            C AS (
+                SELECT grp, token, CAST(COUNT(*) AS BIGINT) AS c
+                FROM E WHERE token IS NOT NULL GROUP BY 1, 2
+            ),
+            T AS (SELECT grp, CAST(SUM(c) AS BIGINT) AS n FROM C GROUP BY 1),
+            V AS (SELECT CAST(COUNT(DISTINCT token) AS BIGINT) AS v FROM C),
+            LM AS (
+                SELECT c.grp AS ref, c.token,
+                       CAST(FLOOR((LOG2(CAST(c.c AS DOUBLE) + 1.0)
+                                   - LOG2(CAST(t.n AS DOUBLE)
+                                          + 1.0 * CAST(v.v AS DOUBLE)))
+                                  * 1048576.0) AS BIGINT) AS lq
+                FROM C c JOIN T t USING (grp) CROSS JOIN V v
+            ),
+            AB AS (
+                SELECT t.grp AS ref,
+                       CAST(FLOOR((LOG2(1.0)
+                                   - LOG2(CAST(t.n AS DOUBLE)
+                                          + 1.0 * CAST(v.v AS DOUBLE)))
+                                  * 1048576.0) AS BIGINT) AS lq_abs
+                FROM T t CROSS JOIN V v
+            ),
+            P AS (
+                SELECT a.grp AS src, l.ref,
+                       CAST(SUM(a.c * l.lq) AS BIGINT) AS ss,
+                       CAST(SUM(a.c) AS BIGINT) AS sm
+                FROM C a JOIN LM l USING (token) GROUP BY 1, 2
+            ),
+            G AS (
+                SELECT t.grp AS src, t.n AS n_src, ab.ref, ab.lq_abs
+                FROM T t CROSS JOIN AB ab
+            )
+            SELECT g.src, g.ref,
+                   ROUND(-CAST(COALESCE(p.ss, 0)
+                               + (g.n_src - COALESCE(p.sm, 0)) * g.lq_abs
+                               AS DOUBLE)
+                         / (CAST(g.n_src AS DOUBLE) * 1048576.0), 4)
+                       AS h_bits
+            FROM G g LEFT JOIN P p ON p.src = g.src AND p.ref = g.ref
         """,
         "mad_outliers": """
             WITH MED AS (

@@ -1684,3 +1684,101 @@ def oov_profile(
             6,
         ).alias("type_oov_rate"),
     )
+
+
+def source_cross_entropy(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    group_col: str = "source",
+    scale_bits: int = 20,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Pairwise source-to-source unigram cross-entropy matrix (bits per
+    token): H(src → ref) = −Σ_t p_src(t)·log2 p̂_ref(t) with add-alpha
+    smoothing over the GLOBAL vocabulary — "how surprised is ref's
+    unigram model by src's tokens". The |sources|² matrix is the
+    mixture-design map: near-diagonal blocks are interchangeable
+    sources, a high H(new → everything) row is a genuinely novel
+    source worth upweighting, and H(s→ref) spiking release-over-release
+    is a per-source drift alarm with an information-theoretic unit.
+
+    Smoothing: p̂_ref(t) = (c_ref(t) + α)/(n_ref + α·|V|), |V| = exact
+    global distinct-token count, so absent tokens cost a finite
+    per-ref constant instead of an infinity.
+
+    Determinism: log-probs are FIXED-POINT bigints
+    (floor(log2·2^scale_bits), the unigram_model discipline), so every
+    Σ c_src(t)·lq is an exact integer sum — associative, partial-agg
+    safe, bit-identical to the DuckDB oracle; tokens absent from ref
+    contribute in closed form ((n_src − shared_mass)·lq_absent), so the
+    absent side is never materialized.
+
+    Scale shape: one (group, token) count exchange (map-side combined,
+    |V|·|sources| rows after), one token equi-join carrying
+    |V|·|present-pairs| rows into a (src, ref) re-aggregation, and a
+    |sources|² grid assembly — no corpus-sized shuffle after the first
+    count. Exactness bound: |c·lq| sums stay under 2^63 while
+    n_src·2^scale_bits·log2(V) < 2^63 (at 10^12 tokens keep scale_bits
+    ≤ 20). Returns (src, ref, h_bits) including the diagonal (the
+    smoothed self-entropy — the floor of its row by Gibbs' inequality,
+    a cheap self-test).
+    """
+    if alpha <= 0:
+        raise ValueError("source_cross_entropy: alpha must be > 0")
+    s = float(1 << scale_bits)
+    toks = df.select(
+        F.coalesce(F.col(group_col).cast("string"), F.lit("__null__")).alias(
+            "group"
+        ),
+        F.explode(F.col(tokens_col)).alias("token"),
+    ).where(F.col("token").isNotNull())
+    counts = toks.groupBy("group", "token").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.groupBy("group").agg(F.sum("c").alias("n"))
+    vocab = counts.agg(F.count_distinct(F.col("token")).alias("v"))
+    denom = F.log2(
+        F.col("n").cast("double") + F.lit(alpha) * F.col("v").cast("double")
+    )
+    lm = (
+        counts.join(totals, "group")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.col("group").alias("ref"),
+            "token",
+            F.floor(
+                (F.log2(F.col("c").cast("double") + F.lit(alpha)) - denom)
+                * F.lit(s)
+            )
+            .cast("long")
+            .alias("lq"),
+        )
+    )
+    absent = totals.crossJoin(F.broadcast(vocab)).select(
+        F.col("group").alias("ref"),
+        F.floor((F.log2(F.lit(alpha)) - denom) * F.lit(s))
+        .cast("long")
+        .alias("lq_abs"),
+    )
+    pairs = (
+        counts.select(F.col("group").alias("src"), "token", "c")
+        .join(lm, "token")
+        .groupBy("src", "ref")
+        .agg(
+            F.sum(F.col("c") * F.col("lq")).alias("_ss"),
+            F.sum("c").alias("_sm"),
+        )
+    )
+    grid = totals.select(
+        F.col("group").alias("src"), F.col("n").alias("_n_src")
+    ).crossJoin(absent)
+    total = F.coalesce(F.col("_ss"), F.lit(0)) + (
+        F.col("_n_src") - F.coalesce(F.col("_sm"), F.lit(0))
+    ) * F.col("lq_abs")
+    return grid.join(pairs, ["src", "ref"], "left").select(
+        "src",
+        "ref",
+        F.round(
+            -(total.cast("double"))
+            / (F.col("_n_src").cast("double") * F.lit(s)),
+            4,
+        ).alias("h_bits"),
+    )

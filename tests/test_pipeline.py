@@ -1665,6 +1665,101 @@ class TestGroupShares:
         assert [r["group"] for r in rows] == ["a", "b"]
 
 
+class TestSourceCrossEntropy:
+    @staticmethod
+    def _mirror(data, alpha=1.0, bits=20):
+        import math
+
+        vocab = set()
+        for c in data.values():
+            vocab |= set(c)
+        v = len(vocab)
+        n = {g: sum(c.values()) for g, c in data.items()}
+        s = float(1 << bits)
+        lq = {
+            (g, t): math.floor(
+                (math.log2(c + alpha) - math.log2(n[g] + alpha * v)) * s
+            )
+            for g, cc in data.items()
+            for t, c in cc.items()
+        }
+        lqa = {
+            g: math.floor(
+                (math.log2(alpha) - math.log2(n[g] + alpha * v)) * s
+            )
+            for g in data
+        }
+        out = {}
+        for s1, c1 in data.items():
+            for s2 in data:
+                tot = sm = 0
+                for t, c in c1.items():
+                    if (s2, t) in lq:
+                        tot += c * lq[(s2, t)]
+                        sm += c
+                tot += (n[s1] - sm) * lqa[s2]
+                out[(s1, s2)] = round(-tot / (n[s1] * s), 4)
+        return out
+
+    def test_matrix_matches_python_mirror(self, spark):
+        from datatest_spark.operators import text as t
+
+        data = {
+            "a": {"x": 5, "y": 3, "z": 1},
+            "b": {"x": 1, "y": 1, "w": 7},
+            "c": {"q": 4},
+        }
+        rows = [
+            (g, [tok for tok, c in cc.items() for _ in range(c)])
+            for g, cc in data.items()
+        ]
+        df = spark.createDataFrame(rows, "source string, toks array<string>")
+        got = {
+            (r["src"], r["ref"]): r["h_bits"]
+            for r in t.source_cross_entropy(df, "toks", "source").collect()
+        }
+        assert got == self._mirror(data)
+
+    def test_gibbs_diagonal_is_row_floor(self, spark):
+        from datatest_spark.operators import text as t
+
+        data = {
+            "a": {"x": 50, "y": 30, "z": 20},
+            "b": {"x": 5, "w": 60, "v": 35},
+        }
+        rows = [
+            (g, [tok for tok, c in cc.items() for _ in range(c)])
+            for g, cc in data.items()
+        ]
+        df = spark.createDataFrame(rows, "source string, toks array<string>")
+        got = {
+            (r["src"], r["ref"]): r["h_bits"]
+            for r in t.source_cross_entropy(df, "toks", "source").collect()
+        }
+        assert got[("a", "a")] < got[("a", "b")]
+        assert got[("b", "b")] < got[("b", "a")]
+
+    def test_alpha_validation_and_null_handling(self, spark):
+        import pytest as _pytest
+
+        from datatest_spark.operators import text as t
+
+        df = spark.createDataFrame(
+            [(None, ["x", None, "x"]), ("g", ["x"])],
+            "source string, toks array<string>",
+        )
+        with _pytest.raises(ValueError, match="alpha"):
+            t.source_cross_entropy(df, "toks", "source", alpha=0.0)
+        got = {
+            (r["src"], r["ref"]): r["h_bits"]
+            for r in t.source_cross_entropy(df, "toks", "source").collect()
+        }
+        # null group coalesces, null tokens dropped: 2x2 matrix,
+        # identical unigram dists -> symmetric values
+        assert len(got) == 4
+        assert got[("__null__", "g")] == got[("__null__", "__null__")]
+
+
 class TestCommonPrefixGroups:
     def test_groups_and_short_doc_exclusion(self, spark):
         from datatest_spark.operators import dedup
