@@ -1383,6 +1383,21 @@ def q_embedding_drift(spark, sf_dir):
     return embedding_group_drift(e, group_col="label", dim=64)
 
 
+def q_centroid_matrix(spark, sf_dir):
+    """Pairwise label-centroid distance matrix
+    (operators/similarity.centroid_distance_matrix): L2 + cosine
+    between every pair of label means — the semantic twin of
+    q:source_cross_entropy's LM matrix and the release-over-release
+    diffable map of which sources are interchangeable. Same fixed-point
+    per-dim sums as q:embedding_drift (one |labels|-row exchange);
+    pair arithmetic on the driver in dimension order, reproduced by
+    DuckDB with SUM(term ORDER BY j)."""
+    from datatest_spark.operators.similarity import centroid_distance_matrix
+
+    e = _t(spark, sf_dir, "embeddings")
+    return centroid_distance_matrix(e, group_col="label", dim=64)
+
+
 def q_duplicate_spans(spark, sf_dir):
     """Exact-substring dedup spans (operators/dedup.duplicate_spans):
     cross-doc repeated k=8 token windows over the word-length
@@ -2296,6 +2311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_clusters": q_kmeans_clusters,
         "token_contamination": q_token_contamination,
         "embedding_drift": q_embedding_drift,
+        "centroid_matrix": q_centroid_matrix,
         "duplicate_spans": q_duplicate_spans,
         "order_violations": q_order_violations,
         "accepted_count_budget": q_accepted_count_budget,
@@ -4802,6 +4818,43 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SQRT(d2), 4) AS l2_dist,
                    CASE WHEN SQRT(gn) * SQRT(cn) > 0 THEN
                        ROUND(dt / (SQRT(gn) * SQRT(cn)), 4)
+                   END AS cos_sim
+            FROM D
+        """,
+        "centroid_matrix": """
+            WITH V AS (
+                SELECT COALESCE(CAST(label AS VARCHAR), '__null__') AS g,
+                       CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings
+                WHERE embedding IS NOT NULL AND len(embedding) = 64
+                  AND len(list_filter(embedding, x -> x IS NULL)) = 0
+            ),
+            S AS (
+                SELECT g, t.j,
+                       CAST(SUM(CAST(FLOOR(v[t.j] * 1048576.0)
+                                     AS BIGINT)) AS BIGINT) AS sm,
+                       COUNT(*) AS n
+                FROM V, UNNEST(range(1, 65)) AS t(j)
+                GROUP BY 1, 2
+            ),
+            GM AS (
+                SELECT g, j, (CAST(sm AS DOUBLE) / n) / 1048576.0 AS gm
+                FROM S
+            ),
+            D AS (
+                SELECT a.g AS g_a, b.g AS g_b,
+                       SUM((a.gm - b.gm) * (a.gm - b.gm)
+                           ORDER BY a.j) AS d2,
+                       SUM(a.gm * b.gm ORDER BY a.j) AS dt,
+                       SUM(a.gm * a.gm ORDER BY a.j) AS na,
+                       SUM(b.gm * b.gm ORDER BY a.j) AS nb
+                FROM GM a JOIN GM b USING (j)
+                GROUP BY a.g, b.g
+            )
+            SELECT g_a, g_b,
+                   ROUND(SQRT(d2), 4) AS l2_dist,
+                   CASE WHEN SQRT(na) * SQRT(nb) > 0 THEN
+                       ROUND(dt / (SQRT(na) * SQRT(nb)), 4)
                    END AS cos_sim
             FROM D
         """,

@@ -586,6 +586,42 @@ def kmeans_assign(
     )
 
 
+def _group_fixed_sums(vectors, vec_col, group_col, dim, scale_bits):
+    """Shared prep for the centroid-based drift lenses: per-group
+    (count + per-dimension fixed-point bigint sums), ONE map-side-
+    combinable groupBy carrying |groups| rows. Returns (rows, dim);
+    dim is inferred as the modal vector length when not given (None
+    when the frame is empty). Null groups coalesce to '__null__';
+    null vectors, null elements and off-dimension vectors drop."""
+    v = vectors.select(
+        F.coalesce(F.col(group_col).cast("string"), F.lit("__null__"))
+        .alias("g"),
+        as_double(F.col(vec_col)).alias("v"),
+    ).where(
+        F.col("v").isNotNull()
+        & ~F.exists(F.col("v"), lambda x: x.isNull())
+    )
+    if dim is None:
+        dim_row = (
+            v.groupBy(F.size("v").alias("d"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.col("n").desc(), F.col("d").asc())
+            .first()
+        )
+        if dim_row is None:
+            return [], None
+        dim = int(dim_row["d"])
+    v = v.where(F.size("v") == dim)
+    s = float(1 << scale_bits)
+    sums = [
+        F.sum(F.floor(F.element_at(F.col("v"), j + 1) * F.lit(s)))
+        .alias("s{0}".format(j))
+        for j in range(dim)
+    ]
+    rows = v.groupBy("g").agg(F.count(F.lit(1)).alias("n"), *sums).collect()
+    return rows, dim
+
+
 def embedding_group_drift(
     vectors: DataFrame,
     vec_col: str = "embedding",
@@ -612,41 +648,15 @@ def embedding_group_drift(
     collected matrix. Null groups coalesce to '__null__'; null vectors,
     null elements and off-dimension vectors are dropped like kmeans.
     """
-    v = vectors.select(
-        F.coalesce(F.col(group_col).cast("string"), F.lit("__null__"))
-        .alias("g"),
-        as_double(F.col(vec_col)).alias("v"),
-    ).where(
-        F.col("v").isNotNull()
-        & ~F.exists(F.col("v"), lambda x: x.isNull())
+    rows, dim = _group_fixed_sums(
+        vectors, vec_col, group_col, dim, scale_bits
     )
-    if dim is None:
-        dim_row = (
-            v.groupBy(F.size("v").alias("d"))
-            .agg(F.count(F.lit(1)).alias("n"))
-            .orderBy(F.col("n").desc(), F.col("d").asc())
-            .first()
-        )
-        if dim_row is None:
-            spark = vectors.sparkSession
-            return spark.createDataFrame(
-                [], "group string, n_vecs long, l2_dist double, "
-                    "cos_sim double"
-            )
-        dim = int(dim_row["d"])
-    v = v.where(F.size("v") == dim)
-    s = float(1 << scale_bits)
-    sums = [
-        F.sum(F.floor(F.element_at(F.col("v"), j + 1) * F.lit(s)))
-        .alias("s{0}".format(j))
-        for j in range(dim)
-    ]
-    rows = v.groupBy("g").agg(F.count(F.lit(1)).alias("n"), *sums).collect()
     spark = vectors.sparkSession
-    if not rows:
+    if dim is None or not rows:
         return spark.createDataFrame(
             [], "group string, n_vecs long, l2_dist double, cos_sim double"
         )
+    s = float(1 << scale_bits)
     total_n = sum(int(r["n"]) for r in rows)
     # corpus mean from the EXACT integer total of the group sums
     tot = [
@@ -891,3 +901,65 @@ def semantic_dedup(
         F.col("doc_id").alias(id_col)
     )
     return vectors.join(drop, id_col, "left_anti")
+
+
+def centroid_distance_matrix(
+    vectors: DataFrame,
+    vec_col: str = "embedding",
+    group_col: str = "label",
+    dim: int | None = None,
+    scale_bits: int = 20,
+) -> DataFrame:
+    """Pairwise group-centroid distances in embedding space — the
+    semantic twin of text.source_cross_entropy's LM matrix:
+    :func:`embedding_group_drift` measures each group against the
+    corpus mean, this measures every group against EVERY OTHER group,
+    the map a mixture designer reads for interchangeable vs genuinely
+    novel sources and a monitor diffs release-over-release.
+
+    Returns (g_a, g_b, l2_dist, cos_sim) over all ordered group pairs
+    including the diagonal (l2 0 / cos 1 by construction — a cheap
+    self-test). Same fixed-point discipline as the drift lens:
+    per-dimension sums are floor(x·2^scale_bits) bigints, so group
+    means are parallelism-invariant, and the distance folds run in
+    dimension order — a SQL oracle reproduces every double bit-for-bit
+    with ``SUM(term ORDER BY j)``.
+
+    Scale shape: ONE map-side-combinable groupBy(group) exchange of
+    |groups| rows (count + dim bigint sums); the |groups|² pair
+    arithmetic runs on the driver over the tiny collected matrix.
+    """
+    rows, dim = _group_fixed_sums(
+        vectors, vec_col, group_col, dim, scale_bits
+    )
+    spark = vectors.sparkSession
+    schema = "g_a string, g_b string, l2_dist double, cos_sim double"
+    if dim is None or not rows:
+        return spark.createDataFrame([], schema)
+    s = float(1 << scale_bits)
+    means = {}
+    for r in rows:
+        n = int(r["n"])
+        means[r["g"]] = [
+            (float(r["s{0}".format(j)]) / n) / s for j in range(dim)
+        ]
+    out = []
+    for ga in sorted(means):
+        for gb in sorted(means):
+            a, b = means[ga], means[gb]
+            d2 = dt = na = nb = 0.0
+            for j in range(dim):
+                diff = a[j] - b[j]
+                d2 += diff * diff
+                dt += a[j] * b[j]
+                na += a[j] * a[j]
+                nb += b[j] * b[j]
+            denom = math.sqrt(na) * math.sqrt(nb)
+            cos = dt / denom if denom > 0 else None
+            out.append((ga, gb, math.sqrt(d2), cos))
+    res = spark.createDataFrame(out, schema)
+    return res.select(
+        "g_a", "g_b",
+        F.round("l2_dist", 4).alias("l2_dist"),
+        F.round("cos_sim", 4).alias("cos_sim"),
+    )

@@ -1665,6 +1665,62 @@ class TestGroupShares:
         assert [r["group"] for r in rows] == ["a", "b"]
 
 
+class TestCentroidDistanceMatrix:
+    def test_diagonal_symmetry_and_hand_case(self, spark):
+        import math
+
+        from datatest_spark.operators.similarity import (
+            centroid_distance_matrix,
+        )
+
+        rows = [
+            ("a", [1.0, 0.0]), ("a", [1.0, 0.0]),
+            ("b", [0.0, 2.0]),
+            ("c", [3.0, 4.0]),
+        ]
+        df = spark.createDataFrame(rows, "label string, embedding array<double>")
+        got = {
+            (r["g_a"], r["g_b"]): r
+            for r in centroid_distance_matrix(
+                df, group_col="label", dim=2
+            ).collect()
+        }
+        assert len(got) == 9
+        for g in ("a", "b", "c"):
+            assert got[(g, g)]["l2_dist"] == 0.0
+            assert got[(g, g)]["cos_sim"] == 1.0
+        # symmetry
+        assert got[("a", "b")]["l2_dist"] == got[("b", "a")]["l2_dist"]
+        # hand values: mean(a)=(1,0), mean(b)=(0,2): l2=sqrt(5), cos=0
+        assert got[("a", "b")]["l2_dist"] == round(math.sqrt(5.0), 4)
+        assert got[("a", "b")]["cos_sim"] == 0.0
+        # mean(c)=(3,4): cos(a,c)=3/5
+        assert got[("a", "c")]["cos_sim"] == 0.6
+
+    def test_empty_and_zero_vector(self, spark):
+        from datatest_spark.operators.similarity import (
+            centroid_distance_matrix,
+        )
+
+        empty = spark.createDataFrame(
+            [], "label string, embedding array<double>"
+        )
+        assert centroid_distance_matrix(empty, group_col="label").collect() == []
+        # a zero-mean group: cosine undefined -> null, never a blow-up
+        df = spark.createDataFrame(
+            [("z", [0.0, 0.0]), ("a", [1.0, 1.0])],
+            "label string, embedding array<double>",
+        )
+        got = {
+            (r["g_a"], r["g_b"]): r
+            for r in centroid_distance_matrix(
+                df, group_col="label", dim=2
+            ).collect()
+        }
+        assert got[("z", "a")]["cos_sim"] is None
+        assert got[("z", "z")]["cos_sim"] is None
+
+
 class TestSourceCrossEntropy:
     @staticmethod
     def _mirror(data, alpha=1.0, bits=20):
