@@ -2175,6 +2175,28 @@ def q_normalized_dup_groups(spark, sf_dir):
     )
 
 
+def q_dedup_impact(spark, sf_dir):
+    """Per-source dedup cost audit (operators/dedup.dedup_impact):
+    docs and chars each source loses when every normalized-content
+    group keeps its min-id representative — the effective-counts input
+    a token-budget mixture should consume instead of raw row shares.
+    Same 80-char normalized key as q:normalized_dup_groups; one
+    content-hash window exchange + one groupBy(source)."""
+    d = _t(spark, sf_dir, "documents")
+    key = F.substring(text.normalize_text(), 1, 80)
+    return dedup.dedup_impact(
+        d, key_col=key, weight_col="n_chars"
+    ).select(
+        F.col("group").alias("source"),
+        "n_docs",
+        "n_redundant",
+        "redundancy_rate",
+        "w_total",
+        "w_redundant",
+        "w_rate",
+    )
+
+
 def q_source_cross_entropy(spark, sf_dir):
     """Pairwise source unigram cross-entropy matrix
     (operators/text.source_cross_entropy): bits/token each source costs
@@ -2349,6 +2371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_leakage": q_split_leakage,
         "prefix_boilerplate": q_prefix_boilerplate,
         "source_cross_entropy": q_source_cross_entropy,
+        "dedup_impact": q_dedup_impact,
         # --- group 3: round-5 session-2 operators (first driver shot) ---
         # (suite_verdicts / lsh_candidate_pairs / dedup_cluster_labels /
         # embedding_dedup_survivors rotated past the 50-query window:
@@ -5960,6 +5983,44 @@ def oracle_sql() -> dict[str, str]:
                          / (CAST(g.n_src AS DOUBLE) * 1048576.0), 4)
                        AS h_bits
             FROM G g LEFT JOIN P p ON p.src = g.src AND p.ref = g.ref
+        """,
+        "dedup_impact": """
+            WITH N AS (
+                SELECT doc_id, source, n_chars,
+                       trim(regexp_replace(
+                           regexp_replace(
+                               lower(text),
+                               '[^\\p{L}\\p{N} \\t\\n\\r\\f]', '', 'g'),
+                           '[ \\t\\n\\r\\f]+', ' ', 'g')) AS norm0
+                FROM documents
+            ),
+            A AS (
+                SELECT COALESCE(source, '__null__') AS grp,
+                       doc_id, n_chars,
+                       md5(substr(norm0, 1, 80)) AS h
+                FROM N
+            ),
+            M AS (
+                SELECT grp, n_chars,
+                       CASE WHEN h IS NOT NULL
+                                 AND doc_id <> MIN(doc_id)
+                                     OVER (PARTITION BY h)
+                            THEN 1 ELSE 0 END AS red
+                FROM A
+            )
+            SELECT grp AS source,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(red) AS BIGINT) AS n_redundant,
+                   ROUND(CAST(SUM(red) AS DOUBLE)
+                         / CAST(COUNT(*) AS DOUBLE), 6) AS redundancy_rate,
+                   CAST(SUM(n_chars) AS BIGINT) AS w_total,
+                   CAST(SUM(CASE WHEN red = 1 THEN n_chars
+                                 ELSE 0 END) AS BIGINT) AS w_redundant,
+                   ROUND(CASE WHEN SUM(n_chars) > 0 THEN
+                       CAST(SUM(CASE WHEN red = 1 THEN n_chars
+                                     ELSE 0 END) AS DOUBLE)
+                       / CAST(SUM(n_chars) AS DOUBLE) END, 6) AS w_rate
+            FROM M GROUP BY 1
         """,
         "mad_outliers": """
             WITH MED AS (

@@ -1758,3 +1758,92 @@ def common_prefix_groups(
         )
         .filter(F.col("n_docs") >= min_docs)
     )
+
+
+def dedup_impact(
+    df: DataFrame,
+    key_col="text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Per-source cost of exact dedup — the budget question BEFORE
+    running the dedup pipeline: if every content-hash group keeps one
+    representative (the min id), how many documents and how much weight
+    (tokens/chars) does each source lose? A source that is 40% of the
+    corpus but 70% redundant contributes far less unique training
+    signal than its row share suggests; these effective counts are what
+    a token-budget mixture (packing.mixture_plan) should consume.
+
+    Groups are GLOBAL, so a copy whose representative lives in another
+    source is charged to the copy's own source — cross-source
+    duplication (q:cross_source_duplication names the pairs) shows up
+    here as asymmetric redundancy rates. ``key_col`` may be a Column
+    (normalize_text for normalization-tolerant identity); rows with a
+    NULL content key are never counted redundant (there is nothing to
+    hash), and a NULL id row is treated as a representative.
+
+    Returns per group: (group, n_docs, n_redundant, redundancy_rate,
+    w_total, w_redundant, w_rate) — the weight columns are null when
+    ``weight_col`` is None.
+
+    Scale shape: ONE exchange on the content hash (the min-id window —
+    rank-based, spillable, no per-group set buffering), then one
+    map-side-combinable groupBy(group). No lists are collected; this is
+    the count-only companion to exact_duplicates' id-listing form.
+    """
+    from pyspark.sql import Window
+
+    t = F.col(key_col) if isinstance(key_col, str) else key_col
+    w = Window.partitionBy("_h")
+    base = df.select(
+        F.coalesce(F.col(group_col).cast("string"), F.lit("__null__")).alias(
+            "group"
+        ),
+        F.col(id_col).alias("_id"),
+        F.md5(t).alias("_h"),
+        (
+            F.col(weight_col) if weight_col else F.lit(None)
+        )
+        .cast("long")
+        .alias("_w"),
+    )
+    marked = base.select(
+        "group",
+        "_w",
+        (
+            F.col("_h").isNotNull()
+            & (F.col("_id") != F.min("_id").over(w))
+        ).alias("_red"),
+    )
+    nred = F.sum(F.when(F.col("_red"), F.lit(1)).otherwise(F.lit(0)))
+    wtot = F.sum("_w")
+    wred = F.sum(F.when(F.col("_red"), F.col("_w")).otherwise(F.lit(0)))
+    agg = marked.groupBy("group").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        nred.cast("long").alias("n_redundant"),
+        wtot.cast("long").alias("w_total"),
+        wred.cast("long").alias("w_redundant"),
+    )
+    return agg.select(
+        "group",
+        "n_docs",
+        "n_redundant",
+        F.round(
+            F.col("n_redundant").cast("double")
+            / F.col("n_docs").cast("double"),
+            6,
+        ).alias("redundancy_rate"),
+        "w_total",
+        F.when(F.col("w_total").isNotNull(), F.col("w_redundant")).alias(
+            "w_redundant"
+        ),
+        F.round(
+            F.when(
+                F.col("w_total") > 0,
+                F.col("w_redundant").cast("double")
+                / F.col("w_total").cast("double"),
+            ),
+            6,
+        ).alias("w_rate"),
+    )

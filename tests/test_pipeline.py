@@ -1847,6 +1847,51 @@ class TestCommonPrefixGroups:
             dedup.common_prefix_groups(df, k=0)
 
 
+class TestDedupImpact:
+    def test_cross_source_charge_and_weights(self, spark):
+        from datatest_spark.operators import dedup
+
+        rows = [
+            # group X: rep doc 1 (src a); copies 2 (a), 3 (b)
+            (1, "a", "dup X", 10),
+            (2, "a", "dup X", 20),
+            (3, "b", "dup X", 30),
+            # unique docs
+            (4, "a", "solo A", 40),
+            (5, "b", "solo B", 50),
+            # null text: never redundant even though both hash to null
+            (6, "b", None, 60),
+            (7, "b", None, 70),
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, source string, text string, n_chars long"
+        )
+        got = {
+            r["group"]: r
+            for r in dedup.dedup_impact(df, weight_col="n_chars").collect()
+        }
+        a, b = got["a"], got["b"]
+        assert a["n_docs"] == 3 and a["n_redundant"] == 1
+        assert a["w_total"] == 70 and a["w_redundant"] == 20
+        assert a["redundancy_rate"] == round(1 / 3, 6)
+        # b's copy of X is charged to b even though the rep lives in a
+        assert b["n_docs"] == 4 and b["n_redundant"] == 1
+        assert b["w_redundant"] == 30
+        assert b["w_rate"] == round(30 / 210, 6)
+
+    def test_no_weight_col_yields_null_weight_columns(self, spark):
+        from datatest_spark.operators import dedup
+
+        df = spark.createDataFrame(
+            [(1, "a", "x"), (2, "a", "x")],
+            "doc_id long, source string, text string",
+        )
+        (r,) = dedup.dedup_impact(df).collect()
+        assert r["n_redundant"] == 1
+        assert r["w_total"] is None
+        assert r["w_redundant"] is None and r["w_rate"] is None
+
+
 class TestSplitLeakage:
     @staticmethod
     def _md5_split(doc_id, bounds=(("train", 0.75), ("val", 0.875))):
