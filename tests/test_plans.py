@@ -563,3 +563,74 @@ class TestBucketedJoin:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
             spark.sql("DROP TABLE IF EXISTS bk_left")
             spark.sql("DROP TABLE IF EXISTS bk_right")
+
+
+class TestSession5Plans:
+    def test_spearman_joins_broadcast_not_smj(self, docs):
+        """The baseline-slice join and the moment math must not
+        sort-merge a corpus-sized side: counts are |V|-bounded after ONE
+        map-side-combinable aggregation, then everything is broadcast
+        or window work."""
+        from datatest_spark.operators import drift
+
+        toks = docs.select(
+            "source", F.explode(F.split(F.col("text"), " ")).alias("tok")
+        )
+        plan = _plan(drift.spearman_rank_drift(toks, "tok", "source", "src0"))
+        assert "partial_count" in plan, plan
+        assert "SortMergeJoin" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
+
+    def test_concentration_is_one_agg_plus_tiny_window(self, docs):
+        """One map-side-combinable groupBy over the scan; the rank
+        window and every index run on |groups| rows (a second,
+        single-partition exchange of tens of rows)."""
+        from datatest_spark.operators import stats
+
+        plan = _plan(stats.concentration_indices(docs, "source"))
+        assert _exchanges(plan) == 2, plan
+        assert "partial_count" in plan, plan
+
+    def test_dedup_impact_two_exchanges_no_lists(self, docs):
+        """ONE content-hash window exchange + ONE groupBy(source);
+        count-only, so no collect_list/collect_set buffering appears
+        anywhere in the plan."""
+        from datatest_spark.operators import dedup
+
+        plan = _plan(dedup.dedup_impact(docs, weight_col="n_chars"))
+        assert _exchanges(plan) == 2, plan
+        assert "collect_list" not in plan and "collect_set" not in plan, plan
+
+    def test_split_leakage_single_exchange_map_only_assign(self, docs):
+        """The split assignment is a pure projection (hash + when
+        chain), so the whole audit costs exactly the ONE content-hash
+        groupBy exchange."""
+        from datatest_spark.operators import dedup
+
+        plan = _plan(
+            dedup.split_leakage(
+                docs, {"train": 0.75, "val": 0.125, "test": 0.125}
+            )
+        )
+        assert _exchanges(plan) == 1, plan
+
+    def test_prefix_groups_single_exchange(self, docs):
+        from datatest_spark.operators import dedup
+
+        plan = _plan(dedup.common_prefix_groups(docs, k=6))
+        assert _exchanges(plan) == 1, plan
+
+    def test_cross_entropy_no_cartesian_and_map_side_counts(self, docs):
+        """The |sources|^2 grid comes from broadcast nested-loop joins
+        of |sources|-row frames — never a CartesianProduct — and the
+        corpus-side (group, token) count is map-side combined. The
+        token join may legitimately sort-merge (both sides are
+        |V|-bounded)."""
+        from datatest_spark.operators import text as t
+
+        toks = docs.select(
+            "source", F.split(F.col("text"), " ").alias("toks")
+        )
+        plan = _plan(t.source_cross_entropy(toks, "toks", "source"))
+        assert "CartesianProduct" not in plan, plan
+        assert "partial_count" in plan, plan
