@@ -1543,6 +1543,21 @@ def q_volume_anomalies(spark, sf_dir):
     )
 
 
+def q_inspection_sample(spark, sf_dir):
+    """Deterministic per-source eyeball sample
+    (operators/packing.inspection_sample): the 5 min-hash docs per
+    source — reproducible across runs/engines/partitionings and stable
+    under appends, unlike df.sample or LIMIT. md5 variant for the
+    oracle; executed as a WindowGroupLimit (plan-pinned), so the
+    shuffle carries ~k rows per partition-group, never the corpus."""
+    from datatest_spark.operators.packing import inspection_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return inspection_sample(d, k=5, hash_fn="md5").select(
+        "source", "doc_id", "n_chars", "rank"
+    )
+
+
 def q_sample_rate_audit(spark, sf_dir):
     """Post-hoc sampler validation (operators/packing.sample_rate_audit):
     run the deterministic md5 mixture sampler at sub-1.0 rates, then
@@ -2457,6 +2472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_novelty": q_ngram_novelty,
         "sample_rate_audit": q_sample_rate_audit,
         "volume_anomalies": q_volume_anomalies,
+        "inspection_sample": q_inspection_sample,
         "pivot_order_status": q_pivot_order_status,
         "rollup_revenue": q_rollup_revenue,
         "simhash_pairs": q_simhash_pairs,
@@ -5983,6 +5999,25 @@ def oracle_sql() -> dict[str, str]:
                          / (CAST(g.n_src AS DOUBLE) * 1048576.0), 4)
                        AS h_bits
             FROM G g LEFT JOIN P p ON p.src = g.src AND p.ref = g.ref
+        """,
+        "inspection_sample": """
+            WITH U AS (
+                SELECT source, doc_id, n_chars,
+                       CAST(CONCAT('0x',
+                           substr(md5(doc_id || '#inspect#0'), 1, 4))
+                           AS INT) / 65536.0 AS u
+                FROM documents
+            ),
+            R AS (
+                SELECT source, doc_id, n_chars,
+                       CAST(ROW_NUMBER() OVER (
+                           PARTITION BY source
+                           ORDER BY u ASC, doc_id ASC
+                       ) AS INT) AS rank
+                FROM U
+            )
+            SELECT source, doc_id, n_chars, rank
+            FROM R WHERE rank <= 5
         """,
         "dedup_impact": """
             WITH N AS (

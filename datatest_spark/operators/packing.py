@@ -1082,3 +1082,44 @@ def sample_rate_audit(
         .otherwise("pass")
         .alias("status"),
     )
+
+
+def inspection_sample(
+    df: DataFrame,
+    k: int = 10,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic k-per-group eyeball sample: the k rows with the
+    smallest salted id-hash in each group — what "show me 10 docs from
+    each source" should return on EVERY run, engine, and partitioning
+    (df.sample re-deals per partition layout, LIMIT returns whatever
+    arrives first). Because membership is min-k over a fixed hash, the
+    sample is also STABLE under appends: a new row only displaces the
+    current max, so reviewers diff mostly-identical samples between
+    snapshots.
+
+    The hash input carries an ``'inspect'`` domain tag (the
+    mixture_sample/hash_split discipline), so inspection never
+    correlates with sampling or split membership. Ties (hash
+    collisions) break by id for full determinism. Rows keep every
+    input column, plus ``rank`` (1..k by hash order).
+
+    Scale shape: the rank window is executed as a WindowGroupLimit —
+    each partition keeps only its local top-k before the group
+    exchange, so the shuffle carries ~k rows per (partition, group),
+    never the corpus (plan-pinned). ``hash_fn='md5'`` is the
+    cross-engine oracle variant.
+    """
+    if k < 1:
+        raise ValueError("inspection_sample: k must be >= 1")
+    u = _uniform01(F.col(id_col), F.lit("inspect"), hash_fn, seed)
+    w = Window.partitionBy(group_col).orderBy(
+        u.asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -1847,6 +1847,62 @@ class TestCommonPrefixGroups:
             dedup.common_prefix_groups(df, k=0)
 
 
+class TestInspectionSample:
+    def test_partitioning_invariant_and_append_stable(self, spark):
+        from datatest_spark.operators.packing import inspection_sample
+
+        rows = [(i, "s%d" % (i % 3)) for i in range(90)]
+        df1 = spark.createDataFrame(rows, "doc_id long, source string")
+        a = sorted(
+            (r["source"], r["doc_id"], r["rank"])
+            for r in inspection_sample(df1, k=4, hash_fn="md5").collect()
+        )
+        b = sorted(
+            (r["source"], r["doc_id"], r["rank"])
+            for r in inspection_sample(
+                df1.repartition(17), k=4, hash_fn="md5"
+            ).collect()
+        )
+        assert a == b and len(a) == 12
+        # append stability: adding rows displaces at most the max-hash
+        # member per group — the k-1 smallest of each group survive
+        df2 = spark.createDataFrame(
+            rows + [(i, "s%d" % (i % 3)) for i in range(90, 120)],
+            "doc_id long, source string",
+        )
+        c = {
+            (r["source"], r["doc_id"])
+            for r in inspection_sample(df2, k=4, hash_fn="md5").collect()
+        }
+        old_top3 = {(s, d) for (s, d, rk) in a if rk <= 3}
+        assert old_top3 <= c
+
+    def test_k_validation_and_all_columns_kept(self, spark):
+        import pytest as _pytest
+
+        from datatest_spark.operators.packing import inspection_sample
+
+        df = spark.createDataFrame(
+            [(1, "s", "body")], "doc_id long, source string, text string"
+        )
+        with _pytest.raises(ValueError, match="k must be"):
+            inspection_sample(df, k=0)
+        (r,) = inspection_sample(df, k=1).collect()
+        assert r["text"] == "body" and r["rank"] == 1
+
+    def test_window_group_limit_in_plan(self, spark, sf_dir):
+        from datatest_spark.operators.packing import inspection_sample
+
+        d = spark.read.parquet(sf_dir + "/documents.parquet")
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            inspection_sample(d, k=5).explain(mode="formatted")
+        assert "WindowGroupLimit" in buf.getvalue()
+
+
 class TestDedupImpact:
     def test_cross_source_charge_and_weights(self, spark):
         from datatest_spark.operators import dedup
