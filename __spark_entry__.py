@@ -1558,6 +1558,38 @@ def q_inspection_sample(spark, sf_dir):
     )
 
 
+def q_cusum_volume(spark, sf_dir):
+    """Sequential level-shift detection on daily ingest volumes
+    (operators/stats.cusum_changepoints over the same per-(event_type,
+    day) counts as q:volume_anomalies): Page's CUSUM re-expressed as
+    running-sum minus running-min, so a sub-robust-z mean shift that
+    mad_outliers never flags still accumulates to a decision-interval
+    crossing. Exact integer moments; both cumulative windows run in
+    explicit ROWS order, so DuckDB reproduces every double."""
+    from datatest_spark.operators.stats import cusum_changepoints
+
+    e = _t(spark, sf_dir, "events")
+    ms = F.timestamp_diff(
+        "MILLISECOND",
+        F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+        F.col("ts"),
+    )
+    day = F.floor(ms / F.lit(86_400_000)).cast("long")
+    daily = e.groupBy(F.col("event_type"), day.alias("day")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    return cusum_changepoints(
+        daily, "n_rows", "day", group_col="event_type"
+    ).select(
+        F.col("group").alias("event_type"),
+        F.col("t").alias("day"),
+        F.col("value").cast("long").alias("n_rows"),
+        "cusum_pos",
+        "cusum_neg",
+        "is_change",
+    )
+
+
 def q_sample_rate_audit(spark, sf_dir):
     """Post-hoc sampler validation (operators/packing.sample_rate_audit):
     run the deterministic md5 mixture sampler at sub-1.0 rates, then
@@ -2473,6 +2505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_rate_audit": q_sample_rate_audit,
         "volume_anomalies": q_volume_anomalies,
         "inspection_sample": q_inspection_sample,
+        "cusum_volume": q_cusum_volume,
         "pivot_order_status": q_pivot_order_status,
         "rollup_revenue": q_rollup_revenue,
         "simhash_pairs": q_simhash_pairs,
@@ -5999,6 +6032,74 @@ def oracle_sql() -> dict[str, str]:
                          / (CAST(g.n_src AS DOUBLE) * 1048576.0), 4)
                        AS h_bits
             FROM G g LEFT JOIN P p ON p.src = g.src AND p.ref = g.ref
+        """,
+        "cusum_volume": """
+            WITH D AS (
+                SELECT event_type,
+                       CAST(FLOOR(epoch_ms(ts) / 86400000) AS BIGINT)
+                           AS day,
+                       CAST(COUNT(*) AS BIGINT) AS n_rows
+                FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+            ),
+            M AS (
+                SELECT event_type,
+                       COUNT(*) AS n,
+                       CAST(SUM(n_rows) AS BIGINT) AS sx,
+                       CAST(SUM(n_rows * n_rows) AS BIGINT) AS sxx
+                FROM D GROUP BY 1
+            ),
+            MS AS (
+                SELECT event_type,
+                       CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+                       CASE WHEN n >= 2
+                                 AND (CAST(n AS DOUBLE)
+                                      * CAST(sxx AS DOUBLE)
+                                      - CAST(sx AS DOUBLE)
+                                        * CAST(sx AS DOUBLE))
+                                    / (CAST(n AS DOUBLE)
+                                       * (CAST(n AS DOUBLE) - 1.0)) > 0
+                            THEN SQRT((CAST(n AS DOUBLE)
+                                       * CAST(sxx AS DOUBLE)
+                                       - CAST(sx AS DOUBLE)
+                                         * CAST(sx AS DOUBLE))
+                                      / (CAST(n AS DOUBLE)
+                                         * (CAST(n AS DOUBLE) - 1.0)))
+                       END AS sig
+                FROM M
+            ),
+            S AS (
+                SELECT d.event_type, d.day, d.n_rows, ms.sig,
+                       SUM((CAST(d.n_rows AS DOUBLE) - ms.mu)
+                           - 0.5 * ms.sig) OVER (
+                           PARTITION BY d.event_type ORDER BY d.day
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS sp,
+                       SUM((CAST(d.n_rows AS DOUBLE) - ms.mu)
+                           + 0.5 * ms.sig) OVER (
+                           PARTITION BY d.event_type ORDER BY d.day
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS sn
+                FROM D d JOIN MS ms USING (event_type)
+            ),
+            C AS (
+                SELECT event_type, day, n_rows, sig,
+                       sp - LEAST(MIN(sp) OVER (
+                           PARTITION BY event_type ORDER BY day
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW), 0.0) AS cp,
+                       GREATEST(MAX(sn) OVER (
+                           PARTITION BY event_type ORDER BY day
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW), 0.0) - sn AS cn
+                FROM S
+            )
+            SELECT event_type, day, n_rows,
+                   ROUND(cp, 4) AS cusum_pos,
+                   ROUND(cn, 4) AS cusum_neg,
+                   CASE WHEN sig IS NOT NULL
+                        THEN cp > 4.0 * sig OR cn > 4.0 * sig
+                        ELSE FALSE END AS is_change
+            FROM C
         """,
         "inspection_sample": """
             WITH U AS (

@@ -1143,3 +1143,114 @@ def concentration_indices(
             6,
         ).alias("gini"),
     )
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    value_col: str,
+    order_col: str,
+    group_col: str = "source",
+    slack_k: float = 0.5,
+    threshold_h: float = 4.0,
+    scale_bits: int = 0,
+) -> DataFrame:
+    """Per-group CUSUM changepoint detection over an ordered series —
+    the SEQUENTIAL volume/level monitor next to mad_outliers' pointwise
+    one: a mean shift of 1σ never trips a robust-z threshold on any
+    single day, but its cumulative sum grows linearly and crosses the
+    CUSUM decision interval within a few points. The classic Page
+    recursion C⁺_t = max(0, C⁺_{t-1} + (x_t − μ − kσ)) is re-expressed
+    shuffle-free as running-sum minus running-min (and the mirrored
+    C⁻ as running-max minus running-sum), so the whole detector is two
+    window passes over one partitioning.
+
+    μ and σ are the group's own mean and sample std — the usual
+    retrospective form ("did the level shift anywhere in this
+    window?"); pass a pre-filtered reference period for the
+    prospective form. ``slack_k`` is the allowance in σ units (shifts
+    below kσ are ignored), ``threshold_h`` the decision interval
+    (flag when C± > hσ; 4–5 is the textbook range).
+
+    Requires (group, order) to be unique — feed an aggregated series
+    (e.g. the per-day counts volume_anomalies builds), not raw events.
+    Null values/orders are dropped; groups with n < 2 or zero variance
+    yield null cusums and never flag.
+
+    Determinism: moments are exact BIGINT sums of
+    floor(x·2^scale_bits) (the group_corr discipline; integer inputs at
+    scale_bits=0 are exact), and both cumulative windows run in
+    explicit ROWS order, so every IEEE double is reproduced by a SQL
+    oracle running the same ordered frames.
+
+    Scale shape: one map-side-combinable moments aggregation, one
+    broadcast join of |groups| rows, ONE exchange on group for the
+    sequential windows — the series is time-bounded (|days|·|groups|
+    rows), not corpus-bounded.
+    """
+    from pyspark.sql import Window
+
+    s = float(1 << int(scale_bits))
+    xi = F.floor(F.col(value_col).cast("double") * F.lit(s)).cast("long")
+    base = df.where(
+        F.col(value_col).isNotNull() & F.col(order_col).isNotNull()
+    ).select(
+        F.coalesce(F.col(group_col).cast("string"), F.lit("__null__")).alias(
+            "group"
+        ),
+        F.col(order_col).alias("t"),
+        F.col(value_col).cast("double").alias("value"),
+        xi.alias("_x"),
+    )
+    mom = base.groupBy("group").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_x").alias("_sx"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+    )
+    nd = F.col("_n").cast("double")
+    sxd = F.col("_sx").cast("double")
+    var = (nd * F.col("_sxx").cast("double") - sxd * sxd) / (
+        nd * (nd - F.lit(1.0))
+    )
+    m = mom.select(
+        "group",
+        (sxd / nd).alias("_mu"),
+        F.when((F.col("_n") >= 2) & (var > 0), F.sqrt(var)).alias("_sig"),
+    )
+    j = base.join(F.broadcast(m), "group")
+    d = F.col("_x").cast("double") - F.col("_mu")
+    wseq = Window.partitionBy("group").orderBy("t").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    step = j.select(
+        "group",
+        "t",
+        "value",
+        "_sig",
+        F.sum(d - F.lit(slack_k) * F.col("_sig")).over(wseq).alias("_sp"),
+        F.sum(d + F.lit(slack_k) * F.col("_sig")).over(wseq).alias("_sn"),
+    )
+    cpos = F.col("_sp") - F.least(F.min("_sp").over(wseq), F.lit(0.0))
+    cneg = F.greatest(F.max("_sn").over(wseq), F.lit(0.0)) - F.col("_sn")
+    out = step.select(
+        "group",
+        "t",
+        "value",
+        (cpos / F.lit(s)).alias("_cp"),
+        (cneg / F.lit(s)).alias("_cn"),
+        (F.col("_sig") / F.lit(s)).alias("_sigo"),
+    )
+    h = F.lit(float(threshold_h))
+    return out.select(
+        "group",
+        "t",
+        "value",
+        F.round("_cp", 4).alias("cusum_pos"),
+        F.round("_cn", 4).alias("cusum_neg"),
+        F.when(
+            F.col("_sigo").isNotNull(),
+            (F.col("_cp") > h * F.col("_sigo"))
+            | (F.col("_cn") > h * F.col("_sigo")),
+        )
+        .otherwise(F.lit(False))
+        .alias("is_change"),
+    )

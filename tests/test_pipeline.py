@@ -1847,6 +1847,71 @@ class TestCommonPrefixGroups:
             dedup.common_prefix_groups(df, k=0)
 
 
+class TestCusumChangepoints:
+    @staticmethod
+    def _page(values, slack_k=0.5, threshold_h=4.0):
+        import statistics as st
+
+        mu = st.mean(values)
+        sig = st.stdev(values)
+        cp = cn = 0.0
+        out = []
+        for x in values:
+            cp = max(0.0, cp + (x - mu) - slack_k * sig)
+            cn = max(0.0, cn - (x - mu) - slack_k * sig)
+            out.append((round(cp, 4), round(cn, 4),
+                        cp > threshold_h * sig or cn > threshold_h * sig))
+        return out
+
+    def test_matches_page_recursion_and_flags_shift(self, spark):
+        from datatest_spark.operators.stats import cusum_changepoints
+
+        vals = [100, 102, 98, 101, 99, 100, 97, 103,
+                101, 99, 100, 102, 98, 100, 101, 99] + [110] * 6
+        rows = [("g", t, float(v)) for t, v in enumerate(vals)]
+        df = spark.createDataFrame(rows, "g string, t long, v double")
+        got = sorted(
+            cusum_changepoints(df, "v", "t", "g", scale_bits=10).collect(),
+            key=lambda r: r["t"],
+        )
+        expect = self._page(vals)
+        for r, (cp, cn, flag) in zip(got, expect):
+            # scale_bits=10 quantization: within a grid step of exact
+            assert abs(r["cusum_pos"] - cp) < 0.05, (r, cp)
+            assert abs(r["cusum_neg"] - cn) < 0.05, (r, cn)
+        # the sustained shift must flag; the stable head never does —
+        # and no single shifted point exceeds a 2.5-robust-z (the
+        # pointwise monitor stays silent where CUSUM accumulates)
+        assert not any(r["is_change"] for r in got[:16])
+        assert any(r["is_change"] for r in got[16:])
+
+    def test_downward_shift_flags_negative_side(self, spark):
+        from datatest_spark.operators.stats import cusum_changepoints
+
+        vals = [50, 52, 48, 51, 49, 50, 52, 48,
+                51, 49, 50, 52, 48, 50, 51, 49] + [40] * 6
+        rows = [("g", t, float(v)) for t, v in enumerate(vals)]
+        df = spark.createDataFrame(rows, "g string, t long, v double")
+        got = sorted(
+            cusum_changepoints(df, "v", "t", "g", scale_bits=10).collect(),
+            key=lambda r: r["t"],
+        )
+        flagged = [r for r in got if r["is_change"]]
+        assert flagged and all(r["cusum_neg"] > r["cusum_pos"]
+                               for r in flagged)
+
+    def test_degenerate_groups_never_flag(self, spark):
+        from datatest_spark.operators.stats import cusum_changepoints
+
+        df = spark.createDataFrame(
+            [("single", 0, 5.0), ("flat", 0, 7.0), ("flat", 1, 7.0)],
+            "g string, t long, v double",
+        )
+        got = cusum_changepoints(df, "v", "t", "g").collect()
+        assert all(not r["is_change"] for r in got)
+        assert all(r["cusum_pos"] is None for r in got)
+
+
 class TestInspectionSample:
     def test_partitioning_invariant_and_append_stable(self, spark):
         from datatest_spark.operators.packing import inspection_sample
