@@ -129,6 +129,13 @@ def test_driver_window_holds_every_value_oracled_query_once():
         "association", "windowed_drift", "position_entropy",
         "oov_profile", "mwu_drift", "ngram_novelty", "sample_rate_audit",
         "volume_anomalies",
+        # session-5 operators: same contract (value-oracled in the
+        # mirror sweep + dedicated pytest pins in test_pipeline.py and
+        # plan pins in test_plans.py::TestSession5Plans)
+        "js_drift", "spearman_drift", "source_concentration",
+        "split_leakage", "prefix_boilerplate", "source_cross_entropy",
+        "centroid_matrix", "dedup_impact", "inspection_sample",
+        "cusum_volume",
     }
     import glob
 
