@@ -19,6 +19,11 @@ tokens array<int>, n_tok int, source string) into a machine-readable
               path — the exchange never carries the vocabulary)
   prefix      per-position token entropy over the first --max-pos
               positions (templated-prefix detector)
+  concentration  scalar mixture alarms: Gini / HHI / top-source share
+  dedup_impact   per-source docs+tokens lost to exact token-sequence
+                 dedup (effective counts for a token-budget mixture)
+  inspection     deterministic k-per-source min-hash sample ids
+                 (reproducible eyeballing, stable under appends)
 
 Every stage is the library operator the per-operator tests and DuckDB
 oracles pin; this file only wires them and collects the tiny aggregate
@@ -49,6 +54,8 @@ def build_parser():
     p.add_argument("--n-tok-hi", type=float, default=4096.0,
                    help="histogram upper bound for the drift lenses")
     p.add_argument("--nbins", type=int, default=10)
+    p.add_argument("--inspect-k", type=int, default=5,
+                   help="rows per source in the inspection sample")
     return p
 
 
@@ -60,7 +67,7 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     from pyspark.sql import SparkSession
 
-    from datatest_spark.operators import drift, stats, text
+    from datatest_spark.operators import dedup, drift, packing, stats, text
 
     spark = SparkSession.builder.appName(
         "datatest_spark.profile"
@@ -96,6 +103,18 @@ def main(argv=None) -> int:
                 "tok", "source", phi=args.phi,
             )
         ),
+        "concentration": _rows(stats.concentration_indices(df, "source")),
+        "dedup_impact": _rows(
+            dedup.dedup_impact(
+                df, key_col=F.col("tokens").cast("string"),
+                weight_col="n_tok",
+            )
+        ),
+        "inspection": _rows(
+            packing.inspection_sample(df, k=args.inspect_k).select(
+                "source", "doc_id", "n_tok", "rank"
+            )
+        ),
     }
     if baseline is not None:
         kw = dict(value_col="n_tok", group_col="source",
@@ -105,6 +124,7 @@ def main(argv=None) -> int:
             "ks": _rows(drift.ks_from_histogram(df, **kw)),
             "mwu": _rows(drift.mwu_from_histogram(df, **kw)),
             "emd": _rows(drift.emd_from_histogram(df, **kw)),
+            "js": _rows(drift.js_from_histogram(df, **kw)),
         }
     out = json.dumps(card, default=str, sort_keys=True)
     print(out)

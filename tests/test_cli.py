@@ -358,3 +358,23 @@ class TestProfileCorpusJob:
         # bootstrap CI brackets the mean per source
         for r in card["ci_n_tok"]:
             assert r["ci_lo"] <= r["mean"] <= r["ci_hi"]
+        # concentration: one row, indices in range, top_share >= 1/n
+        (conc,) = card["concentration"]
+        assert 0.0 <= conc["gini"] < 1.0
+        assert 1.0 / conc["n_groups"] <= conc["hhi"] <= 1.0
+        assert conc["top_group"] == card["baseline_source"]
+        # dedup impact: every source accounted for, rates in [0, 1]
+        assert {r["group"] for r in card["dedup_impact"]} == {
+            r["group"] for r in card["shares"]
+        }
+        for r in card["dedup_impact"]:
+            assert 0.0 <= r["redundancy_rate"] <= 1.0
+        # inspection sample: <= k rows per source, ranks start at 1
+        by_src = {}
+        for r in card["inspection"]:
+            by_src.setdefault(r["source"], []).append(r["rank"])
+        for ranks in by_src.values():
+            assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        # JS drift present with the baseline's own zero
+        js = {r["group"]: r for r in card["drift"]["js"]}
+        assert js[card["baseline_source"]]["js"] == 0.0
