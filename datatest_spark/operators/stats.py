@@ -1173,8 +1173,11 @@ def cusum_changepoints(
 
     Requires (group, order) to be unique — feed an aggregated series
     (e.g. the per-day counts volume_anomalies builds), not raw events.
-    Null values/orders are dropped; groups with n < 2 or zero variance
-    yield null cusums and never flag.
+    A duplicate (group, order) would make the ROWS-frame accumulation
+    order nondeterministic — the silent kind of wrong — so it RAISES
+    inside the one existing action instead. Null values/orders are
+    dropped; groups with n < 2 or zero variance yield null cusums and
+    never flag.
 
     Determinism: moments are exact BIGINT sums of
     floor(x·2^scale_bits) (the group_corr discipline; integer inputs at
@@ -1221,10 +1224,26 @@ def cusum_changepoints(
     wseq = Window.partitionBy("group").orderBy("t").rowsBetween(
         Window.unboundedPreceding, 0
     )
+    # duplicate-(group, t) guard: with ties, the ROWS-frame fold order
+    # is a plan artifact and the cusums silently diverge run-to-run —
+    # raise inside the existing action instead (the count window rides
+    # the same group exchange; (group, t) is a refinement key)
+    dup = F.count(F.lit(1)).over(Window.partitionBy("group", "t"))
+    guarded_value = F.when(
+        dup > 1,
+        F.raise_error(
+            F.lit(
+                "cusum_changepoints: duplicate (group, order) rows — "
+                "aggregate the series first (e.g. one row per "
+                "(group, day)); with ties the cumulative order is "
+                "nondeterministic"
+            )
+        ).cast("double"),
+    ).otherwise(F.col("value"))
     step = j.select(
         "group",
         "t",
-        "value",
+        guarded_value.alias("value"),
         "_sig",
         F.sum(d - F.lit(slack_k) * F.col("_sig")).over(wseq).alias("_sp"),
         F.sum(d + F.lit(slack_k) * F.col("_sig")).over(wseq).alias("_sn"),

@@ -1911,6 +1911,18 @@ class TestCusumChangepoints:
         assert all(not r["is_change"] for r in got)
         assert all(r["cusum_pos"] is None for r in got)
 
+    def test_duplicate_order_raises_not_silent_nondeterminism(self, spark):
+        import pytest as _pytest
+
+        from datatest_spark.operators.stats import cusum_changepoints
+
+        df = spark.createDataFrame(
+            [("g", 0, 1.0), ("g", 0, 2.0), ("g", 1, 3.0)],
+            "g string, t long, v double",
+        )
+        with _pytest.raises(Exception, match="duplicate"):
+            cusum_changepoints(df, "v", "t", "g").collect()
+
 
 class TestInspectionSample:
     def test_partitioning_invariant_and_append_stable(self, spark):
