@@ -972,6 +972,38 @@ def q_spearman_drift(spark, sf_dir):
     )
 
 
+def q_psi_equidepth(spark, sf_dir):
+    """Heavy-tail-proof PSI (operators/drift.psi_equidepth): bucket
+    boundaries are the BASELINE source's own exact deciles, so every
+    bin stays informative when a fixed-width grid would bury 95% of
+    the mass in one bin. Map-only bucket assignment (array filter in
+    codegen against ONE broadcast boundary row); PSI terms summed in
+    bucket order for bit-exact DuckDB parity."""
+    from datatest_spark.operators import drift
+
+    d = _t(spark, sf_dir, "documents")
+    return drift.psi_equidepth(d, "n_chars", "source", "src0", nbins=10).select(
+        F.col("group").alias("source"), "psi"
+    )
+
+
+def q_robust_location(spark, sf_dir):
+    """Per-source robust-location triple
+    (operators/stats.robust_location): mean vs 5%-trimmed vs winsorized
+    mean of n_chars — mean >> trimmed_mean means a handful of extreme
+    docs, all three moving together means a genuine level shift.
+    Exact per-group quantiles (percentile ≡ quantile_cont) and
+    fixed-point BIGINT sums make every mean parallelism-invariant and
+    oracle-exact."""
+    from datatest_spark.operators.stats import robust_location
+
+    d = _t(spark, sf_dir, "documents")
+    return robust_location(d, "n_chars").select(
+        F.col("group").alias("source"), "n", "lo", "hi", "mean",
+        "trimmed_mean", "winsorized_mean", "n_trimmed",
+    )
+
+
 def q_emd_drift(spark, sf_dir):
     """Binned Wasserstein-1 (earth-mover) drift per source vs src0
     baseline (operators/drift.emd_from_histogram) on n_chars: integer
@@ -2362,6 +2394,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chi2_drift": q_chi2_drift,
         "js_drift": q_js_drift,
         "spearman_drift": q_spearman_drift,
+        "psi_equidepth": q_psi_equidepth,
+        "robust_location": q_robust_location,
         "emd_drift": q_emd_drift,
         "corr_length_words": q_corr_length_words,
         "readability": q_readability,
@@ -4712,6 +4746,97 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CASE WHEN n >= 2 AND dx > 0 AND dy > 0
                               THEN num / SQRT(dx * dy) END, 6) AS rho
             FROM M
+        """,
+        "psi_equidepth": """
+            WITH X AS (
+                SELECT COALESCE(source, '__null__') AS grp,
+                       CAST(n_chars AS DOUBLE) AS v
+                FROM documents WHERE n_chars IS NOT NULL
+            ),
+            BD AS (
+                SELECT quantile_cont(v, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                         0.6, 0.7, 0.8, 0.9]) AS bnds
+                FROM X WHERE grp = 'src0'
+            ),
+            C AS (
+                SELECT grp,
+                       CAST(len(list_filter(bnds, b -> v > b)) AS INT)
+                           AS bucket,
+                       COUNT(*) AS n
+                FROM X CROSS JOIN BD GROUP BY 1, 2
+            ),
+            G AS (SELECT DISTINCT grp FROM C),
+            B AS (SELECT UNNEST(range(0, 10))::INT AS bucket),
+            D AS (
+                SELECT g.grp, b.bucket, COALESCE(c.n, 0) AS n
+                FROM G g CROSS JOIN B b
+                LEFT JOIN C c ON c.grp = g.grp AND c.bucket = b.bucket
+            ),
+            TT AS (SELECT grp, CAST(SUM(n) AS BIGINT) AS tot
+                   FROM D GROUP BY grp),
+            BASE AS (
+                SELECT d.bucket, d.n AS bn, tt.tot AS bt
+                FROM D d JOIN TT tt USING (grp) WHERE d.grp = 'src0'
+            ),
+            T AS (
+                SELECT d.grp, d.bucket,
+                       (GREATEST(CAST(d.n AS DOUBLE)
+                                 / CAST(tt.tot AS DOUBLE), 1e-9)
+                        - GREATEST(CAST(b.bn AS DOUBLE)
+                                   / CAST(b.bt AS DOUBLE), 1e-9))
+                       * LN(GREATEST(CAST(d.n AS DOUBLE)
+                                     / CAST(tt.tot AS DOUBLE), 1e-9)
+                            / GREATEST(CAST(b.bn AS DOUBLE)
+                                       / CAST(b.bt AS DOUBLE), 1e-9))
+                           AS term
+                FROM D d JOIN TT tt USING (grp)
+                JOIN BASE b USING (bucket)
+            )
+            SELECT grp AS source,
+                   ROUND(SUM(term ORDER BY bucket), 4) AS psi
+            FROM T GROUP BY 1
+        """,
+        "robust_location": """
+            WITH X AS (
+                SELECT COALESCE(source, '__null__') AS grp,
+                       CAST(n_chars AS DOUBLE) AS v
+                FROM documents WHERE n_chars IS NOT NULL
+            ),
+            Q AS (
+                SELECT grp, quantile_cont(v, 0.05) AS lo,
+                       quantile_cont(v, 0.95) AS hi
+                FROM X GROUP BY 1
+            ),
+            J AS (
+                SELECT x.grp, q.lo, q.hi,
+                       CAST(FLOOR(x.v * 1048576.0) AS BIGINT) AS vq,
+                       CAST(FLOOR(LEAST(GREATEST(x.v, q.lo), q.hi)
+                                  * 1048576.0) AS BIGINT) AS cq,
+                       CASE WHEN x.v >= q.lo AND x.v <= q.hi
+                            THEN 1 ELSE 0 END AS ins
+                FROM X x JOIN Q q USING (grp)
+            ),
+            A AS (
+                SELECT grp, COUNT(*) AS n,
+                       MAX(lo) AS lo, MAX(hi) AS hi,
+                       CAST(SUM(vq) AS BIGINT) AS sv,
+                       CAST(SUM(CASE WHEN ins = 1 THEN vq ELSE 0 END)
+                            AS BIGINT) AS st,
+                       CAST(SUM(ins) AS BIGINT) AS nt,
+                       CAST(SUM(cq) AS BIGINT) AS sw
+                FROM J GROUP BY 1
+            )
+            SELECT grp AS source, n,
+                   ROUND(lo, 6) AS lo, ROUND(hi, 6) AS hi,
+                   ROUND(CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)
+                         / 1048576.0, 6) AS mean,
+                   ROUND(CASE WHEN nt > 0 THEN
+                       CAST(st AS DOUBLE) / CAST(nt AS DOUBLE)
+                       / 1048576.0 END, 6) AS trimmed_mean,
+                   ROUND(CAST(sw AS DOUBLE) / CAST(n AS DOUBLE)
+                         / 1048576.0, 6) AS winsorized_mean,
+                   nt AS n_trimmed
+            FROM A
         """,
         "token_entropy": """
             WITH W AS (

@@ -736,3 +736,126 @@ def spearman_rank_drift(
         F.lit(None).cast("double").alias("rho"),
     ).where(F.col("n_shared") < 0)
     return out.unionByName(sentinel)
+
+
+def psi_equidepth(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    baseline_group: str,
+    nbins: int = 10,
+    exact: bool = True,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """PSI over EQUI-DEPTH buckets — boundaries are the BASELINE
+    group's own quantiles, so baseline mass is ~1/nbins per bucket by
+    construction. This is the heavy-tail-proof form of ``drift_psi``'s
+    fixed-width bucketing: a length column whose p99.9 is 100× its
+    median puts ~everything into one fixed-width bin (PSI reads ~0 no
+    matter what moves); quantile buckets keep every bin informative
+    with NO lo/hi/width tuning to maintain as the corpus grows.
+
+    Buckets: ``bucket(v) = |{b in boundaries : v > b}|`` (ties at a
+    boundary go low; duplicate boundaries from low-cardinality columns
+    collapse into fewer occupied buckets — PSI's epsilon floor keeps
+    the empties finite). ``exact=True`` computes boundaries with
+    ``F.percentile`` (≡ DuckDB quantile_cont — the oracle form);
+    ``exact=False`` uses ``percentile_approx`` (GK sketch, fixed
+    memory), the 10^12 path with the same API.
+
+    An absent baseline raises inside the one existing action (the
+    boundary array is null, and every row's bucket expression checks
+    it) rather than classifying the whole corpus into a null bucket.
+
+    Scale shape: one baseline-only aggregation producing ONE broadcast
+    row, a MAP-ONLY bucket assignment (array filter in codegen — no
+    join, no second scan shape), one (group, bucket) count aggregation,
+    then PSI arithmetic on the dense |groups| × nbins grid, summed in
+    bucket order on both engines. Returns (group, psi) including the
+    baseline itself (its psi ≈ 0 — a cheap self-test).
+    """
+    if nbins < 2:
+        raise ValueError("psi_equidepth: nbins must be >= 2")
+    x = F.col(value_col).cast("double")
+    pcts = F.array(
+        *[F.lit(i / float(nbins)) for i in range(1, nbins)]
+    )
+    if exact:
+        bexpr = F.percentile(x, pcts)
+    else:
+        bexpr = F.transform(
+            F.percentile_approx(x, pcts, F.lit(accuracy)),
+            lambda v: v.cast("double"),
+        )
+    bounds = (
+        df.where(
+            x.isNotNull()
+            & (
+                F.coalesce(F.col(group_col).cast("string"), F.lit("__null__"))
+                == baseline_group
+            )
+        ).agg(bexpr.alias("_bnds"))
+    )
+    bucket = F.when(
+        F.col("_bnds").isNull(),
+        F.raise_error(
+            F.lit(
+                "psi_equidepth: baseline_group %r has no values "
+                "(misspelled group, or all values null?)" % baseline_group
+            )
+        ).cast("int"),
+    ).otherwise(
+        F.size(F.filter(F.col("_bnds"), lambda b: x > b)).cast("int")
+    )
+    counts = (
+        df.where(x.isNotNull())
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            F.coalesce(F.col(group_col).cast("string"), F.lit("__null__"))
+            .alias("group"),
+            bucket.alias("bucket"),
+        )
+        .groupBy("group", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    spark = df.sparkSession
+    grid = (
+        counts.select("group").distinct()
+        .crossJoin(
+            spark.range(0, nbins).select(
+                F.col("id").cast("int").alias("bucket")
+            )
+        )
+    )
+    dense = grid.join(counts, ["group", "bucket"], "left").select(
+        "group", "bucket", F.coalesce(F.col("n"), F.lit(0)).alias("n")
+    )
+    totals = dense.groupBy("group").agg(F.sum("n").alias("_tot"))
+    withtot = dense.join(F.broadcast(totals), "group")
+    base = withtot.where(F.col("group") == baseline_group).select(
+        "bucket", F.col("n").alias("_bn"), F.col("_tot").alias("_bt")
+    )
+    joined = withtot.join(F.broadcast(base), "bucket", "left")
+    p = F.greatest(
+        F.col("n").cast("double") / F.col("_tot").cast("double"),
+        F.lit(_EPS),
+    )
+    q = F.greatest(
+        F.col("_bn").cast("double") / F.col("_bt").cast("double"),
+        F.lit(_EPS),
+    )
+    term = (p - q) * F.log(p / q)
+    per = joined.select(
+        "group",
+        F.struct(F.col("bucket"), term.alias("term")).alias("_bt_term"),
+    )
+    return per.groupBy("group").agg(
+        F.round(
+            F.aggregate(
+                F.array_sort(F.collect_list("_bt_term")),
+                F.lit(0.0),
+                lambda a, v: a + v["term"],
+            ),
+            4,
+        ).alias("psi")
+    )

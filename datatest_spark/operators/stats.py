@@ -1273,3 +1273,106 @@ def cusum_changepoints(
         .otherwise(F.lit(False))
         .alias("is_change"),
     )
+
+
+def robust_location(
+    df: DataFrame,
+    value_col: str,
+    group_col: str = "source",
+    trim: float = 0.05,
+    scale_bits: int = 20,
+    exact: bool = True,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Per-group trimmed and winsorized means next to the plain mean —
+    the robust-location triple a corpus monitor tracks: when
+    mean ≫ trimmed_mean the "shift" is a handful of extreme documents
+    (scraper blowups, concatenation bugs), when all three move together
+    the level genuinely shifted. mad_outliers names the extreme ROWS;
+    this is the |groups|-row summary a dashboard thresholds.
+
+    ``trim`` cuts each tail at the group's own [trim, 1−trim]
+    quantiles: the trimmed mean averages only rows strictly inside the
+    closed interval, the winsorized mean clamps every row to it.
+    ``exact=True`` uses ``F.percentile`` (≡ DuckDB quantile_cont, the
+    oracle form); ``exact=False`` switches to ``percentile_approx`` —
+    the 10^12 path, same API.
+
+    Determinism: every mean is an exact BIGINT sum of
+    floor(v·2^scale_bits) divided once (the group_corr discipline) —
+    winsorized values are clamped doubles, but floor-quantization makes
+    their sum associative too, so all three means are
+    parallelism-invariant and bit-identical to the SQL oracle.
+
+    Scale shape: one quantile aggregation + one |groups|-row broadcast
+    join + one map-side-combinable aggregation; the corpus never
+    shuffles. Groups whose values are all null are absent (nothing to
+    locate). Returns (group, n, lo, hi, mean, trimmed_mean,
+    winsorized_mean, n_trimmed).
+    """
+    if not (0.0 <= trim < 0.5):
+        raise ValueError(
+            "robust_location: trim must be in [0, 0.5), got %r" % (trim,)
+        )
+    x = F.col(value_col).cast("double")
+    s = float(1 << int(scale_bits))
+
+    def _pct(col, p):
+        if exact:
+            return F.percentile(col, F.lit(p))
+        return F.percentile_approx(col, F.lit(p), F.lit(accuracy)).cast(
+            "double"
+        )
+
+    qs = (
+        df.where(x.isNotNull())
+        .groupBy(
+            F.coalesce(F.col(group_col).cast("string"), F.lit("__null__"))
+            .alias("group")
+        )
+        .agg(
+            _pct(x, trim).alias("_lo"),
+            _pct(x, 1.0 - trim).alias("_hi"),
+        )
+    )
+    rows = df.where(x.isNotNull()).select(
+        F.coalesce(F.col(group_col).cast("string"), F.lit("__null__"))
+        .alias("group"),
+        x.alias("_v"),
+    )
+    j = rows.join(F.broadcast(qs), "group")
+    inside = (F.col("_v") >= F.col("_lo")) & (F.col("_v") <= F.col("_hi"))
+    clamp = F.least(F.greatest(F.col("_v"), F.col("_lo")), F.col("_hi"))
+    vq = F.floor(F.col("_v") * F.lit(s)).cast("long")
+    cq = F.floor(clamp * F.lit(s)).cast("long")
+    agg = j.groupBy("group").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.first("_lo").alias("_flo"),
+        F.first("_hi").alias("_fhi"),
+        F.sum(vq).alias("_sv"),
+        F.sum(F.when(inside, vq).otherwise(F.lit(0))).alias("_st"),
+        F.sum(F.when(inside, F.lit(1)).otherwise(F.lit(0))).alias("_nt"),
+        F.sum(cq).alias("_sw"),
+    )
+    nd = F.col("n").cast("double")
+    ntd = F.col("_nt").cast("double")
+    return agg.select(
+        "group",
+        "n",
+        F.round(F.col("_flo"), 6).alias("lo"),
+        F.round(F.col("_fhi"), 6).alias("hi"),
+        F.round(F.col("_sv").cast("double") / nd / F.lit(s), 6).alias(
+            "mean"
+        ),
+        F.round(
+            F.when(
+                F.col("_nt") > 0,
+                F.col("_st").cast("double") / ntd / F.lit(s),
+            ),
+            6,
+        ).alias("trimmed_mean"),
+        F.round(F.col("_sw").cast("double") / nd / F.lit(s), 6).alias(
+            "winsorized_mean"
+        ),
+        F.col("_nt").cast("long").alias("n_trimmed"),
+    )

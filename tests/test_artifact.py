@@ -135,7 +135,7 @@ def test_driver_window_holds_every_value_oracled_query_once():
         "js_drift", "spearman_drift", "source_concentration",
         "split_leakage", "prefix_boilerplate", "source_cross_entropy",
         "centroid_matrix", "dedup_impact", "inspection_sample",
-        "cusum_volume",
+        "cusum_volume", "psi_equidepth", "robust_location",
     }
     import glob
 

@@ -1847,6 +1847,94 @@ class TestCommonPrefixGroups:
             dedup.common_prefix_groups(df, k=0)
 
 
+class TestPsiEquidepth:
+    def test_baseline_self_zero_and_shift_detected(self, spark):
+        from datatest_spark.operators import drift
+
+        rows = [("base", float(v)) for v in range(1, 101)]
+        rows += [("shift", float(v) + 40.0) for v in range(1, 101)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        out = {r["group"]: r["psi"] for r in drift.psi_equidepth(
+            df, "v", "g", "base", nbins=10
+        ).collect()}
+        assert out["base"] == 0.0
+        assert out["shift"] > 0.5
+
+    def test_heavy_tail_beats_fixed_width(self, spark):
+        from datatest_spark.operators import drift
+
+        # one extreme point stretches a fixed-width grid so far that
+        # everything lands in bucket 0 and fixed-width PSI reads ~0;
+        # the equi-depth boundaries come from the baseline's own
+        # quantiles and still see the shift
+        base = [float(v) for v in range(1, 101)] + [1e6]
+        cur = [float(v) + 40.0 for v in range(1, 101)] + [1e6]
+        rows = [("base", v) for v in base] + [("cur", v) for v in cur]
+        df = spark.createDataFrame(rows, "g string, v double")
+        hist = {}
+        for r in drift.histogram(df, "v", "g", 0.0, 1e6, 10).collect():
+            hist.setdefault(r["group"], {})[r["bucket"]] = float(r["p"])
+        fixed = drift.psi(hist["cur"], hist["base"])
+        eq = {r["group"]: r["psi"] for r in drift.psi_equidepth(
+            df, "v", "g", "base", nbins=10
+        ).collect()}
+        assert fixed < 0.01        # fixed-width grid is blind here
+        assert eq["cur"] > 0.5     # equi-depth sees the shift
+
+    def test_validation_and_missing_baseline(self, spark):
+        import pytest as _pytest
+
+        from datatest_spark.operators import drift
+
+        df = spark.createDataFrame([("g", 1.0)], "g string, v double")
+        with _pytest.raises(ValueError, match="nbins"):
+            drift.psi_equidepth(df, "v", "g", "g", nbins=1)
+        with _pytest.raises(Exception, match="baseline_group"):
+            drift.psi_equidepth(df, "v", "g", "nope").collect()
+
+
+class TestRobustLocation:
+    def test_outlier_splits_mean_from_trimmed(self, spark):
+        from datatest_spark.operators.stats import robust_location
+
+        vals = [float(v) for v in range(1, 100)] + [100000.0]
+        df = spark.createDataFrame(
+            [("g", v) for v in vals], "g string, v double"
+        )
+        (r,) = robust_location(df, "v", "g", trim=0.05).collect()
+        assert r["n"] == 100
+        # the single blowup drags the mean ~1000 over the trimmed mean
+        assert r["mean"] > r["trimmed_mean"] + 900
+        # winsorized clamps the blowup to hi: between the two (equal to
+        # trimmed here — this fixture's tails are symmetric around the
+        # center, so clamping adds exactly offsetting mass)
+        assert r["trimmed_mean"] <= r["winsorized_mean"] < r["mean"]
+        # trimmed excludes both tails
+        assert r["n_trimmed"] < r["n"]
+
+    def test_trim_zero_equals_plain_mean(self, spark):
+        from datatest_spark.operators.stats import robust_location
+
+        df = spark.createDataFrame(
+            [("g", float(v)) for v in (1, 2, 3, 4)], "g string, v double"
+        )
+        (r,) = robust_location(df, "v", "g", trim=0.0).collect()
+        assert r["mean"] == r["trimmed_mean"] == r["winsorized_mean"] == 2.5
+
+    def test_validation_and_all_null_group_absent(self, spark):
+        import pytest as _pytest
+
+        from datatest_spark.operators.stats import robust_location
+
+        df = spark.createDataFrame(
+            [("g", 1.0), ("nulls", None)], "g string, v double"
+        )
+        with _pytest.raises(ValueError, match="trim"):
+            robust_location(df, "v", "g", trim=0.5)
+        got = {r["group"] for r in robust_location(df, "v", "g").collect()}
+        assert got == {"g"}
+
+
 class TestCusumChangepoints:
     @staticmethod
     def _page(values, slack_k=0.5, threshold_h=4.0):
