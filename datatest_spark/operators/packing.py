@@ -1115,6 +1115,13 @@ def inspection_sample(
     """
     if k < 1:
         raise ValueError("inspection_sample: k must be >= 1")
+    if "rank" in df.columns:
+        # withColumn would silently REPLACE the caller's column — the
+        # quiet kind of data loss; the caller renames theirs first
+        raise ValueError(
+            "inspection_sample: input already has a 'rank' column — "
+            "rename it before sampling"
+        )
     u = _uniform01(F.col(id_col), F.lit("inspect"), hash_fn, seed)
     w = Window.partitionBy(group_col).orderBy(
         u.asc(), F.col(id_col).asc()

@@ -2054,6 +2054,9 @@ class TestInspectionSample:
             inspection_sample(df, k=0)
         (r,) = inspection_sample(df, k=1).collect()
         assert r["text"] == "body" and r["rank"] == 1
+        # a pre-existing 'rank' column must not be silently replaced
+        with _pytest.raises(ValueError, match="rank"):
+            inspection_sample(df.withColumn("rank", df.doc_id), k=1)
 
     def test_window_group_limit_in_plan(self, spark, sf_dir):
         from datatest_spark.operators.packing import inspection_sample
