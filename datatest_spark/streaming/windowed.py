@@ -176,11 +176,11 @@ def stateful_freshness(
             # a silent group's timer fired: by construction it is stale
             # (no data for idle_timeout_ms) — emit the final verdict
             # BEFORE evicting, or silence would never be reported
-            max_ts, n = state.get() if state.exists else (None, 0)
+            max_ts, n = tuple(state.get) if state.exists else (None, 0)
             state.remove()
             yield verdict(max_ts, n)
             return
-        max_ts, n = state.get() if state.exists else (None, 0)
+        max_ts, n = tuple(state.get) if state.exists else (None, 0)
         for pdf in pdfs:
             # NULL event times arrive as NaN — exactly the dirty data a
             # validation engine must survive, not crash on
@@ -411,4 +411,133 @@ def drift_from_windowed(
             .otherwise("ok")
             .alias("status"),
         )
+    )
+
+
+_CUSUM_STATE_SCHEMA = "cpos double, cneg double, n long, last_t long"
+_CUSUM_OUT_SCHEMA = (
+    "source string, n_points long, cusum_pos double, cusum_neg double, "
+    "alarm boolean, known boolean"
+)
+
+
+def streaming_cusum(
+    stream: DataFrame,
+    reference: dict,
+    value_col: str = "value",
+    order_col: str = "t",
+    group_col: str = "source",
+    slack_k: float = 0.5,
+    threshold_h: float = 4.0,
+) -> DataFrame:
+    """Streaming Page CUSUM over a per-group metric series — the
+    continuous form of ``stats.cusum_changepoints``. The batch operator
+    is retrospective (μ/σ from the window itself); a stream can't see
+    its own future, so this is the PROSPECTIVE form: ``reference`` maps
+    each group to its ``(mu, sigma)`` from a clean reference period
+    (e.g. a robust_location / column_stats pass over last quarter), and
+    the stream accumulates C⁺/C⁻ against that fixed model forever —
+    exactly one tiny state row (two doubles + two longs) per group.
+
+    Within a micro-batch, rows are applied in ``order_col`` order (the
+    engine hands arbitrary arrival order); ACROSS batches the recursion
+    applies them in arrival order, so feed an in-order series (per-day
+    aggregates appended as days close — the normal shape). A batch
+    whose minimum order key precedes the last applied key is a replay /
+    out-of-order feed: the state row would be corrupted silently, so
+    the update emits ``known=False`` for that batch and skips it
+    (the loud alternative — raising — kills the whole query).
+
+    Groups absent from ``reference`` also emit ``known=False`` rows
+    (never silently dropped, never a crash). Null values are skipped.
+
+    Returns an unstarted streaming frame (source, n_points, cusum_pos,
+    cusum_neg, alarm, known) in update mode; ``alarm`` fires when
+    either side exceeds ``threshold_h·sigma``. Stream ≡ the literal
+    Page recursion is pinned in tests/test_streaming.py across a
+    two-chunk replay.
+    """
+    import math  # noqa: F401
+
+    ref = {
+        str(g): (float(m), float(s)) for g, (m, s) in reference.items()
+    }
+    if not ref:
+        raise ValueError("streaming_cusum: reference must be non-empty")
+    if any(s <= 0 for (_, s) in ref.values()):
+        raise ValueError(
+            "streaming_cusum: reference sigmas must be > 0 (a zero-"
+            "variance reference makes every point an alarm)"
+        )
+    k = float(slack_k)
+    h = float(threshold_h)
+
+    prepared = stream.select(
+        F.col(group_col).cast("string").alias("source"),
+        F.col(order_col).cast("long").alias("_t"),
+        F.col(value_col).cast("double").alias("_v"),
+    )
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        g = key[0]
+
+        def out(n, cp, cn, alarm, known):
+            return pd.DataFrame(
+                {
+                    "source": [g],
+                    "n_points": [n],
+                    "cusum_pos": [cp],
+                    "cusum_neg": [cn],
+                    "alarm": [alarm],
+                    "known": [known],
+                }
+            )
+
+        if g not in ref:
+            yield out(0, None, None, None, False)
+            return
+        mu, sig = ref[g]
+        # GroupState.get is a PROPERTY in PySpark 4 — calling it crashes
+        # on the second trigger, the first time state actually exists
+        # (pinned by the two-batch tests)
+        cp, cn, n, last_t = (
+            tuple(state.get) if state.exists else (0.0, 0.0, 0, None)
+        )
+        rows = []
+        for pdf in pdfs:
+            sub = pdf.dropna(subset=["_v"])
+            rows.extend(
+                (int(t) if not pd.isna(t) else None, float(v))
+                for t, v in zip(sub["_t"], sub["_v"])
+            )
+        rows.sort(key=lambda r: (r[0] is None, r[0]))
+        if (
+            rows
+            and last_t is not None
+            and rows[0][0] is not None
+            and rows[0][0] <= last_t
+        ):
+            # replay / out-of-order feed: applying it would corrupt the
+            # recursion silently — report, don't apply, don't crash
+            yield out(n, cp, cn, None, False)
+            return
+        for t, v in rows:
+            d = v - mu
+            cp = max(0.0, cp + d - k * sig)
+            cn = max(0.0, cn - d - k * sig)
+            n += 1
+            if t is not None:
+                last_t = t
+        state.update((cp, cn, n, last_t))
+        yield out(n, round(cp, 4), round(cn, 4),
+                  cp > h * sig or cn > h * sig, True)
+
+    return prepared.groupBy("source").applyInPandasWithState(
+        update,
+        outputStructType=_CUSUM_OUT_SCHEMA,
+        stateStructType=_CUSUM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

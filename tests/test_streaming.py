@@ -123,6 +123,45 @@ def test_stateful_freshness_applyinpandaswithstate(spark, tmp_path):
 
 
 @pytest.mark.spark
+def test_stateful_freshness_state_carries_across_triggers(spark, tmp_path):
+    """Two micro-batches for the SAME group: the second trigger reads
+    existing state (GroupState.get is a PROPERTY in PySpark 4 — calling
+    it only crashes once state exists, which a single-batch test never
+    exercises)."""
+    from pyspark.sql import functions as SF
+
+    from datatest_spark.streaming import windowed
+
+    src = str(tmp_path / "fsrc3")
+    _write_event_source(spark, src, [("web", "2024-01-01 00:00:00", 1)])
+    stream = (
+        spark.readStream.schema("source string, ts timestamp_ntz, n_tok int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    spark.createDataFrame(
+        [("web", "2024-01-10 00:00:00", 1)],
+        "source string, ts string, n_tok int",
+    ).withColumn("ts", SF.col("ts").cast("timestamp_ntz")).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+
+    as_of = 1704931200000  # 2024-01-11
+    fresh = windowed.stateful_freshness(
+        stream, lambda: as_of, max_age_ms=2 * 86400_000
+    )
+    got = windowed.run_available_now(fresh, "fresh3", str(tmp_path / "fck3"))
+    final = max(
+        (r for r in got if r["source"] == "web"),
+        key=lambda r: r["n_rows_total"],
+    )
+    # both batches accumulated; the 01-10 event makes the group fresh
+    assert final["n_rows_total"] == 2
+    assert final["max_ts_ms"] == 1704844800000
+    assert final["stale"] is False
+
+
+@pytest.mark.spark
 def test_stateful_freshness_survives_null_timestamps(spark, tmp_path):
     """Review regression: an all-NULL-ts group must report stale, not
     crash the Python worker on int(NaN)."""
@@ -482,3 +521,96 @@ def test_drift_from_windowed_flags_shifted_window(spark, tmp_path):
     drifted = [k for k in out if k[1] == "drift"]
     assert len(ok) == 1 and "00:00" in ok[0][0]
     assert len(drifted) == 1 and out[drifted[0]] > 1.0
+
+
+@pytest.mark.spark
+def test_streaming_cusum_matches_page_recursion(spark, tmp_path):
+    """Stream == literal Page recursion across a two-chunk replay, plus
+    the unknown-group contract (known=False, never dropped/crashed)."""
+    from datatest_spark.streaming import windowed
+
+    ref = {"g": (100.0, 2.0)}
+    head = [100.0, 102.0, 98.0, 101.0, 99.0, 100.0]
+    tail = [106.0, 106.0, 106.0, 106.0]
+
+    src = str(tmp_path / "cusrc")
+    # two files, written in order; maxFilesPerTrigger=1 makes each its
+    # own micro-batch so the state genuinely carries across triggers
+    spark.createDataFrame(
+        [("g", t, v) for t, v in enumerate(head)]
+        + [("ghost", 0, 1.0)],
+        "source string, t long, value double",
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema("source string, t long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    spark.createDataFrame(
+        [("g", len(head) + t, v) for t, v in enumerate(tail)],
+        "source string, t long, value double",
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    out = windowed.run_available_now(
+        windowed.streaming_cusum(stream, ref),
+        "cusum_stream", str(tmp_path / "cuck"),
+    )
+    # literal recursion over the full in-order series
+    mu, sig = ref["g"]
+    cp = cn = 0.0
+    for v in head + tail:
+        cp = max(0.0, cp + (v - mu) - 0.5 * sig)
+        cn = max(0.0, cn - (v - mu) - 0.5 * sig)
+    final = max(
+        (r for r in out if r["source"] == "g"),
+        key=lambda r: r["n_points"],
+    )
+    assert final["n_points"] == len(head) + len(tail)
+    assert final["cusum_pos"] == round(cp, 4)
+    assert final["cusum_neg"] == round(cn, 4)
+    assert final["alarm"] == (cp > 4.0 * sig or cn > 4.0 * sig)
+    assert final["known"] is True
+    # the sustained +3-sigma tail must have alarmed
+    assert final["alarm"] is True
+    ghost = [r for r in out if r["source"] == "ghost"]
+    assert ghost and all(r["known"] is False for r in ghost)
+
+
+@pytest.mark.spark
+def test_streaming_cusum_replay_reports_not_corrupts(spark, tmp_path):
+    from datatest_spark.streaming import windowed
+
+    ref = {"g": (10.0, 1.0)}
+    src = str(tmp_path / "cusrc2")
+    spark.createDataFrame(
+        [("g", 0, 10.0), ("g", 1, 11.0)],
+        "source string, t long, value double",
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema("source string, t long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    # second file REPLAYS t=1: must be reported (known=False) and not
+    # applied — the final state still reflects exactly two points
+    spark.createDataFrame(
+        [("g", 1, 99.0)], "source string, t long, value double"
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    out = windowed.run_available_now(
+        windowed.streaming_cusum(stream, ref),
+        "cusum_replay", str(tmp_path / "cuck2"),
+    )
+    rows = sorted(
+        (r for r in out if r["source"] == "g"),
+        key=lambda r: (r["known"] is False,),
+    )
+    applied = [r for r in rows if r["known"]]
+    skipped = [r for r in rows if not r["known"]]
+    assert applied and max(r["n_points"] for r in applied) == 2
+    assert skipped and all(r["n_points"] == 2 for r in skipped)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="sigmas"):
+        windowed.streaming_cusum(stream, {"g": (1.0, 0.0)})
