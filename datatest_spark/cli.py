@@ -40,9 +40,17 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["parquet", "table"],
                    help="'table' reads --input via spark.table() "
                    "(Iceberg/catalog); 'parquet' via the path reader")
-    p.add_argument("--allowed-sources", required=True,
+    p.add_argument("--allowed-sources", default=None,
                    help="comma-separated allowed source values, or "
-                   "@/path/to/file with one value per line")
+                   "@/path/to/file with one value per line (required "
+                   "unless --spec is given)")
+    p.add_argument("--spec", default=None, metavar="SPEC.json",
+                   help="build the suite from a declarative JSON spec "
+                   "file (plans/spec.py) instead of the north-star "
+                   "flags; mutually exclusive with --allowed-sources / "
+                   "--vocab-size / --max-null-rate / --n-tok-min/max "
+                   "(the spec defines all checks); --row-length-bounds "
+                   "and --fd still append extra checks")
     p.add_argument("--run-id", default=None)
     p.add_argument("--manifest-dir", default=None,
                    help="checkpoint-manifest dir; with --run-id already "
@@ -103,14 +111,21 @@ def _read_allowed(spec: str) -> list[str]:
 def main(argv=None) -> int:
     parser = build_parser()
     args = parser.parse_args(argv)
-    try:
-        allowed = _read_allowed(args.allowed_sources)
-    except OSError as e:
-        # usage error, not a data-quality failure: argparse exits 2,
-        # keeping exit 1 unambiguous for 'failed partition verdict'
-        parser.error("cannot read --allowed-sources file: %s" % e)
-    if not allowed:
-        parser.error("--allowed-sources resolved to an empty list")
+    allowed = None
+    if args.spec and args.allowed_sources:
+        parser.error("--spec and --allowed-sources are mutually exclusive "
+                     "(the spec defines its own checks)")
+    if not args.spec and not args.allowed_sources:
+        parser.error("one of --allowed-sources or --spec is required")
+    if args.allowed_sources:
+        try:
+            allowed = _read_allowed(args.allowed_sources)
+        except OSError as e:
+            # usage error, not a data-quality failure: argparse exits 2,
+            # keeping exit 1 unambiguous for 'failed partition verdict'
+            parser.error("cannot read --allowed-sources file: %s" % e)
+        if not allowed:
+            parser.error("--allowed-sources resolved to an empty list")
     extra_checks = []
     if args.row_length_bounds:
         from datatest_spark.operators.checks import LengthBoundCheck
@@ -138,6 +153,18 @@ def main(argv=None) -> int:
             except ValueError as e:
                 parser.error(str(e))
     extra_checks = extra_checks or None
+    spec_suite = None
+    if args.spec:
+        # build BEFORE the Spark session spins up: a config typo must
+        # exit 2 immediately, not after cluster resources are acquired
+        from datatest_spark.plans.spec import SpecError, suite_from_spec_file
+
+        try:
+            spec_suite = suite_from_spec_file(args.spec)
+        except (OSError, SpecError) as e:
+            parser.error("cannot build suite from --spec: %s" % e)
+        if extra_checks:
+            spec_suite.checks.extend(extra_checks)
     from pyspark.sql import SparkSession
 
     from datatest_spark.plans.suite import north_star_suite
@@ -187,7 +214,7 @@ def main(argv=None) -> int:
     else:
         df = spark.read.parquet(args.input)
 
-    suite = north_star_suite(
+    suite = spec_suite if spec_suite is not None else north_star_suite(
         allowed,
         vocab_size=args.vocab_size,
         max_null_rate=args.max_null_rate,

@@ -288,6 +288,81 @@ class TestPrepareCorpusJob:
             assert 400 <= t <= 1700, (src, t)
 
 
+SPEC_BASE = {
+    "partition_cols": ["source"],
+    "stats_columns": ["doc_id", "tokens", "n_tok", "source"],
+    "checks": [
+        {"type": "uniqueness", "column": "doc_id"},
+        {"type": "referential", "column": "source",
+         "allowed": ["web", "wiki"]},
+    ],
+}
+
+
+class TestSpecFlag:
+    def _write(self, tmp_path, spec):
+        import json as _json
+
+        p = tmp_path / "suite.json"
+        p.write_text(_json.dumps(spec))
+        return str(p)
+
+    def test_spec_pass(self, spark, token_table, tmp_path, capsys):
+        rc, s = _run(capsys, [
+            "--input", token_table, "--spec",
+            self._write(tmp_path, SPEC_BASE), "--run-id", "spec-pass",
+        ])
+        assert rc == 0 and s["status"] == "pass"
+        assert s["partitions"] == 2 and s["n_rows"] == 100
+
+    def test_spec_fail(self, spark, token_table, tmp_path, capsys):
+        spec = dict(SPEC_BASE)
+        spec["checks"] = [
+            {"type": "referential", "column": "source", "allowed": ["web"]}]
+        rc, s = _run(capsys, [
+            "--input", token_table, "--spec", self._write(tmp_path, spec),
+            "--run-id", "spec-fail",
+        ])
+        assert rc == 1 and s["status"] == "fail"
+        assert s["failed_sample"][0]["partition_key"] == "source=wiki"
+
+    def test_spec_extra_checks_append(self, spark, token_table, tmp_path,
+                                      capsys):
+        # rows all have n_tok=3; a 1,2 bound must fail via the appended
+        # row-level check even though the spec itself passes
+        rc, s = _run(capsys, [
+            "--input", token_table, "--spec",
+            self._write(tmp_path, SPEC_BASE), "--run-id", "spec-extra",
+            "--row-length-bounds", "1,2",
+        ])
+        assert rc == 1 and s["status"] == "fail"
+
+    def test_spec_and_allowed_sources_exit_2(self, token_table, tmp_path,
+                                             capsys):
+        with pytest.raises(SystemExit) as ex:
+            main(["--input", token_table, "--allowed-sources", "web",
+                  "--spec", self._write(tmp_path, SPEC_BASE)])
+        assert ex.value.code == 2
+
+    def test_neither_spec_nor_allowed_exit_2(self, token_table, capsys):
+        with pytest.raises(SystemExit) as ex:
+            main(["--input", token_table])
+        assert ex.value.code == 2
+
+    def test_bad_spec_exit_2_before_spark(self, token_table, tmp_path,
+                                          capsys):
+        spec = {"checks": [{"type": "nonsense"}]}
+        with pytest.raises(SystemExit) as ex:
+            main(["--input", token_table, "--spec",
+                  self._write(tmp_path, spec)])
+        assert ex.value.code == 2
+
+    def test_missing_spec_file_exit_2(self, token_table, capsys):
+        with pytest.raises(SystemExit) as ex:
+            main(["--input", token_table, "--spec", "/nonexistent/s.json"])
+        assert ex.value.code == 2
+
+
 class TestFdFlag:
     def test_fd_violation_fails(self, spark, tmp_path, capsys):
         # source -> n_tok is violated inside 'web' (n_tok 3 and 4)
