@@ -326,6 +326,35 @@ def q_jaccard_pairs(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(d, k=5, threshold=0.5)
 
 
+def q_minhash_error_audit(spark, sf_dir):
+    """Estimator-quality audit: 8-row MinHash agreement vs exact Jaccard
+    on the same capped shingle space (dedup.minhash_error_audit)."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.minhash_error_audit(d, num_hashes=8, min_jaccard=0.2)
+
+
+def q_heaps_fit(spark, sf_dir):
+    """Vocabulary-growth (Heaps'-law) curve + fixed-point log2 fit
+    (text.heaps_fit): 10 equal-id-range checkpoints, cumulative tokens
+    vs cumulative distinct vocabulary, beta/r2 repeated per row."""
+    d = _t(spark, sf_dir, "documents")
+    return text.heaps_fit(d, n_buckets=10)
+
+
+def q_dup_ngram_fraction(spark, sf_dir):
+    """Per-source duplicated-5-gram share (dedup.dup_ngram_fraction):
+    document-mean and pooled-instance views of how much of each source's
+    n-gram mass also occurs elsewhere in the corpus. No self-join —
+    one shingle-frequency exchange + one per-source rollup."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.dup_ngram_fraction(d, k=5).select(
+        F.col("group").alias("source"),
+        "n_docs",
+        "mean_dup_frac",
+        "pooled_dup_share",
+    )
+
+
 def q_prefix_jaccard_pairs(spark, sf_dir):
     """Lossless prefix-filtered exact Jaccard join: the oracle is the
     plain capped exact join at the same (k, threshold, df_cap) — the
@@ -2462,6 +2491,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_decontam": q_bloom_decontam,
         "weighted_sample": q_weighted_sample,
         "epoch_shuffle": q_epoch_shuffle,
+        # --- group 3b: round-5 session-6 operators (past the frozen
+        # window; overflow contract — value-oracled in the mirror sweep
+        # plus dedicated pytest pins, see tests/test_artifact.py) ---
+        "minhash_error_audit": q_minhash_error_audit,
+        "dup_ngram_fraction": q_dup_ngram_fraction,
+        "heaps_fit": q_heaps_fit,
         # --- past the driver's 50-query window from here on ---
         "length_buckets": q_length_buckets,
         "padding_audit": q_padding_audit,
@@ -3042,6 +3077,130 @@ def oracle_sql() -> dict[str, str]:
             JOIN SZ sa ON sa.doc_id = doc_a
             JOIN SZ sb ON sb.doc_id = doc_b
             WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+        """.format(cte=_SHINGLE_CTE),
+        "minhash_error_audit": """
+            WITH {cte},
+            SC AS (
+                SELECT doc_id, shingle FROM S
+                WHERE shingle IN (SELECT shingle FROM S
+                                  GROUP BY shingle HAVING COUNT(*) <= 1000)
+            ),
+            SZ AS (SELECT doc_id, COUNT(*) AS n_sh FROM SC GROUP BY doc_id),
+            INTER AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       COUNT(*) AS n_inter
+                FROM SC a
+                JOIN SC b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ),
+            P AS (
+                SELECT doc_a, doc_b,
+                       n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) AS j
+                FROM INTER
+                JOIN SZ sa ON sa.doc_id = doc_a
+                JOIN SZ sb ON sb.doc_id = doc_b
+                WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.2
+            ),
+            SIG AS (
+                SELECT doc_id,
+                       MIN(md5(shingle || '#0')) AS mh0,
+                       MIN(md5(shingle || '#1')) AS mh1,
+                       MIN(md5(shingle || '#2')) AS mh2,
+                       MIN(md5(shingle || '#3')) AS mh3,
+                       MIN(md5(shingle || '#4')) AS mh4,
+                       MIN(md5(shingle || '#5')) AS mh5,
+                       MIN(md5(shingle || '#6')) AS mh6,
+                       MIN(md5(shingle || '#7')) AS mh7
+                FROM SC GROUP BY doc_id
+            )
+            SELECT doc_a, doc_b, ROUND(j, 4) AS jaccard,
+                   ROUND(((sa.mh0 = sb.mh0)::INT + (sa.mh1 = sb.mh1)::INT
+                        + (sa.mh2 = sb.mh2)::INT + (sa.mh3 = sb.mh3)::INT
+                        + (sa.mh4 = sb.mh4)::INT + (sa.mh5 = sb.mh5)::INT
+                        + (sa.mh6 = sb.mh6)::INT + (sa.mh7 = sb.mh7)::INT
+                         ) / 8.0, 4) AS estimate,
+                   ROUND(ABS(j - ((sa.mh0 = sb.mh0)::INT
+                        + (sa.mh1 = sb.mh1)::INT + (sa.mh2 = sb.mh2)::INT
+                        + (sa.mh3 = sb.mh3)::INT + (sa.mh4 = sb.mh4)::INT
+                        + (sa.mh5 = sb.mh5)::INT + (sa.mh6 = sb.mh6)::INT
+                        + (sa.mh7 = sb.mh7)::INT) / 8.0), 4) AS abs_err
+            FROM P
+            JOIN SIG sa ON sa.doc_id = doc_a
+            JOIN SIG sb ON sb.doc_id = doc_b
+        """.format(cte=_SHINGLE_CTE),
+        "heaps_fit": """
+            WITH D AS (
+                SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            ),
+            MX AS (SELECT MAX(doc_id) AS mx FROM D),
+            B AS (
+                SELECT doc_id, w,
+                       CAST(FLOOR(doc_id * 10 / (mx + 1)) AS INT) AS bucket
+                FROM D, MX
+            ),
+            TK AS (
+                SELECT bucket, SUM(len(w)) AS n_tokens FROM B GROUP BY bucket
+            ),
+            FV AS (
+                SELECT bucket, COUNT(*) AS new_vocab FROM (
+                    SELECT wrd, MIN(bucket) AS bucket FROM (
+                        SELECT bucket, UNNEST(list_distinct(w)) AS wrd
+                        FROM B
+                    ) GROUP BY wrd
+                ) GROUP BY bucket
+            ),
+            CURVE AS (
+                SELECT tk.bucket,
+                       SUM(tk.n_tokens) OVER (ORDER BY tk.bucket)
+                           AS cum_tokens,
+                       SUM(COALESCE(fv.new_vocab, 0))
+                           OVER (ORDER BY tk.bucket) AS cum_vocab
+                FROM TK tk LEFT JOIN FV fv USING (bucket)
+            ),
+            M AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                       CAST(SUM(x) AS BIGINT) AS sx,
+                       CAST(SUM(y) AS BIGINT) AS sy,
+                       CAST(SUM(x * y) AS BIGINT) AS sxy,
+                       CAST(SUM(x * x) AS BIGINT) AS sxx,
+                       CAST(SUM(y * y) AS BIGINT) AS syy
+                FROM (
+                    SELECT CAST(FLOOR(LOG2(cum_tokens) * 1024) AS BIGINT)
+                               AS x,
+                           CAST(FLOOR(LOG2(cum_vocab) * 1024) AS BIGINT)
+                               AS y
+                    FROM CURVE
+                    WHERE cum_tokens > 0 AND cum_vocab > 0
+                )
+            )
+            SELECT bucket, cum_tokens, cum_vocab,
+                   CASE WHEN k * sxx - sx * sx > 0 THEN
+                       ROUND(CAST(k * sxy - sx * sy AS DOUBLE)
+                             / CAST(k * sxx - sx * sx AS DOUBLE), 4)
+                   END AS beta,
+                   CASE WHEN k * sxx - sx * sx > 0
+                             AND k * syy - sy * sy > 0 THEN
+                       ROUND(CAST(k * sxy - sx * sy AS DOUBLE)
+                             * CAST(k * sxy - sx * sy AS DOUBLE)
+                             / (CAST(k * sxx - sx * sx AS DOUBLE)
+                                * CAST(k * syy - sy * sy AS DOUBLE)), 4)
+                   END AS r2
+            FROM CURVE, M
+        """,
+        "dup_ngram_fraction": """
+            WITH {cte},
+            DF_ AS (SELECT shingle, COUNT(*) AS df FROM S GROUP BY shingle),
+            PD AS (
+                SELECT s.doc_id, COUNT(*) AS n_sh,
+                       SUM(CASE WHEN d.df > 1 THEN 1 ELSE 0 END) AS n_dup
+                FROM S s JOIN DF_ d USING (shingle) GROUP BY s.doc_id
+            )
+            SELECT doc.source AS source, COUNT(*) AS n_docs,
+                   ROUND(AVG(n_dup * 1.0 / n_sh), 6) AS mean_dup_frac,
+                   ROUND(SUM(n_dup) * 1.0 / SUM(n_sh), 6)
+                       AS pooled_dup_share
+            FROM PD JOIN documents doc USING (doc_id)
+            GROUP BY doc.source
         """.format(cte=_SHINGLE_CTE),
         "prefix_jaccard_pairs": """
             WITH {cte},

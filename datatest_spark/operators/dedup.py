@@ -352,6 +352,84 @@ def minhash_lsh_pairs(
     return cand.join(exact, ["doc_a", "doc_b"], "inner")
 
 
+def minhash_error_audit(
+    df: DataFrame,
+    text_col="text",
+    id_col="doc_id",
+    k_shingle: int = 5,
+    num_hashes: int = 8,
+    min_jaccard: float = 0.1,
+    df_cap: int | None = 1000,
+    cap_strategy: str = "window",
+) -> DataFrame:
+    """Estimator-quality audit: MinHash agreement vs exact Jaccard.
+
+    Validation of the validator — before trusting LSH-era dedup
+    decisions at 10^12 scale, measure how far the ``num_hashes``-row
+    signature estimate sits from the truth it approximates.  For every
+    pair whose exact Jaccard reaches ``min_jaccard``, emits
+
+        (doc_a, doc_b, jaccard, estimate, abs_err)
+
+    where ``estimate`` is the fraction of signature rows that agree
+    (the unbiased MinHash estimator, E[estimate] = jaccard, stderr
+    sqrt(j(1-j)/num_hashes)) and both sides are computed over the SAME
+    globally-capped shingle space, so the audit isolates estimator
+    variance from cap semantics.
+
+    Cost model: one shingle frame feeds both the exact intersection
+    self-join (the jaccard_pairs shape, df_cap-guarded) and the
+    signature aggregation; the signature join then touches only the
+    O(audited pairs) rows.  md5-hex minima keep signatures
+    engine-portable (exact DuckDB oracle parity, as in
+    minhash_signatures)."""
+    sh = _cap_shingles(
+        doc_shingles(df, text_col, id_col, k_shingle), df_cap, cap_strategy
+    )
+    pairs = (
+        _pair_overlap(sh)
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.col("shingle"), F.lit("#{0}".format(i))))).alias(
+            "mh{0}".format(i)
+        )
+        for i in range(num_hashes)
+    ]
+    sigs = sh.groupBy("doc_id").agg(*aggs)
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col("mh{0}".format(i)).alias("a{0}".format(i))
+          for i in range(num_hashes)]
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col("mh{0}".format(i)).alias("b{0}".format(i))
+          for i in range(num_hashes)]
+    )
+    agree = None
+    for i in range(num_hashes):
+        term = (F.col("a{0}".format(i)) == F.col("b{0}".format(i))).cast("int")
+        agree = term if agree is None else agree + term
+    est = agree.cast("double") / F.lit(float(num_hashes))
+    return (
+        pairs.join(sa, "doc_a").join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round("jaccard", 4).alias("jaccard"),
+            F.round(est, 4).alias("estimate"),
+            F.round(F.abs(F.col("jaccard") - est), 4).alias("abs_err"),
+        )
+    )
+
+
 _SIMHASH_MASKS = [(1 << i) if i < 63 else -(2**63) for i in range(64)]
 
 
@@ -1846,4 +1924,63 @@ def dedup_impact(
             ),
             6,
         ).alias("w_rate"),
+    )
+
+
+def dup_ngram_fraction(
+    df: DataFrame,
+    text_col="text",
+    id_col="doc_id",
+    group_col="source",
+    k: int = 5,
+) -> DataFrame:
+    """Per-group duplicated-n-gram share — the corpus-health number the
+    large-scale dedup literature reports (fraction of n-grams that also
+    occur elsewhere): for each document, the share of its distinct
+    k-shingles whose corpus-wide document frequency exceeds 1, rolled up
+    per group as a document mean and as a pooled shingle-instance share.
+
+    Returns (group, n_docs, mean_dup_frac, pooled_dup_share):
+    ``mean_dup_frac`` weights every document equally (a few giant
+    boilerplate docs can't mask many small clean ones);
+    ``pooled_dup_share`` = duplicated shingle instances / all shingle
+    instances (the corpus-volume view). Both 6-dp.
+
+    Cost model: no self-join anywhere — one exchange computes corpus
+    document frequency per shingle (map-side combined), a second rolls
+    docs up per group; safe at any duplication level (the fan-out that
+    forces df_cap guards on the pairwise operators never appears).
+    """
+    from pyspark.sql import Window
+
+    sh = doc_shingles(df, text_col, id_col, k)
+    w = Window.partitionBy("shingle")
+    flagged = sh.withColumn(
+        "_dup", (F.count(F.lit(1)).over(w) > 1).cast("int")
+    )
+    per_doc = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_sh"),
+        F.sum("_dup").alias("n_dup"),
+    )
+    groups = df.select(
+        F.col(id_col).alias("doc_id"), F.col(group_col).alias("group")
+    )
+    return (
+        per_doc.join(groups, "doc_id")
+        .groupBy("group")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                F.avg(
+                    F.col("n_dup").cast("double")
+                    / F.col("n_sh").cast("double")
+                ),
+                6,
+            ).alias("mean_dup_frac"),
+            F.round(
+                F.sum("n_dup").cast("double")
+                / F.sum("n_sh").cast("double"),
+                6,
+            ).alias("pooled_dup_share"),
+        )
     )

@@ -869,6 +869,105 @@ def zipf_fit(
     )
 
 
+def heaps_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 10,
+    scale_bits: int = 10,
+) -> DataFrame:
+    """Vocabulary-growth (Heaps'-law) audit: the cumulative
+    distinct-vocabulary curve over the corpus in ``id_col`` order, plus
+    a least-squares fit of log2(V) against log2(N) (Heaps: V = k·N^β,
+    natural corpora sit near β ≈ 0.4–0.6). A β collapsing toward 0
+    says the tail of the corpus adds no new vocabulary (template/dup
+    flood); β near 1 says tokenization is leaking unique garbage
+    (mojibake, IDs) — both invisible to per-document gates.
+
+    Returns one row per checkpoint bucket:
+    (bucket, cum_tokens, cum_vocab, beta, r2) with the fit repeated on
+    every row (single-frame hashable output).
+
+    Scale shape: docs land in ``n_buckets`` equal-id-range buckets via
+    one broadcast max-id scalar (no global sort, no ntile); each word's
+    first bucket is a map-side-combinable min; the cumulative window
+    and the regression run over ≤ n_buckets rows (a constant). The
+    regression uses the fixed-point log2 trick shared with
+    :func:`zipf_fit` (floor(log2·2^scale_bits) as bigint) so the fit is
+    parallelism-invariant and bit-identical to the DuckDB oracle.
+    """
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2, got %r" % (n_buckets,))
+    if scale_bits < 1 or scale_bits > 20:
+        raise ValueError("scale_bits must be in [1, 20], got %r"
+                         % (scale_bits,))
+    docs = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.col(text_col), " ").alias("_w"),
+    )
+    max_id = docs.agg(F.max("doc_id").alias("_mx"))
+    bucketed = docs.crossJoin(F.broadcast(max_id)).select(
+        "doc_id",
+        "_w",
+        F.floor(
+            F.col("doc_id") * F.lit(n_buckets) / (F.col("_mx") + F.lit(1))
+        ).cast("int").alias("bucket"),
+    )
+    toks = bucketed.groupBy("bucket").agg(
+        F.sum(F.size("_w")).alias("n_tokens")
+    )
+    first = (
+        bucketed.select(
+            "bucket", F.explode(F.array_distinct("_w")).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.min("bucket").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("new_vocab"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    curve = (
+        toks.join(first, "bucket", "left")
+        .select(
+            "bucket",
+            F.sum("n_tokens").over(w).alias("cum_tokens"),
+            F.sum(F.coalesce("new_vocab", F.lit(0))).over(w)
+            .alias("cum_vocab"),
+        )
+    )
+    s = float(1 << scale_bits)
+    x = F.floor(F.log2("cum_tokens") * F.lit(s)).cast("long")
+    y = F.floor(F.log2("cum_vocab") * F.lit(s)).cast("long")
+    fit_in = curve.filter(
+        (F.col("cum_tokens") > 0) & (F.col("cum_vocab") > 0)
+    ).select(x.alias("_x"), y.alias("_y"))
+    agg = fit_in.agg(
+        F.count(F.lit(1)).alias("_k"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        F.sum(F.col("_y") * F.col("_y")).alias("_syy"),
+    )
+    k = F.col("_k")
+    num = k * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    den = k * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    deny = k * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    num_d, den_d, deny_d = (
+        num.cast("double"), den.cast("double"), deny.cast("double")
+    )
+    fit = agg.select(
+        F.when(den > 0, F.round(num_d / den_d, 4)).alias("beta"),
+        F.when(
+            (den > 0) & (deny > 0),
+            F.round((num_d * num_d) / (den_d * deny_d), 4),
+        ).alias("r2"),
+    )
+    return curve.crossJoin(F.broadcast(fit)).select(
+        "bucket", "cum_tokens", "cum_vocab", "beta", "r2"
+    )
+
+
 def _hash_bucket(t, n_buckets: int, hash_fn: str):
     """Stable hash bucket in [0, n_buckets) for a token Column.
 

@@ -136,6 +136,9 @@ def test_driver_window_holds_every_value_oracled_query_once():
         "split_leakage", "prefix_boilerplate", "source_cross_entropy",
         "centroid_matrix", "dedup_impact", "inspection_sample",
         "cusum_volume", "psi_equidepth", "robust_location",
+        # session-6 operators: same contract (mirror-sweep value oracle
+        # + pytest pins in test_pipeline.py::TestSession6Ops)
+        "minhash_error_audit", "dup_ngram_fraction", "heaps_fit",
     }
     import glob
 

@@ -5152,3 +5152,141 @@ class TestVolumeAnomalies:
         ).collect()
         assert [r["day"] for r in out] == [7]
         assert out[0]["robust_z"] > 2.0
+
+
+class TestSession6Ops:
+    """Pins for the session-6 overflow-window operators
+    (minhash_error_audit, dup_ngram_fraction, heaps_fit): each is
+    value-oracled in the tools/check_oracles.py mirror sweep; these pins
+    lock the semantics on hand-built fixtures."""
+
+    def test_minhash_error_audit_identical_docs(self, spark):
+        # two identical docs: exact jaccard 1.0 and every signature row
+        # agrees, so the estimator must land exactly on the truth
+        t = "alpha beta gamma delta epsilon zeta eta theta"
+        df = spark.createDataFrame(
+            [(1, t), (2, t), (3, "totally different words here now ok")],
+            "doc_id long, text string",
+        )
+        rows = dedup.minhash_error_audit(df, min_jaccard=0.5).collect()
+        assert [(r["doc_a"], r["doc_b"]) for r in rows] == [(1, 2)]
+        r = rows[0]
+        assert r["jaccard"] == 1.0
+        assert r["estimate"] == 1.0
+        assert r["abs_err"] == 0.0
+
+    def test_minhash_error_audit_estimator_granularity(self, docs):
+        rows = dedup.minhash_error_audit(
+            docs, num_hashes=8, min_jaccard=0.2
+        ).collect()
+        assert rows, "sf0.001 documents contain near-dup pairs"
+        for r in rows:
+            # estimate is (#agreeing rows)/8 — an eighth-grid value
+            assert abs(r["estimate"] * 8 - round(r["estimate"] * 8)) < 1e-9
+            assert 0.2 <= r["jaccard"] <= 1.0
+            assert abs(r["abs_err"] - abs(r["jaccard"] - r["estimate"])) <= 1e-4
+        # unbiased estimator sanity: mean |err| stays inside ~2x the
+        # worst-case stderr sqrt(.25/8) = 0.177
+        mean_err = sum(r["abs_err"] for r in rows) / len(rows)
+        assert mean_err < 0.35
+
+    def test_minhash_error_audit_pairs_match_jaccard_pairs(self, docs):
+        audited = {
+            (r["doc_a"], r["doc_b"])
+            for r in dedup.minhash_error_audit(
+                docs, min_jaccard=0.5
+            ).collect()
+        }
+        exact = {
+            (r["doc_a"], r["doc_b"])
+            for r in dedup.ngram_jaccard_pairs(
+                docs, k=5, threshold=0.5
+            ).collect()
+        }
+        assert audited == exact
+
+    def test_dup_ngram_fraction_hand_fixture(self, spark):
+        # group A: two identical docs (every shingle duplicated);
+        # group B: one unique doc (nothing duplicated)
+        t = "one two three four five six seven eight nine ten"
+        df = spark.createDataFrame(
+            [
+                (1, t, "A"),
+                (2, t, "A"),
+                (3, "unique words that appear nowhere else at all ok", "B"),
+            ],
+            "doc_id long, text string, source string",
+        )
+        rows = {r["group"]: r for r in dedup.dup_ngram_fraction(df).collect()}
+        assert rows["A"]["n_docs"] == 2
+        assert rows["A"]["mean_dup_frac"] == 1.0
+        assert rows["A"]["pooled_dup_share"] == 1.0
+        assert rows["B"]["n_docs"] == 1
+        assert rows["B"]["mean_dup_frac"] == 0.0
+        assert rows["B"]["pooled_dup_share"] == 0.0
+
+    def test_dup_ngram_fraction_bounds_and_doc_weighting(self, docs):
+        rows = dedup.dup_ngram_fraction(docs, k=5).collect()
+        assert rows
+        for r in rows:
+            assert 0.0 <= r["mean_dup_frac"] <= 1.0
+            assert 0.0 <= r["pooled_dup_share"] <= 1.0
+
+    def test_heaps_fit_invariants(self, docs):
+        rows = sorted(
+            text.heaps_fit(docs, n_buckets=10).collect(),
+            key=lambda r: r["bucket"],
+        )
+        assert len(rows) == 10
+        # cumulative curves are monotone non-decreasing
+        for a, b in zip(rows, rows[1:]):
+            assert b["cum_tokens"] >= a["cum_tokens"]
+            assert b["cum_vocab"] >= a["cum_vocab"]
+        # fit columns are a single repeated value
+        assert len({r["beta"] for r in rows}) == 1
+        assert len({r["r2"] for r in rows}) == 1
+        # sf0.001 docs draw from a ~31-word vocab, so cum_vocab can be
+        # constant across buckets: r2 is then NULL by definition (zero
+        # y-variance) and beta is 0
+        if rows[0]["r2"] is not None:
+            assert 0.0 <= rows[0]["r2"] <= 1.0
+        else:
+            assert len({r["cum_vocab"] for r in rows}) == 1
+            assert rows[0]["beta"] == 0.0
+        # final checkpoint equals the corpus totals
+        total_tokens = docs.select(
+            F.sum(F.size(F.split("text", " "))).alias("n")
+        ).collect()[0]["n"]
+        total_vocab = (
+            docs.select(F.explode(F.split("text", " ")).alias("w"))
+            .select("w").distinct().count()
+        )
+        assert rows[-1]["cum_tokens"] == total_tokens
+        assert rows[-1]["cum_vocab"] == total_vocab
+
+    def test_heaps_fit_template_flood_collapses_beta(self, spark):
+        # natural-ish head then a flood of identical template docs:
+        # vocabulary stops growing, so the fitted slope sits well below
+        # the ~0.5 a growing corpus shows
+        import random
+
+        rng = random.Random(7)
+        rows = []
+        for i in range(60):
+            rows.append(
+                (i, " ".join("w%d" % rng.randrange(4000) for _ in range(40)))
+            )
+        template = " ".join("t%d" % j for j in range(40))
+        for i in range(60, 400):
+            rows.append((i, template))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        fit = text.heaps_fit(df, n_buckets=10).collect()[0]
+        grow = spark.createDataFrame(rows[:60], "doc_id long, text string")
+        fit_grow = text.heaps_fit(grow, n_buckets=10).collect()[0]
+        assert fit["beta"] < 0.2 < fit_grow["beta"]
+
+    def test_heaps_fit_validates_params(self, docs):
+        with pytest.raises(ValueError, match="n_buckets"):
+            text.heaps_fit(docs, n_buckets=1)
+        with pytest.raises(ValueError, match="scale_bits"):
+            text.heaps_fit(docs, scale_bits=0)
