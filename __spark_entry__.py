@@ -355,6 +355,42 @@ def q_dup_ngram_fraction(spark, sf_dir):
     )
 
 
+def q_fuzzy_dup_pairs(spark, sf_dir):
+    """Edit-distance near-dup pairs over 32-char keys
+    (dedup.fuzzy_dup_pairs): q-gram candidate generation is LOSSLESS at
+    these parameters (32 - 3 + 1 - 3*4 = 18 >= 1 shared grams
+    guaranteed), so the oracle is the plain all-pairs levenshtein
+    join."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.fuzzy_dup_pairs(
+        d, max_distance=4, key_chars=32, q=3, df_cap=None
+    )
+
+
+def q_quantile_shift(spark, sf_dir):
+    """Per-quantile n_chars drift of every source vs src0
+    (drift.quantile_shift): WHERE in the length distribution each
+    source departs from the baseline, not just that it does."""
+    from datatest_spark.operators import drift
+
+    d = _t(spark, sf_dir, "documents")
+    return drift.quantile_shift(
+        d, "n_chars", "source", "src0",
+        quantiles=(0.1, 0.25, 0.5, 0.75, 0.9), exact=True,
+    )
+
+
+def q_ann_recall(spark, sf_dir):
+    """Recall@3 of the md5-centroid IVF index vs exact brute force
+    (similarity.ann_recall_audit) — both search passes and the recall
+    join reproduced end-to-end by the DuckDB oracle."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return similarity.ann_recall_audit(
+        e, q, k=3, n_centroids=8, nprobe=4, centroid_hash="md5"
+    )
+
+
 def q_prefix_jaccard_pairs(spark, sf_dir):
     """Lossless prefix-filtered exact Jaccard join: the oracle is the
     plain capped exact join at the same (k, threshold, df_cap) — the
@@ -2497,6 +2533,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_error_audit": q_minhash_error_audit,
         "dup_ngram_fraction": q_dup_ngram_fraction,
         "heaps_fit": q_heaps_fit,
+        "fuzzy_dup_pairs": q_fuzzy_dup_pairs,
+        "quantile_shift": q_quantile_shift,
+        "ann_recall": q_ann_recall,
         # --- past the driver's 50-query window from here on ---
         "length_buckets": q_length_buckets,
         "padding_audit": q_padding_audit,
@@ -3202,6 +3241,136 @@ def oracle_sql() -> dict[str, str]:
             FROM PD JOIN documents doc USING (doc_id)
             GROUP BY doc.source
         """.format(cte=_SHINGLE_CTE),
+        "fuzzy_dup_pairs": """
+            -- q-gram candidate generation is LOSSLESS at these
+            -- parameters, so the truth is the plain all-pairs join
+            WITH K AS (
+                SELECT doc_id, substr(text, 1, 32) AS key FROM documents
+                WHERE text IS NOT NULL AND len(substr(text, 1, 32)) >= 3
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(len(a.key) AS INT) AS len_a,
+                   CAST(len(b.key) AS INT) AS len_b,
+                   CAST(levenshtein(a.key, b.key) AS INT) AS distance
+            FROM K a JOIN K b ON a.doc_id < b.doc_id
+            WHERE ABS(len(a.key) - len(b.key)) <= 4
+              AND levenshtein(a.key, b.key) <= 4
+        """,
+        "quantile_shift": """
+            WITH GQ AS (
+                SELECT COALESCE(CAST(source AS VARCHAR), '__null__') AS grp,
+                       quantile_cont(CAST(n_chars AS DOUBLE),
+                                     [0.1, 0.25, 0.5, 0.75, 0.9]) AS gq
+                FROM documents WHERE n_chars IS NOT NULL
+                GROUP BY 1
+            ),
+            B AS (SELECT gq AS bq FROM GQ WHERE grp = 'src0'),
+            Q AS (
+                SELECT * FROM (VALUES
+                    (1, CAST(0.1 AS DOUBLE)), (2, CAST(0.25 AS DOUBLE)),
+                    (3, CAST(0.5 AS DOUBLE)), (4, CAST(0.75 AS DOUBLE)),
+                    (5, CAST(0.9 AS DOUBLE))) AS t(i, quantile)
+            )
+            SELECT grp AS "group", quantile,
+                   ROUND(gq[i], 4) AS group_value,
+                   ROUND(bq[i], 4) AS baseline_value,
+                   ROUND(gq[i] - bq[i], 4) AS shift
+            FROM GQ CROSS JOIN B CROSS JOIN Q
+        """,
+        "ann_recall": """
+            WITH V AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            ),
+            EXCT AS (
+                SELECT query_id, neighbor_id FROM (
+                    SELECT query_id, neighbor_id,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY query_id
+                               ORDER BY cos_raw DESC, neighbor_id ASC
+                           ) AS rank
+                    FROM (
+                        SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                               list_dot_product(q.v, n.v)
+                               / (SQRT(list_sum(list_transform(q.v, x -> x * x)))
+                                * SQRT(list_sum(list_transform(n.v, x -> x * x)))) AS cos_raw
+                        FROM V q JOIN V n ON q.vec_id <> n.vec_id
+                        WHERE q.vec_id < 10
+                    )
+                ) WHERE rank <= 3
+            ),
+            ST AS (
+                SELECT vec_id, v,
+                       (16 * (strpos('0123456789abcdef',
+                                     substr(md5(CAST(vec_id AS VARCHAR)), 31, 1)) - 1)
+                          + strpos('0123456789abcdef',
+                                   substr(md5(CAST(vec_id AS VARCHAR)), 32, 1)) - 1
+                       ) % 8 AS centroid_id,
+                       md5(CAST(vec_id AS VARCHAR) || '#7') AS salt
+                FROM V
+            ),
+            CENT AS (
+                SELECT centroid_id, cv FROM (
+                    SELECT centroid_id, v AS cv,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY centroid_id ORDER BY salt, vec_id
+                           ) AS r
+                    FROM ST
+                ) WHERE r = 1
+            ),
+            ASSIGN AS (
+                SELECT id, v, centroid_id FROM (
+                    SELECT s.vec_id AS id, s.v, c.centroid_id,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY s.vec_id
+                               ORDER BY list_dot_product(s.v, c.cv)
+                                        / (SQRT(list_sum(list_transform(s.v, x -> x * x)))
+                                         * SQRT(list_sum(list_transform(c.cv, x -> x * x)))) DESC,
+                                        c.centroid_id
+                           ) AS r
+                    FROM ST s CROSS JOIN CENT c
+                ) WHERE r = 1
+            ),
+            PROBES AS (
+                SELECT query_id, qv, centroid_id FROM (
+                    SELECT q.vec_id AS query_id, q.v AS qv, c.centroid_id,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY q.vec_id
+                               ORDER BY list_dot_product(q.v, c.cv)
+                                        / (SQRT(list_sum(list_transform(q.v, x -> x * x)))
+                                         * SQRT(list_sum(list_transform(c.cv, x -> x * x)))) DESC,
+                                        c.centroid_id
+                           ) AS r
+                    FROM V q CROSS JOIN CENT c WHERE q.vec_id < 10
+                ) WHERE r <= 4
+            ),
+            APPROX AS (
+                SELECT query_id, neighbor_id FROM (
+                    SELECT query_id, neighbor_id,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY query_id
+                               ORDER BY cos_raw DESC, neighbor_id ASC
+                           ) AS rank
+                    FROM (
+                        SELECT p.query_id, a.id AS neighbor_id,
+                               list_dot_product(p.qv, a.v)
+                               / (SQRT(list_sum(list_transform(p.qv, x -> x * x)))
+                                * SQRT(list_sum(list_transform(a.v, x -> x * x)))) AS cos_raw
+                        FROM PROBES p JOIN ASSIGN a USING (centroid_id)
+                        WHERE p.query_id <> a.id
+                    )
+                ) WHERE rank <= 3
+            )
+            SELECT e.query_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_true,
+                   CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+                   ROUND(SUM(CASE WHEN a.neighbor_id IS NOT NULL
+                                  THEN 1 ELSE 0 END) * 1.0
+                         / COUNT(*), 4) AS recall
+            FROM EXCT e LEFT JOIN APPROX a
+              ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+            GROUP BY e.query_id
+        """,
         "prefix_jaccard_pairs": """
             WITH {cte},
             -- prefix filtering is LOSSLESS: the oracle is the plain

@@ -1984,3 +1984,109 @@ def dup_ngram_fraction(
             ).alias("pooled_dup_share"),
         )
     )
+
+
+def fuzzy_dup_pairs(
+    df: DataFrame,
+    text_col="text",
+    id_col="doc_id",
+    max_distance: int = 4,
+    key_chars: int = 32,
+    q: int = 3,
+    df_cap: int | None = None,
+) -> DataFrame:
+    """Edit-distance near-duplicate pairs over a fixed-length document
+    key (the first ``key_chars`` characters): the distributed form of
+    datatest's ``accepted.fuzzy`` tolerance — instead of accepting a
+    known fuzzy difference, FIND every pair of documents whose keys sit
+    within ``max_distance`` edits. Near-identical titles/preambles with
+    typo-level variation escape exact dedup and rarely clear Jaccard
+    thresholds on short keys; edit distance is the right lens there.
+
+    Returns (doc_a, doc_b, len_a, len_b, distance), doc_a < doc_b.
+
+    Candidate generation is LOSSLESS for the defaults: two strings of
+    length <= L within edit distance d share at least
+    L - q + 1 - q*d character q-grams (each edit destroys at most q
+    grams), which is >= 1 whenever key_chars - q + 1 - q*max_distance
+    >= 1 (guarded below) — so the any-shared-q-gram equi-join plus the
+    |len_a - len_b| <= d length filter misses nothing, and the exact
+    ``levenshtein`` verify runs on candidates only, never all pairs.
+    The oracle form is therefore the plain all-pairs SQL join.
+
+    ``df_cap`` (default None = lossless) drops q-grams shared by more
+    than df_cap documents before candidate generation — the production
+    recall/fan-out knob for corpora where a boilerplate gram would
+    otherwise fan out quadratically (same trade the jaccard family
+    documents); with a cap the operator is approximate (a pair whose
+    every shared gram is hot is missed).
+
+    Scale shape: one distinct-q-gram explode (bounded: <= key_chars
+    grams/doc), one shared-gram equi-join producing candidate pairs,
+    codegen ``levenshtein`` on the candidate set. Keys are
+    deliberately short (edit distance on full documents is semantically
+    meaningless and O(n^2) per pair); for full-content near-dup use the
+    jaccard/minhash family.
+    """
+    if max_distance < 0:
+        raise ValueError(
+            "max_distance must be >= 0, got %r" % (max_distance,)
+        )
+    if q < 2:
+        raise ValueError("q must be >= 2, got %r" % (q,))
+    if key_chars - q + 1 - q * max_distance < 1:
+        raise ValueError(
+            "candidate generation is only lossless when "
+            "key_chars - q + 1 - q*max_distance >= 1; got "
+            "key_chars=%d q=%d max_distance=%d (shorten the distance or "
+            "lengthen the key)" % (key_chars, q, max_distance)
+        )
+    keys = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.substring(F.col(text_col), 1, key_chars).alias("key"),
+    ).filter(F.col("key").isNotNull() & (F.length("key") >= q))
+    idx = F.sequence(F.lit(1), F.length("key") - (q - 1))
+    grams = keys.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(idx, lambda i: F.col("key").substr(i, F.lit(q)))
+            )
+        ).alias("shingle"),
+    )
+    grams = _cap_shingles(grams, df_cap, "window")
+    a = grams.alias("a")
+    b = grams.alias("b")
+    cand = (
+        a.join(b, on="shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    ka = keys.select(
+        F.col("doc_id").alias("doc_a"), F.col("key").alias("_ka")
+    )
+    kb = keys.select(
+        F.col("doc_id").alias("doc_b"), F.col("key").alias("_kb")
+    )
+    return (
+        cand.join(ka, "doc_a")
+        .join(kb, "doc_b")
+        .filter(
+            (
+                F.abs(F.length("_ka") - F.length("_kb"))
+                <= F.lit(max_distance)
+            )
+            & (F.levenshtein("_ka", "_kb") <= F.lit(max_distance))
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.length("_ka").alias("len_a"),
+            F.length("_kb").alias("len_b"),
+            F.levenshtein("_ka", "_kb").alias("distance"),
+        )
+    )

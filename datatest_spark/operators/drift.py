@@ -859,3 +859,105 @@ def psi_equidepth(
             4,
         ).alias("psi")
     )
+
+
+def quantile_shift(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    baseline_group: str,
+    quantiles=(0.1, 0.25, 0.5, 0.75, 0.9),
+    exact: bool = True,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Per-quantile drift profile: WHERE in the distribution each group
+    departs from the baseline. The scalar lenses (PSI/KS/JS/EMD) say
+    *that* a group moved; this one says *which part* moved — a p90
+    blowup with a stable median is a scraper-tail problem, a uniform
+    shift at every quantile is a genuine level change, and a p10 drop
+    alone is a truncation bug. One row per (group, quantile):
+
+        (group, quantile, group_value, baseline_value, shift)
+
+    with ``shift = group_value - baseline_value`` (4-dp). The baseline
+    group itself is included (all-zero shifts — a cheap self-test, the
+    psi_equidepth convention).
+
+    ``exact=True`` computes ``F.percentile`` (≡ DuckDB quantile_cont,
+    the oracle form — buffers per-group values); ``exact=False``
+    switches to ``percentile_approx`` (GK sketch, fixed memory), the
+    10^12 path with the same API and output shape.
+
+    An absent/misspelled baseline raises inside the single action (the
+    broadcast baseline array is null and every output row checks it)
+    rather than emitting all-null baselines.
+
+    Scale shape: ONE (|groups| × |quantiles|)-row aggregation (per-group
+    percentile arrays), a posexplode over the ≤|quantiles|-element
+    arrays, and ONE broadcast baseline row — no per-row join, no second
+    scan of the corpus.
+    """
+    qs = [float(p) for p in quantiles]
+    if not qs or any(p < 0.0 or p > 1.0 for p in qs):
+        raise ValueError(
+            "quantile_shift: quantiles must be non-empty, each in [0, 1]; "
+            "got %r" % (quantiles,)
+        )
+    if sorted(qs) != qs:
+        raise ValueError(
+            "quantile_shift: quantiles must be ascending, got %r"
+            % (quantiles,)
+        )
+    x = F.col(value_col).cast("double")
+    pcts = F.array(*[F.lit(p) for p in qs])
+    if exact:
+        qexpr = F.percentile(x, pcts)
+    else:
+        qexpr = F.transform(
+            F.percentile_approx(x, pcts, F.lit(accuracy)),
+            lambda v: v.cast("double"),
+        )
+    gq = (
+        df.where(x.isNotNull())
+        .groupBy(
+            F.coalesce(F.col(group_col).cast("string"), F.lit("__null__"))
+            .alias("group")
+        )
+        .agg(qexpr.alias("_gq"))
+    )
+    # an agg (never a filter): the frame stays one-row even when the
+    # baseline is absent, so the raise_error below actually fires
+    # instead of the crossJoin silently emitting zero rows
+    base = gq.agg(
+        F.first(
+            F.when(F.col("group") == baseline_group, F.col("_gq")),
+            ignorenulls=True,
+        ).alias("_bq")
+    )
+    qlits = F.array(*[F.lit(p) for p in qs])
+    exploded = (
+        gq.crossJoin(F.broadcast(base))
+        .select(
+            "group",
+            F.posexplode(qlits).alias("_i", "quantile"),
+            "_gq",
+            "_bq",
+        )
+    )
+    bval = F.when(
+        F.col("_bq").isNull(),
+        F.raise_error(
+            F.lit(
+                "quantile_shift: baseline_group %r has no values "
+                "(misspelled group, or all values null?)" % baseline_group
+            )
+        ).cast("double"),
+    ).otherwise(F.element_at("_bq", F.col("_i") + 1))
+    gval = F.element_at("_gq", F.col("_i") + 1)
+    return exploded.select(
+        "group",
+        "quantile",
+        F.round(gval, 4).alias("group_value"),
+        F.round(bval, 4).alias("baseline_value"),
+        F.round(gval - bval, 4).alias("shift"),
+    )

@@ -963,3 +963,59 @@ def centroid_distance_matrix(
         F.round("l2_dist", 4).alias("l2_dist"),
         F.round("cos_sim", 4).alias("cos_sim"),
     )
+
+
+def ann_recall_audit(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col="vec_id",
+    vec_col="embedding",
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    centroid_hash: str = "xxhash64",
+) -> DataFrame:
+    """Recall@k of the IVF index against exact brute force — validation
+    of the validator, the ANN twin of ``dedup.minhash_error_audit``:
+    before trusting IVF-pruned similarity decisions (dedup survivors,
+    decontamination hits) at 10^12 scale, measure how much of the TRUE
+    top-k the probe-limited search actually returns, per query.
+
+    Returns (query_id, n_true, n_hits, recall):
+    ``n_true`` = |exact top-k| (may be < k on tiny corpora),
+    ``n_hits`` = |exact top-k ∩ IVF top-k|, ``recall`` = hits/true
+    (4-dp). Aggregate recall is mean(recall) — left to the caller so
+    per-query stragglers (a query whose neighbors straddle many
+    centroid cells) stay visible instead of averaging away.
+
+    Cost model: the audit runs brute force, so it is built for a
+    SAMPLED query batch (hundreds, not the corpus) — both search passes
+    broadcast the query side and scan the corpus once each; the recall
+    join then touches only O(|queries| * k) rows. Audit on a sample,
+    deploy the IVF parameters the audit justified.
+    """
+    exact = brute_force_topk(vectors, queries, id_col, vec_col, k).select(
+        "query_id", "neighbor_id"
+    )
+    approx = ivf_topk(
+        vectors, queries, id_col, vec_col, k, n_centroids, nprobe,
+        centroid_hash,
+    ).select("query_id", "neighbor_id", F.lit(1).alias("_hit"))
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias("n_hits"),
+        )
+        .select(
+            "query_id",
+            "n_true",
+            "n_hits",
+            F.round(
+                F.col("n_hits").cast("double")
+                / F.col("n_true").cast("double"),
+                4,
+            ).alias("recall"),
+        )
+    )

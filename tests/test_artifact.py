@@ -139,6 +139,7 @@ def test_driver_window_holds_every_value_oracled_query_once():
         # session-6 operators: same contract (mirror-sweep value oracle
         # + pytest pins in test_pipeline.py::TestSession6Ops)
         "minhash_error_audit", "dup_ngram_fraction", "heaps_fit",
+        "fuzzy_dup_pairs", "quantile_shift", "ann_recall",
     }
     import glob
 

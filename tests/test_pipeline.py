@@ -5290,3 +5290,165 @@ class TestSession6Ops:
             text.heaps_fit(docs, n_buckets=1)
         with pytest.raises(ValueError, match="scale_bits"):
             text.heaps_fit(docs, scale_bits=0)
+
+
+class TestFuzzyDupPairs:
+    def test_typo_pair_found_exact_distance(self, spark):
+        a = "the quick brown fox jumps over it"  # 33 chars -> key 32
+        b = "the quick brwon fox jumps over it"  # transposition: dist 2
+        c = "completely unrelated content here"
+        df = spark.createDataFrame(
+            [(1, a), (2, b), (3, c)], "doc_id long, text string"
+        )
+        rows = dedup.fuzzy_dup_pairs(df, max_distance=4).collect()
+        assert [(r["doc_a"], r["doc_b"]) for r in rows] == [(1, 2)]
+        assert rows[0]["distance"] == 2
+
+    def test_matches_bruteforce_python_mirror(self, docs):
+        def lev(a, b):
+            if len(a) < len(b):
+                a, b = b, a
+            prev = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                cur = [i]
+                for j, cb in enumerate(b, 1):
+                    cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                                   prev[j - 1] + (ca != cb)))
+                prev = cur
+            return prev[-1]
+
+        keys = {
+            r["doc_id"]: r["key"]
+            for r in docs.select(
+                "doc_id", F.substring("text", 1, 32).alias("key")
+            ).collect()
+            if r["key"] is not None and len(r["key"]) >= 3
+        }
+        ids = sorted(keys)
+        want = set()
+        for i, x in enumerate(ids):
+            for y in ids[i + 1:]:
+                if abs(len(keys[x]) - len(keys[y])) <= 4 and \
+                        lev(keys[x], keys[y]) <= 4:
+                    want.add((x, y))
+        got = {
+            (r["doc_a"], r["doc_b"])
+            for r in dedup.fuzzy_dup_pairs(docs, max_distance=4).collect()
+        }
+        assert got == want
+
+    def test_lossless_guard_rejects_short_keys(self, spark):
+        df = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="lossless"):
+            dedup.fuzzy_dup_pairs(df, max_distance=4, key_chars=10, q=3)
+        with pytest.raises(ValueError, match="max_distance"):
+            dedup.fuzzy_dup_pairs(df, max_distance=-1)
+        with pytest.raises(ValueError, match="q must"):
+            dedup.fuzzy_dup_pairs(df, q=1)
+
+    def test_no_cartesian_product_in_plan(self, docs):
+        plan = dedup.fuzzy_dup_pairs(
+            docs, max_distance=4
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+
+
+class TestAnnRecallAudit:
+    def test_full_probe_recall_is_one(self, embs):
+        q = embs.filter(F.col("vec_id") < 10)
+        rows = similarity.ann_recall_audit(
+            embs, q, k=3, n_centroids=8, nprobe=8, centroid_hash="md5"
+        ).collect()
+        assert len(rows) == 10
+        # probing every cell makes IVF search exhaustive == brute force
+        assert all(r["recall"] == 1.0 for r in rows)
+        assert all(r["n_hits"] == r["n_true"] == 3 for r in rows)
+
+    def test_pruned_probe_bounds(self, embs):
+        q = embs.filter(F.col("vec_id") < 10)
+        rows = similarity.ann_recall_audit(
+            embs, q, k=3, n_centroids=8, nprobe=2, centroid_hash="md5"
+        ).collect()
+        assert len(rows) == 10
+        for r in rows:
+            assert 0 <= r["n_hits"] <= r["n_true"] <= 3
+            assert r["recall"] == round(r["n_hits"] / r["n_true"], 4)
+
+    def test_agrees_with_direct_set_intersection(self, embs):
+        q = embs.filter(F.col("vec_id") < 5)
+        kw = dict(k=3, n_centroids=8, nprobe=4, centroid_hash="md5")
+        exact = similarity.brute_force_topk(embs, q, k=3).collect()
+        approx = similarity.ivf_topk(embs, q, **kw).collect()
+        es, asets = {}, {}
+        for r in exact:
+            es.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        for r in approx:
+            asets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        got = {
+            r["query_id"]: r["n_hits"]
+            for r in similarity.ann_recall_audit(embs, q, **kw).collect()
+        }
+        for qid, true_set in es.items():
+            assert got[qid] == len(true_set & asets.get(qid, set()))
+
+
+class TestQuantileShift:
+    def test_hand_fixture_shifts(self, spark):
+        rows = [("base", float(v)) for v in range(1, 101)]
+        rows += [("up", float(v + 10)) for v in range(1, 101)]
+        df = spark.createDataFrame(rows, "source string, x double")
+        from datatest_spark.operators import drift
+
+        out = drift.quantile_shift(
+            df, "x", "source", "base", quantiles=(0.25, 0.5, 0.75)
+        ).collect()
+        by = {(r["group"], r["quantile"]): r for r in out}
+        # baseline rows self-test to zero shift
+        for p in (0.25, 0.5, 0.75):
+            assert by[("base", p)]["shift"] == 0.0
+        # a uniform +10 level change shifts every quantile by exactly 10
+        for p in (0.25, 0.5, 0.75):
+            assert by[("up", p)]["shift"] == 10.0
+        # interpolated median of 1..100 is 50.5
+        assert by[("base", 0.5)]["group_value"] == 50.5
+
+    def test_missing_baseline_raises(self, spark):
+        df = spark.createDataFrame(
+            [("a", 1.0), ("b", 2.0)], "source string, x double"
+        )
+        from datatest_spark.operators import drift
+
+        with pytest.raises(Exception, match="baseline_group"):
+            drift.quantile_shift(df, "x", "source", "nope").collect()
+
+    def test_exact_approx_agree_on_fixture(self, docs):
+        from datatest_spark.operators import drift
+
+        kw = dict(quantiles=(0.25, 0.5, 0.75))
+        ex = {
+            (r["group"], r["quantile"]): r["group_value"]
+            for r in drift.quantile_shift(
+                docs, "n_chars", "source", "src0", exact=True, **kw
+            ).collect()
+        }
+        ap = {
+            (r["group"], r["quantile"]): r["group_value"]
+            for r in drift.quantile_shift(
+                docs, "n_chars", "source", "src0", exact=False, **kw
+            ).collect()
+        }
+        assert set(ex) == set(ap)
+        for key, v in ex.items():
+            # GK sketch at default accuracy: within 5% relative on this
+            # fixture (lengths are O(100), sketch error is rank-based)
+            assert abs(ap[key] - v) <= max(0.05 * abs(v), 1.0)
+
+    def test_param_validation(self, spark):
+        df = spark.createDataFrame([("a", 1.0)], "source string, x double")
+        from datatest_spark.operators import drift
+
+        with pytest.raises(ValueError, match="ascending"):
+            drift.quantile_shift(df, "x", "source", "a",
+                                 quantiles=(0.5, 0.25))
+        with pytest.raises(ValueError, match="quantiles"):
+            drift.quantile_shift(df, "x", "source", "a", quantiles=(1.5,))
