@@ -391,6 +391,45 @@ def q_ann_recall(spark, sf_dir):
     )
 
 
+def q_percentile_rank(spark, sf_dir):
+    """Within-source percentile rank of n_chars
+    (stats.percentile_rank_normalize, exact CUME_DIST form — the
+    oracle variant; the map-only approx path is pytest-pinned)."""
+    from datatest_spark.operators import stats
+
+    d = _t(spark, sf_dir, "documents")
+    return stats.percentile_rank_normalize(
+        d, "n_chars", "source", "doc_id", exact=True
+    )
+
+
+def q_freq_spectrum(spark, sf_dir):
+    """Good-Turing frequency-of-frequencies spectrum per source
+    (text.freq_spectrum): distinct token types and token mass per
+    log2 count bucket — bucket edges via integer bit-length, never
+    float log."""
+    d = _t(spark, sf_dir, "documents")
+    return text.freq_spectrum(d, group_col="source").select(
+        F.col("group").alias("source"),
+        "freq_bucket",
+        "min_count",
+        "n_types",
+        "token_mass",
+    )
+
+
+def q_funnel_conversion(spark, sf_dir):
+    """Ordered view -> click -> purchase funnel over events
+    (temporal.funnel_conversion): first-touch sequential-min
+    semantics, strictly-increasing timestamps, TZ-free."""
+    from datatest_spark.operators import temporal
+
+    e = _t(spark, sf_dir, "events")
+    return temporal.funnel_conversion(
+        e, ["view", "click", "purchase"]
+    )
+
+
 def q_prefix_jaccard_pairs(spark, sf_dir):
     """Lossless prefix-filtered exact Jaccard join: the oracle is the
     plain capped exact join at the same (k, threshold, df_cap) — the
@@ -2536,6 +2575,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_dup_pairs": q_fuzzy_dup_pairs,
         "quantile_shift": q_quantile_shift,
         "ann_recall": q_ann_recall,
+        "percentile_rank": q_percentile_rank,
+        "freq_spectrum": q_freq_spectrum,
+        "funnel_conversion": q_funnel_conversion,
         # --- past the driver's 50-query window from here on ---
         "length_buckets": q_length_buckets,
         "padding_audit": q_padding_audit,
@@ -3370,6 +3412,75 @@ def oracle_sql() -> dict[str, str]:
             FROM EXCT e LEFT JOIN APPROX a
               ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
             GROUP BY e.query_id
+        """,
+        "percentile_rank": """
+            SELECT doc_id, source, n_chars,
+                   ROUND(CUME_DIST() OVER (
+                       PARTITION BY source
+                       ORDER BY CAST(n_chars AS DOUBLE)
+                   ), 6) AS pct_rank
+            FROM documents WHERE n_chars IS NOT NULL
+            UNION ALL
+            SELECT doc_id, source, n_chars, CAST(NULL AS DOUBLE)
+            FROM documents WHERE n_chars IS NULL
+        """,
+        "freq_spectrum": """
+            WITH T AS (
+                SELECT source, UNNEST(string_split(text, ' ')) AS tok
+                FROM documents
+            ),
+            C AS (
+                SELECT source, tok, COUNT(*) AS r FROM T
+                WHERE tok IS NOT NULL AND tok <> '' GROUP BY 1, 2
+            ),
+            B AS (
+                -- floor(log2(r)) as integer bit-length, same as Spark
+                SELECT source,
+                       CAST(LENGTH(bin(r)) - 1 AS INT) AS freq_bucket, r
+                FROM C
+            )
+            SELECT source, freq_bucket,
+                   CAST(1 AS BIGINT) << freq_bucket AS min_count,
+                   CAST(COUNT(*) AS BIGINT) AS n_types,
+                   CAST(SUM(r) AS BIGINT) AS token_mass
+            FROM B GROUP BY 1, 2
+        """,
+        "funnel_conversion": """
+            WITH S0 AS (
+                SELECT user_id, MIN(ts) AS t FROM events
+                WHERE event_type = 'view' GROUP BY 1
+            ),
+            S1 AS (
+                SELECT e.user_id, MIN(e.ts) AS t
+                FROM events e JOIN S0 ON e.user_id = S0.user_id
+                WHERE e.event_type = 'click' AND e.ts > S0.t GROUP BY 1
+            ),
+            S2 AS (
+                SELECT e.user_id, MIN(e.ts) AS t
+                FROM events e JOIN S1 ON e.user_id = S1.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > S1.t GROUP BY 1
+            ),
+            C AS (
+                SELECT (SELECT COUNT(*) FROM S0) AS c0,
+                       (SELECT COUNT(*) FROM S1) AS c1,
+                       (SELECT COUNT(*) FROM S2) AS c2
+            )
+            SELECT CAST(1 AS INT) AS step_idx, 'view' AS step,
+                   CAST(c0 AS BIGINT) AS n_users,
+                   ROUND(CASE WHEN c0 > 0 THEN c0 * 1.0 / c0 END, 6)
+                       AS rate_vs_first,
+                   CAST(NULL AS DOUBLE) AS rate_vs_prev
+            FROM C
+            UNION ALL
+            SELECT CAST(2 AS INT), 'click', CAST(c1 AS BIGINT),
+                   ROUND(CASE WHEN c0 > 0 THEN c1 * 1.0 / c0 END, 6),
+                   ROUND(CASE WHEN c0 > 0 THEN c1 * 1.0 / c0 END, 6)
+            FROM C
+            UNION ALL
+            SELECT CAST(3 AS INT), 'purchase', CAST(c2 AS BIGINT),
+                   ROUND(CASE WHEN c0 > 0 THEN c2 * 1.0 / c0 END, 6),
+                   ROUND(CASE WHEN c1 > 0 THEN c2 * 1.0 / c1 END, 6)
+            FROM C
         """,
         "prefix_jaccard_pairs": """
             WITH {cte},

@@ -1376,3 +1376,91 @@ def robust_location(
         ),
         F.col("_nt").cast("long").alias("n_trimmed"),
     )
+
+
+def percentile_rank_normalize(
+    df: DataFrame,
+    score_col: str,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    exact: bool = False,
+    accuracy: int = 10000,
+    nbins: int = 1000,
+) -> DataFrame:
+    """Cross-group score calibration: each row's within-group percentile
+    rank — (id, group, score, pct_rank). Raw quality scores are not
+    comparable across sources (a 0.7 from a clean-encyclopedia scorer
+    and a 0.7 from a web scorer mean different things); ranking within
+    the group puts every source on the same [0, 1] scale so ONE global
+    threshold or curriculum schedule means the same thing everywhere.
+    The continuous sibling of :func:`quality_bands` (same exact/approx
+    contract).
+
+    ``exact=True`` (the oracle form): ANSI ``CUME_DIST`` per group —
+    pct_rank = (#rows with score <= mine) / (#scored rows in group),
+    ties share a rank. Engine-portable, but the window serializes a
+    per-group sort (a dominant source pays a single-task sort at
+    10^12 — the quality_bands ceiling).
+
+    ``exact=False`` (default, the 10^12 path): per-group
+    ``approx_percentile`` boundaries at ``nbins`` evenly spaced
+    fractions — ONE map-side-combinable agg — broadcast back and
+    assigned MAP-ONLY: pct_rank ≈ (#boundaries < score) / nbins,
+    quantized to 1/nbins (1000 bins ≈ 3 decimal places of rank, ample
+    for thresholding/curricula). No per-group sort anywhere.
+
+    Null scores get a null pct_rank in BOTH variants and are excluded
+    from every denominator (an unscorable row must not silently rank
+    lowest NOR shift its group's distribution). Null groups calibrate
+    among themselves.
+    """
+    if nbins < 2:
+        raise ValueError("nbins must be >= 2, got %r" % (nbins,))
+    s = F.col(score_col).cast("double")
+    if exact:
+        from pyspark.sql import Window
+
+        scored = df.where(s.isNotNull())
+        w = Window.partitionBy(group_col).orderBy(s.asc())
+        ranked = scored.select(
+            F.col(id_col),
+            F.col(group_col),
+            F.col(score_col),
+            F.round(F.cume_dist().over(w), 6).alias("pct_rank"),
+        )
+        skipped = df.where(s.isNull()).select(
+            F.col(id_col),
+            F.col(group_col),
+            F.col(score_col),
+            F.lit(None).cast("double").alias("pct_rank"),
+        )
+        return ranked.unionByName(skipped)
+    fracs = [i / nbins for i in range(1, nbins)]
+    bounds = (
+        df.where(s.isNotNull())
+        .groupBy(group_col)
+        .agg(
+            F.percentile_approx(
+                s, F.array(*[F.lit(f) for f in fracs]), F.lit(accuracy)
+            ).alias("_pr_bounds")
+        )
+        .select(F.col(group_col).alias("_pr_grp"), "_pr_bounds")
+    )
+    rank = F.when(s.isNull(), F.lit(None).cast("double")).otherwise(
+        F.size(F.filter(F.col("_pr_bounds"), lambda b: b < s))
+        .cast("double")
+        / F.lit(float(nbins))
+    )
+    return (
+        df.join(
+            F.broadcast(bounds),
+            F.col(group_col).eqNullSafe(F.col("_pr_grp")),
+            how="left",
+        )
+        .select(
+            F.col(id_col),
+            F.col(group_col),
+            F.col(score_col),
+            F.round(rank, 6).alias("pct_rank"),
+        )
+    )

@@ -231,3 +231,118 @@ def range_join(
         *[F.col(c) for c in left.columns],
         *[F.col(c + suffix) for c in right.columns],
     )
+
+
+def funnel_conversion(
+    df: DataFrame,
+    steps,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    within_seconds: int | None = None,
+) -> DataFrame:
+    """Ordered-step funnel over an event stream: how many users
+    performed step 1, then step 2 STRICTLY AFTER their first step 1,
+    then step 3 strictly after that, ... — the sequential-conversion
+    audit (signup -> activation -> retention, view -> click ->
+    purchase) that a plain per-type count always overstates, because it
+    ignores ordering.
+
+    Semantics: a user's step-i timestamp is their EARLIEST step-i event
+    strictly later than their step-(i-1) timestamp (first-touch
+    attribution; simultaneous events do NOT chain — ``ts`` ties break
+    conservatively). ``within_seconds`` additionally requires each hop
+    to land within that many seconds of the previous step (comparisons
+    and ``timestamp_diff`` only — TZ-free on TIMESTAMP_NTZ data).
+
+    Returns one row per step:
+    (step_idx, step, n_users, rate_vs_first, rate_vs_prev) with rates
+    6-dp and null when the respective denominator is zero
+    (rate_vs_prev is additionally null for step 1).
+
+    Scale shape: one equi-join per hop on ``user_col`` (k-1 shuffle
+    joins for a k-step funnel, each output bounded by |users who
+    reached the hop|), one k-wide left-join spine, ONE 1-row count
+    aggregation, and a posexplode over a k-element array. No windows,
+    no per-user event sort, no collect.
+    """
+    steps = list(steps)
+    if len(steps) < 1:
+        raise ValueError("funnel_conversion: steps must be non-empty")
+    if len(set(steps)) != len(steps):
+        raise ValueError(
+            "funnel_conversion: steps must be distinct, got %r" % (steps,)
+        )
+    if within_seconds is not None and within_seconds <= 0:
+        raise ValueError(
+            "funnel_conversion: within_seconds must be positive, got %r"
+            % (within_seconds,)
+        )
+    u = F.col(user_col)
+    frames = []
+    prev = None
+    for i, step in enumerate(steps):
+        ev = df.where(F.col(type_col) == step).select(
+            u.alias("_u"), F.col(ts_col).alias("_ts")
+        )
+        if prev is None:
+            cur = ev.groupBy("_u").agg(F.min("_ts").alias("_t0"))
+        else:
+            cond = F.col("_ts") > F.col("_t%d" % (i - 1))
+            if within_seconds is not None:
+                cond = cond & (
+                    F.timestamp_diff(
+                        "SECOND", F.col("_t%d" % (i - 1)), F.col("_ts")
+                    )
+                    <= F.lit(int(within_seconds))
+                )
+            cur = (
+                ev.join(
+                    prev.select("_u", "_t%d" % (i - 1)), "_u"
+                )
+                .where(cond)
+                .groupBy("_u")
+                .agg(F.min("_ts").alias("_t%d" % i))
+            )
+        frames.append(cur)
+        prev = cur
+    spine = frames[0]
+    for i in range(1, len(frames)):
+        spine = spine.join(frames[i], "_u", "left")
+    # coalesce: SUM over an empty spine (nobody reached step 1) is
+    # NULL, but an empty funnel must count 0, not null
+    one = spine.agg(
+        *[
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("_t%d" % i).isNotNull(), 1).otherwise(0)
+                ),
+                F.lit(0),
+            ).cast("long").alias("_c%d" % i)
+            for i in range(len(steps))
+        ]
+    )
+    counts = F.array(*[F.col("_c%d" % i) for i in range(len(steps))])
+    names = F.array(*[F.lit(s) for s in steps])
+    exploded = one.select(
+        F.posexplode(counts).alias("_i", "n_users"),
+        counts.alias("_a"),
+        names.alias("_s"),
+    )
+    first = F.element_at("_a", 1).cast("double")
+    prevc = F.element_at(F.col("_a"), F.col("_i")).cast("double")  # 1-based: _i is prev idx
+    return exploded.select(
+        (F.col("_i") + 1).cast("int").alias("step_idx"),
+        F.element_at(F.col("_s"), F.col("_i") + 1).alias("step"),
+        F.col("n_users"),
+        F.round(
+            F.when(first > 0, F.col("n_users").cast("double") / first), 6
+        ).alias("rate_vs_first"),
+        F.round(
+            F.when(
+                (F.col("_i") > 0) & (prevc > 0),
+                F.col("n_users").cast("double") / prevc,
+            ),
+            6,
+        ).alias("rate_vs_prev"),
+    )

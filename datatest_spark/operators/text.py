@@ -1881,3 +1881,65 @@ def source_cross_entropy(
             4,
         ).alias("h_bits"),
     )
+
+
+def freq_spectrum(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str | None = None,
+    log2_buckets: bool = True,
+) -> DataFrame:
+    """Token frequency-of-frequencies spectrum (Good-Turing N_r): how
+    many distinct token TYPES occur exactly r times, and how much token
+    mass they carry. The vocabulary-health lens the smoothing
+    literature builds on: a fat singleton bucket (r=1) flags
+    OCR/mojibake/ID leakage into the vocabulary; a missing singleton
+    tail flags template floods; N_1/N (the Good-Turing estimate of
+    unseen-type mass) falls straight out of the output.
+
+    Returns one row per (group,) freq bucket:
+    (group?, freq_bucket, min_count, n_types, token_mass) where
+    ``freq_bucket = floor(log2(r))`` when ``log2_buckets`` (raw r is
+    unbounded — log buckets keep the output frame constant-sized),
+    ``min_count = 2^bucket`` (the bucket's lower edge), ``n_types`` =
+    distinct tokens whose corpus (or group) count lands in the bucket,
+    ``token_mass`` = their summed occurrences.
+
+    Scale shape: two map-side-combinable aggregations — (group?, token)
+    counts, then the spectrum rollup over the |vocab|-row frame — and
+    nothing else; no windows, no joins, no explode beyond the token
+    split itself. Null texts/tokens contribute nothing.
+    """
+    toks = df.select(
+        *([F.col(group_col).alias("group")] if group_col else []),
+        F.explode(F.split(F.col(text_col), " ")).alias("_tok"),
+    ).where(F.col("_tok").isNotNull() & (F.col("_tok") != ""))
+    gcols = ["group"] if group_col else []
+    counts = toks.groupBy(*gcols, "_tok").agg(
+        F.count(F.lit(1)).alias("_r")
+    )
+    if log2_buckets:
+        # floor(log2(r)) for integer r >= 1 as bit-length - 1 — pure
+        # integer math, so exact powers of two can never straddle a
+        # bucket edge on float-log rounding (engines disagree there)
+        bucket = (F.length(F.bin(F.col("_r"))) - 1).cast("int")
+        # F.shiftleft only takes a literal shift — SQL form takes a column
+        min_count = F.expr("shiftleft(CAST(1 AS BIGINT), freq_bucket)")
+    else:
+        bucket = F.col("_r").cast("int")
+        min_count = F.col("freq_bucket").cast("long")
+    return (
+        counts.select(*gcols, bucket.alias("freq_bucket"), "_r")
+        .groupBy(*gcols, "freq_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum("_r").alias("token_mass"),
+        )
+        .select(
+            *gcols,
+            "freq_bucket",
+            min_count.alias("min_count"),
+            "n_types",
+            "token_mass",
+        )
+    )

@@ -140,6 +140,7 @@ def test_driver_window_holds_every_value_oracled_query_once():
         # + pytest pins in test_pipeline.py::TestSession6Ops)
         "minhash_error_audit", "dup_ngram_fraction", "heaps_fit",
         "fuzzy_dup_pairs", "quantile_shift", "ann_recall",
+        "percentile_rank", "freq_spectrum", "funnel_conversion",
     }
     import glob
 

@@ -5452,3 +5452,197 @@ class TestQuantileShift:
                                  quantiles=(0.5, 0.25))
         with pytest.raises(ValueError, match="quantiles"):
             drift.quantile_shift(df, "x", "source", "a", quantiles=(1.5,))
+
+
+class TestPercentileRankNormalize:
+    def test_exact_hand_fixture(self, spark):
+        from datatest_spark.operators import stats
+
+        df = spark.createDataFrame(
+            [(1, "a", 10.0), (2, "a", 20.0), (3, "a", 20.0), (4, "a", 40.0),
+             (5, "b", 5.0), (6, "b", None)],
+            "doc_id long, source string, score double",
+        )
+        rows = {
+            r["doc_id"]: r["pct_rank"]
+            for r in stats.percentile_rank_normalize(
+                df, "score", "source", exact=True
+            ).collect()
+        }
+        # CUME_DIST: ties share (#rows <= mine)/group size
+        assert rows[1] == 0.25
+        assert rows[2] == rows[3] == 0.75
+        assert rows[4] == 1.0
+        # singleton non-null group ranks 1.0; null score -> null rank,
+        # excluded from b's denominator
+        assert rows[5] == 1.0
+        assert rows[6] is None
+
+    def test_approx_tracks_exact(self, docs):
+        from datatest_spark.operators import stats
+
+        ex = {
+            r["doc_id"]: r["pct_rank"]
+            for r in stats.percentile_rank_normalize(
+                docs, "n_chars", "source", exact=True
+            ).collect()
+        }
+        ap = {
+            r["doc_id"]: r["pct_rank"]
+            for r in stats.percentile_rank_normalize(
+                docs, "n_chars", "source", exact=False, nbins=1000
+            ).collect()
+        }
+        assert set(ex) == set(ap)
+        sizes = {
+            r["source"]: r["n"]
+            for r in docs.groupBy("source").agg(
+                F.count(F.lit(1)).alias("n")
+            ).collect()
+        }
+        srcs = {r["doc_id"]: r["source"] for r in
+                docs.select("doc_id", "source").collect()}
+        for k, v in ex.items():
+            # approx counts strict boundaries (exact counts ties <=) and
+            # the GK sketch interpolates ranks — both effects are a few
+            # RANKS, so the tolerance scales as ranks/group_size (the
+            # approx path is built for groups of 10^8, not 25)
+            assert abs(ap[k] - v) <= 4.0 / sizes[srcs[k]] + 1e-9
+
+    def test_monotone_within_group(self, docs):
+        from datatest_spark.operators import stats
+
+        rows = stats.percentile_rank_normalize(
+            docs, "n_chars", "source", exact=False
+        ).collect()
+        by_src = {}
+        for r in rows:
+            by_src.setdefault(r["source"], []).append(
+                (r["n_chars"], r["pct_rank"])
+            )
+        for vals in by_src.values():
+            vals.sort()
+            for (s1, p1), (s2, p2) in zip(vals, vals[1:]):
+                if s1 < s2:
+                    assert p1 <= p2
+
+    def test_nbins_validation(self, spark):
+        from datatest_spark.operators import stats
+
+        df = spark.createDataFrame([(1, "a", 1.0)],
+                                   "doc_id long, source string, score double")
+        with pytest.raises(ValueError, match="nbins"):
+            stats.percentile_rank_normalize(df, "score", "source", nbins=1)
+
+
+class TestFreqSpectrum:
+    def test_hand_fixture_buckets(self, spark):
+        # corpus: 'a' x8 (bucket 3), 'b' x3 (bucket 1), 'c' x1, 'd' x1
+        # (bucket 0)
+        df = spark.createDataFrame(
+            [(1, "a a a a b c"), (2, "a a a a b b d")],
+            "doc_id long, text string",
+        )
+        rows = {r["freq_bucket"]: r for r in text.freq_spectrum(df).collect()}
+        assert rows[0]["n_types"] == 2 and rows[0]["token_mass"] == 2
+        assert rows[0]["min_count"] == 1
+        assert rows[1]["n_types"] == 1 and rows[1]["token_mass"] == 3
+        assert rows[1]["min_count"] == 2
+        assert rows[3]["n_types"] == 1 and rows[3]["token_mass"] == 8
+        assert rows[3]["min_count"] == 8
+        assert set(rows) == {0, 1, 3}
+
+    def test_mass_partition_and_power_of_two_edges(self, docs):
+        rows = text.freq_spectrum(docs).collect()
+        total_mass = sum(r["token_mass"] for r in rows)
+        expect = docs.select(
+            F.sum(F.size(F.filter(F.split("text", " "),
+                                  lambda t: t != ""))).alias("n")
+        ).collect()[0]["n"]
+        assert total_mass == expect
+        for r in rows:
+            assert r["min_count"] == 2 ** r["freq_bucket"]
+            # every bucket's mass is within [n_types*2^b, n_types*(2^(b+1)-1)]
+            assert r["n_types"] * r["min_count"] <= r["token_mass"]
+            assert r["token_mass"] <= r["n_types"] * (2 * r["min_count"] - 1)
+
+    def test_raw_counts_mode(self, spark):
+        df = spark.createDataFrame([(1, "x x y")], "doc_id long, text string")
+        rows = {
+            r["freq_bucket"]: r
+            for r in text.freq_spectrum(df, log2_buckets=False).collect()
+        }
+        assert rows[1]["n_types"] == 1 and rows[1]["min_count"] == 1
+        assert rows[2]["n_types"] == 1 and rows[2]["min_count"] == 2
+
+
+class TestFunnelConversion:
+    def _ev(self, spark, rows):
+        return spark.createDataFrame(
+            [(i, u, t, s) for i, (u, t, s) in enumerate(rows)],
+            "event_id long, user_id long, event_type string, ts string",
+        ).select(
+            "event_id", "user_id", "event_type",
+            F.col("ts").cast("timestamp_ntz").alias("ts"),
+        )
+
+    def test_sequential_order_enforced(self, spark):
+        from datatest_spark.operators import temporal
+
+        ev = self._ev(spark, [
+            # user 1 converts in order
+            (1, "view", "2026-01-01 10:00:00"),
+            (1, "click", "2026-01-01 10:05:00"),
+            (1, "purchase", "2026-01-01 10:10:00"),
+            # user 2 clicked BEFORE viewing: click must not count
+            (2, "click", "2026-01-01 09:00:00"),
+            (2, "view", "2026-01-01 10:00:00"),
+            # user 3 view only
+            (3, "view", "2026-01-01 08:00:00"),
+            # user 4 simultaneous view+click: strict > breaks the chain
+            (4, "view", "2026-01-01 07:00:00"),
+            (4, "click", "2026-01-01 07:00:00"),
+        ])
+        out = {r["step"]: r for r in temporal.funnel_conversion(
+            ev, ["view", "click", "purchase"]).collect()}
+        assert out["view"]["n_users"] == 4
+        assert out["click"]["n_users"] == 1
+        assert out["purchase"]["n_users"] == 1
+        assert out["view"]["rate_vs_first"] == 1.0
+        assert out["view"]["rate_vs_prev"] is None
+        assert out["click"]["rate_vs_first"] == 0.25
+        assert out["purchase"]["rate_vs_prev"] == 1.0
+
+    def test_within_seconds_window(self, spark):
+        from datatest_spark.operators import temporal
+
+        ev = self._ev(spark, [
+            (1, "view", "2026-01-01 10:00:00"),
+            (1, "click", "2026-01-01 10:00:30"),   # inside 60s
+            (2, "view", "2026-01-01 10:00:00"),
+            (2, "click", "2026-01-01 10:02:00"),   # outside 60s
+        ])
+        out = {r["step"]: r["n_users"] for r in temporal.funnel_conversion(
+            ev, ["view", "click"], within_seconds=60).collect()}
+        assert out == {"view": 2, "click": 1}
+
+    def test_empty_first_step_null_rates(self, spark):
+        from datatest_spark.operators import temporal
+
+        ev = self._ev(spark, [(1, "click", "2026-01-01 10:00:00")])
+        out = temporal.funnel_conversion(ev, ["view", "click"]).collect()
+        by = {r["step"]: r for r in out}
+        assert by["view"]["n_users"] == 0
+        assert by["view"]["rate_vs_first"] is None
+        assert by["click"]["rate_vs_prev"] is None
+
+    def test_param_validation(self, spark):
+        from datatest_spark.operators import temporal
+
+        ev = self._ev(spark, [(1, "view", "2026-01-01 10:00:00")])
+        with pytest.raises(ValueError, match="non-empty"):
+            temporal.funnel_conversion(ev, [])
+        with pytest.raises(ValueError, match="distinct"):
+            temporal.funnel_conversion(ev, ["a", "a"])
+        with pytest.raises(ValueError, match="within_seconds"):
+            temporal.funnel_conversion(ev, ["a", "b"], within_seconds=0)
