@@ -634,3 +634,75 @@ class TestSession5Plans:
         plan = _plan(t.source_cross_entropy(toks, "toks", "source"))
         assert "CartesianProduct" not in plan, plan
         assert "partial_count" in plan, plan
+
+
+class TestSession6Plans:
+    def test_freq_spectrum_two_aggs_no_joins(self, docs):
+        """Two map-side-combinable aggregations ((group, token) counts,
+        then the spectrum rollup) and nothing else — no join, no
+        window, no explode beyond the token split."""
+        from datatest_spark.operators import text as t
+
+        plan = _plan(t.freq_spectrum(docs, group_col="source"))
+        assert _exchanges(plan) == 2, plan
+        assert "partial_count" in plan, plan
+        assert "Join" not in plan, plan
+        assert "Window" not in plan, plan
+
+    def test_percentile_rank_approx_is_broadcast_map_only(self, docs):
+        """The 10^12 path: ONE boundary aggregation + ONE broadcast
+        join back; per-row assignment is an array filter in codegen —
+        no per-group sort window, no sort-merge join."""
+        from datatest_spark.operators import stats
+
+        plan = _plan(
+            stats.percentile_rank_normalize(
+                docs, "n_chars", "source", exact=False
+            )
+        )
+        assert "SortMergeJoin" not in plan, plan
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+        assert "Window" not in plan, plan
+
+    def test_quantile_shift_broadcast_baseline_no_smj(self, docs):
+        """ONE per-group percentile aggregation; the baseline rides a
+        broadcast one-row frame — never a shuffle join."""
+        from datatest_spark.operators import drift
+
+        plan = _plan(
+            drift.quantile_shift(docs, "n_chars", "source", "src0")
+        )
+        assert "SortMergeJoin" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
+
+    def test_funnel_no_cartesian_all_equi_joins(self, spark, sf_dir):
+        """Every hop is an equi-join on user_id; the k-element explode
+        runs on a one-row frame."""
+        from datatest_spark.operators import temporal
+
+        ev = spark.read.parquet(sf_dir + "/events.parquet")
+        plan = _plan(
+            temporal.funnel_conversion(ev, ["view", "click", "purchase"])
+        )
+        assert "CartesianProduct" not in plan, plan
+
+    def test_minhash_error_audit_no_cartesian(self, docs):
+        """Exact pairs come from the shared-shingle equi-join; the
+        signature join touches only audited pairs — no all-pairs shape
+        anywhere."""
+        from datatest_spark.operators import dedup
+
+        plan = _plan(dedup.minhash_error_audit(docs, min_jaccard=0.5))
+        assert "CartesianProduct" not in plan, plan
+
+    def test_heaps_fit_no_global_sort_on_corpus(self, docs):
+        """Bucketing uses a broadcast max-id scalar (no ntile/orderBy
+        over the corpus); the only windows run on the <= n_buckets-row
+        curve."""
+        from datatest_spark.operators import text as t
+
+        plan = _plan(t.heaps_fit(docs, n_buckets=10))
+        assert "CartesianProduct" not in plan or "BroadcastNestedLoopJoin" in plan, plan
+        # no corpus-wide Sort before an aggregation: every Sort in the
+        # plan belongs to a window over the bucket curve (<= 10 rows)
+        assert "ntile" not in plan.lower(), plan
