@@ -430,6 +430,23 @@ def q_funnel_conversion(spark, sf_dir):
     )
 
 
+def q_event_cadence(spark, sf_dir):
+    """Per-user inter-arrival cadence (temporal.inter_event_cadence):
+    integer-second gaps, DECIMAL(38,0) fixed-point moments so the
+    4-dp stats are bit-identical across engines and partitionings."""
+    from datatest_spark.operators import temporal
+
+    e = _t(spark, sf_dir, "events")
+    return temporal.inter_event_cadence(e).select(
+        F.col("user").alias("user_id"),
+        "n_intervals",
+        "mean_gap_s",
+        "std_gap_s",
+        "cv",
+        "zero_gap_frac",
+    )
+
+
 def q_prefix_jaccard_pairs(spark, sf_dir):
     """Lossless prefix-filtered exact Jaccard join: the oracle is the
     plain capped exact join at the same (k, threshold, df_cap) — the
@@ -2578,6 +2595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentile_rank": q_percentile_rank,
         "freq_spectrum": q_freq_spectrum,
         "funnel_conversion": q_funnel_conversion,
+        "event_cadence": q_event_cadence,
         # --- past the driver's 50-query window from here on ---
         "length_buckets": q_length_buckets,
         "padding_audit": q_padding_audit,
@@ -3481,6 +3499,50 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CASE WHEN c0 > 0 THEN c2 * 1.0 / c0 END, 6),
                    ROUND(CASE WHEN c1 > 0 THEN c2 * 1.0 / c1 END, 6)
             FROM C
+        """,
+        "event_cadence": """
+            WITH O AS (
+                SELECT user_id, ts,
+                       LAG(ts) OVER (
+                           PARTITION BY user_id ORDER BY ts
+                       ) AS pts
+                FROM events WHERE ts IS NOT NULL
+            ),
+            G AS (
+                -- microseconds: the unit where elapsed time and
+                -- boundary-crossing counts coincide on both engines
+                SELECT user_id, date_diff('microsecond', pts, ts) AS gap
+                FROM O WHERE pts IS NOT NULL
+            ),
+            A AS (
+                SELECT user_id,
+                       CAST(COUNT(*) AS BIGINT) AS n_intervals,
+                       CAST(SUM(gap) AS HUGEINT) AS s,
+                       CAST(SUM(CAST(gap AS HUGEINT) * gap) AS HUGEINT)
+                           AS ss,
+                       SUM(CASE WHEN gap = 0 THEN 1 ELSE 0 END) AS z
+                FROM G GROUP BY 1
+            )
+            SELECT user_id, n_intervals,
+                   ROUND(CAST(s AS DOUBLE) / CAST(n_intervals AS DOUBLE)
+                         / 1000000.0, 4) AS mean_gap_s,
+                   CASE WHEN n_intervals >= 2 THEN
+                       ROUND(SQRT(CAST(n_intervals * ss - s * s AS DOUBLE)
+                             / (CAST(n_intervals AS DOUBLE)
+                                * (CAST(n_intervals AS DOUBLE) - 1.0)))
+                             / 1000000.0, 4)
+                   END AS std_gap_s,
+                   CASE WHEN n_intervals >= 2
+                             AND CAST(s AS DOUBLE)
+                                 / CAST(n_intervals AS DOUBLE) > 0 THEN
+                       ROUND(SQRT(CAST(n_intervals * ss - s * s AS DOUBLE)
+                             / (CAST(n_intervals AS DOUBLE)
+                                * (CAST(n_intervals AS DOUBLE) - 1.0)))
+                             / (CAST(s AS DOUBLE)
+                                / CAST(n_intervals AS DOUBLE)), 4)
+                   END AS cv,
+                   ROUND(z * 1.0 / n_intervals, 4) AS zero_gap_frac
+            FROM A WHERE n_intervals >= 2
         """,
         "prefix_jaccard_pairs": """
             WITH {cte},

@@ -346,3 +346,85 @@ def funnel_conversion(
             6,
         ).alias("rate_vs_prev"),
     )
+
+
+def inter_event_cadence(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    min_intervals: int = 2,
+) -> DataFrame:
+    """Per-user inter-arrival cadence — the bot/burst forensic: humans
+    produce bursty, high-variance gaps between events; scripted traffic
+    produces metronome-regular ones (cv -> 0) or duplicate-timestamp
+    floods (zero_gap_frac -> 1). Returns one row per user with at least
+    ``min_intervals`` gaps:
+
+        (user, n_intervals, mean_gap_s, std_gap_s, cv, zero_gap_frac)
+
+    where gaps are integer MICROSECONDS between CONSECUTIVE events (ts
+    order; equal timestamps contribute zero gaps — the gap multiset,
+    and hence every statistic, is independent of tie order), reported
+    in seconds; ``std_gap_s`` is the sample standard deviation, ``cv``
+    = std/mean (null when the mean is 0 — an all-burst user has no
+    scale), all 4-dp.
+
+    Engine-exactness: gaps are measured in microseconds because that
+    is where elapsed time and boundary-crossing counts coincide
+    (DuckDB's date_diff counts boundary crossings; at coarser units
+    the two definitions diverge on sub-second timestamps). Moments are
+    exact integer sums — n, sum(gap), sum(gap^2) in DECIMAL(38,0) so
+    no float accumulation order can flicker the result across
+    partitionings or engines (and a century of microseconds squared
+    can't silently overflow a BIGINT); variance = (n*ss - s^2) /
+    (n*(n-1)) is ONE double division of exact integers, sqrt is
+    correctly rounded IEEE on both engines, and the second conversions
+    divide AFTER, in the same order the oracle does.
+
+    Scale shape: one per-user window (lag over ts — per-user sort,
+    bounded by a user's own history, spillable) + one
+    map-side-combinable aggregation. TZ-free: ``timestamp_diff`` on
+    TIMESTAMP_NTZ values only.
+    """
+    if min_intervals < 1:
+        raise ValueError(
+            "min_intervals must be >= 1, got %r" % (min_intervals,)
+        )
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc())
+    gaps = (
+        df.where(F.col(ts_col).isNotNull())
+        .select(
+            F.col(user_col).alias("user"),
+            F.timestamp_diff(
+                "MICROSECOND", F.lag(ts_col).over(w), F.col(ts_col)
+            ).alias("_gap"),
+        )
+        .where(F.col("_gap").isNotNull())
+    )
+    g = F.col("_gap").cast("decimal(38,0)")
+    agg = gaps.groupBy("user").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum(g).alias("_s"),
+        F.sum(g * g).alias("_ss"),
+        F.sum(F.when(F.col("_gap") == 0, 1).otherwise(0)).alias("_z"),
+    ).where(F.col("n_intervals") >= min_intervals)
+    n = F.col("n_intervals").cast("double")
+    mean_us = F.col("_s").cast("double") / n
+    var_us2 = F.when(
+        F.col("n_intervals") >= 2,
+        (F.col("n_intervals").cast("decimal(38,0)") * F.col("_ss")
+         - F.col("_s") * F.col("_s")).cast("double")
+        / (n * (n - F.lit(1.0))),
+    )
+    std_us = F.sqrt(var_us2)
+    usec = F.lit(1000000.0)
+    return agg.select(
+        "user",
+        "n_intervals",
+        F.round(mean_us / usec, 4).alias("mean_gap_s"),
+        F.round(std_us / usec, 4).alias("std_gap_s"),
+        F.round(F.when(mean_us > 0, std_us / mean_us), 4).alias("cv"),
+        F.round(
+            F.col("_z").cast("double") / n, 4
+        ).alias("zero_gap_frac"),
+    )

@@ -141,6 +141,7 @@ def test_driver_window_holds_every_value_oracled_query_once():
         "minhash_error_audit", "dup_ngram_fraction", "heaps_fit",
         "fuzzy_dup_pairs", "quantile_shift", "ann_recall",
         "percentile_rank", "freq_spectrum", "funnel_conversion",
+        "event_cadence",
     }
     import glob
 

@@ -5646,3 +5646,88 @@ class TestFunnelConversion:
             temporal.funnel_conversion(ev, ["a", "a"])
         with pytest.raises(ValueError, match="within_seconds"):
             temporal.funnel_conversion(ev, ["a", "b"], within_seconds=0)
+
+
+class TestInterEventCadence:
+    def _ev(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "user_id long, ts string"
+        ).select(
+            "user_id", F.col("ts").cast("timestamp_ntz").alias("ts")
+        )
+
+    def test_metronome_bot_vs_bursty_human(self, spark):
+        from datatest_spark.operators import temporal
+
+        rows = []
+        # user 1: a metronome — exactly 60s apart
+        for i in range(10):
+            rows.append((1, "2026-01-01 10:%02d:00" % i))
+        # user 2: bursty — gaps 1s, 1s, 3600s, 2s
+        for t in ("10:00:00", "10:00:01", "10:00:02", "11:00:02",
+                  "11:00:04"):
+            rows.append((2, "2026-01-01 " + t))
+        # user 3: duplicate-timestamp flood
+        for _ in range(5):
+            rows.append((3, "2026-01-01 10:00:00"))
+        out = {r["user"]: r for r in temporal.inter_event_cadence(
+            self._ev(spark, rows)).collect()}
+        assert out[1]["mean_gap_s"] == 60.0
+        assert out[1]["std_gap_s"] == 0.0
+        assert out[1]["cv"] == 0.0
+        assert out[1]["zero_gap_frac"] == 0.0
+        assert out[2]["cv"] > 1.0
+        assert out[2]["n_intervals"] == 4
+        assert out[3]["mean_gap_s"] == 0.0
+        assert out[3]["cv"] is None  # zero mean has no scale
+        assert out[3]["zero_gap_frac"] == 1.0
+
+    def test_python_moment_mirror(self, spark):
+        import math
+
+        from datatest_spark.operators import temporal
+
+        gaps = [7, 11, 2, 40, 19]  # seconds
+        rows, t = [], 0
+        for g in [0] + gaps:
+            t += g
+            rows.append((1, "2026-01-01 10:%02d:%02d" % (t // 60, t % 60)))
+        out = temporal.inter_event_cadence(self._ev(spark, rows)).collect()[0]
+        n, s = len(gaps), sum(gaps)
+        ss = sum(g * g for g in gaps)
+        mean = s / n
+        std = math.sqrt((n * ss - s * s) / (n * (n - 1)))
+        assert out["mean_gap_s"] == round(mean, 4)
+        assert out["std_gap_s"] == round(std, 4)
+        assert out["cv"] == round(std / mean, 4)
+
+    def test_min_intervals_filter_and_validation(self, spark):
+        from datatest_spark.operators import temporal
+
+        ev = self._ev(spark, [
+            (1, "2026-01-01 10:00:00"), (1, "2026-01-01 10:01:00"),
+            (2, "2026-01-01 10:00:00"),
+        ])
+        # user 1 has one interval, user 2 none: default min_intervals=2
+        # drops both
+        assert temporal.inter_event_cadence(ev).count() == 0
+        got = temporal.inter_event_cadence(ev, min_intervals=1).collect()
+        assert [(r["user"], r["n_intervals"]) for r in got] == [(1, 1)]
+        assert got[0]["std_gap_s"] is None  # undefined at n=1
+        with pytest.raises(ValueError, match="min_intervals"):
+            temporal.inter_event_cadence(ev, min_intervals=0)
+
+    def test_subsecond_gaps_measured_in_microseconds(self, spark):
+        from datatest_spark.operators import temporal
+
+        ev = self._ev(spark, [
+            (1, "2026-01-01 10:00:00.900000"),
+            (1, "2026-01-01 10:00:01.100000"),   # 0.2s elapsed
+            (1, "2026-01-01 10:00:01.300000"),   # 0.2s elapsed
+        ])
+        out = temporal.inter_event_cadence(ev).collect()[0]
+        # a second-boundary-crossing definition would call the first
+        # gap 1s and the second 0s; elapsed microseconds say 0.2 both
+        assert out["mean_gap_s"] == 0.2
+        assert out["std_gap_s"] == 0.0
+        assert out["zero_gap_frac"] == 0.0
