@@ -3302,11 +3302,12 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY doc.source
         """.format(cte=_SHINGLE_CTE),
         "fuzzy_dup_pairs": """
-            -- q-gram candidate generation is LOSSLESS at these
-            -- parameters, so the truth is the plain all-pairs join
+            -- q-gram candidate generation is LOSSLESS on the operator's
+            -- documented domain (keys of length >= q + q*d = 15), so
+            -- the truth is the plain all-pairs join over that domain
             WITH K AS (
                 SELECT doc_id, substr(text, 1, 32) AS key FROM documents
-                WHERE text IS NOT NULL AND len(substr(text, 1, 32)) >= 3
+                WHERE text IS NOT NULL AND len(substr(text, 1, 32)) >= 15
             )
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                    CAST(len(a.key) AS INT) AS len_a,

@@ -2005,14 +2005,18 @@ def fuzzy_dup_pairs(
 
     Returns (doc_a, doc_b, len_a, len_b, distance), doc_a < doc_b.
 
-    Candidate generation is LOSSLESS for the defaults: two strings of
-    length <= L within edit distance d share at least
-    L - q + 1 - q*d character q-grams (each edit destroys at most q
-    grams), which is >= 1 whenever key_chars - q + 1 - q*max_distance
-    >= 1 (guarded below) — so the any-shared-q-gram equi-join plus the
-    |len_a - len_b| <= d length filter misses nothing, and the exact
-    ``levenshtein`` verify runs on candidates only, never all pairs.
-    The oracle form is therefore the plain all-pairs SQL join.
+    Domain: keys of length >= q + q*max_distance (15 for the
+    defaults). Two strings within edit distance d share at least
+    max(len) - q + 1 - q*d character q-grams (each edit destroys at
+    most q grams), so ON THIS DOMAIN candidate generation is LOSSLESS:
+    the any-shared-q-gram equi-join plus the |len_a - len_b| <= d
+    length filter misses nothing, and the exact ``levenshtein`` verify
+    runs on candidates only, never all pairs. Shorter keys are
+    EXCLUDED BY CONTRACT (the bound genuinely fails there — 'abc' and
+    'axbxc' are 2 edits apart yet share no 3-gram; tiny keys are
+    exact-dedup territory, the same exclusion common_prefix_groups
+    makes for <k-token docs). The oracle form is therefore the plain
+    all-pairs SQL join over the same length domain.
 
     ``df_cap`` (default None = lossless) drops q-grams shared by more
     than df_cap documents before candidate generation — the production
@@ -2034,17 +2038,18 @@ def fuzzy_dup_pairs(
         )
     if q < 2:
         raise ValueError("q must be >= 2, got %r" % (q,))
-    if key_chars - q + 1 - q * max_distance < 1:
+    min_len = q + q * max_distance
+    if key_chars < min_len:
         raise ValueError(
-            "candidate generation is only lossless when "
-            "key_chars - q + 1 - q*max_distance >= 1; got "
-            "key_chars=%d q=%d max_distance=%d (shorten the distance or "
-            "lengthen the key)" % (key_chars, q, max_distance)
+            "candidate generation is only lossless for keys of length "
+            ">= q + q*max_distance = %d, but key_chars=%d truncates "
+            "everything below it (shorten the distance or lengthen the "
+            "key)" % (min_len, key_chars)
         )
     keys = df.select(
         F.col(id_col).alias("doc_id"),
         F.substring(F.col(text_col), 1, key_chars).alias("key"),
-    ).filter(F.col("key").isNotNull() & (F.length("key") >= q))
+    ).filter(F.col("key").isNotNull() & (F.length("key") >= min_len))
     idx = F.sequence(F.lit(1), F.length("key") - (q - 1))
     grams = keys.select(
         "doc_id",
@@ -2076,17 +2081,18 @@ def fuzzy_dup_pairs(
         cand.join(ka, "doc_a")
         .join(kb, "doc_b")
         .filter(
-            (
-                F.abs(F.length("_ka") - F.length("_kb"))
-                <= F.lit(max_distance)
-            )
-            & (F.levenshtein("_ka", "_kb") <= F.lit(max_distance))
+            F.abs(F.length("_ka") - F.length("_kb"))
+            <= F.lit(max_distance)
         )
+        # one withColumn so the O(key_chars^2) DP runs ONCE per
+        # candidate, not once in the filter and again in the projection
+        .withColumn("distance", F.levenshtein("_ka", "_kb"))
+        .filter(F.col("distance") <= F.lit(max_distance))
         .select(
             "doc_a",
             "doc_b",
             F.length("_ka").alias("len_a"),
             F.length("_kb").alias("len_b"),
-            F.levenshtein("_ka", "_kb").alias("distance"),
+            "distance",
         )
     )

@@ -264,7 +264,10 @@ def funnel_conversion(
     joins for a k-step funnel, each output bounded by |users who
     reached the hop|), one k-wide left-join spine, ONE 1-row count
     aggregation, and a posexplode over a k-element array. No windows,
-    no per-user event sort, no collect.
+    no per-user event sort, no collect. Each hop frame is persisted
+    (|users|-bounded): frame i is referenced both by frame i+1 and by
+    the spine, and without the cache the chained lineage would re-scan
+    the event table O(k^2) times.
     """
     steps = list(steps)
     if len(steps) < 1:
@@ -304,6 +307,7 @@ def funnel_conversion(
                 .groupBy("_u")
                 .agg(F.min("_ts").alias("_t%d" % i))
             )
+        cur = cur.persist()
         frames.append(cur)
         prev = cur
     spine = frames[0]

@@ -836,22 +836,34 @@ def zipf_fit(
     ranked = vocab_topk(df, tokens_col, group_col, k=max_rank)
     x = F.floor(F.log2("rank") * F.lit(s)).cast("long")
     y = F.floor(F.log2("n") * F.lit(s)).cast("long")
-    agg = ranked.select(
-        "group", x.alias("_x"), y.alias("_y")
-    ).groupBy("group").agg(
-        F.count(F.lit(1)).alias("vocab_k"),
+    xy = ranked.select("group", x.alias("_x"), y.alias("_y"))
+    return _fixed_point_log2_fit(xy, ["group"], "vocab_k", "slope")
+
+
+def _fixed_point_log2_fit(
+    xy: DataFrame, group_cols, count_alias: str, slope_alias: str
+) -> DataFrame:
+    """Shared fixed-point log2 least-squares core (zipf_fit, heaps_fit
+    — ONE definition so an exactness/overflow fix to one fit can never
+    silently miss the other). ``xy`` holds ``group_cols`` plus bigint
+    fixed-point columns ``_x``/``_y``; callers own the overflow guard
+    for their magnitudes. Returns group_cols + count + slope + r2.
+
+    Scale cancels: numerator and denominator both carry
+    2^(2*scale_bits). The moment sums stay EXACT bigints (k*Σxy can
+    exceed 2^53, where double arithmetic would diverge from the
+    oracle's exact integers); only the final ratios cast to double —
+    both engines round the same integer to the same IEEE double, so
+    the result stays bit-identical."""
+    agg = xy.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias(count_alias),
         F.sum("_x").alias("_sx"),
         F.sum("_y").alias("_sy"),
         F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
         F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
         F.sum(F.col("_y") * F.col("_y")).alias("_syy"),
     )
-    # scale cancels: numerator and denominator both carry 2^(2*scale_bits).
-    # The moment sums stay EXACT bigints (k*Σxy can exceed 2^53, where
-    # double arithmetic would diverge from the oracle's exact integers);
-    # only the final ratios cast to double — both engines round the same
-    # integer to the same IEEE double, so the result stays bit-identical
-    k = F.col("vocab_k")
+    k = F.col(count_alias)
     num = k * F.col("_sxy") - F.col("_sx") * F.col("_sy")
     den = k * F.col("_sxx") - F.col("_sx") * F.col("_sx")
     deny = k * F.col("_syy") - F.col("_sy") * F.col("_sy")
@@ -859,9 +871,9 @@ def zipf_fit(
         num.cast("double"), den.cast("double"), deny.cast("double")
     )
     return agg.select(
-        "group",
-        "vocab_k",
-        F.when(den > 0, F.round(num_d / den_d, 4)).alias("slope"),
+        *group_cols,
+        count_alias,
+        F.when(den > 0, F.round(num_d / den_d, 4)).alias(slope_alias),
         F.when(
             (den > 0) & (deny > 0),
             F.round((num_d * num_d) / (den_d * deny_d), 4),
@@ -901,6 +913,22 @@ def heaps_fit(
     if scale_bits < 1 or scale_bits > 20:
         raise ValueError("scale_bits must be in [1, 20], got %r"
                          % (scale_bits,))
+    # exactness guard (the zipf_fit discipline): every regression moment
+    # must stay inside bigint under worst-case magnitudes — x and y are
+    # bounded by log2(2^63)*2^sb = 63*2^sb, k by n_buckets, so the
+    # binding terms k*Σxx / k*Σyy / Σx*Σy are all <= n² * 63² * 4^sb.
+    # Past the bound Spark's non-ANSI arithmetic WRAPS silently and the
+    # fit becomes garbage with no error.
+    if (
+        float(n_buckets) ** 2 * 63.0 * 63.0 * float(4 ** scale_bits)
+        >= float(2 ** 63)
+    ):
+        raise ValueError(
+            "n_buckets=%r at scale_bits=%r overflows the fixed-point "
+            "regression moments (keep n_buckets^2 * 63^2 * 4^bits "
+            "< 2^63 — use fewer checkpoints or fewer scale bits)"
+            % (n_buckets, scale_bits)
+        )
     docs = df.select(
         F.col(id_col).alias("doc_id"),
         F.split(F.col(text_col), " ").alias("_w"),
@@ -941,27 +969,8 @@ def heaps_fit(
     fit_in = curve.filter(
         (F.col("cum_tokens") > 0) & (F.col("cum_vocab") > 0)
     ).select(x.alias("_x"), y.alias("_y"))
-    agg = fit_in.agg(
-        F.count(F.lit(1)).alias("_k"),
-        F.sum("_x").alias("_sx"),
-        F.sum("_y").alias("_sy"),
-        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
-        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
-        F.sum(F.col("_y") * F.col("_y")).alias("_syy"),
-    )
-    k = F.col("_k")
-    num = k * F.col("_sxy") - F.col("_sx") * F.col("_sy")
-    den = k * F.col("_sxx") - F.col("_sx") * F.col("_sx")
-    deny = k * F.col("_syy") - F.col("_sy") * F.col("_sy")
-    num_d, den_d, deny_d = (
-        num.cast("double"), den.cast("double"), deny.cast("double")
-    )
-    fit = agg.select(
-        F.when(den > 0, F.round(num_d / den_d, 4)).alias("beta"),
-        F.when(
-            (den > 0) & (deny > 0),
-            F.round((num_d * num_d) / (den_d * deny_d), 4),
-        ).alias("r2"),
+    fit = _fixed_point_log2_fit(fit_in, [], "_k_fit", "beta").select(
+        "beta", "r2"
     )
     return curve.crossJoin(F.broadcast(fit)).select(
         "bucket", "cum_tokens", "cum_vocab", "beta", "r2"

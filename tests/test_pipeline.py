@@ -5290,6 +5290,10 @@ class TestSession6Ops:
             text.heaps_fit(docs, n_buckets=1)
         with pytest.raises(ValueError, match="scale_bits"):
             text.heaps_fit(docs, scale_bits=0)
+        # fixed-point moments must stay inside bigint: many checkpoints
+        # at high scale_bits would silently WRAP in non-ANSI Spark
+        with pytest.raises(ValueError, match="overflows"):
+            text.heaps_fit(docs, n_buckets=1000, scale_bits=20)
 
 
 class TestFuzzyDupPairs:
@@ -5322,7 +5326,7 @@ class TestFuzzyDupPairs:
             for r in docs.select(
                 "doc_id", F.substring("text", 1, 32).alias("key")
             ).collect()
-            if r["key"] is not None and len(r["key"]) >= 3
+            if r["key"] is not None and len(r["key"]) >= 15
         }
         ids = sorted(keys)
         want = set()
@@ -5345,6 +5349,20 @@ class TestFuzzyDupPairs:
             dedup.fuzzy_dup_pairs(df, max_distance=-1)
         with pytest.raises(ValueError, match="q must"):
             dedup.fuzzy_dup_pairs(df, q=1)
+
+    def test_short_keys_excluded_by_domain_contract(self, spark):
+        # 'abc' vs 'axbxc' are 2 edits apart yet share NO 3-gram — the
+        # lossless bound genuinely fails below len q+q*d, so such keys
+        # are excluded (not silently half-matched) on BOTH engines
+        df = spark.createDataFrame(
+            [(1, "abc"), (2, "axbxc"),
+             (3, "a long enough key to qualify xx"),
+             (4, "a long enough key to qualify yy")],
+            "doc_id long, text string",
+        )
+        rows = dedup.fuzzy_dup_pairs(df, max_distance=4).collect()
+        assert [(r["doc_a"], r["doc_b"]) for r in rows] == [(3, 4)]
+        assert rows[0]["distance"] == 2
 
     def test_no_cartesian_product_in_plan(self, docs):
         plan = dedup.fuzzy_dup_pairs(
