@@ -447,6 +447,34 @@ def q_event_cadence(spark, sf_dir):
     )
 
 
+def q_jaccard_sweep(spark, sf_dir):
+    """Dedup-aggressiveness curve (dedup.jaccard_threshold_sweep):
+    cumulative near-dup pair + touched-document counts per candidate
+    threshold, priced from ONE shared-shingle overlap pass."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.jaccard_threshold_sweep(
+        d, k=5, thresholds=(0.3, 0.5, 0.7, 0.9), df_cap=1000
+    )
+
+
+def q_chain_collapse(spark, sf_dir):
+    """Near-dup graph transitivity (dedup.chain_collapse_audit): the
+    cluster-collapse risk metric for connected-components dedup —
+    fraction of wedges A-B-C whose closing edge A-C is also a
+    near-dup pair."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.chain_collapse_audit(d, k=5, threshold=0.5, df_cap=1000)
+
+
+def q_hubness(spark, sf_dir):
+    """k-NN in-degree profile (similarity.hubness_audit): hub/antihub
+    skew of the embedding space, the silent failure mode of semantic
+    dedup and ANN at high dimension; every corpus point gets a row,
+    in_degree 0 = antihub."""
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.hubness_audit(e, k=10)
+
+
 def q_prefix_jaccard_pairs(spark, sf_dir):
     """Lossless prefix-filtered exact Jaccard join: the oracle is the
     plain capped exact join at the same (k, threshold, df_cap) — the
@@ -2596,6 +2624,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "freq_spectrum": q_freq_spectrum,
         "funnel_conversion": q_funnel_conversion,
         "event_cadence": q_event_cadence,
+        # --- group 3c: round-5 session-7 operators (same overflow
+        # contract: mirror-sweep value oracle + pytest pins in
+        # test_pipeline.py::TestSession7Ops) ---
+        "jaccard_sweep": q_jaccard_sweep,
+        "chain_collapse": q_chain_collapse,
+        "hubness": q_hubness,
         # --- past the driver's 50-query window from here on ---
         "length_buckets": q_length_buckets,
         "padding_audit": q_padding_audit,
@@ -3544,6 +3578,134 @@ def oracle_sql() -> dict[str, str]:
                    END AS cv,
                    ROUND(z * 1.0 / n_intervals, 4) AS zero_gap_frac
             FROM A WHERE n_intervals >= 2
+        """,
+        "jaccard_sweep": """
+            WITH {cte},
+            SC AS (
+                SELECT doc_id, shingle FROM S
+                WHERE shingle IN (SELECT shingle FROM S
+                                  GROUP BY shingle HAVING COUNT(*) <= 1000)
+            ),
+            SZ AS (SELECT doc_id, COUNT(*) AS n_sh FROM SC GROUP BY doc_id),
+            INTER AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       COUNT(*) AS n_inter
+                FROM SC a
+                JOIN SC b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ),
+            P AS (
+                SELECT doc_a, doc_b,
+                       n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) AS j
+                FROM INTER
+                JOIN SZ sa ON sa.doc_id = doc_a
+                JOIN SZ sb ON sb.doc_id = doc_b
+                WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.3
+            ),
+            T AS (SELECT UNNEST([0.3, 0.5, 0.7, 0.9]::DOUBLE[])
+                      AS threshold),
+            SW AS (
+                SELECT t.threshold, p.doc_a, p.doc_b
+                FROM T t JOIN P p ON p.j >= t.threshold
+            ),
+            PC AS (SELECT threshold, COUNT(*) AS n_pairs
+                   FROM SW GROUP BY 1),
+            DC AS (
+                SELECT threshold, COUNT(DISTINCT doc_id) AS n_docs FROM (
+                    SELECT threshold, doc_a AS doc_id FROM SW
+                    UNION ALL
+                    SELECT threshold, doc_b FROM SW
+                ) GROUP BY 1
+            )
+            SELECT t.threshold,
+                   CAST(COALESCE(pc.n_pairs, 0) AS BIGINT) AS n_pairs,
+                   CAST(COALESCE(dc.n_docs, 0) AS BIGINT) AS n_docs
+            FROM T t
+            LEFT JOIN PC pc ON pc.threshold = t.threshold
+            LEFT JOIN DC dc ON dc.threshold = t.threshold
+        """.format(cte=_SHINGLE_CTE),
+        "chain_collapse": """
+            WITH {cte},
+            SC AS (
+                SELECT doc_id, shingle FROM S
+                WHERE shingle IN (SELECT shingle FROM S
+                                  GROUP BY shingle HAVING COUNT(*) <= 1000)
+            ),
+            SZ AS (SELECT doc_id, COUNT(*) AS n_sh FROM SC GROUP BY doc_id),
+            INTER AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       COUNT(*) AS n_inter
+                FROM SC a
+                JOIN SC b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ),
+            E AS (
+                SELECT doc_a, doc_b
+                FROM INTER
+                JOIN SZ sa ON sa.doc_id = doc_a
+                JOIN SZ sb ON sb.doc_id = doc_b
+                WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+            ),
+            SYM AS (
+                SELECT doc_a AS src, doc_b AS dst FROM E
+                UNION ALL
+                SELECT doc_b, doc_a FROM E
+            ),
+            WG AS (
+                SELECT x.src AS a, y.dst AS c
+                FROM SYM x JOIN SYM y
+                  ON x.dst = y.src AND x.src < y.dst
+            ),
+            CL AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n_wedges,
+                       CAST(COALESCE(SUM(
+                           CASE WHEN e.doc_a IS NOT NULL THEN 1 ELSE 0 END
+                       ), 0) AS BIGINT) AS n_closed
+                FROM WG w
+                LEFT JOIN E e ON e.doc_a = w.a AND e.doc_b = w.c
+            )
+            SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM E) AS n_edges,
+                   n_wedges, n_closed,
+                   ROUND(CASE WHEN n_wedges > 0
+                              THEN n_closed * 1.0 / n_wedges END, 4)
+                       AS transitivity
+            FROM CL
+        """.format(cte=_SHINGLE_CTE),
+        "hubness": """
+            WITH V AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings
+            ),
+            SCORED AS (
+                SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                       list_dot_product(q.v, n.v)
+                       / (SQRT(list_sum(list_transform(q.v, x -> x * x)))
+                        * SQRT(list_sum(list_transform(n.v, x -> x * x))))
+                           AS cos_raw
+                FROM V q JOIN V n ON q.vec_id <> n.vec_id
+            ),
+            TK AS (
+                SELECT query_id, neighbor_id FROM (
+                    SELECT query_id, neighbor_id,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY query_id
+                               ORDER BY cos_raw DESC, neighbor_id ASC
+                           ) AS r
+                    FROM SCORED
+                ) WHERE r <= 10
+            ),
+            DEG AS (
+                SELECT neighbor_id AS vec_id, COUNT(*) AS d
+                FROM TK GROUP BY 1
+            ),
+            NQ AS (SELECT COUNT(DISTINCT query_id) AS nq FROM TK)
+            SELECT e.vec_id,
+                   CAST(COALESCE(deg.d, 0) AS BIGINT) AS in_degree,
+                   ROUND(COALESCE(deg.d, 0) * 1.0
+                         / GREATEST(nq - 1, 1), 4) AS in_share
+            FROM embeddings e
+            LEFT JOIN DEG deg ON deg.vec_id = e.vec_id
+            CROSS JOIN NQ
         """,
         "prefix_jaccard_pairs": """
             WITH {cte},

@@ -2096,3 +2096,176 @@ def fuzzy_dup_pairs(
             "distance",
         )
     )
+
+
+def jaccard_threshold_sweep(
+    df: DataFrame,
+    text_col="text",
+    id_col="doc_id",
+    k: int = 5,
+    thresholds=(0.5, 0.6, 0.7, 0.8, 0.9),
+    df_cap: int | None = 1000,
+    cap_strategy: str = "window",
+) -> DataFrame:
+    """Dedup-aggressiveness curve: how many near-dup pairs (and how many
+    documents) each candidate Jaccard threshold would touch — priced
+    from ONE overlap pass instead of re-running the pair join per
+    threshold.
+
+    Choosing the dedup threshold is the highest-leverage knob in corpus
+    cleaning (0.9 removes mirror copies; 0.5 starts eating templated
+    originals), and the honest way to choose is to look at the whole
+    curve, not one point. Returns one row per threshold:
+    (threshold, n_pairs, n_docs) where ``n_pairs`` counts pairs with
+    jaccard >= threshold and ``n_docs`` counts distinct documents
+    appearing in at least one such pair — both cumulative, so the curve
+    is monotonically non-increasing in threshold; a cliff between two
+    rows is where a boilerplate family sits. Thresholds with zero pairs
+    still get a row (0, 0).
+
+    Cost model: the shared-shingle overlap join (`_pair_overlap`, same
+    df_cap guard as ngram_jaccard_pairs) runs ONCE at min(thresholds);
+    the sweep itself is a |pairs| x |thresholds| explode over the
+    scored pair frame — pairs are rare in a real corpus, so the sweep
+    adds two tiny aggregations to a join the single-threshold operator
+    already pays for.
+    """
+    ts = sorted(set(float(t) for t in thresholds))
+    if not ts:
+        raise ValueError("thresholds must be non-empty")
+    if ts[0] <= 0.0:
+        raise ValueError(
+            "thresholds must be > 0 (a 0 threshold means the all-pairs "
+            "frame: every pair sharing one shingle)"
+        )
+    sh = _cap_shingles(doc_shingles(df, text_col, id_col, k), df_cap,
+                       cap_strategy)
+    pairs = (
+        _pair_overlap(sh)
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast(
+                    "double"
+                )
+            ).alias("j"),
+        )
+        .filter(F.col("j") >= ts[0])
+    )
+    t_frame = df.sparkSession.createDataFrame(
+        [(t,) for t in ts], "threshold double"
+    )
+    # pairs x thresholds: cumulative counts per threshold in one agg
+    swept = pairs.crossJoin(F.broadcast(t_frame)).filter(
+        F.col("j") >= F.col("threshold")
+    )
+    pair_counts = swept.groupBy("threshold").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+    docs = swept.select(
+        "threshold", F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+    )
+    doc_counts = docs.groupBy("threshold").agg(
+        F.count_distinct(F.col("doc_id")).alias("n_docs")
+    )
+    return (
+        t_frame.join(pair_counts, "threshold", "left")
+        .join(doc_counts, "threshold", "left")
+        .select(
+            "threshold",
+            F.coalesce(F.col("n_pairs"), F.lit(0)).cast("long").alias(
+                "n_pairs"
+            ),
+            F.coalesce(F.col("n_docs"), F.lit(0)).cast("long").alias(
+                "n_docs"
+            ),
+        )
+    )
+
+
+def chain_collapse_audit(
+    df: DataFrame,
+    text_col="text",
+    id_col="doc_id",
+    k: int = 5,
+    threshold: float = 0.5,
+    df_cap: int | None = 1000,
+    cap_strategy: str = "window",
+) -> DataFrame:
+    """Transitivity of the near-dup pair graph — the cluster-collapse
+    risk metric for connected-components dedup.
+
+    CC-based dedup (`near_dup_clusters`, `drop_near_duplicates`) keeps
+    one representative per CONNECTED component, but jaccard >= t is not
+    transitive: A~B and B~C do not imply A~C, so a chain of pairwise
+    near-dups can merge documents that are nothing alike ("chaining").
+    The standard diagnostic is the pair graph's global transitivity:
+    of all wedges (paths A-B-C through a shared neighbor B), what
+    fraction are closed (A-C is also an edge)? Near 1.0 the components
+    are clique-like and CC dedup is safe; low transitivity with large
+    components means representatives are standing in for documents
+    they do not resemble — raise the threshold or switch to
+    star/medoid dedup before trusting the survivors.
+
+    Returns ONE row: (n_edges, n_wedges, n_closed, transitivity) with
+    transitivity = n_closed / n_wedges (4-dp, NULL when the graph has
+    no wedges — no path evidence either way).
+
+    Cost model: edges come from the same single overlap join as
+    ngram_jaccard_pairs; the wedge join is edge-frame x edge-frame on
+    the shared endpoint — |edges| is ~linear in true near-dups for a
+    rare-dup corpus, so both joins are small relative to the corpus
+    scan. A pathological all-dups corpus makes |wedges| ~ sum(deg^2);
+    that corpus is exactly the one where the answer matters, and the
+    join is still hash-partitioned on the shared endpoint, not
+    all-pairs.
+    """
+    edges = ngram_jaccard_pairs(
+        df, text_col, id_col, k, threshold, df_cap, cap_strategy
+    ).select("doc_a", "doc_b")
+    # symmetric closure: every edge seen from both endpoints, so a wedge
+    # centered at b is one join on b regardless of id order
+    sym = edges.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        edges.select(
+            F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+        )
+    )
+    x = sym.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    y = sym.select(F.col("src").alias("b2"), F.col("dst").alias("c"))
+    wedges = x.join(y, F.col("b") == F.col("b2")).filter(
+        F.col("a") < F.col("c")  # each unordered wedge {a,b,c} once; a != c
+    )
+    closed = wedges.join(
+        edges.select(
+            F.col("doc_a").alias("a"),
+            F.col("doc_b").alias("c"),
+            F.lit(1).alias("_closed"),
+        ),
+        ["a", "c"],
+        "left",
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    stats = closed.agg(
+        F.count(F.lit(1)).alias("n_wedges"),
+        F.coalesce(F.sum("_closed"), F.lit(0)).cast("long").alias("n_closed"),
+    )
+    return (
+        n_edges.crossJoin(stats)
+        .select(
+            F.col("n_edges").cast("long").alias("n_edges"),
+            F.col("n_wedges").cast("long").alias("n_wedges"),
+            "n_closed",
+            F.round(
+                F.when(
+                    F.col("n_wedges") > 0,
+                    F.col("n_closed").cast("double")
+                    / F.col("n_wedges").cast("double"),
+                ),
+                4,
+            ).alias("transitivity"),
+        )
+    )

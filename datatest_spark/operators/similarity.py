@@ -1019,3 +1019,67 @@ def ann_recall_audit(
             ).alias("recall"),
         )
     )
+
+
+def hubness_audit(
+    vectors: DataFrame,
+    id_col="vec_id",
+    vec_col="embedding",
+    k: int = 10,
+    topk: DataFrame | None = None,
+) -> DataFrame:
+    """In-degree of every corpus point in the k-NN graph — the hubness
+    profile of the embedding space.
+
+    High-dimensional spaces concentrate nearest-neighbor relations onto
+    a few "hub" points that appear in a disproportionate share of other
+    points' top-k lists, while "antihubs" (in_degree = 0) appear in
+    nobody's; a skewed in-degree distribution quietly degrades every
+    consumer of the k-NN graph — semantic dedup over-merges around
+    hubs, ANN recall audits look fine on average while antihub queries
+    return junk, and embedding-drift monitors under-weight the points
+    no neighbor list ever mentions. This audit makes the skew visible
+    BEFORE those operators are trusted at scale.
+
+    Returns one row per corpus point: (vec_id, in_degree, in_share)
+    where ``in_degree`` counts the top-k lists the point appears in
+    (0 for antihubs — every corpus id is present) and ``in_share`` =
+    in_degree / max(Q-1, 1) with Q = number of distinct query lists
+    (Q-1 because a point can appear in every list but its own) — a
+    balanced space puts every share near k/(Q-1). Feed the frame to
+    stats operators (mad_outliers, concentration_indices) for
+    single-number alarms.
+
+    Cost model: by default the graph comes from ``brute_force_topk``
+    with the corpus as its own query batch — all-pairs, so the default
+    is for AUDIT-SIZED samples (10^3-10^4 vectors), matching
+    ann_recall_audit's sampling contract. At 10^12 scale pass ``topk=``
+    the IVF-built graph (``ivf_topk(vectors, sample, ...)``) and only
+    the in-degree count (one |sample|*k-row agg + one left join back to
+    the corpus ids) runs here; the per-point self-pair exclusion is
+    already brute_force_topk/ivf_topk's contract.
+    """
+    if topk is None:
+        topk = brute_force_topk(vectors, vectors, id_col, vec_col, k)
+    # lazy 1-row query count broadcast back — no driver-side action at
+    # build time (the graph may be expensive; count it once, in-plan)
+    nq = topk.agg(F.count_distinct(F.col("query_id")).alias("_nq"))
+    ids = vectors.select(F.col(id_col).alias("vec_id"))
+    deg = topk.groupBy(F.col("neighbor_id").alias("vec_id")).agg(
+        F.count(F.lit(1)).alias("in_degree")
+    )
+    return (
+        ids.join(deg, "vec_id", "left")
+        .crossJoin(F.broadcast(nq))
+        .select(
+            "vec_id",
+            F.coalesce(F.col("in_degree"), F.lit(0)).cast("long").alias(
+                "in_degree"
+            ),
+            F.round(
+                F.coalesce(F.col("in_degree"), F.lit(0)).cast("double")
+                / F.greatest(F.col("_nq") - 1, F.lit(1)).cast("double"),
+                4,
+            ).alias("in_share"),
+        )
+    )

@@ -142,6 +142,9 @@ def test_driver_window_holds_every_value_oracled_query_once():
         "fuzzy_dup_pairs", "quantile_shift", "ann_recall",
         "percentile_rank", "freq_spectrum", "funnel_conversion",
         "event_cadence",
+        # session-7 operators: same contract (mirror-sweep value oracle
+        # + pytest pins in test_pipeline.py::TestSession7Ops)
+        "jaccard_sweep", "chain_collapse", "hubness",
     }
     import glob
 

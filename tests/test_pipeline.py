@@ -5749,3 +5749,153 @@ class TestInterEventCadence:
         assert out["mean_gap_s"] == 0.2
         assert out["std_gap_s"] == 0.0
         assert out["zero_gap_frac"] == 0.0
+
+
+class TestSession7Ops:
+    """Pins for the session-7 overflow-window operators
+    (jaccard_sweep, chain_collapse, hubness): each is value-oracled in
+    the tools/check_oracles.py mirror sweep; these pins lock the
+    semantics on hand-built fixtures."""
+
+    # --- jaccard_threshold_sweep ---
+
+    def _sweep_docs(self, spark):
+        # k=1 word shingles make the set math readable:
+        # A==B (j 1.0), C~D (inter {a,b} = 2 of union 6 -> j 1/3),
+        # E shares nothing
+        return spark.createDataFrame(
+            [
+                (1, "w1 w2 w3 w4"),
+                (2, "w1 w2 w3 w4"),
+                (3, "a b c d"),
+                (4, "a b x y"),
+                (5, "lonely unique words only"),
+            ],
+            "doc_id long, text string",
+        )
+
+    def test_sweep_hand_curve(self, spark):
+        rows = {
+            r["threshold"]: (r["n_pairs"], r["n_docs"])
+            for r in dedup.jaccard_threshold_sweep(
+                self._sweep_docs(spark), k=1,
+                thresholds=(0.3, 0.5, 0.95),
+            ).collect()
+        }
+        assert rows[0.3] == (2, 4)   # (1,2) and (3,4)
+        assert rows[0.5] == (1, 2)   # only the exact copy
+        assert rows[0.95] == (1, 2)
+    def test_sweep_zero_threshold_row_kept(self, spark):
+        rows = {
+            r["threshold"]: (r["n_pairs"], r["n_docs"])
+            for r in dedup.jaccard_threshold_sweep(
+                self._sweep_docs(spark), k=1, thresholds=(0.5, 1.01),
+            ).collect()
+        }
+        # a threshold past every pair still gets its (0, 0) row —
+        # the curve's right edge is data, not an absent key
+        assert rows[1.01] == (0, 0)
+        assert rows[0.5] == (1, 2)
+
+    def test_sweep_matches_single_threshold_operator(self, docs):
+        swept = {
+            r["threshold"]: r["n_pairs"]
+            for r in dedup.jaccard_threshold_sweep(
+                docs, thresholds=(0.5, 0.8)
+            ).collect()
+        }
+        for t in (0.5, 0.8):
+            direct = dedup.ngram_jaccard_pairs(docs, threshold=t).count()
+            assert swept[t] == direct
+
+    def test_sweep_monotone_nonincreasing(self, docs):
+        rows = sorted(
+            dedup.jaccard_threshold_sweep(
+                docs, thresholds=(0.2, 0.4, 0.6, 0.8)
+            ).collect(),
+            key=lambda r: r["threshold"],
+        )
+        for lo, hi in zip(rows, rows[1:]):
+            assert lo["n_pairs"] >= hi["n_pairs"]
+            assert lo["n_docs"] >= hi["n_docs"]
+
+    def test_sweep_validation(self, spark):
+        df = self._sweep_docs(spark)
+        with pytest.raises(ValueError, match="non-empty"):
+            dedup.jaccard_threshold_sweep(df, thresholds=())
+        with pytest.raises(ValueError, match="> 0"):
+            dedup.jaccard_threshold_sweep(df, thresholds=(0.0, 0.5))
+
+    # --- chain_collapse_audit ---
+
+    def test_chain_open_wedge(self, spark):
+        # A~B and B~C at j=0.6 but j(A,C)=1/3: one wedge, zero closed —
+        # exactly the chaining pathology the audit exists to expose
+        df = spark.createDataFrame(
+            [(1, "a b c d"), (2, "a b c x"), (3, "b c x y")],
+            "doc_id long, text string",
+        )
+        r = dedup.chain_collapse_audit(df, k=1, threshold=0.5).collect()[0]
+        assert (r["n_edges"], r["n_wedges"], r["n_closed"]) == (2, 1, 0)
+        assert r["transitivity"] == 0.0
+
+    def test_chain_triangle_closes(self, spark):
+        t = "same words in every copy"
+        df = spark.createDataFrame(
+            [(i, t) for i in range(3)], "doc_id long, text string"
+        )
+        r = dedup.chain_collapse_audit(df, k=1, threshold=0.9).collect()[0]
+        # triangle: 3 edges, one wedge per center, all closed
+        assert (r["n_edges"], r["n_wedges"], r["n_closed"]) == (3, 3, 3)
+        assert r["transitivity"] == 1.0
+
+    def test_chain_no_wedges_is_null(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b c d"), (2, "a b c d"), (3, "p q r s")],
+            "doc_id long, text string",
+        )
+        r = dedup.chain_collapse_audit(df, k=1, threshold=0.5).collect()[0]
+        assert (r["n_edges"], r["n_wedges"], r["n_closed"]) == (1, 0, 0)
+        assert r["transitivity"] is None
+
+    # --- hubness_audit ---
+
+    def test_hubness_hand_hub_and_antihub(self, spark):
+        import math
+
+        a = math.radians(10.0)
+        df = spark.createDataFrame(
+            [
+                (0, [1.0, 0.0]),
+                (1, [math.cos(a), math.sin(a)]),
+                (2, [math.cos(a), -math.sin(a)]),
+            ],
+            "vec_id long, embedding array<double>",
+        )
+        rows = {
+            r["vec_id"]: (r["in_degree"], r["in_share"])
+            for r in similarity.hubness_audit(df, k=1).collect()
+        }
+        # v1 and v2 both sit 10 deg from v0 but 20 deg from each other,
+        # so v0 is both their top-1; v0's own top-1 tie (identical
+        # cosine) breaks to the smaller id, v1. v2 is the antihub.
+        assert rows[0] == (2, 1.0)
+        assert rows[1] == (1, 0.5)
+        assert rows[2] == (0, 0.0)
+
+    def test_hubness_degree_mass_and_coverage(self, embs):
+        rows = similarity.hubness_audit(embs, k=3).collect()
+        n = embs.count()
+        assert len(rows) == n  # every corpus point, antihubs included
+        # each of the n query lists hands out exactly k in-degrees
+        assert sum(r["in_degree"] for r in rows) == n * 3
+
+    def test_hubness_precomputed_topk_scopes_queries(self, embs):
+        queries = embs.filter(F.col("vec_id") < 10)
+        topk = similarity.brute_force_topk(embs, queries, k=3)
+        rows = similarity.hubness_audit(embs, topk=topk).collect()
+        assert len(rows) == embs.count()
+        assert sum(r["in_degree"] for r in rows) == 10 * 3
+        # denominator is Q-1 = 9 (distinct query lists), not corpus N
+        for r in rows:
+            assert r["in_share"] == round(r["in_degree"] / 9.0, 4)

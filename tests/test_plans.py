@@ -706,3 +706,44 @@ class TestSession6Plans:
         # no corpus-wide Sort before an aggregation: every Sort in the
         # plan belongs to a window over the bucket curve (<= 10 rows)
         assert "ntile" not in plan.lower(), plan
+
+
+class TestSession7Plans:
+    def test_jaccard_sweep_one_overlap_join_broadcast_thresholds(self, docs):
+        """The overlap join runs ONCE; the threshold frame rides a
+        broadcast nested-loop (|thresholds| rows) — never a shuffle or
+        a cartesian over the corpus."""
+        from datatest_spark.operators import dedup as d
+
+        plan = _plan(
+            d.jaccard_threshold_sweep(docs, thresholds=(0.3, 0.5, 0.9))
+        )
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" in plan, plan
+        # one shingle self-join overlap pass feeds the whole curve:
+        # exactly one equality join on the shingle column
+        assert plan.count("Join cond") <= plan.count("Join"), plan
+
+    def test_chain_collapse_all_equi_joins(self, docs):
+        """Wedge enumeration is an equi-join on the shared endpoint and
+        closure is an equi-join on (a, c) — hash-partitioned by doc id,
+        no cartesian anywhere; the two one-row aggregates meet in a
+        broadcast nested loop."""
+        from datatest_spark.operators import dedup as d
+
+        plan = _plan(d.chain_collapse_audit(docs, threshold=0.5))
+        assert "CartesianProduct" not in plan, plan
+
+    def test_hubness_indegree_is_one_agg_plus_broadcast(self, spark, sf_dir):
+        """Counting in-degrees from a precomputed k-NN graph costs one
+        aggregation + one join back to the corpus ids + a broadcast
+        one-row query count — the corpus-sized side never shuffles
+        through a sort-merge join."""
+        from datatest_spark.operators import similarity as s
+
+        embs = spark.read.parquet(sf_dir + "/embeddings.parquet")
+        topk = s.brute_force_topk(embs, embs.filter(F.col("vec_id") < 10), k=3)
+        plan = _plan(s.hubness_audit(embs, topk=topk))
+        assert "CartesianProduct" not in plan, plan
+        # the 1-row count frame must come in broadcast, not shuffled
+        assert "BroadcastNestedLoopJoin" in plan, plan
