@@ -475,6 +475,29 @@ def q_hubness(spark, sf_dir):
     return similarity.hubness_audit(e, k=10)
 
 
+def q_event_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    streams (temporal.event_transition_matrix): scripted traffic shows
+    near-deterministic rows; never-before-seen transitions are
+    instrumentation bugs. Deterministic (ts, event_id) ordering."""
+    from datatest_spark.operators import temporal
+
+    e = _t(spark, sf_dir, "events")
+    return temporal.event_transition_matrix(e)
+
+
+def q_dup_embedding_check(spark, sf_dir):
+    """Cross-modal invariant (similarity.dup_embedding_consistency):
+    normalization-identical documents must embed near-identically —
+    cosine(member, surviving representative) per dup group, fixed-point
+    mean. Group key mirrors normalized_dup_groups (normalize + first
+    80 chars)."""
+    d = _t(spark, sf_dir, "documents")
+    e = _t(spark, sf_dir, "embeddings")
+    key = F.substring(text.normalize_text(), 1, 80)
+    return similarity.dup_embedding_consistency(d, e, text_col=key)
+
+
 def q_prefix_jaccard_pairs(spark, sf_dir):
     """Lossless prefix-filtered exact Jaccard join: the oracle is the
     plain capped exact join at the same (k, threshold, df_cap) — the
@@ -2630,6 +2653,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_sweep": q_jaccard_sweep,
         "chain_collapse": q_chain_collapse,
         "hubness": q_hubness,
+        "event_transitions": q_event_transitions,
+        "dup_embedding_check": q_dup_embedding_check,
         # --- past the driver's 50-query window from here on ---
         "length_buckets": q_length_buckets,
         "padding_audit": q_padding_audit,
@@ -3671,6 +3696,61 @@ def oracle_sql() -> dict[str, str]:
                        AS transitivity
             FROM CL
         """.format(cte=_SHINGLE_CTE),
+        "event_transitions": """
+            WITH O AS (
+                SELECT event_type,
+                       LAG(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS prev
+                FROM events WHERE ts IS NOT NULL
+            ),
+            C AS (
+                SELECT prev AS prev_type, event_type AS next_type,
+                       COUNT(*) AS n
+                FROM O WHERE prev IS NOT NULL GROUP BY 1, 2
+            ),
+            T AS (SELECT prev_type, SUM(n) AS tot FROM C GROUP BY 1)
+            SELECT c.prev_type, c.next_type, CAST(c.n AS BIGINT) AS n,
+                   ROUND(c.n * 1.0 / t.tot, 6) AS prob
+            FROM C c JOIN T t ON t.prev_type = c.prev_type
+            WHERE c.n >= 1
+        """,
+        "dup_embedding_check": """
+            WITH N AS (
+                SELECT doc_id,
+                       trim(regexp_replace(
+                           regexp_replace(
+                               lower(text),
+                               '[^\\p{L}\\p{N} \\t\\n\\r\\f]', '', 'g'),
+                           '[ \\t\\n\\r\\f]+', ' ', 'g')) AS norm0
+                FROM documents
+            ),
+            P AS (SELECT doc_id, substr(norm0, 1, 80) AS norm FROM N),
+            M AS (
+                SELECT md5(p.norm) AS gh, p.doc_id AS m_id,
+                       CAST(e.embedding AS DOUBLE[]) AS v
+                FROM P p JOIN embeddings e ON e.vec_id = p.doc_id
+            ),
+            G AS (
+                SELECT gh, MIN(m_id) AS rep_id, COUNT(*) AS n_members
+                FROM M GROUP BY 1 HAVING COUNT(*) >= 2
+            ),
+            SCORED AS (
+                SELECT g.rep_id, g.n_members,
+                       list_dot_product(m.v, r.v)
+                       / (SQRT(list_sum(list_transform(m.v, x -> x * x)))
+                        * SQRT(list_sum(list_transform(r.v, x -> x * x))))
+                           AS c
+                FROM G g
+                JOIN M r ON r.gh = g.gh AND r.m_id = g.rep_id
+                JOIN M m ON m.gh = g.gh AND m.m_id <> g.rep_id
+            )
+            SELECT rep_id, CAST(n_members AS BIGINT) AS n_members,
+                   ROUND(SUM(CAST(FLOOR(c * 1000000.0) AS BIGINT)) * 1.0
+                         / (1000000.0 * (n_members - 1)), 4) AS mean_cos,
+                   ROUND(MIN(c), 4) AS min_cos
+            FROM SCORED GROUP BY rep_id, n_members
+        """,
         "hubness": """
             WITH V AS (
                 SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

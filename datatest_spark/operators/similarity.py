@@ -1083,3 +1083,93 @@ def hubness_audit(
             ).alias("in_share"),
         )
     )
+
+
+def dup_embedding_consistency(
+    docs: DataFrame,
+    vectors: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cross-modal invariant: exact-duplicate documents must embed
+    (near-)identically — measured against the group's surviving
+    representative.
+
+    Exact dedup keeps the min-id member of each identical-content
+    group and lets its embedding stand in for every dropped copy
+    downstream (semantic dedup, ANN, clustering). If byte-identical
+    texts embed far apart, the embedding column was built by mixed
+    model versions, non-deterministic pooling, or a misjoined
+    pipeline — and every consumer of the representative is silently
+    wrong. This audit measures exactly the substitution dedup makes:
+    cosine(member, representative) per dropped member.
+
+    ``text_col`` may be a Column expression instead of a name — pass
+    ``text.normalize_text()`` (or any canonicalization) to audit
+    normalization-tolerant dup groups; the group key is md5 of the
+    expression, exactly like ``dedup.exact_duplicates``.
+
+    Returns one row per duplicate group with >= 2 embedded members:
+    (rep_id, n_members, mean_cos, min_cos) where ``rep_id`` is the
+    min-id member carrying an embedding (the dedup survivor),
+    ``n_members`` counts embedded members, and mean/min summarize
+    cosine(member, rep) over the OTHER members (self-pairs excluded;
+    a healthy pipeline shows mean_cos ~ 1.0). The mean is a
+    fixed-point sum of floor(cos * 10^6) bigints — parallelism-
+    invariant and reproduced bit-for-bit by a SQL oracle.
+
+    Scale shape: one content-hash window picks groups and reps, one
+    equi-join on the hash fans each member out to its SINGLE
+    representative (|members| rows, never pairwise), one
+    map-side-combinable groupBy; no driver-side collection, so
+    group count is unbounded.
+    """
+    from pyspark.sql.window import Window
+
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    h = docs.select(
+        F.col(id_col).alias("_m_id"), F.md5(t).alias("_gh")
+    ).join(
+        vectors.select(
+            F.col(vec_id_col).alias("_m_id"),
+            as_double(F.col(vec_col)).alias("_v"),
+        ),
+        "_m_id",
+    ).where(
+        F.col("_v").isNotNull() & ~F.exists(F.col("_v"), lambda x: x.isNull())
+    )
+    w = Window.partitionBy("_gh")
+    members = (
+        h.withColumn("_n", F.count(F.lit(1)).over(w))
+        .withColumn("_rep", F.min("_m_id").over(w))
+        .where(F.col("_n") >= 2)
+    )
+    reps = members.where(F.col("_m_id") == F.col("_rep")).select(
+        F.col("_gh"), F.col("_m_id").alias("rep_id"), F.col("_v").alias("_rv")
+    )
+    others = members.where(F.col("_m_id") != F.col("_rep")).select(
+        "_gh", "_v"
+    )
+    scored = others.join(reps, "_gh").select(
+        "rep_id", cosine(F.col("_v"), F.col("_rv")).alias("_cos")
+    )
+    return (
+        scored.groupBy("rep_id")
+        .agg(
+            (F.count(F.lit(1)) + F.lit(1)).cast("long").alias("n_members"),
+            F.sum(F.floor(F.col("_cos") * F.lit(1000000.0))).alias("_fs"),
+            F.min("_cos").alias("_min"),
+        )
+        .select(
+            "rep_id",
+            "n_members",
+            F.round(
+                F.col("_fs").cast("double")
+                / (F.lit(1000000.0) * (F.col("n_members") - 1).cast("double")),
+                4,
+            ).alias("mean_cos"),
+            F.round("_min", 4).alias("min_cos"),
+        )
+    )

@@ -432,3 +432,67 @@ def inter_event_cadence(
             F.col("_z").cast("double") / n, 4
         ).alias("zero_gap_frac"),
     )
+
+
+def event_transition_matrix(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    min_count: int = 1,
+) -> DataFrame:
+    """First-order Markov transition matrix over each user's ordered
+    event stream — the behavioral lens the cadence audit is blind to.
+
+    inter_event_cadence sees WHEN a user acts; this sees WHAT follows
+    what. Scripted traffic shows near-deterministic rows (one next
+    state at prob ~1.0 where organic users spread mass), and a
+    transition that was never observed before appearing in production
+    (error->purchase) is an instrumentation bug wearing a user hat.
+
+    Returns (prev_type, next_type, n, prob): ``n`` = observed
+    prev->next steps pooled over users (consecutive events of ONE user
+    — streams never chain across users), ``prob`` = n / total steps
+    leaving prev_type (6-dp; rows with n < min_count are dropped AFTER
+    the denominator is fixed, so surviving probabilities are unchanged
+    by the cut). Ordering is (ts, tiebreak_col) per user — the
+    tiebreaker makes simultaneous-timestamp streams deterministic on
+    every engine and partitioning; null timestamps are excluded up
+    front (no defined position in the stream).
+
+    Scale shape: ONE user-partitioned lag window (hash exchange on
+    user, per-user streams sort locally and spill) + ONE
+    map-side-combinable groupBy carrying |types|^2 rows; the
+    denominator is a window over that tiny aggregate, not the events.
+    """
+    if min_count < 1:
+        raise ValueError("min_count must be >= 1, got %r" % (min_count,))
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    )
+    steps = (
+        events.where(F.col(ts_col).isNotNull())
+        .select(
+            F.col(type_col).alias("next_type"),
+            F.lag(F.col(type_col)).over(w).alias("prev_type"),
+        )
+        .where(F.col("prev_type").isNotNull())
+    )
+    counts = steps.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wp = Window.partitionBy("prev_type")
+    return (
+        counts.withColumn("_row_total", F.sum("n").over(wp))
+        .where(F.col("n") >= min_count)
+        .select(
+            "prev_type",
+            "next_type",
+            F.col("n").cast("long").alias("n"),
+            F.round(
+                F.col("n").cast("double") / F.col("_row_total").cast("double"),
+                6,
+            ).alias("prob"),
+        )
+    )

@@ -145,6 +145,7 @@ def test_driver_window_holds_every_value_oracled_query_once():
         # session-7 operators: same contract (mirror-sweep value oracle
         # + pytest pins in test_pipeline.py::TestSession7Ops)
         "jaccard_sweep", "chain_collapse", "hubness",
+        "event_transitions", "dup_embedding_check",
     }
     import glob
 

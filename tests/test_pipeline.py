@@ -5899,3 +5899,154 @@ class TestSession7Ops:
         # denominator is Q-1 = 9 (distinct query lists), not corpus N
         for r in rows:
             assert r["in_share"] == round(r["in_degree"] / 9.0, 4)
+
+
+class TestSession7Batch2:
+    """Pins for event_transition_matrix and dup_embedding_consistency
+    (q:event_transitions, q:dup_embedding_check in the mirror sweep)."""
+
+    def _ev(self, spark, rows):
+        return spark.createDataFrame(
+            [(i, u, t, ts) for i, (u, t, ts) in enumerate(rows)],
+            "event_id long, user_id long, event_type string, ts string",
+        ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+
+    def test_transition_hand_counts_and_probs(self, spark):
+        from datatest_spark.operators import temporal
+
+        ev = self._ev(spark, [
+            (1, "A", "2026-01-01 10:00:00"),
+            (1, "B", "2026-01-01 10:01:00"),
+            (1, "A", "2026-01-01 10:02:00"),
+            (1, "B", "2026-01-01 10:03:00"),
+            (2, "A", "2026-01-01 11:00:00"),
+            (2, "A", "2026-01-01 11:05:00"),
+        ])
+        rows = {
+            (r["prev_type"], r["next_type"]): (r["n"], r["prob"])
+            for r in temporal.event_transition_matrix(ev).collect()
+        }
+        assert rows[("A", "B")] == (2, 0.666667)
+        assert rows[("A", "A")] == (1, 0.333333)
+        assert rows[("B", "A")] == (1, 1.0)
+        assert len(rows) == 3  # streams never chain across users
+
+    def test_transition_simultaneous_ts_breaks_on_event_id(self, spark):
+        from datatest_spark.operators import temporal
+
+        # both orderings of the same-instant pair are defensible; the
+        # event_id tiebreak makes ONE of them the contract
+        ev = self._ev(spark, [
+            (1, "X", "2026-01-01 10:00:00"),
+            (1, "Y", "2026-01-01 10:00:00"),
+        ])
+        rows = [
+            (r["prev_type"], r["next_type"])
+            for r in temporal.event_transition_matrix(ev).collect()
+        ]
+        assert rows == [("X", "Y")]
+
+    def test_transition_min_count_keeps_denominator(self, spark):
+        from datatest_spark.operators import temporal
+
+        ev = self._ev(spark, [
+            (1, "A", "2026-01-01 10:00:00"),
+            (1, "B", "2026-01-01 10:01:00"),
+            (1, "A", "2026-01-01 10:02:00"),
+            (1, "B", "2026-01-01 10:03:00"),
+            (2, "A", "2026-01-01 11:00:00"),
+            (2, "A", "2026-01-01 11:05:00"),
+        ])
+        rows = {
+            (r["prev_type"], r["next_type"]): r["prob"]
+            for r in temporal.event_transition_matrix(
+                ev, min_count=2
+            ).collect()
+        }
+        # (A,A) and (B,A) fall below the cut but A->B keeps its 2/3:
+        # the cut hides rows, it never renormalizes survivors
+        assert rows == {("A", "B"): 0.666667}
+        with pytest.raises(ValueError, match="min_count"):
+            temporal.event_transition_matrix(ev, min_count=0)
+
+    def test_transition_null_ts_and_singletons_excluded(self, spark):
+        from datatest_spark.operators import temporal
+
+        ev = spark.createDataFrame(
+            [(0, 1, "A", None), (1, 1, "B", "2026-01-01 10:00:00"),
+             (2, 2, "C", "2026-01-01 10:00:00")],
+            "event_id long, user_id long, event_type string, ts string",
+        ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+        # user 1's null-ts event has no stream position; user 2 has a
+        # single event — no transitions anywhere
+        assert temporal.event_transition_matrix(ev).count() == 0
+
+    def _dup_frames(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (1, "same text"), (2, "same text"), (3, "same text"),
+                (4, "other copy"), (5, "other copy"),
+                (6, "unique content"),
+                (10, "partially embedded"), (11, "partially embedded"),
+                (12, "partially embedded"),
+            ],
+            "doc_id long, text string",
+        )
+        embs = spark.createDataFrame(
+            [
+                (1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0]),
+                (4, [1.0, 1.0]), (5, [1.0, 1.0]),
+                (6, [0.5, 0.5]),
+                # doc 10 has NO embedding: rep falls to 11
+                (11, [1.0, 0.0]), (12, [1.0, 0.0]),
+            ],
+            "vec_id long, embedding array<double>",
+        )
+        return docs, embs
+
+    def test_dup_consistency_hand_groups(self, spark):
+        docs, embs = self._dup_frames(spark)
+        rows = {
+            r["rep_id"]: (r["n_members"], r["mean_cos"], r["min_cos"])
+            for r in similarity.dup_embedding_consistency(
+                docs, embs
+            ).collect()
+        }
+        # group {1,2,3}: cos(2,1)=1, cos(3,1)=0 -> mean 0.5, min 0.0
+        assert rows[1] == (3, 0.5, 0.0)
+        # group {4,5}: identical embeddings -> mean = min = 1.0
+        assert rows[4] == (2, 1.0, 1.0)
+        # unique doc 6: no group; docs {10,11,12}: rep is 11 (the
+        # smallest EMBEDDED member), one other member at cos 1.0
+        assert rows[11] == (2, 1.0, 1.0)
+        assert set(rows) == {1, 4, 11}
+
+    def test_dup_consistency_single_embedded_member_dropped(self, spark):
+        docs = spark.createDataFrame(
+            [(7, "pair text"), (8, "pair text")],
+            "doc_id long, text string",
+        )
+        embs = spark.createDataFrame(
+            [(7, [1.0, 0.0])], "vec_id long, embedding array<double>"
+        )
+        # only one member carries an embedding: nothing to compare
+        assert similarity.dup_embedding_consistency(docs, embs).count() == 0
+
+    def test_dup_consistency_column_text_key(self, spark):
+        from datatest_spark.operators import text as t
+
+        docs = spark.createDataFrame(
+            [(1, "Hello,   World!"), (2, "hello world")],
+            "doc_id long, text string",
+        )
+        embs = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [1.0, 0.0])],
+            "vec_id long, embedding array<double>",
+        )
+        # byte-different, normalization-identical: only the Column key
+        # sees the group
+        assert similarity.dup_embedding_consistency(docs, embs).count() == 0
+        got = similarity.dup_embedding_consistency(
+            docs, embs, text_col=t.normalize_text()
+        ).collect()
+        assert [(r["rep_id"], r["n_members"]) for r in got] == [(1, 2)]

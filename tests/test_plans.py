@@ -747,3 +747,26 @@ class TestSession7Plans:
         assert "CartesianProduct" not in plan, plan
         # the 1-row count frame must come in broadcast, not shuffled
         assert "BroadcastNestedLoopJoin" in plan, plan
+
+    def test_transition_matrix_one_event_scale_window(self, spark, sf_dir):
+        """One user-partitioned lag window over the events; the
+        probability denominator is a window over the |types|^2
+        aggregate, never a join back to the events."""
+        from datatest_spark.operators import temporal
+
+        ev = spark.read.parquet(sf_dir + "/events.parquet")
+        plan = _plan(temporal.event_transition_matrix(ev))
+        assert "CartesianProduct" not in plan, plan
+        assert "Join" not in plan, plan  # windows + aggs only
+
+    def test_dup_consistency_no_cartesian_single_rep_fanout(
+        self, spark, sf_dir
+    ):
+        """Members meet ONLY their representative through an equi-join
+        on the content hash — never pairwise; no cartesian product."""
+        from datatest_spark.operators import similarity as s
+
+        docs = spark.read.parquet(sf_dir + "/documents.parquet")
+        embs = spark.read.parquet(sf_dir + "/embeddings.parquet")
+        plan = _plan(s.dup_embedding_consistency(docs, embs))
+        assert "CartesianProduct" not in plan, plan
