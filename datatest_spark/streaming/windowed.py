@@ -541,3 +541,145 @@ def streaming_cusum(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_TRANS_STATE_SCHEMA = "last_type string, last_us long, last_tb string"
+_TRANS_OUT_SCHEMA = (
+    "user string, prev_type string, next_type string, n long, "
+    "known boolean"
+)
+
+
+def streaming_transition_gate(
+    stream: DataFrame,
+    reference,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Never-before-seen event transitions, live — the streaming twin
+    of ``temporal.event_transition_matrix``. The batch operator builds
+    the WHAT-follows-what matrix retrospectively; this gate holds that
+    matrix fixed (``reference``: the (prev_type, next_type) pairs
+    observed in a clean period) and flags each micro-batch's steps
+    against it, so an instrumentation bug that mints an impossible
+    transition (error->purchase) pages within one trigger instead of
+    at the next batch audit.
+
+    ``reference`` is a batch DataFrame carrying (prev_type, next_type)
+    — typically ``event_transition_matrix(...)`` output — or any
+    iterable of (prev, next) pairs. It is |event types|^2 rows at most,
+    so it collects to a driver-side frozenset baked into the stateful
+    closure (the applyInPandasWithState kernel cannot join; a real
+    deployment re-launches the query to pick up a refreshed matrix).
+
+    State per user is ONE row (last event's type, timestamp-µs,
+    tiebreak) — the chaining cursor — so state size is |active users|,
+    independent of stream volume. Within a micro-batch rows chain in
+    (ts, tiebreak) order, the batch operator's exact sort; ACROSS
+    batches they chain in arrival order, so feed an in-order stream
+    (per the source's append order — the normal log-shipping shape).
+    A batch whose first event precedes the stored cursor is a replay /
+    out-of-order feed: chaining it would mint a transition that never
+    happened, so the update emits one sentinel row (null types,
+    n = batch size, known=false) and skips the batch, leaving the
+    cursor intact. Null-timestamp rows are dropped up front (no
+    defined position — matching the batch operator).
+
+    Returns an unstarted update-mode streaming frame (user, prev_type,
+    next_type, n, known): per (user, batch, transition) step counts
+    with ``known`` = pair present in the reference. Filter
+    ``known = false`` for the alert sink; summing ``n`` over
+    (prev_type, next_type) across all emitted rows of an in-order
+    replay reproduces the batch matrix's ``n`` exactly (pinned in
+    tests/test_streaming.py).
+    """
+    if isinstance(reference, DataFrame):
+        pairs = frozenset(
+            (r[0], r[1])
+            for r in reference.select("prev_type", "next_type").collect()
+        )
+    else:
+        pairs = frozenset((p, n) for (p, n) in reference)
+    if not pairs:
+        raise ValueError(
+            "streaming_transition_gate: reference must carry at least "
+            "one (prev_type, next_type) pair"
+        )
+
+    prepared = (
+        _with_event_time(stream, ts_col)
+        .where(F.col(ts_col).isNotNull())
+        .select(
+            F.col(user_col).cast("string").alias("user"),
+            F.col(type_col).cast("string").alias("_ty"),
+            F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_us"),
+            F.col(tiebreak_col).cast("string").alias("_tb"),
+        )
+    )
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        user = key[0]
+        last_type, last_us, last_tb = (
+            tuple(state.get) if state.exists else (None, None, None)
+        )
+        rows = []
+        for pdf in pdfs:
+            rows.extend(
+                (
+                    int(us),
+                    tb if isinstance(tb, str) else ("" if pd.isna(tb) else str(tb)),
+                    ty if isinstance(ty, str) else (None if pd.isna(ty) else str(ty)),
+                )
+                for us, tb, ty in zip(pdf["_us"], pdf["_tb"], pdf["_ty"])
+            )
+        if not rows:
+            return
+        rows.sort(key=lambda r: (r[0], r[1]))
+        if last_us is not None and (rows[0][0], rows[0][1]) <= (
+            last_us,
+            last_tb or "",
+        ):
+            # replay / out-of-order feed: chaining would mint a
+            # transition that never happened — report, don't apply
+            yield pd.DataFrame(
+                {
+                    "user": [user],
+                    "prev_type": [None],
+                    "next_type": [None],
+                    "n": [len(rows)],
+                    "known": [False],
+                }
+            )
+            return
+        counts: dict = {}
+        prev = last_type if last_us is not None else None
+        primed = last_us is not None
+        for _us, _tb, ty in rows:
+            if primed:
+                step = (prev, ty)
+                counts[step] = counts.get(step, 0) + 1
+            prev, primed = ty, True
+        tail_us, tail_tb, tail_ty = rows[-1]
+        state.update((tail_ty, tail_us, tail_tb))
+        if counts:
+            yield pd.DataFrame(
+                {
+                    "user": [user] * len(counts),
+                    "prev_type": [p for (p, _) in counts],
+                    "next_type": [n for (_, n) in counts],
+                    "n": list(counts.values()),
+                    "known": [(p, n) in pairs for (p, n) in counts],
+                }
+            )
+
+    return prepared.groupBy("user").applyInPandasWithState(
+        update,
+        outputStructType=_TRANS_OUT_SCHEMA,
+        stateStructType=_TRANS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

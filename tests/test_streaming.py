@@ -614,3 +614,113 @@ def test_streaming_cusum_replay_reports_not_corrupts(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="sigmas"):
         windowed.streaming_cusum(stream, {"g": (1.0, 0.0)})
+
+
+@pytest.mark.spark
+def test_streaming_transition_gate_stream_equals_batch(spark, tmp_path):
+    """Summed per-batch step counts == the batch transition matrix on
+    the same in-order feed, and the known flag mirrors the reference."""
+    import datetime as dt
+
+    from datatest_spark.operators.temporal import event_transition_matrix
+    from datatest_spark.streaming import windowed
+
+    t0 = dt.datetime(2026, 1, 1)
+    sch = "user_id string, event_type string, ts timestamp, event_id string"
+
+    def ev(u, ty, s, eid):
+        return (u, ty, t0 + dt.timedelta(seconds=s), eid)
+
+    head = [
+        ev("u1", "view", 0, "e1"),
+        ev("u1", "cart", 10, "e2"),
+        ev("u2", "view", 5, "e3"),
+        ev("u2", "view", 6, "e4"),
+    ]
+    tail = [
+        ev("u1", "purchase", 20, "e5"),   # chains across the trigger
+        ev("u2", "cart", 30, "e6"),
+        ev("u2", "purchase", 31, "e7"),
+        ev("u3", "error", 40, "e8"),
+        ev("u3", "purchase", 41, "e9"),   # the novel transition
+    ]
+    src = str(tmp_path / "trsrc")
+    spark.createDataFrame(head, sch).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    spark.createDataFrame(tail, sch).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    batch_all = spark.createDataFrame(head + tail, sch)
+    ref = event_transition_matrix(batch_all).where(
+        ~((F.col("prev_type") == "error") & (F.col("next_type") == "purchase"))
+    )
+    out = windowed.run_available_now(
+        windowed.streaming_transition_gate(stream, ref),
+        "transition_gate", str(tmp_path / "trck"),
+    )
+    # summed stream steps == batch matrix counts
+    got = {}
+    for r in out:
+        assert r["prev_type"] is not None  # in-order feed: no sentinels
+        key = (r["prev_type"], r["next_type"])
+        got[key] = got.get(key, 0) + r["n"]
+    want = {
+        (r["prev_type"], r["next_type"]): r["n"]
+        for r in event_transition_matrix(batch_all).collect()
+    }
+    assert got == want
+    # the held-out pair is the ONLY unknown
+    unknown = {
+        (r["prev_type"], r["next_type"]) for r in out if not r["known"]
+    }
+    assert unknown == {("error", "purchase")}
+    # cross-trigger chaining really happened (cart->purchase spans files)
+    assert ("cart", "purchase") in got
+
+
+@pytest.mark.spark
+def test_streaming_transition_gate_replay_reports_not_corrupts(
+    spark, tmp_path
+):
+    import datetime as dt
+
+    from datatest_spark.streaming import windowed
+
+    t0 = dt.datetime(2026, 1, 1)
+    sch = "user_id string, event_type string, ts timestamp, event_id string"
+    src = str(tmp_path / "trsrc2")
+    spark.createDataFrame(
+        [("u", "a", t0, "e1"), ("u", "b", t0 + dt.timedelta(seconds=1), "e2")],
+        sch,
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    # second file REPLAYS e2's timestamp: must be reported, not chained
+    spark.createDataFrame(
+        [("u", "c", t0 + dt.timedelta(seconds=1), "e2")], sch
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    out = windowed.run_available_now(
+        windowed.streaming_transition_gate(stream, [("a", "b")]),
+        "transition_replay", str(tmp_path / "trck2"),
+    )
+    applied = [r for r in out if r["prev_type"] is not None]
+    sentinel = [r for r in out if r["prev_type"] is None]
+    assert {(r["prev_type"], r["next_type"]) for r in applied} == {("a", "b")}
+    assert all(r["known"] for r in applied)
+    assert sentinel and all(
+        r["known"] is False and r["n"] == 1 for r in sentinel
+    )
+
+    with pytest.raises(ValueError, match="reference"):
+        windowed.streaming_transition_gate(stream, [])
