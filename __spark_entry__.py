@@ -498,6 +498,17 @@ def q_dup_embedding_check(spark, sf_dir):
     return similarity.dup_embedding_consistency(d, e, text_col=key)
 
 
+def q_embedding_covariance(spark, sf_dir):
+    """Upper-triangle covariance/correlation matrix of the embedding
+    space (similarity.embedding_covariance): the shape-of-the-cloud
+    lens — a collapsing off-diagonal means the encoder is folding the
+    space, which kills ANN recall before any centroid moves.
+    Fixed-point bigint moments -> bit-exact SQL oracle; ONE map-only
+    scan reduced to a single row."""
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.embedding_covariance(e)
+
+
 def q_prefix_jaccard_pairs(spark, sf_dir):
     """Lossless prefix-filtered exact Jaccard join: the oracle is the
     plain capped exact join at the same (k, threshold, df_cap) — the
@@ -2655,6 +2666,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hubness": q_hubness,
         "event_transitions": q_event_transitions,
         "dup_embedding_check": q_dup_embedding_check,
+        # --- group 3d: round-5 session-8 operators (same overflow
+        # contract: mirror-sweep value oracle + pytest pins in
+        # test_pipeline.py::TestSession8Ops) ---
+        "embedding_covariance": q_embedding_covariance,
         # --- past the driver's 50-query window from here on ---
         "length_buckets": q_length_buckets,
         "padding_audit": q_padding_audit,
@@ -3786,6 +3801,60 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings e
             LEFT JOIN DEG deg ON deg.vec_id = e.vec_id
             CROSS JOIN NQ
+        """,
+        "embedding_covariance": """
+            WITH V AS (
+                SELECT CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings
+                WHERE embedding IS NOT NULL
+                  AND len(list_filter(embedding, x -> x IS NULL)) = 0
+            ),
+            D AS (
+                SELECT len(v) AS d FROM V
+                GROUP BY 1 ORDER BY COUNT(*) DESC, d ASC LIMIT 1
+            ),
+            VD AS (SELECT v FROM V, D WHERE len(v) = D.d),
+            N AS (SELECT COUNT(*) AS n FROM VD),
+            S AS (
+                SELECT ii.i FROM generate_series(1, 4096) AS ii(i)
+                WHERE ii.i <= (SELECT d FROM D)
+            ),
+            E AS (
+                SELECT s.i AS i,
+                       SUM(CAST(FLOOR(v[s.i] * 1048576.0) AS BIGINT))
+                           AS se
+                FROM VD, S s
+                GROUP BY 1
+            ),
+            P AS (
+                SELECT s1.i AS i, s2.i AS j,
+                       SUM(CAST(FLOOR(v[s1.i] * v[s2.i] * 1048576.0)
+                           AS BIGINT)) AS sp
+                FROM VD, S s1, S s2
+                WHERE s2.i >= s1.i
+                GROUP BY 1, 2
+            ),
+            C AS (
+                SELECT p.i, p.j, n.n,
+                       p.sp / (1048576.0 * n.n)
+                       - (ei.se / (1048576.0 * n.n))
+                         * (ej.se / (1048576.0 * n.n)) AS c
+                FROM P p
+                JOIN E ei ON ei.i = p.i
+                JOIN E ej ON ej.i = p.j
+                CROSS JOIN N n
+            ),
+            VAR AS (SELECT i, c AS vr FROM C WHERE i = j)
+            SELECT CAST(c.i - 1 AS INT) AS i,
+                   CAST(c.j - 1 AS INT) AS j,
+                   CAST(c.n AS BIGINT) AS n_vecs,
+                   ROUND(c.c, 6) AS cov,
+                   CASE WHEN vi.vr > 0 AND vj.vr > 0
+                        THEN ROUND(c.c / SQRT(vi.vr * vj.vr), 6)
+                   END AS corr
+            FROM C c
+            JOIN VAR vi ON vi.i = c.i
+            JOIN VAR vj ON vj.i = c.j
         """,
         "prefix_jaccard_pairs": """
             WITH {cte},

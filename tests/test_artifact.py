@@ -146,6 +146,9 @@ def test_driver_window_holds_every_value_oracled_query_once():
         # + pytest pins in test_pipeline.py::TestSession7Ops)
         "jaccard_sweep", "chain_collapse", "hubness",
         "event_transitions", "dup_embedding_check",
+        # session-8 operators: same contract (mirror-sweep value oracle
+        # + pytest pins in test_pipeline.py::TestSession8Ops)
+        "embedding_covariance", "audience_overlap", "path_trigrams",
     }
     import glob
 

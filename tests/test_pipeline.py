@@ -6050,3 +6050,102 @@ class TestSession7Batch2:
             docs, embs, text_col=t.normalize_text()
         ).collect()
         assert [(r["rep_id"], r["n_members"]) for r in got] == [(1, 2)]
+
+
+class TestSession8Ops:
+    """Pins for the session-8 overflow-window operators
+    (embedding_covariance + covariance_spectrum): the covariance query
+    is value-oracled in the tools/check_oracles.py mirror sweep; these
+    pins lock the moment math and the spectral collapse alarm on
+    hand-built fixtures."""
+
+    def test_covariance_matches_numpy_population(self, spark):
+        import numpy as np
+
+        rng = [
+            [0.5, -0.25, 0.125], [1.0, 0.5, -0.5], [-0.75, 0.25, 1.0],
+            [0.0, -1.0, 0.5], [0.25, 0.75, -0.125],
+        ]
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(rng)],
+            "vec_id long, embedding array<double>",
+        )
+        got = {
+            (r["i"], r["j"]): (r["n_vecs"], r["cov"], r["corr"])
+            for r in similarity.embedding_covariance(df).collect()
+        }
+        want = np.cov(np.array(rng).T, ddof=0)
+        assert len(got) == 6
+        for (i, j), (n, cov, corr) in got.items():
+            assert n == 5
+            # fixed-point floor at 2^-20 keeps moments within ~1e-5
+            assert abs(cov - want[i, j]) < 1e-4, (i, j)
+            denom = (want[i, i] * want[j, j]) ** 0.5
+            assert abs(corr - want[i, j] / denom) < 1e-3, (i, j)
+        # diagonal correlation is exactly 1 after rounding
+        for i in range(3):
+            assert got[(i, i)][2] == 1.0
+
+    def test_covariance_drops_bad_vectors_and_infers_dim(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, [1.0, 2.0]), (2, [3.0, 4.0]), (3, [5.0, 6.0]),
+                (4, None), (5, [1.0, None]), (6, [1.0, 2.0, 3.0]),
+            ],
+            "vec_id long, embedding array<double>",
+        )
+        rows = similarity.embedding_covariance(df).collect()
+        assert all(r["n_vecs"] == 3 for r in rows)  # modal dim=2, 3 clean
+        assert {(r["i"], r["j"]) for r in rows} == {(0, 0), (0, 1), (1, 1)}
+
+    def test_covariance_zero_variance_corr_null(self, spark):
+        df = spark.createDataFrame(
+            [(1, [1.0, 2.0]), (2, [1.0, 3.0])],
+            "vec_id long, embedding array<double>",
+        )
+        got = {
+            (r["i"], r["j"]): r["corr"]
+            for r in similarity.embedding_covariance(df).collect()
+        }
+        assert got[(0, 0)] is None      # var(dim0) == 0
+        assert got[(0, 1)] is None
+        assert got[(1, 1)] == 1.0
+
+    def test_covariance_guards(self, spark):
+        df = spark.createDataFrame(
+            [(1, [1.0, 2.0])], "vec_id long, embedding array<double>"
+        )
+        with pytest.raises(ValueError, match="max_dim"):
+            similarity.embedding_covariance(df, dim=2048)
+        with pytest.raises(ValueError, match="dim"):
+            similarity.embedding_covariance(df, dim=0)
+        empty = spark.createDataFrame(
+            [], "vec_id long, embedding array<double>"
+        )
+        assert similarity.embedding_covariance(empty).count() == 0
+
+    def test_spectrum_rank1_collapse_vs_spread(self, spark):
+        # rank-1 cloud: every vector is a multiple of u -> effective
+        # rank ~= 1, top direction carries ~all variance
+        u = [0.6, -0.8, 0.0, 0.2]
+        rank1 = spark.createDataFrame(
+            [(i, [c * x for x in u]) for i, c in enumerate(
+                [-2.0, -1.0, 0.0, 1.0, 2.0, 3.0])],
+            "vec_id long, embedding array<double>",
+        )
+        rows = similarity.covariance_spectrum(rank1).collect()
+        assert rows[0]["rank"] == 1
+        assert rows[0]["var_explained"] > 0.999
+        assert rows[0]["effective_rank"] < 1.01
+        # axis-aligned isotropic cloud: effective rank near d
+        iso = spark.createDataFrame(
+            [
+                (1, [1.0, 0.0, 0.0]), (2, [-1.0, 0.0, 0.0]),
+                (3, [0.0, 1.0, 0.0]), (4, [0.0, -1.0, 0.0]),
+                (5, [0.0, 0.0, 1.0]), (6, [0.0, 0.0, -1.0]),
+            ],
+            "vec_id long, embedding array<double>",
+        )
+        iso_rows = similarity.covariance_spectrum(iso).collect()
+        assert iso_rows[0]["effective_rank"] > 2.99
+        assert abs(iso_rows[-1]["cum_var"] - 1.0) < 1e-6

@@ -770,3 +770,21 @@ class TestSession7Plans:
         embs = spark.read.parquet(sf_dir + "/embeddings.parquet")
         plan = _plan(s.dup_embedding_consistency(docs, embs))
         assert "CartesianProduct" not in plan, plan
+
+
+class TestSession8Plans:
+    def test_covariance_moments_one_exchange_no_join(self, spark, sf_dir):
+        """The covariance sufficient statistics are ONE explode of the
+        per-row pair array into ONE map-side-combinable groupBy(i, j):
+        a single Exchange of <= d(d+3)/2 partially-aggregated keys per
+        task, no join, nothing proportional to corpus size shuffled."""
+        from datatest_spark.operators import similarity as s
+
+        embs = spark.read.parquet(sf_dir + "/embeddings.parquet")
+        v = embs.select(
+            s.as_double(F.col("embedding")).alias("v")
+        ).where(F.col("v").isNotNull())
+        plan = _plan(s._pair_moment_stats(v, 8, 20))
+        assert _exchanges(plan) == 1, plan
+        assert "Join" not in plan, plan
+        assert "partial_sum" in plan or "HashAggregate" in plan, plan
