@@ -486,6 +486,27 @@ def q_event_transitions(spark, sf_dir):
     return temporal.event_transition_matrix(e)
 
 
+def q_audience_overlap(spark, sf_dir):
+    """User-audience overlap between event types
+    (temporal.audience_overlap): jaccard + independence lift per
+    unordered type pair, zero-overlap pairs included — near-disjoint
+    audiences are different populations wearing one schema."""
+    from datatest_spark.operators import temporal
+
+    e = _t(spark, sf_dir, "events")
+    return temporal.audience_overlap(e)
+
+
+def q_path_trigrams(spark, sf_dir):
+    """Second-order path mining vs the first-order null model
+    (temporal.path_trigrams): lift >> 1 = genuinely second-order
+    behavior (scripted flows), lift << 1 = forbidden continuations."""
+    from datatest_spark.operators import temporal
+
+    e = _t(spark, sf_dir, "events")
+    return temporal.path_trigrams(e, min_count=2)
+
+
 def q_dup_embedding_check(spark, sf_dir):
     """Cross-modal invariant (similarity.dup_embedding_consistency):
     normalization-identical documents must embed near-identically —
@@ -2670,6 +2691,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # contract: mirror-sweep value oracle + pytest pins in
         # test_pipeline.py::TestSession8Ops) ---
         "embedding_covariance": q_embedding_covariance,
+        "audience_overlap": q_audience_overlap,
+        "path_trigrams": q_path_trigrams,
         # --- past the driver's 50-query window from here on ---
         "length_buckets": q_length_buckets,
         "padding_audit": q_padding_audit,
@@ -3801,6 +3824,69 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings e
             LEFT JOIN DEG deg ON deg.vec_id = e.vec_id
             CROSS JOIN NQ
+        """,
+        "audience_overlap": """
+            WITH P AS (
+                SELECT DISTINCT user_id AS u,
+                       CAST(event_type AS VARCHAR) AS t
+                FROM events
+                WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+            ),
+            A AS (SELECT t, COUNT(*) AS n FROM P GROUP BY 1),
+            NU AS (SELECT COUNT(DISTINCT u) AS n_users FROM P),
+            B AS (
+                SELECT a.t AS ta, b.t AS tb, COUNT(*) AS nb
+                FROM P a JOIN P b ON a.u = b.u AND a.t < b.t
+                GROUP BY 1, 2
+            )
+            SELECT a1.t AS type_a, a2.t AS type_b,
+                   CAST(a1.n AS BIGINT) AS users_a,
+                   CAST(a2.n AS BIGINT) AS users_b,
+                   CAST(COALESCE(B.nb, 0) AS BIGINT) AS users_both,
+                   ROUND(COALESCE(B.nb, 0) * 1.0
+                         / (a1.n + a2.n - COALESCE(B.nb, 0)), 6) AS jaccard,
+                   ROUND(COALESCE(B.nb, 0) * 1.0 / a1.n / a2.n
+                         * nu.n_users, 6) AS lift
+            FROM A a1
+            JOIN A a2 ON a1.t < a2.t
+            LEFT JOIN B ON B.ta = a1.t AND B.tb = a2.t
+            CROSS JOIN NU nu
+        """,
+        "path_trigrams": """
+            WITH S AS (
+                SELECT COALESCE(CAST(event_type AS VARCHAR), '__null__')
+                           AS t3,
+                       LAG(COALESCE(CAST(event_type AS VARCHAR),
+                           '__null__'), 1) OVER w AS t2,
+                       LAG(COALESCE(CAST(event_type AS VARCHAR),
+                           '__null__'), 2) OVER w AS t1
+                FROM events WHERE ts IS NOT NULL
+                WINDOW w AS (
+                    PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                )
+            ),
+            TRI AS (
+                SELECT t1, t2, t3, COUNT(*) AS n FROM S
+                WHERE t1 IS NOT NULL GROUP BY 1, 2, 3
+            ),
+            FO AS (
+                SELECT t2, t3, COUNT(*) AS n2 FROM S
+                WHERE t2 IS NOT NULL GROUP BY 1, 2
+            ),
+            FOT AS (SELECT t2, SUM(n2) AS n2_tot FROM FO GROUP BY 1),
+            PRE AS (
+                SELECT t1, t2, t3, n,
+                       SUM(n) OVER (PARTITION BY t1, t2) AS pfx
+                FROM TRI
+            )
+            SELECT p.t1, p.t2, p.t3, CAST(p.n AS BIGINT) AS n,
+                   ROUND(p.pfx * 1.0 * f.n2 / ft.n2_tot, 4) AS expected_n,
+                   ROUND(p.n * 1.0
+                         / (p.pfx * 1.0 * f.n2 / ft.n2_tot), 4) AS lift
+            FROM PRE p
+            JOIN FO f ON f.t2 = p.t2 AND f.t3 = p.t3
+            JOIN FOT ft ON ft.t2 = p.t2
+            WHERE p.n >= 2
         """,
         "embedding_covariance": """
             WITH V AS (

@@ -496,3 +496,171 @@ def event_transition_matrix(
             ).alias("prob"),
         )
     )
+
+
+def audience_overlap(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """User-audience overlap between event types — which behaviors
+    share people. The transition matrix sees sequence; this sees
+    MEMBERSHIP: two event types whose audiences are near-disjoint
+    (jaccard ~ 0) are different populations wearing one schema, and a
+    pair whose lift collapses release-over-release means a feature
+    stopped reaching the other feature's users.
+
+    Returns every unordered type pair (type_a < type_b) including
+    zero-overlap ones: (type_a, type_b, users_a, users_b, users_both,
+    jaccard, lift), jaccard = both/(a+b-both), lift =
+    both·N/(a·b) vs the independence baseline (N = distinct users),
+    both 6-dp. Null users and null types are dropped (no nameable
+    audience).
+
+    Scale shape: ONE groupBy(user) exchange building the bounded
+    per-user type set (|event-type vocabulary| entries at most — this
+    is an audit over a type VOCABULARY, not an unbounded key); ordered
+    pairs expand map-only from the sorted set; everything downstream
+    (pair counts, audience sizes, the |types|^2 zero-fill cross join,
+    the 1-row user count) is broadcast-sized aggregate arithmetic.
+    """
+    p = events.where(
+        F.col(user_col).isNotNull() & F.col(type_col).isNotNull()
+    ).select(
+        F.col(user_col).alias("u"), F.col(type_col).cast("string").alias("t")
+    )
+    per_user = p.groupBy("u").agg(F.sort_array(F.collect_set("t")).alias("ts"))
+    audiences = per_user.select(F.explode("ts").alias("t")).groupBy("t").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    n_users = per_user.agg(F.count(F.lit(1)).alias("n_users"))
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ts"),
+            lambda a, i: F.transform(
+                F.slice(F.col("ts"), i + 2, F.size("ts")),
+                lambda b: F.struct(a.alias("ta"), b.alias("tb")),
+            ),
+        )
+    )
+    both = (
+        per_user.select(F.explode(pair_arr).alias("pr"))
+        .groupBy(F.col("pr.ta").alias("ta"), F.col("pr.tb").alias("tb"))
+        .agg(F.count(F.lit(1)).alias("nb"))
+    )
+    a1 = audiences.select(F.col("t").alias("ta"), F.col("n").alias("users_a"))
+    a2 = audiences.select(F.col("t").alias("tb"), F.col("n").alias("users_b"))
+    grid = a1.crossJoin(F.broadcast(a2)).where(F.col("ta") < F.col("tb"))
+    out = (
+        grid.join(F.broadcast(both), ["ta", "tb"], "left")
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            F.col("ta").alias("type_a"),
+            F.col("tb").alias("type_b"),
+            "users_a",
+            "users_b",
+            F.coalesce(F.col("nb"), F.lit(0)).cast("long").alias("users_both"),
+            "n_users",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("users_both").cast("double")
+                / (F.col("users_a") + F.col("users_b") - F.col("users_both")),
+                6,
+            ),
+        )
+        .withColumn(
+            "lift",
+            F.round(
+                F.col("users_both").cast("double")
+                / F.col("users_a")
+                / F.col("users_b")
+                * F.col("n_users"),
+                6,
+            ),
+        )
+        .drop("n_users")
+    )
+    return out
+
+
+def path_trigrams(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    min_count: int = 1,
+) -> DataFrame:
+    """Second-order path mining with a first-order null model — the
+    Markov-order test for event streams. The transition matrix assumes
+    WHAT-comes-next depends only on the current state; this measures
+    where that breaks: each (t1, t2, t3) path's observed count against
+    the count the first-order matrix predicts
+    (``expected_n = n(t1,t2,·) · P(t3|t2)``), so ``lift`` >> 1 exposes
+    genuinely second-order behavior (scripted multi-step flows,
+    compensating-event loops) and lift << 1 exposes forbidden
+    continuations.
+
+    Returns (t1, t2, t3, n, expected_n 4-dp, lift 4-dp); rows with
+    n < min_count are cut AFTER every denominator is fixed. Ordering
+    is (ts, tiebreak) per user; null timestamps drop (no position);
+    null types coalesce to '__null__' so a genuine null state is
+    distinguishable from the stream boundary.
+
+    Scale shape: BOTH lags ride ONE user-partitioned window exchange,
+    and the events are scanned exactly ONCE (plan-pinned): a single
+    tiny aggregate keyed (t1, t2, t3) — stream-boundary steps carried
+    under a '__start__' sentinel so the first-order model
+    n2(b,c) = Σ_a n3(a,b,c) is derivable — feeds the trigram counts,
+    the first-order model, and both denominators as window sums over
+    |types|^3 rows. Branching tri/fo/fo_tot off the steps frame
+    instead was measured to recompute the event-scale window sort
+    three times.
+    """
+    if min_count < 1:
+        raise ValueError("min_count must be >= 1, got %r" % (min_count,))
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    )
+    ty = F.coalesce(F.col(type_col).cast("string"), F.lit("__null__"))
+    steps = events.where(F.col(ts_col).isNotNull()).select(
+        ty.alias("t3"),
+        F.lag(ty, 1).over(w).alias("t2"),
+        F.lag(ty, 2).over(w).alias("t1"),
+    )
+    base = (
+        steps.where(F.col("t2").isNotNull())
+        .groupBy(
+            F.coalesce(F.col("t1"), F.lit("__start__")).alias("t1"),
+            "t2",
+            "t3",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_fo = Window.partitionBy("t2", "t3")
+    w_fot = Window.partitionBy("t2")
+    w_prefix = Window.partitionBy("t1", "t2")
+    return (
+        base.withColumn("n2", F.sum("n").over(w_fo))
+        .withColumn("n2_tot", F.sum("n").over(w_fot))
+        .withColumn("_prefix", F.sum("n").over(w_prefix))
+        .where(F.col("t1") != "__start__")
+        .withColumn(
+            "expected_n",
+            F.col("_prefix").cast("double")
+            * F.col("n2")
+            / F.col("n2_tot"),
+        )
+        .where(F.col("n") >= min_count)
+        .select(
+            "t1",
+            "t2",
+            "t3",
+            F.col("n").cast("long").alias("n"),
+            F.round("expected_n", 4).alias("expected_n"),
+            F.round(F.col("n").cast("double") / F.col("expected_n"), 4)
+            .alias("lift"),
+        )
+    )

@@ -6149,3 +6149,131 @@ class TestSession8Ops:
         iso_rows = similarity.covariance_spectrum(iso).collect()
         assert iso_rows[0]["effective_rank"] > 2.99
         assert abs(iso_rows[-1]["cum_var"] - 1.0) < 1e-6
+
+
+class TestSession8EventOps:
+    """Hand-fixture pins for audience_overlap and path_trigrams (both
+    value-oracled in the mirror sweep)."""
+
+    def _events(self, spark, rows):
+        import datetime as dt
+
+        t0 = dt.datetime(2026, 1, 1)
+        return spark.createDataFrame(
+            [
+                (i, u, ty, t0 + dt.timedelta(seconds=i))
+                for i, (u, ty) in enumerate(rows)
+            ],
+            "event_id long, user_id long, event_type string, ts timestamp",
+        )
+
+    def test_audience_overlap_hand_counts(self, spark):
+        from datatest_spark.operators import temporal
+
+        # A: users {1,2,3}; B: {2,3}; C: {4}; duplicate (1, A) events
+        # must not double-count the audience
+        ev = self._events(
+            spark,
+            [(1, "A"), (1, "A"), (2, "A"), (3, "A"),
+             (2, "B"), (3, "B"), (4, "C")],
+        )
+        got = {
+            (r["type_a"], r["type_b"]): r
+            for r in temporal.audience_overlap(ev).collect()
+        }
+        assert set(got) == {("A", "B"), ("A", "C"), ("B", "C")}
+        ab = got[("A", "B")]
+        assert (ab["users_a"], ab["users_b"], ab["users_both"]) == (3, 2, 2)
+        assert ab["jaccard"] == round(2 / 3, 6)
+        assert ab["lift"] == round(2.0 / 3 / 2 * 4, 6)
+        # zero-overlap pairs are PRESENT with jaccard 0
+        assert got[("A", "C")]["users_both"] == 0
+        assert got[("A", "C")]["jaccard"] == 0.0
+        assert got[("B", "C")]["lift"] == 0.0
+
+    def test_audience_overlap_drops_nulls(self, spark):
+        import datetime as dt
+
+        from datatest_spark.operators import temporal
+
+        t0 = dt.datetime(2026, 1, 1)
+        ev = spark.createDataFrame(
+            [
+                (1, 1, "A", t0), (2, None, "B", t0), (3, 2, None, t0),
+                (4, 2, "B", t0),
+            ],
+            "event_id long, user_id long, event_type string, ts timestamp",
+        )
+        got = {
+            (r["type_a"], r["type_b"]): r
+            for r in temporal.audience_overlap(ev).collect()
+        }
+        assert set(got) == {("A", "B")}
+        assert got[("A", "B")]["users_b"] == 1  # null user dropped
+
+    def test_path_trigrams_first_order_stream_lift_one(self, spark):
+        from datatest_spark.operators import temporal
+
+        # A B C A B C: trigram ABC appears twice; P(C|B) = 1 so the
+        # first-order model predicts it exactly -> lift 1.0
+        ev = self._events(
+            spark, [(1, t) for t in ["A", "B", "C", "A", "B", "C"]]
+        )
+        got = {
+            (r["t1"], r["t2"], r["t3"]): r
+            for r in temporal.path_trigrams(ev).collect()
+        }
+        abc = got[("A", "B", "C")]
+        assert abc["n"] == 2
+        assert abc["expected_n"] == 2.0
+        assert abc["lift"] == 1.0
+
+    def test_path_trigrams_second_order_lift(self, spark):
+        from datatest_spark.operators import temporal
+
+        # u1: X A P, u2: Y A Q -> P(P|A) = 1/2 but (X,A)->P is
+        # deterministic: expected 0.5, lift 2.0
+        ev = self._events(
+            spark,
+            [(1, "X"), (1, "A"), (1, "P"), (2, "Y"), (2, "A"), (2, "Q")],
+        )
+        got = {
+            (r["t1"], r["t2"], r["t3"]): r
+            for r in temporal.path_trigrams(ev).collect()
+        }
+        xap = got[("X", "A", "P")]
+        assert xap["n"] == 1
+        assert xap["expected_n"] == 0.5
+        assert xap["lift"] == 2.0
+        # streams never chain across users: no (P, Y, ...) trigram
+        assert not any(k[0] == "P" or k[1] == "P" for k in got)
+
+    def test_path_trigrams_min_count_after_denominator(self, spark):
+        from datatest_spark.operators import temporal
+
+        ev = self._events(
+            spark, [(1, t) for t in ["A", "B", "C", "A", "B", "D"]]
+        )
+        # min_count=2 cuts ABD/BCA/CAB (n=1) but ABC stays... both ABC
+        # and ABD have n 1 here (stream ABCABD: tri ABC, BCA, CAB, ABD)
+        all_rows = temporal.path_trigrams(ev, min_count=1).collect()
+        cut_rows = temporal.path_trigrams(ev, min_count=2).collect()
+        assert len(all_rows) == 4 and cut_rows == []
+        # the denominator (expected_n) of surviving rows is unchanged
+        # by the cut: recompute with a stream where ABC repeats
+        ev2 = self._events(
+            spark, [(1, t) for t in ["A", "B", "C", "A", "B", "C", "A",
+                                     "B", "D"]]
+        )
+        full = {
+            (r["t1"], r["t2"], r["t3"]): r["expected_n"]
+            for r in temporal.path_trigrams(ev2, min_count=1).collect()
+        }
+        cut = {
+            (r["t1"], r["t2"], r["t3"]): r["expected_n"]
+            for r in temporal.path_trigrams(ev2, min_count=2).collect()
+        }
+        for k, v in cut.items():
+            assert full[k] == v
+        with pytest.raises(ValueError, match="min_count"):
+            temporal.path_trigrams(ev, min_count=0)

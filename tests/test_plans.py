@@ -788,3 +788,29 @@ class TestSession8Plans:
         assert _exchanges(plan) == 1, plan
         assert "Join" not in plan, plan
         assert "partial_sum" in plan or "HashAggregate" in plan, plan
+
+    def test_audience_overlap_one_user_exchange_no_smj(self, spark, sf_dir):
+        """ONE groupBy(user) exchange builds the bounded per-user type
+        set; pair expansion is map-only and every downstream join is
+        broadcast-sized — no sort-merge join anywhere."""
+        from datatest_spark.operators import temporal
+
+        ev = spark.read.parquet(sf_dir + "/events.parquet")
+        plan = _plan(temporal.audience_overlap(ev))
+        assert "SortMergeJoin" not in plan, plan
+
+    def test_path_trigrams_single_window_no_smj(self, spark, sf_dir):
+        """Both lags ride one user-partitioned window; the model joins
+        are broadcast (tiny aggregates), never sort-merge."""
+        from datatest_spark.operators import temporal
+
+        ev = spark.read.parquet(sf_dir + "/events.parquet")
+        plan = _plan(temporal.path_trigrams(ev))
+        assert "SortMergeJoin" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
+        # the events are scanned exactly ONCE: trigram counts, the
+        # first-order model and both denominators all derive from one
+        # tiny (t1, t2, t3) aggregate (window sums over |types|^3 rows)
+        import re as _re
+
+        assert len(_re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
