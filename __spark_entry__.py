@@ -1779,6 +1779,29 @@ def q_volume_anomalies(spark, sf_dir):
     )
 
 
+def q_series_autocorr(spark, sf_dir):
+    """Lag-k autocorrelation of daily ingest volume per event type
+    (operators/stats.series_autocorr over the same per-(event_type,
+    day) counts as q:volume_anomalies): organic traffic carries
+    periodic structure; injected constant-rate feeds and replayed
+    windows flatten it before any single day trips a threshold."""
+    from datatest_spark.operators.stats import series_autocorr
+
+    e = _t(spark, sf_dir, "events")
+    ms = F.timestamp_diff(
+        "MILLISECOND",
+        F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+        F.col("ts"),
+    )
+    day = F.floor(ms / F.lit(86_400_000)).cast("long")
+    daily = e.groupBy(
+        F.col("event_type"), day.alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+    return series_autocorr(
+        daily, "n_rows", "day", group_col="event_type", lags=(1, 2, 7)
+    )
+
+
 def q_inspection_sample(spark, sf_dir):
     """Deterministic per-source eyeball sample
     (operators/packing.inspection_sample): the 5 min-hash docs per
@@ -2693,6 +2716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_covariance": q_embedding_covariance,
         "audience_overlap": q_audience_overlap,
         "path_trigrams": q_path_trigrams,
+        "series_autocorr": q_series_autocorr,
         # --- past the driver's 50-query window from here on ---
         "length_buckets": q_length_buckets,
         "padding_audit": q_padding_audit,
@@ -3824,6 +3848,61 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings e
             LEFT JOIN DEG deg ON deg.vec_id = e.vec_id
             CROSS JOIN NQ
+        """,
+        "series_autocorr": """
+            WITH D AS (
+                SELECT COALESCE(CAST(event_type AS VARCHAR), '__null__')
+                           AS g,
+                       CAST(FLOOR(epoch_ms(ts) / 86400000) AS BIGINT)
+                           AS day,
+                       COUNT(*) AS n
+                FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+            ),
+            L AS (
+                SELECT g,
+                       CAST(FLOOR(CAST(n AS DOUBLE) * 1.0) AS BIGINT) AS x,
+                       LAG(CAST(FLOOR(CAST(n AS DOUBLE) * 1.0) AS BIGINT),
+                           1) OVER w AS y1,
+                       LAG(CAST(FLOOR(CAST(n AS DOUBLE) * 1.0) AS BIGINT),
+                           2) OVER w AS y2,
+                       LAG(CAST(FLOOR(CAST(n AS DOUBLE) * 1.0) AS BIGINT),
+                           7) OVER w AS y7
+                FROM D WINDOW w AS (PARTITION BY g ORDER BY day ASC)
+            ),
+            P AS (
+                SELECT g, lv.lag,
+                       x,
+                       CASE lv.lag WHEN 1 THEN y1 WHEN 2 THEN y2
+                            ELSE y7 END AS y
+                FROM L, (VALUES (1), (2), (7)) AS lv(lag)
+            ),
+            A AS (
+                SELECT g, lag, COUNT(*) AS np,
+                       CAST(SUM(x) AS BIGINT) AS sx,
+                       CAST(SUM(y) AS BIGINT) AS sy,
+                       CAST(SUM(x * x) AS BIGINT) AS sxx,
+                       CAST(SUM(y * y) AS BIGINT) AS syy,
+                       CAST(SUM(x * y) AS BIGINT) AS sxy
+                FROM P WHERE y IS NOT NULL GROUP BY 1, 2
+            ),
+            M AS (
+                SELECT g, lag, np,
+                       CAST(np AS DOUBLE) * CAST(sxy AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+                           AS num,
+                       CAST(np AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                           AS dx,
+                       CAST(np AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                           AS dy
+                FROM A
+            )
+            SELECT g AS "group", CAST(lag AS INT) AS lag,
+                   CAST(np AS BIGINT) AS n_pairs,
+                   ROUND(CASE WHEN np >= 2 AND dx > 0 AND dy > 0
+                              THEN num / SQRT(dx * dy) END, 6) AS autocorr
+            FROM M
         """,
         "audience_overlap": """
             WITH P AS (

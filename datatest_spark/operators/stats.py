@@ -1464,3 +1464,112 @@ def percentile_rank_normalize(
             F.round(rank, 6).alias("pct_rank"),
         )
     )
+
+
+def series_autocorr(
+    df: DataFrame,
+    value_col: str,
+    order_col: str,
+    group_col: str = "source",
+    lags: tuple = (1,),
+    scale_bits: int = 0,
+) -> DataFrame:
+    """Per-group lag-k autocorrelation of an ordered series — the
+    STRUCTURE monitor next to mad_outliers' pointwise screen and
+    CUSUM's level screen: organic daily volume carries periodicity
+    (lag-7 autocorr high, lag-1 moderate), while an injected
+    constant-rate feed or a replayed window flattens the
+    autocorrelation structure long before any single day trips a
+    threshold.
+
+    ``autocorr`` at lag k is the Pearson correlation of (x_t, x_{t-k})
+    over consecutive SERIES POSITIONS within the group (gaps collapse:
+    a missing day pairs its neighbors — dense-fill the series first
+    when calendar lags matter). Same fixed-point discipline as
+    :func:`group_corr`: moments are exact BIGINTs after
+    ``floor(v·2^scale_bits)`` (``scale_bits=0`` for integer series),
+    the r arithmetic is the same fixed IEEE sequence, so the DuckDB
+    oracle reproduces it bit-for-bit. Pairs where either side is null
+    drop; groups with fewer than 2 pairs or zero variance on either
+    side yield NULL. Duplicate (group, order) rows raise (lag order
+    would be a plan artifact — aggregate the series first).
+
+    Returns (group, lag, n_pairs, autocorr 6-dp), one row per group
+    per requested lag (lags with no pairs yield no row).
+
+    Scale shape: ALL requested lags ride ONE group-partitioned window
+    exchange (the input is an aggregated series — |groups x points|
+    rows, not the corpus); the per-lag pair frame explodes map-only
+    from a |lags|-entry array and reduces in ONE map-side-combinable
+    groupBy(group, lag) carrying six integer sums.
+    """
+    from pyspark.sql import Window
+
+    lag_list = sorted({int(k) for k in lags})
+    if not lag_list or lag_list[0] < 1:
+        raise ValueError("lags must be non-empty positive ints, got %r"
+                         % (lags,))
+    s = float(2 ** int(scale_bits))
+    xi = F.floor(F.col(value_col).cast("double") * F.lit(s)).cast("long")
+    base = df.where(
+        F.col(value_col).isNotNull() & F.col(order_col).isNotNull()
+    ).select(
+        F.coalesce(F.col(group_col).cast("string"), F.lit("__null__"))
+        .alias("group"),
+        F.col(order_col).alias("t"),
+        xi.alias("_x"),
+    )
+    dup = F.count(F.lit(1)).over(Window.partitionBy("group", "t"))
+    guarded = F.when(
+        dup > 1,
+        F.raise_error(
+            F.lit(
+                "series_autocorr: duplicate (group, order) rows — "
+                "aggregate the series first (one row per (group, "
+                "order)); with ties the lag pairing is nondeterministic"
+            )
+        ).cast("long"),
+    ).otherwise(F.col("_x"))
+    w = Window.partitionBy("group").orderBy("t")
+    lagged = base.select(
+        "group",
+        guarded.alias("_x"),
+        *[F.lag("_x", k).over(w).alias("_y%d" % k) for k in lag_list],
+    )
+    pair_arr = F.array(
+        *[
+            F.struct(
+                F.lit(k).cast("int").alias("lag"),
+                F.col("_y%d" % k).alias("_y"),
+            )
+            for k in lag_list
+        ]
+    )
+    agg = (
+        lagged.select("group", "_x", F.explode(pair_arr).alias("p"))
+        .where(F.col("p._y").isNotNull())
+        .select("group", F.col("p.lag").alias("lag"), "_x",
+                F.col("p._y").alias("_y"))
+        .groupBy("group", "lag")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("_x").alias("_sx"),
+            F.sum("_y").alias("_sy"),
+            F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+            F.sum(F.col("_y") * F.col("_y")).alias("_syy"),
+            F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+        )
+    )
+    nd = F.col("n_pairs").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    num = nd * F.col("_sxy").cast("double") - sx * sy
+    dx = nd * F.col("_sxx").cast("double") - sx * sx
+    dy = nd * F.col("_syy").cast("double") - sy * sy
+    ok = (F.col("n_pairs") >= 2) & (dx > 0) & (dy > 0)
+    return agg.select(
+        "group",
+        "lag",
+        "n_pairs",
+        F.round(F.when(ok, num / F.sqrt(dx * dy)), 6).alias("autocorr"),
+    )

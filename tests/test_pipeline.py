@@ -6277,3 +6277,78 @@ class TestSession8EventOps:
             assert full[k] == v
         with pytest.raises(ValueError, match="min_count"):
             temporal.path_trigrams(ev, min_count=0)
+
+
+class TestSeriesAutocorr:
+    """Pins for stats.series_autocorr (value-oracled in the mirror
+    sweep): literal Pearson-over-lag-pairs mirror, periodic vs flat
+    structure, guard behavior."""
+
+    def _series(self, spark, values, group="g"):
+        return spark.createDataFrame(
+            [(group, t, float(v)) for t, v in enumerate(values)],
+            "source string, t long, n double",
+        )
+
+    def test_matches_literal_pearson(self, spark):
+        from datatest_spark.operators.stats import series_autocorr
+
+        vals = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5]
+        got = {
+            r["lag"]: (r["n_pairs"], r["autocorr"])
+            for r in series_autocorr(
+                self._series(spark, vals), "n", "t", lags=(1, 3)
+            ).collect()
+        }
+
+        def pearson(k):
+            xs = [float(v) for v in vals[k:]]
+            ys = [float(v) for v in vals[:-k]]
+            n = len(xs)
+            sx, sy = sum(xs), sum(ys)
+            sxx = sum(x * x for x in xs)
+            syy = sum(y * y for y in ys)
+            sxy = sum(x * y for x, y in zip(xs, ys))
+            num = n * sxy - sx * sy
+            return round(
+                num / ((n * sxx - sx * sx) * (n * syy - sy * sy)) ** 0.5, 6
+            )
+
+        assert got[1] == (len(vals) - 1, pearson(1))
+        assert got[3] == (len(vals) - 3, pearson(3))
+
+    def test_periodic_series_high_lag_period(self, spark):
+        from datatest_spark.operators.stats import series_autocorr
+
+        vals = [10, 2, 5, 10, 2, 5, 10, 2, 5, 10, 2, 5]  # period 3
+        got = {
+            r["lag"]: r["autocorr"]
+            for r in series_autocorr(
+                self._series(spark, vals), "n", "t", lags=(1, 3)
+            ).collect()
+        }
+        assert got[3] == 1.0          # exact periodicity
+        assert got[1] < 0.5           # no adjacent structure
+        # a constant (flat bot) series has zero variance -> NULL
+        flat = series_autocorr(
+            self._series(spark, [7] * 10), "n", "t", lags=(1,)
+        ).collect()
+        assert flat[0]["autocorr"] is None
+
+    def test_guards_and_null_handling(self, spark):
+        from datatest_spark.operators.stats import series_autocorr
+
+        df = self._series(spark, [1, 2, 3])
+        with pytest.raises(ValueError, match="lags"):
+            series_autocorr(df, "n", "t", lags=())
+        with pytest.raises(ValueError, match="lags"):
+            series_autocorr(df, "n", "t", lags=(0,))
+        dup = spark.createDataFrame(
+            [("g", 1, 1.0), ("g", 1, 2.0)],
+            "source string, t long, n double",
+        )
+        with pytest.raises(Exception, match="duplicate"):
+            series_autocorr(dup, "n", "t", lags=(1,)).collect()
+        # a lag longer than every group's series yields no row
+        short = series_autocorr(df, "n", "t", lags=(9,)).collect()
+        assert short == []
