@@ -1802,6 +1802,26 @@ def q_series_autocorr(spark, sf_dir):
     )
 
 
+def q_schema_drift(spark, sf_dir):
+    """Snapshot-to-snapshot schema drift (operators/checks.schema_drift):
+    dropped column, int->float type widening, added all-derived column —
+    statuses + per-column null-rate movement from one wide agg per side.
+    The 'new' snapshot is a deterministic transformation of documents
+    (drop lang, widen n_chars, add quality_score) so the oracle can
+    rebuild it in SQL."""
+    from datatest_spark.operators.checks import schema_drift
+
+    d = _t(spark, sf_dir, "documents")
+    new = (
+        d.drop("lang")
+        .withColumn("n_chars", F.col("n_chars").cast("double"))
+        .withColumn(
+            "quality_score", F.col("n_chars").cast("double") / F.lit(1000.0)
+        )
+    )
+    return schema_drift(d, new)
+
+
 def q_inspection_sample(spark, sf_dir):
     """Deterministic per-source eyeball sample
     (operators/packing.inspection_sample): the 5 min-hash docs per
@@ -2717,6 +2737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audience_overlap": q_audience_overlap,
         "path_trigrams": q_path_trigrams,
         "series_autocorr": q_series_autocorr,
+        "schema_drift": q_schema_drift,
         # --- past the driver's 50-query window from here on ---
         "length_buckets": q_length_buckets,
         "padding_audit": q_padding_audit,
@@ -3848,6 +3869,56 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings e
             LEFT JOIN DEG deg ON deg.vec_id = e.vec_id
             CROSS JOIN NQ
+        """,
+        "schema_drift": """
+            WITH C AS (
+                SELECT COUNT(*) AS n,
+                       COUNT(doc_id) AS c_doc_id,
+                       COUNT(text) AS c_text,
+                       COUNT(lang) AS c_lang,
+                       COUNT(source) AS c_source,
+                       COUNT(n_chars) AS c_n_chars,
+                       COUNT(CAST(n_chars AS DOUBLE) / 1000.0)
+                           AS c_quality
+                FROM documents
+            ),
+            R AS (
+                SELECT column_name, status, old_class, new_class,
+                       CASE WHEN n > 0 AND has_old
+                            THEN ROUND((n - c_old) * 1.0 / n, 6)
+                       END AS old_null_rate,
+                       CASE WHEN n > 0 AND has_new
+                            THEN ROUND((n - c_new) * 1.0 / n, 6)
+                       END AS new_null_rate
+                FROM (
+                    SELECT 'doc_id' AS column_name, 'kept' AS status,
+                           'integer' AS old_class, 'integer' AS new_class,
+                           TRUE AS has_old, TRUE AS has_new,
+                           c_doc_id AS c_old, c_doc_id AS c_new, n FROM C
+                    UNION ALL
+                    SELECT 'lang', 'removed', 'string', NULL,
+                           TRUE, FALSE, c_lang, NULL, n FROM C
+                    UNION ALL
+                    SELECT 'n_chars', 'type_changed', 'integer', 'float',
+                           TRUE, TRUE, c_n_chars, c_n_chars, n FROM C
+                    UNION ALL
+                    SELECT 'quality_score', 'added', NULL, 'float',
+                           FALSE, TRUE, NULL, c_quality, n FROM C
+                    UNION ALL
+                    SELECT 'source', 'kept', 'string', 'string',
+                           TRUE, TRUE, c_source, c_source, n FROM C
+                    UNION ALL
+                    SELECT 'text', 'kept', 'string', 'string',
+                           TRUE, TRUE, c_text, c_text, n FROM C
+                )
+            )
+            SELECT column_name AS "column", status, old_class, new_class,
+                   old_null_rate, new_null_rate,
+                   CASE WHEN old_null_rate IS NOT NULL
+                             AND new_null_rate IS NOT NULL
+                        THEN ROUND(new_null_rate - old_null_rate, 6)
+                   END AS null_rate_delta
+            FROM R
         """,
         "series_autocorr": """
             WITH D AS (

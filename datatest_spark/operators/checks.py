@@ -896,3 +896,99 @@ class BenfordCheck(BaseCheck):
                 F.lit("reason"), F.lit("first-digit distribution off Benford")
             ),
         )
+
+
+_TYPE_CLASSES = (
+    ("array", "array"), ("map", "map"), ("struct", "struct"),
+    ("decimal", "decimal"), ("timestamp", "timestamp"),
+)
+
+
+def _type_class(dtype: str) -> str:
+    """Coarse engine-neutral type class for a Spark dtype string —
+    the granularity at which a cross-engine oracle can agree (Spark
+    says 'bigint' where DuckDB says 'BIGINT'; both are 'integer')."""
+    d = dtype.lower()
+    for prefix, cls in _TYPE_CLASSES:
+        if d.startswith(prefix):
+            return cls
+    if d in ("tinyint", "smallint", "int", "integer", "bigint", "long",
+             "short", "byte"):
+        return "integer"
+    if d in ("float", "double", "real"):
+        return "float"
+    if d in ("string", "varchar", "char"):
+        return "string"
+    if d == "boolean":
+        return "boolean"
+    if d == "date":
+        return "date"
+    if d == "binary":
+        return "binary"
+    return "other"
+
+
+def schema_drift(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Snapshot-to-snapshot schema comparison — the drift half of
+    schema conformance. ``SchemaConformanceCheck`` asks "does this
+    table match the CONTRACT"; this asks "what changed between two
+    snapshots of the same table": a column silently dropped by an
+    upstream writer, a type widened int->float (precision loss for
+    token ids!), or a column whose null-rate jumped because a join
+    started missing.
+
+    Returns one row per column in either schema, sorted by name:
+    (column, status, old_class, new_class, old_null_rate,
+    new_null_rate, null_rate_delta) — status in {added, removed,
+    type_changed, kept}, types compared at the engine-neutral CLASS
+    granularity (integer/float/decimal/string/boolean/timestamp/date/
+    binary/array/map/struct — the level a cross-engine oracle can
+    reproduce), null rates 6-dp ((n - count(col)) / n; NULL on an
+    empty side), delta = new - old where both sides have the column
+    and rows.
+
+    Scale shape: ONE map-side-combinable wide aggregation per side
+    (count(*) + count(col) per column — the column_stats shape),
+    each reduced to a single driver row; the schema diff itself is
+    metadata. Nothing data-sized crosses the wire.
+    """
+
+    def side(df):
+        aggs = [F.count(F.lit(1)).alias("_n")] + [
+            F.count(F.col("`%s`" % c)).alias("c_%d" % i)
+            for i, c in enumerate(df.columns)
+        ]
+        row = df.agg(*aggs).first()
+        n = int(row["_n"])
+        rates = {}
+        for i, c in enumerate(df.columns):
+            rates[c] = (
+                round((n - int(row["c_%d" % i])) / n, 6) if n > 0 else None
+            )
+        classes = {c: _type_class(t) for c, t in df.dtypes}
+        return classes, rates
+
+    old_cls, old_rate = side(old)
+    new_cls, new_rate = side(new)
+    out = []
+    for c in sorted(set(old_cls) | set(new_cls)):
+        oc, nc = old_cls.get(c), new_cls.get(c)
+        if oc is None:
+            status = "added"
+        elif nc is None:
+            status = "removed"
+        elif oc != nc:
+            status = "type_changed"
+        else:
+            status = "kept"
+        orr, nrr = old_rate.get(c), new_rate.get(c)
+        delta = (
+            round(nrr - orr, 6) if orr is not None and nrr is not None
+            else None
+        )
+        out.append((c, status, oc, nc, orr, nrr, delta))
+    return old.sparkSession.createDataFrame(
+        out,
+        "column string, status string, old_class string, new_class string, "
+        "old_null_rate double, new_null_rate double, null_rate_delta double",
+    )

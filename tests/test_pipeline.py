@@ -6352,3 +6352,64 @@ class TestSeriesAutocorr:
         # a lag longer than every group's series yields no row
         short = series_autocorr(df, "n", "t", lags=(9,)).collect()
         assert short == []
+
+
+class TestSchemaDrift:
+    """Pins for checks.schema_drift (value-oracled in the mirror
+    sweep): status matrix, class mapping, null-rate movement,
+    empty-side behavior."""
+
+    def test_status_matrix_and_null_rates(self, spark):
+        from datatest_spark.operators.checks import schema_drift
+
+        old = spark.createDataFrame(
+            [(1, "a", 10), (2, None, 20), (3, "c", None)],
+            "id long, name string, size long",
+        )
+        new = spark.createDataFrame(
+            [(1, "a", 10.0, True), (2, "b", None, None), (3, None, 3.0,
+                                                          False)],
+            "id long, name string, size double, flag boolean",
+        )
+        got = {r["column"]: r for r in schema_drift(old, new).collect()}
+        assert [r for r in got] == sorted(got)  # sorted by name
+        assert got["id"]["status"] == "kept"
+        assert got["flag"]["status"] == "added"
+        assert got["flag"]["old_class"] is None
+        assert got["flag"]["new_class"] == "boolean"
+        assert got["size"]["status"] == "type_changed"
+        assert (got["size"]["old_class"], got["size"]["new_class"]) == (
+            "integer", "float")
+        assert got["size"]["old_null_rate"] == round(1 / 3, 6)
+        assert got["size"]["new_null_rate"] == round(1 / 3, 6)
+        assert got["size"]["null_rate_delta"] == 0.0
+        assert got["name"]["null_rate_delta"] == 0.0
+        # removed column: delta undefined
+        only_old = spark.createDataFrame([(1, "x")], "id long, gone string")
+        g2 = {
+            r["column"]: r
+            for r in schema_drift(only_old, only_old.drop("gone")).collect()
+        }
+        assert g2["gone"]["status"] == "removed"
+        assert g2["gone"]["new_null_rate"] is None
+        assert g2["gone"]["null_rate_delta"] is None
+
+    def test_empty_side_rates_null(self, spark):
+        from datatest_spark.operators.checks import schema_drift
+
+        old = spark.createDataFrame([(1,)], "id long")
+        empty = spark.createDataFrame([], "id long, extra string")
+        got = {r["column"]: r for r in schema_drift(old, empty).collect()}
+        assert got["id"]["old_null_rate"] == 0.0
+        assert got["id"]["new_null_rate"] is None
+        assert got["extra"]["status"] == "added"
+
+    def test_type_class_mapping(self):
+        from datatest_spark.operators.checks import _type_class
+
+        assert _type_class("bigint") == "integer"
+        assert _type_class("decimal(38,0)") == "decimal"
+        assert _type_class("timestamp_ntz") == "timestamp"
+        assert _type_class("array<int>") == "array"
+        assert _type_class("struct<a:int>") == "struct"
+        assert _type_class("void") == "other"
