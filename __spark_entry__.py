@@ -1822,6 +1822,34 @@ def q_schema_drift(spark, sf_dir):
     return schema_drift(d, new)
 
 
+def q_band_migration(spark, sf_dir):
+    """Quality-band transition matrix between two snapshots
+    (operators/stats.band_migration, exact=True NTILE form — the
+    approx-boundary form is the documented 10^12 default): re-scoring
+    shows as off-diagonal mass, one-sided filters as whole-band
+    entries/exits. The 'new' snapshot is a deterministic perturbation
+    (drop doc_id%17, double score on doc_id%5, enter shifted copies of
+    doc_id%13) so the oracle rebuilds it in SQL."""
+    from datatest_spark.operators.stats import band_migration
+
+    d = _t(spark, sf_dir, "documents")
+    old = d.select("doc_id", "source", F.col("n_chars").alias("score"))
+    base_new = d.where(F.col("doc_id") % 17 != 0).select(
+        "doc_id",
+        "source",
+        F.when(F.col("doc_id") % 5 == 0, F.col("n_chars") * 2)
+        .otherwise(F.col("n_chars"))
+        .alias("score"),
+    )
+    entered = d.where(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + F.lit(1000000000)).alias("doc_id"),
+        "source",
+        F.col("n_chars").alias("score"),
+    )
+    new = base_new.unionByName(entered)
+    return band_migration(old, new, "score", n_bands=4, exact=True)
+
+
 def q_inspection_sample(spark, sf_dir):
     """Deterministic per-source eyeball sample
     (operators/packing.inspection_sample): the 5 min-hash docs per
@@ -2738,6 +2766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "path_trigrams": q_path_trigrams,
         "series_autocorr": q_series_autocorr,
         "schema_drift": q_schema_drift,
+        "band_migration": q_band_migration,
         # --- past the driver's 50-query window from here on ---
         "length_buckets": q_length_buckets,
         "padding_audit": q_padding_audit,
@@ -3869,6 +3898,54 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings e
             LEFT JOIN DEG deg ON deg.vec_id = e.vec_id
             CROSS JOIN NQ
+        """,
+        "band_migration": """
+            WITH OLDS AS (
+                SELECT doc_id, source, n_chars AS score FROM documents
+            ),
+            NEWS AS (
+                SELECT doc_id, source,
+                       CASE WHEN doc_id % 5 = 0 THEN n_chars * 2
+                            ELSE n_chars END AS score
+                FROM documents WHERE doc_id % 17 <> 0
+                UNION ALL
+                SELECT doc_id + 1000000000, source, n_chars
+                FROM documents WHERE doc_id % 13 = 0
+            ),
+            OB AS (
+                SELECT doc_id, source,
+                       NTILE(4) OVER (
+                           PARTITION BY source
+                           ORDER BY score ASC NULLS FIRST, doc_id ASC
+                       ) AS band_old
+                FROM OLDS
+            ),
+            NB AS (
+                SELECT doc_id, source,
+                       NTILE(4) OVER (
+                           PARTITION BY source
+                           ORDER BY score ASC NULLS FIRST, doc_id ASC
+                       ) AS band_new
+                FROM NEWS
+            ),
+            J AS (
+                SELECT COALESCE(CAST(o.source AS VARCHAR),
+                                CAST(n.source AS VARCHAR),
+                                '__null__') AS grp,
+                       o.band_old, n.band_new
+                FROM OB o FULL OUTER JOIN NB n ON o.doc_id = n.doc_id
+            ),
+            A AS (
+                SELECT grp, band_old, band_new, COUNT(*) AS n
+                FROM J GROUP BY 1, 2, 3
+            )
+            SELECT grp AS "group",
+                   CAST(band_old AS INT) AS band_old,
+                   CAST(band_new AS INT) AS band_new,
+                   CAST(n AS BIGINT) AS n,
+                   ROUND(n * 1.0 / SUM(n) OVER (
+                       PARTITION BY grp, band_old), 6) AS frac
+            FROM A
         """,
         "schema_drift": """
             WITH C AS (

@@ -1573,3 +1573,82 @@ def series_autocorr(
         "n_pairs",
         F.round(F.when(ok, num / F.sqrt(dx * dy)), 6).alias("autocorr"),
     )
+
+
+def band_migration(
+    old: DataFrame,
+    new: DataFrame,
+    score_col: str,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    n_bands: int = 4,
+    exact: bool = False,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Quality-band transition matrix between two snapshots of the same
+    corpus — the versioning lens on :func:`quality_bands`. snapshot
+    deltas say WHICH documents changed; this says what the change did
+    to the QUALITY STRUCTURE: a re-scoring run that silently demotes a
+    source's top decile shows up as mass moving off the diagonal, and
+    whole-band entries/exits expose filters that fired on one side
+    only.
+
+    Each side is banded independently with :func:`quality_bands`
+    (same ``exact`` switch: approx boundaries for the 10^12 path,
+    NTILE for the oracle/audit), then documents meet through ONE
+    full-outer equi-join on ``id_col``. Returns (group, band_old,
+    band_new, n, frac 6-dp): band_old NULL = entered (frac is within
+    the group's entered mass), band_new NULL = exited; ``frac``
+    normalizes n by the (group, band_old) row total. ``group`` is the
+    old side's group (the new side's for entered docs), '__null__'
+    for null groups; a document that changed groups counts under its
+    OLD group — banding already happened per-side, the matrix only
+    labels the flow.
+
+    Scale shape: banding costs whatever quality_bands costs per side
+    (map-only assignment in the default); the join is one hash
+    exchange per side on the id — intrinsic to any versioned diff —
+    and everything after runs on the |groups| x (n_bands+1)^2
+    aggregate (the frac window included).
+    """
+    ob = quality_bands(
+        old, score_col, group_col=group_col, n_bands=n_bands,
+        id_col=id_col, exact=exact, accuracy=accuracy,
+    ).select(
+        F.col(id_col).alias("_id"),
+        F.col(group_col).alias("_go"),
+        F.col("band").alias("band_old"),
+    )
+    nb = quality_bands(
+        new, score_col, group_col=group_col, n_bands=n_bands,
+        id_col=id_col, exact=exact, accuracy=accuracy,
+    ).select(
+        F.col(id_col).alias("_id"),
+        F.col(group_col).alias("_gn"),
+        F.col("band").alias("band_new"),
+    )
+    from pyspark.sql import Window
+
+    grp = F.coalesce(
+        F.col("_go").cast("string"),
+        F.col("_gn").cast("string"),
+        F.lit("__null__"),
+    )
+    agg = (
+        ob.join(nb, "_id", "full_outer")
+        .groupBy(
+            grp.alias("group"),
+            F.col("band_old").cast("int").alias("band_old"),
+            F.col("band_new").cast("int").alias("band_new"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("group", "band_old")
+    return agg.select(
+        "group",
+        "band_old",
+        "band_new",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("n").cast("double") / F.sum("n").over(w), 6)
+        .alias("frac"),
+    )

@@ -149,7 +149,7 @@ def test_driver_window_holds_every_value_oracled_query_once():
         # session-8 operators: same contract (mirror-sweep value oracle
         # + pytest pins in test_pipeline.py::TestSession8Ops)
         "embedding_covariance", "audience_overlap", "path_trigrams",
-        "series_autocorr", "schema_drift",
+        "series_autocorr", "schema_drift", "band_migration",
     }
     import glob
 

@@ -6413,3 +6413,64 @@ class TestSchemaDrift:
         assert _type_class("array<int>") == "array"
         assert _type_class("struct<a:int>") == "struct"
         assert _type_class("void") == "other"
+
+
+class TestBandMigration:
+    """Pins for stats.band_migration (value-oracled in the mirror
+    sweep): diagonal identity, directed demotion, entered/exited
+    labeling, frac normalization."""
+
+    def _snap(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "doc_id long, source string, score double"
+        )
+
+    def test_identity_snapshot_is_diagonal(self, spark):
+        from datatest_spark.operators.stats import band_migration
+
+        old = self._snap(
+            spark, [(i, "s", float(i)) for i in range(1, 9)]
+        )
+        rows = band_migration(old, old, "score", n_bands=4,
+                              exact=True).collect()
+        assert all(r["band_old"] == r["band_new"] for r in rows)
+        assert all(r["frac"] == 1.0 for r in rows)
+        assert sum(r["n"] for r in rows) == 8
+
+    def test_demotion_enter_exit_and_frac(self, spark):
+        from datatest_spark.operators.stats import band_migration
+
+        # 8 docs in 4 exact bands of 2; new snapshot: doc 8 (top band)
+        # rescored to the bottom, doc 1 exits, doc 99 enters mid
+        old = self._snap(spark, [(i, "s", float(i)) for i in range(1, 9)])
+        new = self._snap(
+            spark,
+            [(i, "s", float(i)) for i in range(2, 8)]
+            + [(8, "s", 0.5), (99, "s", 4.5)],
+        )
+        got = {
+            (r["band_old"], r["band_new"]): r
+            for r in band_migration(old, new, "score", n_bands=4,
+                                    exact=True).collect()
+        }
+        # doc 8 fell from band 4 to band 1
+        assert got[(4, 1)]["n"] == 1
+        # doc 1 exited: band_old 1 -> band_new NULL
+        assert got[(1, None)]["n"] == 1
+        # doc 99 entered: band_old NULL (new ordering puts it in band 3:
+        # sorted scores 0.5,2,3,4,4.5,5,6,7 -> pairs per band)
+        assert got[(None, 3)]["n"] == 1 and got[(None, 3)]["frac"] == 1.0
+        # frac normalizes within (group, band_old): band 4 split 50/50
+        b4 = [r for (bo, bn), r in got.items() if bo == 4]
+        assert sorted(r["frac"] for r in b4) == [0.5, 0.5]
+
+    def test_null_group_and_approx_default_runs(self, spark):
+        from datatest_spark.operators.stats import band_migration
+
+        old = self._snap(
+            spark, [(1, None, 1.0), (2, None, 2.0), (3, "s", 3.0)]
+        )
+        rows = band_migration(old, old, "score", n_bands=2).collect()
+        groups = {r["group"] for r in rows}
+        assert groups == {"__null__", "s"}
+        assert all(r["band_old"] == r["band_new"] for r in rows)
