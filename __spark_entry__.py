@@ -1822,6 +1822,19 @@ def q_schema_drift(spark, sf_dir):
     return schema_drift(d, new)
 
 
+def q_compression_profile(spark, sf_dir):
+    """Per-source pooled zlib compression profile
+    (operators/text.compression_profile): the information-density
+    quality gate — templated boilerplate collapses under DEFLATE long
+    before n-gram heuristics name it. DEFLATE has no SQL oracle, so
+    this is a documented rows-only entry (multimodal-family Arrow
+    kernel); semantics pinned by construction tests."""
+    from datatest_spark.operators.text import compression_profile
+
+    d = _t(spark, sf_dir, "documents")
+    return compression_profile(d)
+
+
 def q_band_migration(spark, sf_dir):
     """Quality-band transition matrix between two snapshots
     (operators/stats.band_migration, exact=True NTILE form — the
@@ -2767,6 +2780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "series_autocorr": q_series_autocorr,
         "schema_drift": q_schema_drift,
         "band_migration": q_band_migration,
+        "compression_profile": q_compression_profile,
         # --- past the driver's 50-query window from here on ---
         "length_buckets": q_length_buckets,
         "padding_audit": q_padding_audit,

@@ -1952,3 +1952,118 @@ def freq_spectrum(
             "token_mass",
         )
     )
+
+
+def compression_ratio(
+    df: DataFrame,
+    text_col: str = "text",
+    keep_cols: tuple = ("doc_id", "source"),
+    level: int = 6,
+) -> DataFrame:
+    """Per-document zlib compression ratio — the classic
+    information-density quality gate (C4/Dolma-family pipelines drop
+    documents that compress too well: templated boilerplate, repeated
+    spans, and scraped navigation chrome all collapse under DEFLATE
+    long before an n-gram heuristic names the repetition). The inverse
+    failure (ratio ~ 1) flags binary-in-text and encoding damage that
+    mojibake_scan's pattern list can miss.
+
+    Returns ``keep_cols`` + (raw_bytes, z_bytes, ratio 6-dp): UTF-8
+    byte counts and ``z_bytes / raw_bytes`` (null text -> zero bytes,
+    null ratio — never dropped, so row counts are stable for joins).
+
+    Scale shape: ONE Arrow-batched ``mapInPandas`` pass, map-only (no
+    shuffle, no state); column pruning reaches the scan because the
+    kernel input is pre-projected to keep_cols + text. DEFLATE is
+    genuinely inexpressible in Spark SQL / any SQL oracle, so this is
+    one of the documented Arrow-kernel operators (multimodal family):
+    the driver gate covers it rows-only, and semantics are pinned by
+    construction tests (templated text compresses ~an order of
+    magnitude better than high-entropy text; ratio is invariant to
+    partitioning). Aggregate downstream with exact integer byte sums
+    (``sum(z_bytes)/sum(raw_bytes)``), never by averaging ratios.
+    """
+    import zlib
+    from typing import Iterator
+
+    import pandas as pd
+
+    if not (0 <= int(level) <= 9):
+        raise ValueError("level must be in [0, 9], got %r" % (level,))
+    keep = list(keep_cols)
+    pruned = df.select(*keep, F.col(text_col).alias("_txt"))
+    out_schema = ", ".join(
+        "`%s` %s" % (c, dict(df.dtypes)[c]) for c in keep
+    ) + ", raw_bytes long, z_bytes long, ratio double"
+    lv = int(level)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            raws, zs, ratios = [], [], []
+            for t in pdf["_txt"]:
+                if t is None or (isinstance(t, float) and pd.isna(t)):
+                    raws.append(0)
+                    zs.append(0)
+                    ratios.append(None)
+                    continue
+                b = str(t).encode("utf-8")
+                z = len(zlib.compress(b, lv))
+                raws.append(len(b))
+                zs.append(z)
+                ratios.append(
+                    round(z / len(b), 6) if len(b) > 0 else None
+                )
+            out = pdf[keep].copy()
+            out["raw_bytes"] = pd.Series(raws, dtype="int64")
+            out["z_bytes"] = pd.Series(zs, dtype="int64")
+            out["ratio"] = pd.Series(ratios, dtype="float64")
+            yield out
+
+    return pruned.mapInPandas(kernel, schema=out_schema)
+
+
+def compression_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    level: int = 6,
+) -> DataFrame:
+    """Per-group pooled compression profile over
+    :func:`compression_ratio`: (group, n_docs, raw_bytes, z_bytes,
+    pooled_ratio 6-dp, bits_per_byte 4-dp). Pooled = exact integer
+    byte sums divided ONCE (parallelism-invariant — a mean of
+    per-doc ratios would weight a tweet like a book); null groups
+    coalesce to '__null__'. One map-only kernel pass + one map-side-
+    combinable groupBy of |groups| rows."""
+    per_doc = compression_ratio(
+        df, text_col=text_col, keep_cols=(group_col,), level=level
+    )
+    agg = (
+        per_doc.groupBy(
+            F.coalesce(F.col(group_col).cast("string"), F.lit("__null__"))
+            .alias("group")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("raw_bytes").alias("raw_bytes"),
+            F.sum("z_bytes").alias("z_bytes"),
+        )
+    )
+    ok = F.col("raw_bytes") > 0
+    return agg.select(
+        "group",
+        "n_docs",
+        F.col("raw_bytes").cast("long").alias("raw_bytes"),
+        F.col("z_bytes").cast("long").alias("z_bytes"),
+        F.round(
+            F.when(ok, F.col("z_bytes").cast("double") / F.col("raw_bytes")),
+            6,
+        ).alias("pooled_ratio"),
+        F.round(
+            F.when(
+                ok,
+                F.col("z_bytes").cast("double") * 8.0 / F.col("raw_bytes"),
+            ),
+            4,
+        ).alias("bits_per_byte"),
+    )

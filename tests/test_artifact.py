@@ -111,7 +111,12 @@ def test_driver_window_holds_every_value_oracled_query_once():
     # slots; each overflow entry has an in-window sibling exercising the
     # same core or a dedicated pytest pin — see the _DRIVER_WINDOW
     # comment in __spark_entry__.py)
-    rows_only = {"simhash_pairs", "ivf_ann_topk", "multimodal_features"}
+    rows_only = {
+        "simhash_pairs", "ivf_ann_topk", "multimodal_features",
+        # DEFLATE has no SQL oracle — documented Arrow-kernel entry,
+        # pinned by tests/test_pipeline.py::TestCompressionRatio
+        "compression_profile",
+    }
     overflow = {
         "lsh_candidate_pairs", "bloom_survivors", "padding_audit",
         "source_signatures", "scrub_paragraphs", "quality_bands_approx",

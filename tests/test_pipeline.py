@@ -6474,3 +6474,72 @@ class TestBandMigration:
         groups = {r["group"] for r in rows}
         assert groups == {"__null__", "s"}
         assert all(r["band_old"] == r["band_new"] for r in rows)
+
+
+class TestCompressionRatio:
+    """Pins for text.compression_ratio / compression_profile (rows-only
+    driver entry — DEFLATE has no SQL oracle, so these construction
+    tests carry the semantics)."""
+
+    def test_templated_compresses_much_better_than_entropy(self, spark):
+        import hashlib
+
+        from datatest_spark.operators.text import compression_ratio
+
+        noisy = " ".join(
+            hashlib.sha256(str(i).encode()).hexdigest() for i in range(60)
+        )
+        docs = spark.createDataFrame(
+            [
+                (1, "tpl", "buy now! " * 400),
+                (2, "rnd", noisy),
+                (3, "tpl", None),
+                (4, "tpl", ""),
+            ],
+            "doc_id long, source string, text string",
+        )
+        got = {r["doc_id"]: r for r in compression_ratio(docs).collect()}
+        assert got[1]["ratio"] < 0.05          # template collapses
+        assert got[2]["ratio"] > 0.4           # high entropy resists
+        assert got[1]["raw_bytes"] == len("buy now! " * 400)
+        # null/empty text: stable rows, null ratio
+        assert got[3]["raw_bytes"] == 0 and got[3]["ratio"] is None
+        assert got[4]["raw_bytes"] == 0 and got[4]["ratio"] is None
+        with pytest.raises(ValueError, match="level"):
+            compression_ratio(docs, level=11)
+
+    def test_ratio_invariant_to_partitioning(self, spark):
+        from datatest_spark.operators.text import compression_ratio
+
+        docs = spark.createDataFrame(
+            [(i, "s", "pattern %d " % (i % 3) * 50) for i in range(40)],
+            "doc_id long, source string, text string",
+        )
+        a = {
+            r["doc_id"]: r["ratio"]
+            for r in compression_ratio(docs.repartition(1)).collect()
+        }
+        b = {
+            r["doc_id"]: r["ratio"]
+            for r in compression_ratio(docs.repartition(13)).collect()
+        }
+        assert a == b
+
+    def test_profile_pools_exact_byte_sums(self, spark):
+        import zlib
+
+        from datatest_spark.operators.text import compression_profile
+
+        texts = {1: "aaaa " * 100, 2: "zqx 9f!", 3: "aaaa " * 50}
+        docs = spark.createDataFrame(
+            [(k, "s" if k != 2 else None, v) for k, v in texts.items()],
+            "doc_id long, source string, text string",
+        )
+        got = {r["group"]: r for r in compression_profile(docs).collect()}
+        raw_s = sum(len(texts[k].encode()) for k in (1, 3))
+        z_s = sum(len(zlib.compress(texts[k].encode(), 6)) for k in (1, 3))
+        assert got["s"]["n_docs"] == 2
+        assert (got["s"]["raw_bytes"], got["s"]["z_bytes"]) == (raw_s, z_s)
+        assert got["s"]["pooled_ratio"] == round(z_s / raw_s, 6)
+        assert got["s"]["bits_per_byte"] == round(z_s * 8.0 / raw_s, 4)
+        assert got["__null__"]["n_docs"] == 1
