@@ -954,8 +954,10 @@ def schema_drift(old: DataFrame, new: DataFrame) -> DataFrame:
     """
 
     def side(df):
+        # df[c] indexing, not a back-quoted F.col string: a column name
+        # containing a backtick would break the quoting
         aggs = [F.count(F.lit(1)).alias("_n")] + [
-            F.count(F.col("`%s`" % c)).alias("c_%d" % i)
+            F.count(df[c]).alias("c_%d" % i)
             for i, c in enumerate(df.columns)
         ]
         row = df.agg(*aggs).first()

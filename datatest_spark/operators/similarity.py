@@ -1252,6 +1252,11 @@ def embedding_covariance(
     elements and off-dimension vectors are dropped (modal-length
     inference when dim is None), matching the rest of the embedding
     family.
+
+    Exactness bound (group_corr discipline): pair sums stay exact
+    while n·max|x_i·x_j|·2^scale_bits < 2^63 — at 10^12 rows keep
+    embeddings roughly unit-scale at scale_bits=20, or lower
+    scale_bits for wild magnitudes.
     """
     v = vectors.select(as_double(F.col(vec_col)).alias("v")).where(
         F.col("v").isNotNull() & ~F.exists(F.col("v"), lambda x: x.isNull())

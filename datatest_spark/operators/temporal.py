@@ -607,7 +607,9 @@ def path_trigrams(
     n < min_count are cut AFTER every denominator is fixed. Ordering
     is (ts, tiebreak) per user; null timestamps drop (no position);
     null types coalesce to '__null__' so a genuine null state is
-    distinguishable from the stream boundary.
+    distinguishable from the stream boundary. (A corpus whose event
+    vocabulary literally contains '__start__' would merge with the
+    boundary sentinel and lose those trigrams — rename upstream.)
 
     Scale shape: BOTH lags ride ONE user-partitioned window exchange,
     and the events are scanned exactly ONCE (plan-pinned): a single

@@ -1991,6 +1991,12 @@ def compression_ratio(
     if not (0 <= int(level) <= 9):
         raise ValueError("level must be in [0, 9], got %r" % (level,))
     keep = list(keep_cols)
+    clash = set(keep) & {"raw_bytes", "z_bytes", "ratio"}
+    if clash:
+        raise ValueError(
+            "compression_ratio: keep_cols collide with output columns: "
+            "%s" % sorted(clash)
+        )
     pruned = df.select(*keep, F.col(text_col).alias("_txt"))
     out_schema = ", ".join(
         "`%s` %s" % (c, dict(df.dtypes)[c]) for c in keep

@@ -659,7 +659,11 @@ def streaming_transition_gate(
         prev = last_type if last_us is not None else None
         primed = last_us is not None
         for _us, _tb, ty in rows:
-            if primed:
+            # a None prev is a genuinely-null event_type, not the
+            # stream boundary (primed tracks that) — the batch matrix
+            # drops such steps (lag's null prev is indistinguishable
+            # from the boundary there), so parity requires skipping
+            if primed and prev is not None:
                 step = (prev, ty)
                 counts[step] = counts.get(step, 0) + 1
             prev, primed = ty, True

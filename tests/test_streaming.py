@@ -724,3 +724,50 @@ def test_streaming_transition_gate_replay_reports_not_corrupts(
 
     with pytest.raises(ValueError, match="reference"):
         windowed.streaming_transition_gate(stream, [])
+
+
+@pytest.mark.spark
+def test_streaming_transition_gate_null_type_parity_with_batch(
+    spark, tmp_path
+):
+    """A genuinely-null event_type must not mint steps the batch matrix
+    drops: batch lag cannot distinguish a null prev from the boundary,
+    so the gate skips null-prev steps too (review fix)."""
+    import datetime as dt
+
+    from datatest_spark.operators.temporal import event_transition_matrix
+    from datatest_spark.streaming import windowed
+
+    t0 = dt.datetime(2026, 1, 1)
+    sch = "user_id string, event_type string, ts timestamp, event_id string"
+    rows = [
+        ("u", "a", t0, "e1"),
+        ("u", None, t0 + dt.timedelta(seconds=1), "e2"),
+        ("u", "b", t0 + dt.timedelta(seconds=2), "e3"),
+    ]
+    src = str(tmp_path / "trnull")
+    spark.createDataFrame(rows, sch).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = windowed.run_available_now(
+        windowed.streaming_transition_gate(stream, [("a", "b")]),
+        "transition_null", str(tmp_path / "trnck"),
+    )
+    got = {}
+    for r in out:
+        got[(r["prev_type"], r["next_type"])] = (
+            got.get((r["prev_type"], r["next_type"]), 0) + r["n"]
+        )
+    batch = spark.createDataFrame(rows, sch)
+    want = {
+        (r["prev_type"], r["next_type"]): r["n"]
+        for r in event_transition_matrix(batch).collect()
+    }
+    # batch keeps (a -> null); drops (null -> b). Stream must agree.
+    assert got == want
+    assert ("a", None) in got and (None, "b") not in got
