@@ -56,6 +56,13 @@ def build_parser():
     p.add_argument("--nbins", type=int, default=10)
     p.add_argument("--inspect-k", type=int, default=5,
                    help="rows per source in the inspection sample")
+    p.add_argument("--compare", default=None,
+                   help="optional PRIOR snapshot (parquet) — adds the "
+                   "versioning lenses: schema_drift (column/status/"
+                   "null-rate movement) and band_migration (n_tok "
+                   "quality-band flow, approx boundaries)")
+    p.add_argument("--bands", type=int, default=4,
+                   help="bands for the --compare migration matrix")
     return p
 
 
@@ -116,6 +123,21 @@ def main(argv=None) -> int:
             )
         ),
     }
+    if args.compare:
+        from datatest_spark.operators import checks
+
+        prior = spark.read.parquet(args.compare)
+        card["versioning"] = {
+            "prior": args.compare,
+            "schema_drift": _rows(checks.schema_drift(prior, df)),
+        }
+        # migration needs the score on BOTH sides; a prior without it
+        # is precisely what schema_drift just reported — don't crash
+        if "n_tok" in prior.columns and "n_tok" in df.columns:
+            card["versioning"]["band_migration"] = _rows(
+                stats.band_migration(prior, df, "n_tok",
+                                     n_bands=args.bands)
+            )
     if baseline is not None:
         kw = dict(value_col="n_tok", group_col="source",
                   baseline_group=baseline, lo=0.0, hi=args.n_tok_hi,

@@ -453,3 +453,56 @@ class TestProfileCorpusJob:
         # JS drift present with the baseline's own zero
         js = {r["group"]: r for r in card["drift"]["js"]}
         assert js[card["baseline_source"]]["js"] == 0.0
+
+    def test_data_card_versioning_lenses(self, spark, tmp_path):
+        """--compare adds schema_drift + band_migration against a prior
+        snapshot: here the prior is the same table minus a column's
+        worth of rows... (drop rows + a column to exercise statuses)."""
+        from pyspark.sql import functions as F
+
+        from datatest_spark.sources.synth import tokenized_sequences
+
+        cur = tokenized_sequences(spark, 200, seed=11)
+        cur_path = str(tmp_path / "cur")
+        cur.write.parquet(cur_path)
+        # prior snapshot: fewer rows, no n_tok column
+        prior_path = str(tmp_path / "prior")
+        cur.where(F.col("doc_id").substr(-1, 1) != "7").drop(
+            "n_tok"
+        ).write.parquet(prior_path)
+
+        import importlib.util
+        import os
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        spec = importlib.util.spec_from_file_location(
+            "profile_corpus", os.path.join(repo, "jobs", "profile_corpus.py")
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        out_json = str(tmp_path / "card2.json")
+        rc = mod.main(["--input", cur_path, "--output", out_json,
+                       "--max-pos", "2", "--phi", "0.01",
+                       "--compare", prior_path, "--bands", "3"])
+        assert rc == 0
+        card = json.loads(open(out_json).read())
+        sd = {r["column"]: r for r in card["versioning"]["schema_drift"]}
+        assert sd["n_tok"]["status"] == "added"
+        assert sd["doc_id"]["status"] == "kept"
+        # the prior lacks the score column, which schema_drift just
+        # reported — migration must be SKIPPED, not crash
+        assert "band_migration" not in card["versioning"]
+        prior2_path = str(tmp_path / "prior2")
+        cur.where(F.col("doc_id").substr(-1, 1) != "7").write.parquet(
+            prior2_path
+        )
+        rc = mod.main(["--input", cur_path, "--output", out_json,
+                       "--max-pos", "2", "--phi", "0.01",
+                       "--compare", prior2_path, "--bands", "3"])
+        assert rc == 0
+        card = json.loads(open(out_json).read())
+        mig = card["versioning"]["band_migration"]
+        assert mig, "migration matrix empty"
+        entered = [r for r in mig if r["band_old"] is None]
+        assert entered and sum(r["n"] for r in entered) > 0
+        assert all(1 <= r["band_new"] <= 3 for r in entered)
