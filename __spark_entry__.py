@@ -2523,6 +2523,28 @@ def q_semantic_dedup_survivors(spark, sf_dir):
     return s.select("vec_id", "label")
 
 
+def q_semantic_contamination(spark, sf_dir):
+    """Embedding-space eval-set decontamination
+    (operators/similarity.semantic_contamination): the eval side is the
+    ~1/8 of embeddings whose md5(vec_id) starts with '0'/'1' (a
+    deterministic held-out split), the corpus is the rest; every corpus
+    vector whose best eval cosine reaches tau=0.3 is flagged with its
+    argmax eval item (ties toward the smaller eval_id). Map-only over
+    the corpus: ONE broadcast carrier row of (eval_id, vector) structs,
+    in-row argmax fold — zero corpus-side Exchange (plan-pinned). The
+    oracle replays the identical left-fold cosine arithmetic via a
+    cross join + ROW_NUMBER argmax."""
+    from datatest_spark.operators.similarity import semantic_contamination
+
+    e = _t(spark, sf_dir, "embeddings")
+    is_eval = F.substring(
+        F.md5(F.col("vec_id").cast("string")), 1, 1
+    ).isin("0", "1")
+    return semantic_contamination(
+        e.where(~is_eval), e.where(is_eval), tau=0.3
+    )
+
+
 def q_normalized_dup_groups(spark, sf_dir):
     """Normalization-tolerant exact dedup (text.normalize_text +
     dedup.exact_duplicates): case/punctuation/whitespace variants hash
@@ -2617,7 +2639,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # ORDERING CONTRACT: the driver's correctness gate checks exactly the
 # FIRST 50 keys of queries() in insertion order. _DRIVER_WINDOW is the
 # explicit window — every never-driver-green value-oracled operator that
-# fits, plus the two md5 siblings of the rows-only ops. Non-veteran
+# fits. Non-veteran
 # queries now OUTNUMBER the 50 slots, so the overflow below is a
 # CONSCIOUS choice, each entry with an in-window sibling exercising the
 # same core or a dedicated pytest pin (and all swept green by
@@ -2633,7 +2655,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #                          paragraph_dups / paragraph_dup_profile
 #   quality_bands_approx — approx<->exact agreement pinned vs in-window
 #                          quality_bands
-#   accepted_keys/args   — trivial filters, property-tested
+#   ivf_md5_topk / simhash_md5_signatures — already driver-green in r04
+#                          (rotated out in round 5 to admit
+#                          accepted_keys/args per the r04 verdict's
+#                          explicit done-criterion)
 #   source_signatures    — newest; fixed-point scoring shares the
 #                          unigram-LM discipline
 #   scrub_token_spans    — cut stage over in-window duplicate_spans'
@@ -2668,8 +2693,8 @@ _DRIVER_WINDOW = (
     "doc_chunks", "quantize_embeddings", "semantic_dup_pairs",
     "semantic_dedup_survivors", "normalized_dup_groups",
     "prefix_jaccard_pairs", "bloom_decontam", "weighted_sample",
-    "epoch_shuffle", "length_buckets", "ivf_md5_topk",
-    "simhash_md5_signatures",
+    "epoch_shuffle", "length_buckets", "accepted_keys",
+    "accepted_args",
 )
 
 
@@ -2781,6 +2806,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_drift": q_schema_drift,
         "band_migration": q_band_migration,
         "compression_profile": q_compression_profile,
+        # --- group 3e: round-5 session-9 operators (same overflow
+        # contract: mirror-sweep value oracle + pytest pins in
+        # test_pipeline.py::TestSemanticContamination) ---
+        "semantic_contamination": q_semantic_contamination,
         # --- past the driver's 50-query window from here on ---
         "length_buckets": q_length_buckets,
         "padding_audit": q_padding_audit,
@@ -7202,6 +7231,35 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_docs,
                    list_sort(list(doc_id)) AS doc_ids
             FROM P GROUP BY 1 HAVING COUNT(*) > 1
+        """,
+        "semantic_contamination": """
+            WITH V AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                       substr(md5(CAST(vec_id AS VARCHAR)), 1, 1)
+                           IN ('0', '1') AS is_eval
+                FROM embeddings
+                WHERE embedding IS NOT NULL
+                  AND len(list_filter(embedding, x -> x IS NULL)) = 0
+            ),
+            E AS (SELECT vec_id AS eval_id, v FROM V WHERE is_eval),
+            C AS (SELECT vec_id, v FROM V WHERE NOT is_eval),
+            S AS (
+                SELECT c.vec_id, e.eval_id,
+                       list_dot_product(c.v, e.v)
+                       / (SQRT(list_sum(list_transform(c.v, x -> x * x)))
+                        * SQRT(list_sum(list_transform(e.v, x -> x * x))))
+                           AS cr
+                FROM C CROSS JOIN E
+            ),
+            B AS (
+                SELECT vec_id, eval_id, cr,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY vec_id ORDER BY cr DESC, eval_id ASC
+                       ) AS r
+                FROM S
+            )
+            SELECT vec_id, eval_id, ROUND(cr, 4) AS cos_sim
+            FROM B WHERE r = 1 AND cr >= 0.3
         """,
         "split_leakage": """
             WITH N AS (

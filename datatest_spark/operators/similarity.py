@@ -903,6 +903,121 @@ def semantic_dedup(
     return vectors.join(drop, id_col, "left_anti")
 
 
+def semantic_contamination(
+    corpus: DataFrame,
+    eval_vectors: DataFrame,
+    tau: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    eval_id_col: str | None = None,
+    eval_vec_col: str | None = None,
+) -> DataFrame:
+    """Embedding-space eval-set decontamination: flag every corpus
+    vector whose BEST cosine against any held-out eval vector reaches
+    ``tau``. The semantic sibling of ``decontam.contamination`` (text
+    shingles) and ``decontam.token_contamination`` (token n-grams) —
+    paraphrased eval leakage that shares no surface n-grams still lands
+    next to its eval item in embedding space, which is how modern
+    pipelines audit benchmark leakage post-paraphrase.
+
+    Returns one row per contaminated corpus vector:
+    ``(id_col, eval_id, cos_sim)`` where ``eval_id`` is the
+    argmax-cosine eval item (ties broken toward the smallest eval id —
+    a total order, so the result is independent of evaluation order)
+    and ``cos_sim`` is rounded to 4 places; the ``tau`` comparison runs
+    on the UNrounded value. Vectors with null elements on either side
+    are excluded (they surface through null-rate checks, not here).
+
+    Scale shape: eval sets are small by construction (10^3..10^5 rows),
+    so the whole eval side collapses into ONE carrier row
+    (``collect_list`` of (id, vector) structs) that is broadcast and
+    cross-joined — the corpus NEVER shuffles, and the per-doc argmax is
+    an in-row ``F.aggregate`` fold over the carrier array, not a
+    groupBy: zero corpus-side Exchange, embarrassingly parallel at
+    10^12 rows. Per-row cost is O(|eval| * dim) multiplies inside
+    whole-stage codegen — identical arithmetic to a broadcast
+    nested-loop join, minus the per-doc max shuffle that a join-then-
+    groupBy plan would pay. An eval side too big to broadcast is the
+    documented escape hatch to :func:`semantic_dup_pairs`-style
+    cluster-scoped pairing instead.
+    """
+    eid = eval_id_col or id_col
+    evec = eval_vec_col or vec_col
+    eid_type = eval_vectors.schema[eid].dataType
+    ev = eval_vectors.select(
+        F.col(eid).alias("_eid"), as_double(F.col(evec)).alias("_ev")
+    ).where(
+        F.col("_ev").isNotNull()
+        & ~F.exists(F.col("_ev"), lambda x: x.isNull())
+    )
+    # ONE carrier row (agg without groupBy yields exactly one row even
+    # on empty input -> empty eval degrades to an empty result, not an
+    # error); broadcast so the corpus side never moves
+    carrier = ev.agg(
+        F.collect_list(F.struct(F.col("_eid"), F.col("_ev"))).alias("_eval")
+    )
+    c = corpus.select(
+        F.col(id_col), as_double(F.col(vec_col)).alias("_v")
+    ).where(
+        F.col("_v").isNotNull() & ~F.exists(F.col("_v"), lambda x: x.isNull())
+    )
+    joined = c.crossJoin(F.broadcast(carrier))
+    norm_c = l2_norm(F.col("_v"))
+    zero = F.struct(
+        F.lit(None).cast(eid_type).alias("eid"),
+        F.lit(float("-inf")).alias("cos"),
+    )
+
+    def _fold(acc, e):
+        cos_e = dot(F.col("_v"), e["_ev"]) / (norm_c * l2_norm(e["_ev"]))
+        better = cos_e.isNotNull() & (
+            (cos_e > acc["cos"])
+            | ((cos_e == acc["cos"])
+               & (acc["eid"].isNull() | (e["_eid"] < acc["eid"])))
+        )
+        return F.when(
+            better,
+            F.struct(e["_eid"].alias("eid"), cos_e.alias("cos")),
+        ).otherwise(acc)
+
+    best = F.aggregate(F.col("_eval"), zero, _fold)
+    return (
+        joined.select(F.col(id_col), best.alias("_best"))
+        .where(F.col("_best.cos") >= F.lit(float(tau)))
+        .select(
+            id_col,
+            F.col("_best.eid").alias("eval_id"),
+            F.round(F.col("_best.cos"), 4).alias("cos_sim"),
+        )
+    )
+
+
+def decontaminate_semantic(
+    corpus: DataFrame,
+    eval_vectors: DataFrame,
+    tau: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    eval_id_col: str | None = None,
+    eval_vec_col: str | None = None,
+) -> DataFrame:
+    """Survivors complement of :func:`semantic_contamination`: the
+    corpus minus every vector flagged at ``tau`` — the drop-in semantic
+    stage for a decontamination pipeline (same contract as
+    ``decontam.decontaminate``: input rows pass through unchanged).
+
+    Scale shape: the hits side is corpus-scale map-only (see
+    :func:`semantic_contamination`); the final ``left_anti`` join keys
+    on ``id_col`` — contaminated docs are a small fraction of the
+    corpus by assumption, so AQE plans it as a broadcast anti-join.
+    """
+    hits = semantic_contamination(
+        corpus, eval_vectors, tau=tau, id_col=id_col, vec_col=vec_col,
+        eval_id_col=eval_id_col, eval_vec_col=eval_vec_col,
+    ).select(id_col)
+    return corpus.join(hits, id_col, "left_anti")
+
+
 def centroid_distance_matrix(
     vectors: DataFrame,
     vec_col: str = "embedding",

@@ -98,9 +98,11 @@ def test_driver_window_holds_every_value_oracled_query_once():
     # everything in the window is value-oracled
     missing = [k for k in window if k not in oracles]
     assert missing == [], "window entries without oracle: %r" % missing
-    # the md5 siblings of the rows-only ops must stay driver-checked
-    for sibling in ("ivf_md5_topk", "simhash_md5_signatures"):
-        assert sibling in window, sibling
+    # the r4 verdict's explicit done-criterion: accepted_keys/args green
+    # INSIDE the window (the md5 siblings they displaced are 3x-driver-
+    # green veterans, covered by the veteran branch below)
+    for newcomer in ("accepted_keys", "accepted_args"):
+        assert newcomer in window, newcomer
     # the window is the EXPLICIT _DRIVER_WINDOW declaration — ordering
     # must be applied, not merely intended
     assert window == list(mod._DRIVER_WINDOW)
@@ -120,7 +122,7 @@ def test_driver_window_holds_every_value_oracled_query_once():
     overflow = {
         "lsh_candidate_pairs", "bloom_survivors", "padding_audit",
         "source_signatures", "scrub_paragraphs", "quality_bands_approx",
-        "accepted_keys", "accepted_args", "scrub_token_spans",
+        "scrub_token_spans",
         "lang_mix",
         # session-3+ operators: each value-oracled (swept by
         # tools/check_oracles.py) AND pinned by dedicated pytest tests
@@ -155,6 +157,9 @@ def test_driver_window_holds_every_value_oracled_query_once():
         # + pytest pins in test_pipeline.py::TestSession8Ops)
         "embedding_covariance", "audience_overlap", "path_trigrams",
         "series_autocorr", "schema_drift", "band_migration",
+        # session-9 operators: same contract (mirror-sweep value oracle
+        # + pytest pins in test_pipeline.py::TestSemanticContamination)
+        "semantic_contamination",
     }
     import glob
 

@@ -6543,3 +6543,130 @@ class TestCompressionRatio:
         assert got["s"]["pooled_ratio"] == round(z_s / raw_s, 6)
         assert got["s"]["bits_per_byte"] == round(z_s * 8.0 / raw_s, 4)
         assert got["__null__"]["n_docs"] == 1
+
+
+class TestSemanticContamination:
+    """Pins for the session-9 embedding-space decontamination operator
+    (similarity.semantic_contamination / decontaminate_semantic): the
+    registered query is value-oracled in the tools/check_oracles.py
+    mirror sweep; these pins lock the argmax semantics, the tie order,
+    the threshold boundary, and the null/empty degradations on
+    hand-built fixtures."""
+
+    def _frames(self, spark):
+        # corpus doc 1 is nearly parallel to eval 10, doc 2 orthogonal
+        # to everything, doc 3 anti-parallel (cos -1 never reaches tau)
+        corpus = spark.createDataFrame(
+            [
+                (1, [1.0, 0.0, 0.0]),
+                (2, [0.0, 0.0, 1.0]),
+                (3, [-1.0, 0.0, 0.0]),
+            ],
+            "vec_id long, embedding array<double>",
+        )
+        evals = spark.createDataFrame(
+            [
+                (10, [0.9, 0.1, 0.0]),
+                (11, [0.0, 1.0, 0.0]),
+            ],
+            "vec_id long, embedding array<double>",
+        )
+        return corpus, evals
+
+    def test_argmax_and_threshold(self, spark):
+        corpus, evals = self._frames(spark)
+        got = {
+            r["vec_id"]: (r["eval_id"], r["cos_sim"])
+            for r in similarity.semantic_contamination(
+                corpus, evals, tau=0.5
+            ).collect()
+        }
+        # only doc 1 clears tau=0.5; its argmax is eval 10
+        assert set(got) == {1}
+        eid, cs = got[1]
+        assert eid == 10
+        assert cs == round(0.9 / (0.81 + 0.01) ** 0.5, 4)
+
+    def test_threshold_is_inclusive_on_unrounded_value(self, spark):
+        # cos(corpus, eval) == 1.0 exactly (identical direction)
+        corpus = spark.createDataFrame(
+            [(1, [2.0, 0.0])], "vec_id long, embedding array<double>"
+        )
+        evals = spark.createDataFrame(
+            [(9, [4.0, 0.0])], "vec_id long, embedding array<double>"
+        )
+        rows = similarity.semantic_contamination(
+            corpus, evals, tau=1.0
+        ).collect()
+        assert [(r["vec_id"], r["eval_id"], r["cos_sim"]) for r in rows] == [
+            (1, 9, 1.0)
+        ]
+
+    def test_tie_breaks_toward_smaller_eval_id(self, spark):
+        corpus = spark.createDataFrame(
+            [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+        )
+        # two eval items at the SAME cosine (both parallel to corpus);
+        # registration order reversed so order-of-evaluation cannot win
+        evals = spark.createDataFrame(
+            [(20, [3.0, 0.0]), (7, [5.0, 0.0])],
+            "vec_id long, embedding array<double>",
+        )
+        rows = similarity.semantic_contamination(
+            corpus, evals, tau=0.9
+        ).collect()
+        assert [(r["vec_id"], r["eval_id"]) for r in rows] == [(1, 7)]
+
+    def test_null_vectors_excluded_both_sides(self, spark):
+        corpus = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, None), (3, [1.0, None])],
+            "vec_id long, embedding array<double>",
+        )
+        evals = spark.createDataFrame(
+            [(10, [1.0, 0.0]), (11, None), (12, [None, 1.0])],
+            "vec_id long, embedding array<double>",
+        )
+        rows = similarity.semantic_contamination(
+            corpus, evals, tau=0.0
+        ).collect()
+        # null corpus rows never emitted; null eval rows never matched
+        assert [(r["vec_id"], r["eval_id"]) for r in rows] == [(1, 10)]
+
+    def test_empty_eval_yields_empty_not_error(self, spark):
+        corpus, evals = self._frames(spark)
+        empty = evals.where("vec_id < 0")
+        assert (
+            similarity.semantic_contamination(corpus, empty, tau=0.0).count()
+            == 0
+        )
+
+    def test_survivors_complement(self, spark):
+        corpus, evals = self._frames(spark)
+        hits = {
+            r["vec_id"]
+            for r in similarity.semantic_contamination(
+                corpus, evals, tau=0.5
+            ).collect()
+        }
+        survivors = {
+            r["vec_id"]
+            for r in similarity.decontaminate_semantic(
+                corpus, evals, tau=0.5
+            ).collect()
+        }
+        assert hits == {1}
+        assert survivors == {2, 3}
+        assert hits | survivors == {1, 2, 3}
+
+    def test_custom_columns_and_id_types(self, spark):
+        corpus = spark.createDataFrame(
+            [("a", [1.0, 0.0])], "doc string, emb array<double>"
+        )
+        evals = spark.createDataFrame(
+            [("e1", [1.0, 0.0])], "eid string, vec array<double>"
+        )
+        rows = similarity.semantic_contamination(
+            corpus, evals, tau=0.9, id_col="doc", vec_col="emb",
+            eval_id_col="eid", eval_vec_col="vec",
+        ).collect()
+        assert [(r["doc"], r["eval_id"]) for r in rows] == [("a", "e1")]

@@ -814,3 +814,28 @@ class TestSession8Plans:
         import re as _re
 
         assert len(_re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+
+
+class TestSemanticContaminationPlan:
+    def test_corpus_side_is_map_only(self, spark, sf_dir):
+        """The corpus never shuffles: the ONLY Exchange in the plan is
+        the tiny eval-side collect_list carrier agg (plus its broadcast);
+        the corpus path is scan -> BroadcastNestedLoopJoin -> filter/
+        project with the argmax folded in-row — no groupBy(doc), no
+        sort-merge join, no per-doc window."""
+        from datatest_spark.operators import similarity
+
+        emb = spark.read.parquet(sf_dir + "/embeddings.parquet")
+        is_eval = F.substring(
+            F.md5(F.col("vec_id").cast("string")), 1, 1
+        ).isin("0", "1")
+        out = similarity.semantic_contamination(
+            emb.where(~is_eval), emb.where(is_eval), tau=0.3
+        )
+        plan = _plan(out)
+        # one Exchange: the single-row eval carrier agg
+        assert _exchanges(plan) <= 1, plan
+        assert "BroadcastNestedLoopJoin" in plan, plan
+        assert "SortMergeJoin" not in plan, plan
+        assert "Window" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
