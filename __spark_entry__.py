@@ -1749,6 +1749,26 @@ def q_bigram_logloss(spark, sf_dir):
     return bigram_logloss(toks)
 
 
+def q_trigram_logloss(spark, sf_dir):
+    """n=3 LM fluency filter with STUPID BACKOFF (operators/
+    text.trigram_backoff_logloss, Brants et al. 2007): the reference
+    corpus is the deterministic md5-half of documents (first hex digit
+    < '8'), so the OTHER half genuinely exercises the bigram/unigram
+    backoff paths the self-scoring form never hits. All fixed-point:
+    level log-probs are floor-scaled bigints and the backoff penalty is
+    the driver-computed INTEGER floor(log2(0.4)*2^20) = -1386143, so
+    Spark and the oracle add identical integers. Fallback joins run on
+    FILTERED trigram-miss rows only (plan-pinned)."""
+    from datatest_spark.operators.text import trigram_backoff_logloss
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split(F.col("text"), " ").alias("tokens"))
+    ref = toks.where(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "8"
+    )
+    return trigram_backoff_logloss(toks, ref)
+
+
 def q_volume_anomalies(spark, sf_dir):
     """Ingest-volume monitoring BY COMPOSITION: per-(event_type, day)
     row counts, then operators/stats.mad_outliers over the daily-count
@@ -2810,6 +2830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # contract: mirror-sweep value oracle + pytest pins in
         # test_pipeline.py::TestSemanticContamination) ---
         "semantic_contamination": q_semantic_contamination,
+        "trigram_logloss": q_trigram_logloss,
         # --- past the driver's 50-query window from here on ---
         "length_buckets": q_length_buckets,
         "padding_audit": q_padding_audit,
@@ -7231,6 +7252,108 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_docs,
                    list_sort(list(doc_id)) AS doc_ids
             FROM P GROUP BY 1 HAVING COUNT(*) > 1
+        """,
+        "trigram_logloss": """
+            -- stupid backoff: -1386143 = floor(log2(0.4) * 2^20),
+            -- computed driver-side so both engines add the SAME integer
+            WITH T AS (
+                SELECT doc_id, string_split(text, ' ') AS tk
+                FROM documents
+            ),
+            R AS (
+                SELECT * FROM T
+                WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'
+            ),
+            P3 AS (
+                SELECT tk[CAST(i AS INT)] AS t1,
+                       tk[CAST(i AS INT) + 1] AS t2,
+                       tk[CAST(i AS INT) + 2] AS t3
+                FROM R,
+                     UNNEST(range(1, GREATEST(len(tk) - 2, 0) + 1)) AS u(i)
+                WHERE len(tk) >= 3
+            ),
+            M3 AS (
+                SELECT t1, t2, t3,
+                       CAST(FLOOR((LOG2(COUNT(*))
+                                   - LOG2(SUM(COUNT(*))
+                                          OVER (PARTITION BY t1, t2)))
+                                  * 1048576.0) AS BIGINT) AS lp3
+                FROM P3 GROUP BY t1, t2, t3
+            ),
+            P2 AS (
+                SELECT tk[CAST(i AS INT)] AS t1,
+                       tk[CAST(i AS INT) + 1] AS t2
+                FROM R,
+                     UNNEST(range(1, GREATEST(len(tk) - 1, 0) + 1)) AS u(i)
+                WHERE len(tk) >= 2
+            ),
+            M2 AS (
+                SELECT t1, t2,
+                       CAST(FLOOR((LOG2(COUNT(*))
+                                   - LOG2(SUM(COUNT(*))
+                                          OVER (PARTITION BY t1)))
+                                  * 1048576.0) AS BIGINT) AS lp2
+                FROM P2 GROUP BY t1, t2
+            ),
+            M1 AS (
+                SELECT t,
+                       CAST(FLOOR((LOG2(COUNT(*))
+                                   - LOG2(SUM(COUNT(*)) OVER ()))
+                                  * 1048576.0) AS BIGINT) AS lp1
+                FROM (SELECT UNNEST(tk) AS t FROM R) GROUP BY t
+            ),
+            D3 AS (
+                SELECT doc_id,
+                       tk[CAST(i AS INT)] AS a1,
+                       tk[CAST(i AS INT) + 1] AS a2,
+                       tk[CAST(i AS INT) + 2] AS a3
+                FROM T,
+                     UNNEST(range(1, GREATEST(len(tk) - 2, 0) + 1)) AS u(i)
+                WHERE len(tk) >= 3
+            ),
+            SC AS (
+                SELECT d.doc_id,
+                       CASE WHEN m3.lp3 IS NOT NULL THEN m3.lp3
+                            WHEN m2.lp2 IS NOT NULL
+                                THEN m2.lp2 + (-1386143)
+                            WHEN m1.lp1 IS NOT NULL
+                                THEN m1.lp1 + 2 * (-1386143)
+                       END AS sc,
+                       CASE WHEN m3.lp3 IS NOT NULL THEN 3
+                            WHEN m2.lp2 IS NOT NULL THEN 2
+                            WHEN m1.lp1 IS NOT NULL THEN 1
+                            ELSE 0
+                       END AS lvl
+                FROM D3 d
+                LEFT JOIN M3 m3
+                       ON d.a1 = m3.t1 AND d.a2 = m3.t2 AND d.a3 = m3.t3
+                LEFT JOIN M2 m2 ON d.a2 = m2.t1 AND d.a3 = m2.t2
+                LEFT JOIN M1 m1 ON d.a3 = m1.t
+            ),
+            S AS (
+                SELECT doc_id,
+                       CAST(COUNT(*) AS BIGINT) AS n_tri,
+                       CAST(SUM(CASE WHEN lvl = 2 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS nb2,
+                       CAST(SUM(CASE WHEN lvl = 1 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS nb1,
+                       CAST(SUM(CASE WHEN lvl = 0 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS noov,
+                       CAST(SUM(CASE WHEN sc IS NOT NULL THEN 1 ELSE 0 END)
+                            AS BIGINT) AS k,
+                       CAST(SUM(sc) AS BIGINT) AS s
+                FROM SC GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(s.n_tri, 0) AS BIGINT) AS n_trigrams,
+                   CAST(COALESCE(s.nb2, 0) AS BIGINT) AS n_backoff_bigram,
+                   CAST(COALESCE(s.nb1, 0) AS BIGINT) AS n_backoff_unigram,
+                   CAST(COALESCE(s.noov, 0) AS BIGINT) AS n_oov,
+                   CASE WHEN s.k > 0
+                        THEN ROUND((-(CAST(s.s AS DOUBLE)) / 1048576.0)
+                                   / s.k, 4)
+                   END AS bits_per_trigram
+            FROM documents d LEFT JOIN S s USING (doc_id)
         """,
         "semantic_contamination": """
             WITH V AS (

@@ -604,6 +604,221 @@ def bigram_logloss(
     )
 
 
+def _adjacent_triples(tokens_col):
+    """(t1, t2, t3) structs for every adjacent triple of the
+    null-filtered token array — the n=3 sibling of
+    :func:`_adjacent_pairs`, same drop-nulls-first adjacency."""
+    toks = F.filter(F.col(tokens_col), lambda t: t.isNotNull())
+    n = F.size(toks)
+    idx = F.when(n >= 3, F.sequence(F.lit(1), n - 2)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(
+        idx,
+        lambda i: F.struct(
+            F.element_at(toks, i).alias("t1"),
+            F.element_at(toks, i + 1).alias("t2"),
+            F.element_at(toks, i + 2).alias("t3"),
+        ),
+    )
+
+
+def backoff_fixed(alpha: float = 0.4, scale_bits: int = 20) -> int:
+    """The stupid-backoff penalty as a fixed-point bigint:
+    ``floor(log2(alpha) * 2^scale_bits)``. Computed DRIVER-SIDE in
+    Python and embedded as a literal so Spark and a SQL oracle add the
+    IDENTICAL integer — engine log2 implementations may differ in the
+    last ulp on irrational arguments, and the fixed-point discipline
+    exists precisely to keep such doubles out of the accumulators."""
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError("alpha must be in (0, 1], got %r" % (alpha,))
+    return math.floor(math.log2(alpha) * (1 << scale_bits))
+
+
+def trigram_model(
+    df: DataFrame, tokens_col: str = "tokens", scale_bits: int = 20
+) -> DataFrame:
+    """Corpus trigram LM as fixed-point CONDITIONAL log-probs:
+    (t1, t2, t3, lp_fixed) with ``lp_fixed = floor(log2(c(t1,t2,t3) /
+    c(t1,t2,·)) * 2^scale_bits)`` — the n=3 step of the LM-fluency
+    family (:func:`unigram_model`, :func:`bigram_model`).
+
+    Scale shape: one explode + one (t1,t2,t3) groupBy; the context
+    totals c(t1,t2,·) re-aggregate the triple counts (|trigrams| rows,
+    NOT a second corpus pass). Corpus-sized by construction — stays a
+    DataFrame, never collected or broadcast."""
+    s = float(1 << scale_bits)
+    t = (
+        df.select(F.explode(_adjacent_triples(tokens_col)).alias("p"))
+        .select("p.t1", "p.t2", "p.t3")
+    )
+    counts = t.groupBy("t1", "t2", "t3").agg(F.count(F.lit(1)).alias("_c"))
+    ctx = counts.groupBy("t1", "t2").agg(F.sum("_c").alias("_ct"))
+    return counts.join(ctx, ["t1", "t2"]).select(
+        "t1", "t2", "t3",
+        F.floor((F.log2("_c") - F.log2("_ct")) * F.lit(s))
+        .cast("long")
+        .alias("lp_fixed"),
+    )
+
+
+def trigram_backoff_logloss(
+    df: DataFrame,
+    model_corpus: DataFrame | None = None,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    alpha: float = 0.4,
+    scale_bits: int = 20,
+) -> DataFrame:
+    """Per-sequence trigram cross-entropy (bits/triple) under STUPID
+    BACKOFF (Brants et al. 2007, "Large Language Models in Machine
+    Translation"): a triple seen in the reference corpus scores its
+    conditional trigram log-prob; an unseen triple backs off to
+    ``alpha * P(t3|t2)``, then ``alpha^2 * P(t3)``, and counts as OOV
+    only when even the unigram is absent. Exactly the web-scale LM
+    recipe — no discounting, no normalization, score-not-probability —
+    chosen over Kneser-Ney because it needs nothing but counts, which
+    is also what makes it SQL-oracle-reproducible.
+
+    ``model_corpus`` is the reference the three count models are built
+    from (default: ``df`` itself — self-scoring, where backoff never
+    fires and the result is a pure fluency score). All fixed-point:
+    level log-probs are floor(log2-ratio * 2^scale_bits) bigints and
+    the backoff penalty is the :func:`backoff_fixed` INTEGER added
+    once (bigram path) or twice (unigram path), so accumulation is
+    associative and parallelism-invariant.
+
+    Returns one row per distinct id: (id, n_trigrams, n_backoff_bigram,
+    n_backoff_unigram, n_oov, bits_per_trigram) — the two backoff
+    counters are the data-quality signal (how alien is this document's
+    phrasing to the reference corpus), bits_per_trigram the filter
+    score; docs with < 3 usable tokens yield null bits and zero counts.
+
+    Scale shape: exploded (id, triple) rows pre-aggregate to
+    (id, triple, count) riding the SAME (t1,t2,t3) exchange the model
+    join needs (the bigram_logloss trick); the bigram and unigram
+    FALLBACK joins run on FILTERED miss rows only — for a
+    reference ⊇ df they are empty-relation joins AQE folds away, and
+    for a disjoint reference they carry only the miss fraction, never
+    the whole corpus again. The unigram side is vocab-sized
+    (broadcastable); trigram/bigram sides are corpus-sized DataFrames
+    joined on their own keys."""
+    if model_corpus is None:
+        model_corpus = df
+    pen = backoff_fixed(alpha, scale_bits)
+    s = float(1 << scale_bits)
+    m3 = trigram_model(model_corpus, tokens_col, scale_bits)
+    m2 = bigram_model(model_corpus, tokens_col, scale_bits).select(
+        F.col("t1").alias("_b1"), F.col("t2").alias("_b2"),
+        F.col("lp_fixed").alias("_lp2"),
+    )
+    mtoks = F.filter(F.col(tokens_col), lambda t: t.isNotNull())
+    uni = (
+        model_corpus.select(F.explode(mtoks).alias("_u"))
+        .groupBy("_u").agg(F.count(F.lit(1)).alias("_c"))
+    )
+    # N via a window over the vocab-sized counts: no second corpus pass
+    m1 = uni.select(
+        "_u",
+        F.floor(
+            (F.log2("_c") - F.log2(F.sum("_c").over(Window.partitionBy())))
+            * F.lit(s)
+        ).cast("long").alias("_lp1"),
+    )
+    pe = df.select(
+        F.col(id_col),
+        F.explode_outer(_adjacent_triples(tokens_col)).alias("p"),
+    ).select(
+        F.col(id_col),
+        F.col("p.t1").alias("_a1"),
+        F.col("p.t2").alias("_a2"),
+        F.col("p.t3").alias("_a3"),
+    )
+    pre = (
+        pe.repartition("_a1", "_a2", "_a3")
+        .groupBy(id_col, "_a1", "_a2", "_a3")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    j3 = pre.join(
+        m3,
+        on=[pre["_a1"] == m3["t1"], pre["_a2"] == m3["t2"],
+            pre["_a3"] == m3["t3"]],
+        how="left",
+    ).select(id_col, "_a1", "_a2", "_a3", "_n", "lp_fixed")
+    base = [F.col(id_col), F.col("_n")]
+    hit3 = j3.where(F.col("lp_fixed").isNotNull()).select(
+        *base, F.col("lp_fixed").alias("_score"), F.lit(3).alias("_lvl")
+    )
+    # doc-presence rows from explode_outer (< 3 usable tokens)
+    blank = j3.where(F.col("_a1").isNull()).select(
+        *base,
+        F.lit(None).cast("long").alias("_score"),
+        F.lit(None).cast("int").alias("_lvl"),
+    )
+    miss3 = j3.where(F.col("lp_fixed").isNull() & F.col("_a1").isNotNull())
+    j2 = miss3.join(
+        m2,
+        on=[miss3["_a2"] == m2["_b1"], miss3["_a3"] == m2["_b2"]],
+        how="left",
+    )
+    hit2 = j2.where(F.col("_lp2").isNotNull()).select(
+        *base,
+        (F.col("_lp2") + F.lit(pen)).alias("_score"),
+        F.lit(2).alias("_lvl"),
+    )
+    miss2 = j2.where(F.col("_lp2").isNull()).select(
+        id_col, "_a3", "_n"
+    )
+    j1 = miss2.join(m1, on=[miss2["_a3"] == m1["_u"]], how="left")
+    hit1 = j1.where(F.col("_lp1").isNotNull()).select(
+        *base,
+        (F.col("_lp1") + F.lit(2 * pen)).alias("_score"),
+        F.lit(1).alias("_lvl"),
+    )
+    oov = j1.where(F.col("_lp1").isNull()).select(
+        *base,
+        F.lit(None).cast("long").alias("_score"),
+        F.lit(0).alias("_lvl"),
+    )
+    scored = hit3.unionByName(hit2).unionByName(hit1).unionByName(
+        oov
+    ).unionByName(blank)
+    agg = scored.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("_lvl").isNotNull(), F.col("_n")).otherwise(F.lit(0))
+        ).alias("n_trigrams"),
+        F.sum(
+            F.when(F.col("_lvl") == 2, F.col("_n")).otherwise(F.lit(0))
+        ).alias("n_backoff_bigram"),
+        F.sum(
+            F.when(F.col("_lvl") == 1, F.col("_n")).otherwise(F.lit(0))
+        ).alias("n_backoff_unigram"),
+        F.sum(
+            F.when(F.col("_lvl") == 0, F.col("_n")).otherwise(F.lit(0))
+        ).alias("n_oov"),
+        F.sum(
+            F.when(F.col("_score").isNotNull(), F.col("_n"))
+            .otherwise(F.lit(0))
+        ).alias("_k"),
+        F.sum(F.col("_score") * F.col("_n")).alias("_s"),
+    )
+    k = F.col("_k")
+    return agg.select(
+        F.col(id_col),
+        "n_trigrams", "n_backoff_bigram", "n_backoff_unigram", "n_oov",
+        F.when(
+            k > 0,
+            F.round(
+                (-(F.col("_s").cast("double")) / F.lit(float(1 << scale_bits)))
+                / k,
+                4,
+            ),
+        )
+        .otherwise(F.lit(None).cast("double"))
+        .alias("bits_per_trigram"),
+    )
+
+
 # PII patterns shared by pii_scan and its oracle: restricted to RE2 ∩
 # java.util.regex syntax (character classes, bounded repetition, ASCII
 # \b / \d) so Spark and DuckDB count identical matches. No lookaround —

@@ -158,8 +158,9 @@ def test_driver_window_holds_every_value_oracled_query_once():
         "embedding_covariance", "audience_overlap", "path_trigrams",
         "series_autocorr", "schema_drift", "band_migration",
         # session-9 operators: same contract (mirror-sweep value oracle
-        # + pytest pins in test_pipeline.py::TestSemanticContamination)
-        "semantic_contamination",
+        # + pytest pins in test_pipeline.py::TestSemanticContamination /
+        # TestTrigramBackoff)
+        "semantic_contamination", "trigram_logloss",
     }
     import glob
 

@@ -6670,3 +6670,118 @@ class TestSemanticContamination:
             eval_id_col="eid", eval_vec_col="vec",
         ).collect()
         assert [(r["doc"], r["eval_id"]) for r in rows] == [("a", "e1")]
+
+
+class TestTrigramBackoff:
+    """Pins for the session-9 stupid-backoff trigram LM
+    (text.trigram_model / trigram_backoff_logloss): the registered
+    query is value-oracled in the mirror sweep; these pins lock the
+    three-level backoff semantics against a pure-Python mirror and tie
+    the oracle's embedded penalty literal to the code."""
+
+    def test_backoff_constant_matches_oracle_literal(self):
+        # the trigram_logloss oracle SQL embeds -1386143; if this pin
+        # breaks, update BOTH the SQL and this test
+        assert text.backoff_fixed(0.4, 20) == -1386143
+        import math
+        assert text.backoff_fixed(0.5, 20) == -(1 << 20)
+        for bad in (0.0, -0.1, 1.5):
+            try:
+                text.backoff_fixed(bad)
+                assert False, bad
+            except ValueError:
+                pass
+
+    def test_matches_python_mirror_on_all_levels(self, spark):
+        import math
+        from collections import Counter
+
+        refdocs = [[1, 2, 3, 1, 2, 3, 1, 2, 4], [2, 3, 1, 5, 5, 5]]
+        # doc 1: all trigrams seen; doc 2: unigram backoff (t=1);
+        # doc 6: BIGRAM backoff ((2,3) seen as pair, (9,2,3) unseen);
+        # doc 3: OOV (9 not in ref vocab); docs 4/5: too short / null
+        score_docs = {
+            1: [1, 2, 3, 1], 2: [3, 2, 1], 3: [9, 9, 9], 4: [1, 2],
+            5: None, 6: [9, 2, 3],
+        }
+        ref = spark.createDataFrame(
+            [(100 + i, d) for i, d in enumerate(refdocs)],
+            "doc_id long, tokens array<int>",
+        )
+        df = spark.createDataFrame(
+            list(score_docs.items()), "doc_id long, tokens array<int>"
+        )
+        got = {
+            r["doc_id"]: (
+                r["n_trigrams"], r["n_backoff_bigram"],
+                r["n_backoff_unigram"], r["n_oov"], r["bits_per_trigram"],
+            )
+            for r in text.trigram_backoff_logloss(df, ref).collect()
+        }
+        c3, c2, c1 = Counter(), Counter(), Counter()
+        n_total = 0
+        for d in refdocs:
+            for i in range(len(d) - 2):
+                c3[tuple(d[i:i + 3])] += 1
+            for i in range(len(d) - 1):
+                c2[tuple(d[i:i + 2])] += 1
+            for t in d:
+                c1[t] += 1
+                n_total += 1
+        ctx3, ctx2 = Counter(), Counter()
+        for (a, b, c), n in c3.items():
+            ctx3[(a, b)] += n
+        for (a, b), n in c2.items():
+            ctx2[a] += n
+        S = 1 << 20
+        pen = text.backoff_fixed()
+
+        def fx(num, den):
+            return math.floor((math.log2(num) - math.log2(den)) * S)
+
+        for doc_id, doc in score_docs.items():
+            doc = doc or []
+            n_tri = nb2 = nb1 = noov = k = s = 0
+            for i in range(len(doc) - 2):
+                tri = tuple(doc[i:i + 3])
+                n_tri += 1
+                if tri in c3:
+                    v = fx(c3[tri], ctx3[tri[:2]])
+                elif tri[1:] in c2:
+                    v = fx(c2[tri[1:]], ctx2[tri[1]]) + pen
+                    nb2 += 1
+                elif tri[2] in c1:
+                    v = fx(c1[tri[2]], n_total) + 2 * pen
+                    nb1 += 1
+                else:
+                    noov += 1
+                    continue
+                s += v
+                k += 1
+            bits = round((-s / S) / k, 4) if k else None
+            assert got[doc_id] == (n_tri, nb2, nb1, noov, bits), doc_id
+        # the fixture genuinely exercises every level
+        assert got[6][1] == 1   # bigram backoff fired
+        assert got[2][2] == 1   # unigram backoff fired
+        assert got[3][3] == 1   # OOV fired
+
+    def test_self_scoring_never_backs_off(self, spark):
+        df = spark.createDataFrame(
+            [(1, [1, 2, 3, 4, 5]), (2, [2, 3, 2, 3, 2])],
+            "doc_id long, tokens array<int>",
+        )
+        rows = text.trigram_backoff_logloss(df).collect()
+        for r in rows:
+            assert (r["n_backoff_bigram"], r["n_backoff_unigram"],
+                    r["n_oov"]) == (0, 0, 0)
+            assert r["bits_per_trigram"] is not None
+            assert r["bits_per_trigram"] >= 0.0
+
+    def test_duplicate_ids_merge_like_bigram_logloss(self, spark):
+        df = spark.createDataFrame(
+            [(1, [1, 2, 3]), (1, [1, 2, 3])],
+            "doc_id long, tokens array<int>",
+        )
+        rows = text.trigram_backoff_logloss(df).collect()
+        assert len(rows) == 1
+        assert rows[0]["n_trigrams"] == 2

@@ -839,3 +839,25 @@ class TestSemanticContaminationPlan:
         assert "SortMergeJoin" not in plan, plan
         assert "Window" not in plan, plan
         assert "CartesianProduct" not in plan, plan
+
+
+class TestTrigramBackoffPlan:
+    def test_fallback_joins_ride_filtered_misses(self, spark, docs):
+        """The bigram/unigram fallback joins must consume FILTERED
+        trigram-miss rows (isnull(lp_fixed) filters feeding the
+        fallback join inputs), never the full pre-aggregated triple
+        frame again; and nothing in the plan degenerates to a cartesian
+        product."""
+        from datatest_spark.operators import text as t
+
+        toks = docs.select(
+            "doc_id", F.split(F.col("text"), " ").alias("tokens")
+        )
+        ref = toks.where(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "8"
+        )
+        plan = _plan(t.trigram_backoff_logloss(toks, ref))
+        assert "CartesianProduct" not in plan, plan
+        # the two miss filters that gate the fallback joins
+        assert plan.count("isnull(lp_fixed") >= 1, plan
+        assert "Union" in plan, plan
