@@ -7363,6 +7363,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings
                 WHERE embedding IS NOT NULL
                   AND len(list_filter(embedding, x -> x IS NULL)) = 0
+                  AND len(list_filter(embedding, x -> x <> 0)) > 0
             ),
             E AS (SELECT vec_id AS eval_id, v FROM V WHERE is_eval),
             C AS (SELECT vec_id, v FROM V WHERE NOT is_eval),

@@ -926,7 +926,13 @@ def semantic_contamination(
     a total order, so the result is independent of evaluation order)
     and ``cos_sim`` is rounded to 4 places; the ``tau`` comparison runs
     on the UNrounded value. Vectors with null elements on either side
-    are excluded (they surface through null-rate checks, not here).
+    are excluded (they surface through null-rate checks, not here), and
+    so are ALL-ZERO vectors: their cosine is 0/0 = NaN, and Spark
+    orders NaN ABOVE every real number — an unguarded zero vector would
+    win the argmax and "contaminate" at any tau, while a SQL oracle's
+    NaN semantics differ. Excluding them pins both engines to the same
+    answer; a zero embedding is an upstream-encoder defect for the
+    null-rate/interval checks, not a similarity question.
 
     Scale shape: eval sets are small by construction (10^3..10^5 rows),
     so the whole eval side collapses into ONE carrier row
@@ -949,6 +955,7 @@ def semantic_contamination(
     ).where(
         F.col("_ev").isNotNull()
         & ~F.exists(F.col("_ev"), lambda x: x.isNull())
+        & F.exists(F.col("_ev"), lambda x: x != 0.0)
     )
     # ONE carrier row (agg without groupBy yields exactly one row even
     # on empty input -> empty eval degrades to an empty result, not an
@@ -959,7 +966,9 @@ def semantic_contamination(
     c = corpus.select(
         F.col(id_col), as_double(F.col(vec_col)).alias("_v")
     ).where(
-        F.col("_v").isNotNull() & ~F.exists(F.col("_v"), lambda x: x.isNull())
+        F.col("_v").isNotNull()
+        & ~F.exists(F.col("_v"), lambda x: x.isNull())
+        & F.exists(F.col("_v"), lambda x: x != 0.0)
     )
     joined = c.crossJoin(F.broadcast(carrier))
     norm_c = l2_norm(F.col("_v"))

@@ -6785,3 +6785,19 @@ class TestTrigramBackoff:
         rows = text.trigram_backoff_logloss(df).collect()
         assert len(rows) == 1
         assert rows[0]["n_trigrams"] == 2
+
+    def test_zero_vectors_excluded_both_sides(self, spark):
+        # all-zero vectors have NaN cosine; Spark orders NaN above every
+        # real, so an unguarded zero vector would "win" at any tau
+        corpus = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [0.0, 0.0])],
+            "vec_id long, embedding array<double>",
+        )
+        evals = spark.createDataFrame(
+            [(10, [0.0, 0.0]), (11, [1.0, 0.0])],
+            "vec_id long, embedding array<double>",
+        )
+        rows = similarity.semantic_contamination(
+            corpus, evals, tau=0.5
+        ).collect()
+        assert [(r["vec_id"], r["eval_id"]) for r in rows] == [(1, 11)]
