@@ -1527,6 +1527,26 @@ def q_unigram_logloss(spark, sf_dir):
     return t.unigram_logloss(toks)
 
 
+def q_surprisal_profile(spark, sf_dir):
+    """Surprisal-SHAPE filter (operators/text.unigram_surprisal_profile):
+    mean/std/max of per-token surprisal under the corpus unigram model —
+    catches boilerplate-stitched-to-garbage docs whose MEAN logloss
+    looks normal. Same map-only carrier as unigram_logloss; the extra
+    second moment is an exact DECIMAL(38,0) integer sum (HUGEINT in the
+    oracle), closed before any double arithmetic, in a pinned operation
+    order."""
+    from datatest_spark.operators import text as t
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.transform(
+            F.split(F.col("text"), " "), lambda w: F.length(w)
+        ).alias("tokens"),
+    )
+    return t.unigram_surprisal_profile(toks)
+
+
 def q_quality_gate(spark, sf_dir):
     """End-to-end quality filter composition — the shape of a real
     training-data cleaning pass: the two MAP-ONLY gates (PII scan,
@@ -2831,6 +2851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # test_pipeline.py::TestSemanticContamination) ---
         "semantic_contamination": q_semantic_contamination,
         "trigram_logloss": q_trigram_logloss,
+        "surprisal_profile": q_surprisal_profile,
         # --- past the driver's 50-query window from here on ---
         "length_buckets": q_length_buckets,
         "padding_audit": q_padding_audit,
@@ -7252,6 +7273,51 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_docs,
                    list_sort(list(doc_id)) AS doc_ids
             FROM P GROUP BY 1 HAVING COUNT(*) > 1
+        """,
+        "surprisal_profile": """
+            WITH W AS (
+                SELECT doc_id,
+                       list_transform(string_split(text, ' '),
+                                      x -> length(x)) AS toks
+                FROM documents
+            ),
+            U AS (SELECT doc_id, UNNEST(toks) AS tok FROM W),
+            C AS (SELECT tok, COUNT(*) AS c FROM U GROUP BY tok),
+            T AS (SELECT CAST(SUM(c) AS BIGINT) AS tt FROM C),
+            LP AS (
+                SELECT tok,
+                       CAST(FLOOR((log2(CAST(c AS DOUBLE))
+                                   - log2(CAST(tt AS DOUBLE)))
+                                  * 1048576.0) AS BIGINT) AS lp
+                FROM C CROSS JOIN T
+            ),
+            -- exact integer moments (HUGEINT = Spark's DECIMAL(38,0)):
+            -- doubles enter only AFTER the sums close, same op order
+            S AS (
+                SELECT u.doc_id, CAST(SUM(lp.lp) AS BIGINT) AS s,
+                       SUM(CAST(lp.lp AS HUGEINT) * lp.lp) AS ss,
+                       CAST(COUNT(*) AS BIGINT) AS k,
+                       MIN(lp.lp) AS mn
+                FROM U u JOIN LP lp USING (tok) GROUP BY u.doc_id
+            )
+            SELECT w.doc_id,
+                   CAST(len(w.toks) AS BIGINT) AS n_tokens,
+                   CAST(len(w.toks) - COALESCE(s.k, 0) AS BIGINT)
+                       AS n_oov,
+                   CASE WHEN s.k > 0 THEN
+                       ROUND((-CAST(s.s AS DOUBLE) / 1048576.0) / s.k, 4)
+                   END AS bits_mean,
+                   CASE WHEN s.k > 0 THEN
+                       ROUND(SQRT(GREATEST(
+                           CAST(s.ss AS DOUBLE) / s.k
+                           - (CAST(s.s AS DOUBLE) / s.k)
+                             * (CAST(s.s AS DOUBLE) / s.k), 0))
+                           / 1048576.0, 4)
+                   END AS bits_std,
+                   CASE WHEN s.k > 0 THEN
+                       ROUND(-CAST(s.mn AS DOUBLE) / 1048576.0, 4)
+                   END AS bits_max
+            FROM W w LEFT JOIN S s USING (doc_id)
         """,
         "trigram_logloss": """
             -- stupid backoff: -1386143 = floor(log2(0.4) * 2^20),

@@ -328,54 +328,24 @@ def unigram_model(
     )
 
 
-def unigram_logloss(
-    df: DataFrame,
-    model: DataFrame | None = None,
-    tokens_col: str = "tokens",
-    id_col: str = "doc_id",
-    scale_bits: int = 20,
-    passthrough: tuple = (),
-) -> DataFrame:
-    """Per-sequence unigram cross-entropy (bits/token) against a
-    broadcast LM — the CCNet-style LM quality filter: sequences whose
-    tokens are improbable under the corpus (or a clean reference)
-    model are extraction garbage; improbably LOW logloss is boilerplate.
+def _lm_carrier(df: DataFrame, model: DataFrame):
+    """Collect a vocab-bounded (token, lp_fixed) model ONCE and attach
+    the fastest lookup carrier to ``df``: a positional literal array
+    (dense integer ids — O(1) ``element_at`` in codegen, the BPE fast
+    path), a one-row broadcast array (dense but too big to inline), a
+    literal map (small sparse vocab), or a one-row broadcast map (large
+    sparse vocab — slowest, lookups scan entries). Shared by every
+    map-only unigram scorer so the carrier-selection logic lives once.
 
-    ``model`` is a (token, lp_fixed) frame from :func:`unigram_model`
-    (defaults to a model of ``df`` itself). Returns
-    (id, n_tokens, n_oov, bits_per_token); tokens absent from the model
-    are counted in ``n_oov`` and skipped, null elements are dropped,
-    empty/null arrays yield null bits_per_token.
-
-    Scale shape: the model is vocab-bounded — collected once and
-    carried as a positional array (dense integer ids: O(1) element_at,
-    the BPE-vocab fast path), a literal map (small vocab), or a one-row
-    broadcast map (large non-dense vocab — map lookups scan entries,
-    the slowest carrier), then scoring is MAP-ONLY: one ``F.aggregate``
-    pass per row sums bigint fixed-point log-probs inside codegen; no
-    explode, no exchange, no Python on the corpus side.
-    """
-    if model is None:
-        model = unigram_model(df, tokens_col, scale_bits)
-    rows = model.collect()
-    # a null token can never match a scored element (null-safe equality is
-    # not used in any carrier, and map/array keys reject null) — drop such
-    # rows so a caller-supplied model doesn't crash the density probe with
-    # an opaque int(None) TypeError; the dropped row is semantically OOV
-    rows = [r for r in rows if r["token"] is not None]
+    Returns ``(df', lp_of)`` where ``lp_of(t)`` is a Column of the
+    token's lp_fixed (null = OOV); ``lp_of`` is None when the model has
+    no non-null tokens (everything is OOV — callers take their empty
+    path). Null-token model rows are dropped: a null key is
+    unrepresentable in the carriers and semantically OOV anyway."""
+    rows = [r for r in model.collect() if r["token"] is not None]
     out = df
     if not rows:
-        # empty model: every token is OOV, nothing is scorable
-        n0 = F.size(
-            F.filter(F.col(tokens_col), lambda t: t.isNotNull())
-        ).cast("long")
-        return df.select(
-            F.col(id_col),
-            *[F.col(c) for c in passthrough],
-            n0.alias("n_tokens"),
-            n0.alias("n_oov"),
-            F.lit(None).cast("double").alias("bits_per_token"),
-        )
+        return df, None
     from pyspark.sql import types as _T
 
     tok_type = model.select("token").schema[0].dataType
@@ -432,6 +402,52 @@ def unigram_logloss(
         def _lp_of(t):
             return F.try_element_at(lp_map, t)
 
+    return out, _lp_of
+
+
+def unigram_logloss(
+    df: DataFrame,
+    model: DataFrame | None = None,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    scale_bits: int = 20,
+    passthrough: tuple = (),
+) -> DataFrame:
+    """Per-sequence unigram cross-entropy (bits/token) against a
+    broadcast LM — the CCNet-style LM quality filter: sequences whose
+    tokens are improbable under the corpus (or a clean reference)
+    model are extraction garbage; improbably LOW logloss is boilerplate.
+
+    ``model`` is a (token, lp_fixed) frame from :func:`unigram_model`
+    (defaults to a model of ``df`` itself). Returns
+    (id, n_tokens, n_oov, bits_per_token); tokens absent from the model
+    are counted in ``n_oov`` and skipped, null elements are dropped,
+    empty/null arrays yield null bits_per_token.
+
+    Scale shape: the model is vocab-bounded — collected once and
+    carried as a positional array (dense integer ids: O(1) element_at,
+    the BPE-vocab fast path), a literal map (small vocab), or a one-row
+    broadcast map (large non-dense vocab — map lookups scan entries,
+    the slowest carrier), then scoring is MAP-ONLY: one ``F.aggregate``
+    pass per row sums bigint fixed-point log-probs inside codegen; no
+    explode, no exchange, no Python on the corpus side.
+    """
+    if model is None:
+        model = unigram_model(df, tokens_col, scale_bits)
+    out, _lp_of = _lm_carrier(df, model)
+    if _lp_of is None:
+        # empty model: every token is OOV, nothing is scorable
+        n0 = F.size(
+            F.filter(F.col(tokens_col), lambda t: t.isNotNull())
+        ).cast("long")
+        return df.select(
+            F.col(id_col),
+            *[F.col(c) for c in passthrough],
+            n0.alias("n_tokens"),
+            n0.alias("n_oov"),
+            F.lit(None).cast("double").alias("bits_per_token"),
+        )
+
     toks = F.filter(F.col(tokens_col), lambda t: t.isNotNull())
     zero = F.struct(
         F.lit(0).cast("long").alias("s"),
@@ -463,6 +479,98 @@ def unigram_logloss(
         )
         .otherwise(F.lit(None).cast("double"))
         .alias("bits_per_token"),
+    )
+
+
+def unigram_surprisal_profile(
+    df: DataFrame,
+    model: DataFrame | None = None,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    scale_bits: int = 20,
+) -> DataFrame:
+    """Per-sequence surprisal SHAPE under the unigram LM — mean, std
+    and max of token-level surprisal (bits). :func:`unigram_logloss`
+    reports only the mean, which a document can pass while being half
+    boilerplate (near-zero bits) stitched to half garbage (huge bits):
+    exactly the concatenation artifact extraction pipelines produce.
+    High ``bits_std`` at a normal mean is that signature; ``bits_max``
+    is the single most improbable token — a cheap mojibake/ID-blob
+    pointer.
+
+    Same contract as unigram_logloss: ``model`` defaults to a model of
+    ``df`` itself, OOV tokens are skipped (counted in ``n_oov``), null
+    elements dropped, unscorable docs yield null bits columns. Returns
+    (id, n_tokens, n_oov, bits_mean, bits_std, bits_max); bits_mean
+    equals unigram_logloss's bits_per_token by construction.
+
+    Scale shape: identical to unigram_logloss — the model rides the
+    shared :func:`_lm_carrier` (positional array / literal map /
+    broadcast row) and scoring is MAP-ONLY, one ``F.aggregate`` fold
+    per row. The extra moment is a DECIMAL(38,0) sum of squared
+    fixed-point log-probs (lp² ~ 2^(2·(scale_bits+5)) can overflow a
+    bigint on a 10^12-token corpus × 10^4-token doc; decimal keeps the
+    integer exact, and its one cast to double at the end rounds the
+    same way a SQL HUGEINT does). Variance math runs in doubles only
+    AFTER the exact integer sums are closed, in a pinned operation
+    order, so a SQL oracle reproduces every bit.
+    """
+    if model is None:
+        model = unigram_model(df, tokens_col, scale_bits)
+    out, _lp_of = _lm_carrier(df, model)
+    toks = F.filter(F.col(tokens_col), lambda t: t.isNotNull())
+    n = F.size(toks).cast("long")
+    if _lp_of is None:
+        return df.select(
+            F.col(id_col),
+            n.alias("n_tokens"),
+            n.alias("n_oov"),
+            F.lit(None).cast("double").alias("bits_mean"),
+            F.lit(None).cast("double").alias("bits_std"),
+            F.lit(None).cast("double").alias("bits_max"),
+        )
+    zero = F.struct(
+        F.lit(0).cast("long").alias("s"),
+        F.lit(0).cast("decimal(38,0)").alias("ss"),
+        F.lit(0).cast("long").alias("k"),
+        F.lit(None).cast("long").alias("mn"),
+    )
+
+    def _merge(a, t):
+        lp = _lp_of(t)
+        lp_d = lp.cast("decimal(38,0)")
+        return F.struct(
+            F.when(lp.isNull(), a["s"]).otherwise(a["s"] + lp).alias("s"),
+            F.when(lp.isNull(), a["ss"])
+            .otherwise((a["ss"] + lp_d * lp_d).cast("decimal(38,0)"))
+            .alias("ss"),
+            F.when(lp.isNull(), a["k"]).otherwise(a["k"] + 1).alias("k"),
+            F.when(lp.isNull(), a["mn"])
+            .otherwise(F.least(F.coalesce(a["mn"], lp), lp))
+            .alias("mn"),
+        )
+
+    acc = F.aggregate(toks, zero, _merge)
+    k = acc["k"]
+    s = F.lit(float(1 << scale_bits))
+    sd = acc["s"].cast("double")
+    ssd = acc["ss"].cast("double")
+    var_fixed = F.greatest(
+        ssd / k - (sd / k) * (sd / k), F.lit(0.0)
+    )
+    return out.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        (n - k).alias("n_oov"),
+        F.when(k > 0, F.round((-sd / s) / k, 4))
+        .otherwise(F.lit(None).cast("double"))
+        .alias("bits_mean"),
+        F.when(k > 0, F.round(F.sqrt(var_fixed) / s, 4))
+        .otherwise(F.lit(None).cast("double"))
+        .alias("bits_std"),
+        F.when(k > 0, F.round(-(acc["mn"].cast("double")) / s, 4))
+        .otherwise(F.lit(None).cast("double"))
+        .alias("bits_max"),
     )
 
 

@@ -160,7 +160,7 @@ def test_driver_window_holds_every_value_oracled_query_once():
         # session-9 operators: same contract (mirror-sweep value oracle
         # + pytest pins in test_pipeline.py::TestSemanticContamination /
         # TestTrigramBackoff)
-        "semantic_contamination", "trigram_logloss",
+        "semantic_contamination", "trigram_logloss", "surprisal_profile",
     }
     import glob
 

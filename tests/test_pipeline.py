@@ -6801,3 +6801,93 @@ class TestTrigramBackoff:
             corpus, evals, tau=0.5
         ).collect()
         assert [(r["vec_id"], r["eval_id"]) for r in rows] == [(1, 11)]
+
+
+class TestSurprisalProfile:
+    """Pins for the session-9 surprisal-shape operator
+    (text.unigram_surprisal_profile): mirror-match against exact Python
+    moments, mean==unigram_logloss identity, the boilerplate+garbage
+    signature, and OOV/empty degradations."""
+
+    def test_matches_python_moments_and_logloss_mean(self, spark):
+        import math
+        from collections import Counter
+
+        docs = {1: [1, 1, 1, 1, 2], 2: [1, 2, 3, 4], 3: [], 4: None,
+                5: [9]}
+        df = spark.createDataFrame(
+            list(docs.items()), "doc_id long, tokens array<int>"
+        )
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["n_oov"], r["bits_mean"],
+                          r["bits_std"], r["bits_max"])
+            for r in text.unigram_surprisal_profile(df).collect()
+        }
+        ll = {
+            r["doc_id"]: r["bits_per_token"]
+            for r in text.unigram_logloss(df).collect()
+        }
+        c = Counter(t for d in docs.values() if d for t in d)
+        T = sum(c.values())
+        S = 1 << 20
+        lp = {
+            t: math.floor((math.log2(n) - math.log2(T)) * S)
+            for t, n in c.items()
+        }
+        for doc_id, d in docs.items():
+            if not d:
+                assert got[doc_id][2:] == (None, None, None)
+                continue
+            vals = [lp[t] for t in d if t in lp]
+            k, s = len(vals), sum(vals)
+            ss = sum(v * v for v in vals)
+            mean = round((-s / S) / k, 4)
+            var = max(ss / k - (s / k) * (s / k), 0.0)
+            want = (len(d), len(d) - k, mean,
+                    round(math.sqrt(var) / S, 4),
+                    round(-min(vals) / S, 4))
+            assert got[doc_id] == want, doc_id
+            assert got[doc_id][2] == ll[doc_id], doc_id
+
+    def test_flags_boilerplate_stitched_to_garbage(self, spark):
+        # doc 10: uniform mid-probability tokens; doc 11: same MEAN
+        # surprisal but half very-common + half very-rare tokens
+        corpus = (
+            [(100 + i, [1] * 64) for i in range(8)]       # token 1 common
+            + [(200, [2] * 8), (201, [3] * 8)]            # mid tokens
+            + [(300 + i, [40 + i]) for i in range(8)]     # rare singletons
+        )
+        df = spark.createDataFrame(
+            corpus + [(10, [2, 3] * 8), (11, [1, 40, 1, 41, 1, 42])],
+            "doc_id long, tokens array<int>",
+        )
+        got = {
+            r["doc_id"]: r
+            for r in text.unigram_surprisal_profile(df).collect()
+        }
+        assert got[11]["bits_std"] > got[10]["bits_std"] * 2
+        assert got[11]["bits_max"] > got[10]["bits_max"]
+
+    def test_oov_skipped_and_counted(self, spark):
+        model_src = spark.createDataFrame(
+            [(1, [1, 1, 2])], "doc_id long, tokens array<int>"
+        )
+        df = spark.createDataFrame(
+            [(7, [1, 99, 2, None])], "doc_id long, tokens array<int>"
+        )
+        m = text.unigram_model(model_src)
+        r = text.unigram_surprisal_profile(df, model=m).collect()[0]
+        # null element dropped from n_tokens; 99 is OOV
+        assert (r["n_tokens"], r["n_oov"]) == (3, 1)
+        assert r["bits_mean"] is not None
+
+    def test_empty_model_all_oov(self, spark):
+        df = spark.createDataFrame(
+            [(1, [1, 2])], "doc_id long, tokens array<int>"
+        )
+        empty = text.unigram_model(
+            spark.createDataFrame([], "doc_id long, tokens array<int>")
+        )
+        r = text.unigram_surprisal_profile(df, model=empty).collect()[0]
+        assert (r["n_tokens"], r["n_oov"]) == (2, 2)
+        assert r["bits_mean"] is None and r["bits_std"] is None

@@ -861,3 +861,23 @@ class TestTrigramBackoffPlan:
         # the two miss filters that gate the fallback joins
         assert plan.count("isnull(lp_fixed") >= 1, plan
         assert "Union" in plan, plan
+
+
+class TestSurprisalProfilePlan:
+    def test_scoring_is_map_only(self, spark, docs):
+        """Same contract as the unigram_logloss pin: the corpus-side
+        scoring pass is MAP-ONLY — the literal-array carrier keeps the
+        whole plan at zero Exchange (no explode, no join, no window on
+        the corpus path)."""
+        from datatest_spark.operators import text as t
+
+        toks = docs.select(
+            "doc_id",
+            F.transform(
+                F.split(F.col("text"), " "), lambda w: F.length(w)
+            ).alias("tokens"),
+        )
+        plan = _plan(t.unigram_surprisal_profile(toks))
+        assert _exchanges(plan) == 0, plan
+        assert "Join" not in plan, plan
+        assert "Window" not in plan, plan
