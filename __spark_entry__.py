@@ -7429,6 +7429,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings
                 WHERE embedding IS NOT NULL
                   AND len(list_filter(embedding, x -> x IS NULL)) = 0
+                  AND len(list_filter(embedding, x -> isnan(x))) = 0
                   AND len(list_filter(embedding, x -> x <> 0)) > 0
             ),
             E AS (SELECT vec_id AS eval_id, v FROM V WHERE is_eval),

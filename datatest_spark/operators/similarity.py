@@ -925,9 +925,10 @@ def semantic_contamination(
     argmax-cosine eval item (ties broken toward the smallest eval id —
     a total order, so the result is independent of evaluation order)
     and ``cos_sim`` is rounded to 4 places; the ``tau`` comparison runs
-    on the UNrounded value. Vectors with null elements on either side
-    are excluded (they surface through null-rate checks, not here), and
-    so are ALL-ZERO vectors: their cosine is 0/0 = NaN, and Spark
+    on the UNrounded value. Vectors with null OR NaN elements on either
+    side are excluded (they surface through null-rate/Invalid checks,
+    not here), and so are ALL-ZERO vectors: their cosine is 0/0 = NaN,
+    NaN elements propagate NaN cosines, and Spark
     orders NaN ABOVE every real number — an unguarded zero vector would
     win the argmax and "contaminate" at any tau, while a SQL oracle's
     NaN semantics differ. Excluding them pins both engines to the same
@@ -950,35 +951,50 @@ def semantic_contamination(
     eid = eval_id_col or id_col
     evec = eval_vec_col or vec_col
     eid_type = eval_vectors.schema[eid].dataType
+    def _clean(v):
+        # non-null, no null elements, no NaN elements (NaN survives the
+        # null and zero filters but wins every Spark comparison — one
+        # NaN-bearing eval vector would flag the ENTIRE corpus), and at
+        # least one nonzero element
+        return (
+            v.isNotNull()
+            & ~F.exists(v, lambda x: x.isNull())
+            & ~F.exists(v, F.isnan)
+            & F.exists(v, lambda x: x != 0.0)
+        )
+
     ev = eval_vectors.select(
         F.col(eid).alias("_eid"), as_double(F.col(evec)).alias("_ev")
-    ).where(
-        F.col("_ev").isNotNull()
-        & ~F.exists(F.col("_ev"), lambda x: x.isNull())
-        & F.exists(F.col("_ev"), lambda x: x != 0.0)
-    )
+    ).where(_clean(F.col("_ev")))
     # ONE carrier row (agg without groupBy yields exactly one row even
     # on empty input -> empty eval degrades to an empty result, not an
-    # error); broadcast so the corpus side never moves
+    # error); broadcast so the corpus side never moves. Each eval norm
+    # is computed ONCE here, in the tiny agg, not per corpus row.
     carrier = ev.agg(
-        F.collect_list(F.struct(F.col("_eid"), F.col("_ev"))).alias("_eval")
+        F.collect_list(
+            F.struct(
+                F.col("_eid"),
+                F.col("_ev"),
+                l2_norm(F.col("_ev")).alias("_en"),
+            )
+        ).alias("_eval")
     )
     c = corpus.select(
         F.col(id_col), as_double(F.col(vec_col)).alias("_v")
-    ).where(
-        F.col("_v").isNotNull()
-        & ~F.exists(F.col("_v"), lambda x: x.isNull())
-        & F.exists(F.col("_v"), lambda x: x != 0.0)
+    ).where(_clean(F.col("_v")))
+    # corpus norm once per ROW (a named column, not an expression
+    # re-expanded inside every fold step)
+    joined = c.withColumn("_nc", l2_norm(F.col("_v"))).crossJoin(
+        F.broadcast(carrier)
     )
-    joined = c.crossJoin(F.broadcast(carrier))
-    norm_c = l2_norm(F.col("_v"))
+    norm_c = F.col("_nc")
     zero = F.struct(
         F.lit(None).cast(eid_type).alias("eid"),
         F.lit(float("-inf")).alias("cos"),
     )
 
     def _fold(acc, e):
-        cos_e = dot(F.col("_v"), e["_ev"]) / (norm_c * l2_norm(e["_ev"]))
+        cos_e = dot(F.col("_v"), e["_ev"]) / (norm_c * e["_en"])
         better = cos_e.isNotNull() & (
             (cos_e > acc["cos"])
             | ((cos_e == acc["cos"])

@@ -814,24 +814,15 @@ def trigram_backoff_logloss(
     if model_corpus is None:
         model_corpus = df
     pen = backoff_fixed(alpha, scale_bits)
-    s = float(1 << scale_bits)
     m3 = trigram_model(model_corpus, tokens_col, scale_bits)
     m2 = bigram_model(model_corpus, tokens_col, scale_bits).select(
         F.col("t1").alias("_b1"), F.col("t2").alias("_b2"),
         F.col("lp_fixed").alias("_lp2"),
     )
-    mtoks = F.filter(F.col(tokens_col), lambda t: t.isNotNull())
-    uni = (
-        model_corpus.select(F.explode(mtoks).alias("_u"))
-        .groupBy("_u").agg(F.count(F.lit(1)).alias("_c"))
-    )
-    # N via a window over the vocab-sized counts: no second corpus pass
-    m1 = uni.select(
-        "_u",
-        F.floor(
-            (F.log2("_c") - F.log2(F.sum("_c").over(Window.partitionBy())))
-            * F.lit(s)
-        ).cast("long").alias("_lp1"),
+    # the unigram level IS unigram_model — one fixed-point LM recipe,
+    # maintained in one place (agg + broadcast total, no empty Window)
+    m1 = unigram_model(model_corpus, tokens_col, scale_bits).select(
+        F.col("token").alias("_u"), F.col("lp_fixed").alias("_lp1")
     )
     pe = df.select(
         F.col(id_col),

@@ -6658,6 +6658,24 @@ class TestSemanticContamination:
         assert survivors == {2, 3}
         assert hits | survivors == {1, 2, 3}
 
+    def test_zero_and_nan_vectors_excluded_both_sides(self, spark):
+        # all-zero vectors have NaN cosine, and NaN ELEMENTS propagate
+        # NaN cosines; Spark orders NaN above every real, so either
+        # would "win" the argmax at any tau without the guard
+        nan = float("nan")
+        corpus = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, [nan, 1.0])],
+            "vec_id long, embedding array<double>",
+        )
+        evals = spark.createDataFrame(
+            [(10, [0.0, 0.0]), (11, [1.0, 0.0]), (12, [1.0, nan])],
+            "vec_id long, embedding array<double>",
+        )
+        rows = similarity.semantic_contamination(
+            corpus, evals, tau=0.5
+        ).collect()
+        assert [(r["vec_id"], r["eval_id"]) for r in rows] == [(1, 11)]
+
     def test_custom_columns_and_id_types(self, spark):
         corpus = spark.createDataFrame(
             [("a", [1.0, 0.0])], "doc string, emb array<double>"
@@ -6785,22 +6803,6 @@ class TestTrigramBackoff:
         rows = text.trigram_backoff_logloss(df).collect()
         assert len(rows) == 1
         assert rows[0]["n_trigrams"] == 2
-
-    def test_zero_vectors_excluded_both_sides(self, spark):
-        # all-zero vectors have NaN cosine; Spark orders NaN above every
-        # real, so an unguarded zero vector would "win" at any tau
-        corpus = spark.createDataFrame(
-            [(1, [1.0, 0.0]), (2, [0.0, 0.0])],
-            "vec_id long, embedding array<double>",
-        )
-        evals = spark.createDataFrame(
-            [(10, [0.0, 0.0]), (11, [1.0, 0.0])],
-            "vec_id long, embedding array<double>",
-        )
-        rows = similarity.semantic_contamination(
-            corpus, evals, tau=0.5
-        ).collect()
-        assert [(r["vec_id"], r["eval_id"]) for r in rows] == [(1, 11)]
 
 
 class TestSurprisalProfile:
