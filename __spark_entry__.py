@@ -1547,6 +1547,26 @@ def q_surprisal_profile(spark, sf_dir):
     return t.unigram_surprisal_profile(toks)
 
 
+def q_surprisal_spans(spark, sf_dir):
+    """Garbage-LOCATOR (operators/text.surprisal_spans): maximal runs
+    of >= 2 consecutive tokens at >= 3.5 bits unigram surprisal, in the
+    same 0-based [start, end) span convention scrub_token_spans cuts.
+    The threshold compares in fixed point (lp <= floor(-3.5*2^20) =
+    -3670016 — an integer both engines evaluate identically); run
+    detection is an in-row F.aggregate fold (gaps-and-islands without a
+    window) vs the oracle's classic pos - ROW_NUMBER islands."""
+    from datatest_spark.operators.text import surprisal_spans
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.transform(
+            F.split(F.col("text"), " "), lambda w: F.length(w)
+        ).alias("tokens"),
+    )
+    return surprisal_spans(toks, min_bits=3.5, min_len=2)
+
+
 def q_quality_gate(spark, sf_dir):
     """End-to-end quality filter composition — the shape of a real
     training-data cleaning pass: the two MAP-ONLY gates (PII scan,
@@ -2852,6 +2872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_contamination": q_semantic_contamination,
         "trigram_logloss": q_trigram_logloss,
         "surprisal_profile": q_surprisal_profile,
+        "surprisal_spans": q_surprisal_spans,
         # --- past the driver's 50-query window from here on ---
         "length_buckets": q_length_buckets,
         "padding_audit": q_padding_audit,
@@ -7318,6 +7339,57 @@ def oracle_sql() -> dict[str, str]:
                        ROUND(-CAST(s.mn AS DOUBLE) / 1048576.0, 4)
                    END AS bits_max
             FROM W w LEFT JOIN S s USING (doc_id)
+        """,
+        "surprisal_spans": """
+            -- -3670016 = floor(-3.5 * 2^20): the fixed-point span
+            -- threshold, integer-compared on both engines
+            WITH W AS (
+                SELECT doc_id,
+                       list_transform(string_split(text, ' '),
+                                      x -> length(x)) AS toks
+                FROM documents
+            ),
+            U AS (
+                SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+                       toks[CAST(i AS INT)] AS tok
+                FROM W, UNNEST(range(1, len(toks) + 1)) AS u(i)
+            ),
+            C AS (SELECT tok, COUNT(*) AS c FROM U GROUP BY tok),
+            T AS (SELECT CAST(SUM(c) AS BIGINT) AS tt FROM C),
+            LP AS (
+                SELECT tok,
+                       CAST(FLOOR((log2(CAST(c AS DOUBLE))
+                                   - log2(CAST(tt AS DOUBLE)))
+                                  * 1048576.0) AS BIGINT) AS lp
+                FROM C CROSS JOIN T
+            ),
+            FL AS (
+                SELECT u.doc_id, u.pos, lp.lp
+                FROM U u LEFT JOIN LP lp ON u.tok = lp.tok
+                WHERE lp.lp IS NULL OR lp.lp <= -3670016
+            ),
+            G AS (
+                SELECT doc_id, pos, lp,
+                       pos - ROW_NUMBER() OVER (
+                           PARTITION BY doc_id ORDER BY pos
+                       ) AS isl
+                FROM FL
+            ),
+            S AS (
+                SELECT doc_id,
+                       CAST(MIN(pos) AS INT) AS span_start,
+                       CAST(MAX(pos) + 1 AS INT) AS span_end,
+                       CAST(COUNT(*) AS INT) AS span_len,
+                       CAST(COUNT(lp) AS BIGINT) AS n_scored,
+                       CASE WHEN COUNT(lp) > 0 THEN
+                           ROUND((-CAST(SUM(lp) AS DOUBLE) / 1048576.0)
+                                 / COUNT(lp), 4)
+                       END AS mean_bits
+                FROM G GROUP BY doc_id, isl
+            )
+            SELECT doc_id, span_start, span_end, span_len, n_scored,
+                   mean_bits
+            FROM S WHERE span_len >= 2
         """,
         "trigram_logloss": """
             -- stupid backoff: -1386143 = floor(log2(0.4) * 2^20),

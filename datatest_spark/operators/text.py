@@ -574,6 +574,132 @@ def unigram_surprisal_profile(
     )
 
 
+def surprisal_spans(
+    df: DataFrame,
+    model: DataFrame | None = None,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    min_bits: float = 8.0,
+    min_len: int = 5,
+    oov_high: bool = True,
+    scale_bits: int = 20,
+) -> DataFrame:
+    """WHERE the garbage is: maximal runs of >= ``min_len`` consecutive
+    tokens whose unigram surprisal reaches ``min_bits`` —
+    :func:`unigram_surprisal_profile` says a document CONTAINS an
+    improbable stretch, this returns its coordinates, in the same
+    0-based ``[span_start, span_end)`` convention as
+    :func:`dedup.duplicate_spans`, so ``dedup.scrub_token_spans`` cuts
+    these spans unchanged (flag -> locate -> cut, the ExactSubstr
+    pipeline shape applied to LM quality).
+
+    ``oov_high`` (default) treats unscorable tokens (OOV under the
+    model, or null elements) as high-surprisal: an unknown token inside
+    a garbage run should extend the run, not split it. The threshold
+    compares IN FIXED POINT: a token is flagged iff its lp_fixed <=
+    floor(-min_bits * 2^scale_bits) — an integer comparison both
+    engines evaluate identically, no double threshold at row scope.
+
+    Returns one row per span: (id, span_start, span_end, span_len,
+    n_scored, mean_bits) — ``n_scored`` counts model-scored tokens in
+    the span (mean_bits is over those; null when the span is all-OOV).
+
+    Scale shape: scoring rides the shared :func:`_lm_carrier`
+    (map-only); run detection is an in-row ``F.aggregate`` fold over
+    the per-token lp array (gaps-and-islands without a window — no
+    per-doc sort, no exchange); the only fan-out is the final explode
+    of per-doc span lists, bounded by n_tok / min_len per doc.
+    """
+    if min_len < 1:
+        raise ValueError("min_len must be >= 1, got %r" % (min_len,))
+    if model is None:
+        model = unigram_model(df, tokens_col, scale_bits)
+    out, _lp_of = _lm_carrier(df, model)
+    thr = math.floor(-float(min_bits) * (1 << scale_bits))
+    span_t = "array<struct<s:int,e:int,k:bigint,sm:bigint>>"
+    if _lp_of is None:
+        if not oov_high:
+            # nothing can ever be flagged
+            return df.select(
+                F.col(id_col),
+                F.lit(None).cast("int").alias("span_start"),
+                F.lit(None).cast("int").alias("span_end"),
+                F.lit(None).cast("int").alias("span_len"),
+                F.lit(None).cast("long").alias("n_scored"),
+                F.lit(None).cast("double").alias("mean_bits"),
+            ).where(F.lit(False))
+        _lp_of = lambda t: F.lit(None).cast("long")  # noqa: E731
+    lps = F.transform(F.col(tokens_col), _lp_of)
+
+    def _flag(v):
+        if oov_high:
+            return v.isNull() | (v <= F.lit(thr))
+        return v.isNotNull() & (v <= F.lit(thr))
+
+    zero = F.struct(
+        F.array().cast(span_t).alias("spans"),
+        F.lit(None).cast("int").alias("cs"),
+        F.lit(0).cast("long").alias("ck"),
+        F.lit(0).cast("long").alias("cm"),
+        F.lit(0).cast("int").alias("i"),
+    )
+
+    def _close(acc):
+        """Append the open run if it is long enough (span end = acc.i)."""
+        keep = acc["cs"].isNotNull() & (
+            (acc["i"] - acc["cs"]) >= F.lit(int(min_len))
+        )
+        st = F.struct(
+            acc["cs"].alias("s"), acc["i"].alias("e"),
+            acc["ck"].alias("k"), acc["cm"].alias("sm"),
+        )
+        return F.when(
+            keep, F.concat(acc["spans"], F.array(st))
+        ).otherwise(acc["spans"])
+
+    def _merge(acc, v):
+        return F.when(
+            _flag(v),
+            F.struct(
+                acc["spans"].alias("spans"),
+                F.coalesce(acc["cs"], acc["i"]).alias("cs"),
+                (acc["ck"] + F.when(v.isNotNull(), 1).otherwise(0))
+                .alias("ck"),
+                (acc["cm"] + F.coalesce(v, F.lit(0))).alias("cm"),
+                (acc["i"] + 1).alias("i"),
+            ),
+        ).otherwise(
+            F.struct(
+                _close(acc).alias("spans"),
+                F.lit(None).cast("int").alias("cs"),
+                F.lit(0).cast("long").alias("ck"),
+                F.lit(0).cast("long").alias("cm"),
+                (acc["i"] + 1).alias("i"),
+            )
+        )
+
+    spans = F.aggregate(lps, zero, _merge, _close)
+    s = float(1 << scale_bits)
+    return (
+        out.select(F.col(id_col), F.explode(spans).alias("_sp"))
+        .select(
+            F.col(id_col),
+            F.col("_sp.s").alias("span_start"),
+            F.col("_sp.e").alias("span_end"),
+            (F.col("_sp.e") - F.col("_sp.s")).alias("span_len"),
+            F.col("_sp.k").alias("n_scored"),
+            F.when(
+                F.col("_sp.k") > 0,
+                F.round(
+                    (-(F.col("_sp.sm").cast("double")) / F.lit(s))
+                    / F.col("_sp.k"),
+                    4,
+                ),
+            ).alias("mean_bits"),
+        )
+    )
+
+
 def _adjacent_pairs(tokens_col):
     """(t1, t2) structs for every adjacent pair of the null-filtered
     token array. Filtering nulls FIRST means adjacency is over the

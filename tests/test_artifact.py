@@ -161,6 +161,7 @@ def test_driver_window_holds_every_value_oracled_query_once():
         # + pytest pins in test_pipeline.py::TestSemanticContamination /
         # TestTrigramBackoff)
         "semantic_contamination", "trigram_logloss", "surprisal_profile",
+        "surprisal_spans",
     }
     import glob
 

@@ -6893,3 +6893,90 @@ class TestSurprisalProfile:
         r = text.unigram_surprisal_profile(df, model=empty).collect()[0]
         assert (r["n_tokens"], r["n_oov"]) == (2, 2)
         assert r["bits_mean"] is None and r["bits_std"] is None
+
+
+class TestSurprisalSpans:
+    """Pins for the session-9 garbage-locator
+    (text.surprisal_spans): run detection semantics (maximal islands,
+    trailing close, OOV bridging vs splitting), the span-convention
+    compatibility with scrub_token_spans, and guards."""
+
+    def _model(self, spark):
+        # token 1 very common (low bits); 6..9 rare (high bits)
+        ref = spark.createDataFrame(
+            [(100, [1] * 64 + [7, 8, 9, 6])],
+            "doc_id long, tokens array<int>",
+        )
+        return text.unigram_model(ref)
+
+    def test_islands_ooc_bridge_and_trailing_close(self, spark):
+        m = self._model(spark)
+        df = spark.createDataFrame(
+            [
+                (1, [1, 1, 7, 8, 9, 1, 1]),   # interior run [2, 5)
+                (2, [7, 8, 99, 9, 1]),        # OOV 99 bridges -> [0, 4)
+                (3, [1] * 6),                 # nothing flagged
+                (4, None), (5, []),           # degenerate docs
+                (9, [1, 7, 8, 9]),            # trailing run [1, 4)
+            ],
+            "doc_id long, tokens array<int>",
+        )
+        got = {
+            (r["doc_id"], r["span_start"], r["span_end"]):
+                (r["span_len"], r["n_scored"], r["mean_bits"])
+            for r in text.surprisal_spans(
+                df, model=m, min_bits=4.0, min_len=3
+            ).collect()
+        }
+        assert set(got) == {(1, 2, 5), (2, 0, 4), (9, 1, 4)}
+        assert got[(1, 2, 5)][0] == 3
+        # OOV token inside the span is unscored but extends it
+        assert got[(2, 0, 4)] == (4, 3, got[(1, 2, 5)][2])
+
+    def test_oov_splits_runs_when_not_high(self, spark):
+        m = self._model(spark)
+        df = spark.createDataFrame(
+            [(2, [7, 8, 99, 9, 1])], "doc_id long, tokens array<int>"
+        )
+        rows = text.surprisal_spans(
+            df, model=m, min_bits=4.0, min_len=2, oov_high=False
+        ).collect()
+        # 99 splits: [0,2) survives min_len, the lone 9 does not
+        assert [(r["span_start"], r["span_end"]) for r in rows] == [(0, 2)]
+
+    def test_spans_feed_scrub_token_spans(self, spark):
+        from datatest_spark.operators.dedup import scrub_token_spans
+
+        m = self._model(spark)
+        df = spark.createDataFrame(
+            [(1, [1, 1, 7, 8, 9, 1, 1]), (3, [1] * 6)],
+            "doc_id long, tokens array<int>",
+        )
+        spans = text.surprisal_spans(df, model=m, min_bits=4.0, min_len=3)
+        out = {
+            r["doc_id"]: (r["tokens"], r["n_removed"])
+            for r in scrub_token_spans(df, spans).collect()
+        }
+        assert out[1] == ([1, 1, 1, 1], 3)   # [2,5) cut
+        assert out[3] == ([1] * 6, 0)        # untouched passthrough
+
+    def test_min_len_guard(self, spark):
+        df = spark.createDataFrame(
+            [(1, [1])], "doc_id long, tokens array<int>"
+        )
+        try:
+            text.surprisal_spans(df, min_len=0)
+            assert False
+        except ValueError:
+            pass
+
+    def test_all_flagged_doc_is_one_span(self, spark):
+        m = self._model(spark)
+        df = spark.createDataFrame(
+            [(8, [7, 8, 9, 6])], "doc_id long, tokens array<int>"
+        )
+        rows = text.surprisal_spans(
+            df, model=m, min_bits=4.0, min_len=2
+        ).collect()
+        assert [(r["span_start"], r["span_end"], r["span_len"])
+                for r in rows] == [(0, 4, 4)]

@@ -881,3 +881,23 @@ class TestSurprisalProfilePlan:
         assert _exchanges(plan) == 0, plan
         assert "Join" not in plan, plan
         assert "Window" not in plan, plan
+
+
+class TestSurprisalSpansPlan:
+    def test_detection_is_in_row_no_window(self, spark, docs):
+        """Scoring rides the map-only carrier and run detection is an
+        in-row fold: the plan has NO Exchange, NO Join, NO Window — the
+        only fan-out is the final span explode (Generate)."""
+        from datatest_spark.operators import text as t
+
+        toks = docs.select(
+            "doc_id",
+            F.transform(
+                F.split(F.col("text"), " "), lambda w: F.length(w)
+            ).alias("tokens"),
+        )
+        plan = _plan(t.surprisal_spans(toks, min_bits=3.5, min_len=2))
+        assert _exchanges(plan) == 0, plan
+        assert "Join" not in plan, plan
+        assert "Window" not in plan, plan
+        assert "Generate" in plan, plan
