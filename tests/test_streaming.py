@@ -771,3 +771,47 @@ def test_streaming_transition_gate_null_type_parity_with_batch(
     # batch keeps (a -> null); drops (null -> b). Stream must agree.
     assert got == want
     assert ("a", None) in got and (None, "b") not in got
+
+
+def test_surprisal_ops_stream_equals_batch(spark, tmp_path):
+    """The session-9 surprisal scorers (shape profile + span locator)
+    are stateless projections over the broadcast LM carrier — profile
+    is a pure map, the span locator a map + flatMap (explode) — so
+    availableNow over a file source must equal the batch result
+    exactly, spans included."""
+    from datatest_spark.operators.text import (
+        surprisal_spans, unigram_model, unigram_surprisal_profile,
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    out2 = str(tmp_path / "out2")
+    df = spark.createDataFrame(
+        [
+            (1, [1, 1, 7, 8, 9, 1, 1]),
+            (2, [1, 1, 1, 1]),
+            (3, [7, 9]),
+        ],
+        "doc_id long, tokens array<int>",
+    )
+    df.write.mode("overwrite").parquet(src)
+    model = unigram_model(df).persist()
+    model.count()
+
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    for path, op, kw in (
+        (out, unigram_surprisal_profile, {}),
+        (out2, surprisal_spans, {"min_bits": 2.0, "min_len": 2}),
+    ):
+        q = (
+            op(stream, model=model, **kw)
+            .writeStream.format("parquet")
+            .option("path", path)
+            .option("checkpointLocation", path + "_ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = sorted(map(tuple, spark.read.parquet(path).collect()))
+        want = sorted(map(tuple, op(df, model=model, **kw).collect()))
+        assert got == want and len(got) > 0, op.__name__
