@@ -488,6 +488,7 @@ def unigram_surprisal_profile(
     tokens_col: str = "tokens",
     id_col: str = "doc_id",
     scale_bits: int = 20,
+    passthrough: tuple = (),
 ) -> DataFrame:
     """Per-sequence surprisal SHAPE under the unigram LM — mean, std
     and max of token-level surprisal (bits). :func:`unigram_logloss`
@@ -523,6 +524,7 @@ def unigram_surprisal_profile(
     if _lp_of is None:
         return df.select(
             F.col(id_col),
+            *[F.col(c) for c in passthrough],
             n.alias("n_tokens"),
             n.alias("n_oov"),
             F.lit(None).cast("double").alias("bits_mean"),
@@ -560,6 +562,7 @@ def unigram_surprisal_profile(
     )
     return out.select(
         F.col(id_col),
+        *[F.col(c) for c in passthrough],
         n.alias("n_tokens"),
         (n - k).alias("n_oov"),
         F.when(k > 0, F.round((-sd / s) / k, 4))

@@ -24,6 +24,9 @@ tokens array<int>, n_tok int, source string) into a machine-readable
                  dedup (effective counts for a token-budget mixture)
   inspection     deterministic k-per-source min-hash sample ids
                  (reproducible eyeballing, stable under appends)
+  surprisal      per-source surprisal shape (mean/std/max bits) under
+                 the corpus's own unigram LM — the concatenation-
+                 artifact lens (map-only scoring, |sources|-row agg)
 
 Every stage is the library operator the per-operator tests and DuckDB
 oracles pin; this file only wires them and collects the tiny aggregate
@@ -120,6 +123,23 @@ def main(argv=None) -> int:
         "inspection": _rows(
             packing.inspection_sample(df, k=args.inspect_k).select(
                 "source", "doc_id", "n_tok", "rank"
+            )
+        ),
+        # per-source surprisal shape under the corpus's own unigram LM:
+        # a source whose mean_std spikes is stitching boilerplate to
+        # garbage even when its mean bits look normal (scoring is
+        # map-only; this agg is |sources| rows)
+        "surprisal": _rows(
+            text.unigram_surprisal_profile(
+                df, tokens_col="tokens", passthrough=("source",)
+            )
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.round(F.avg("bits_mean"), 4).alias("mean_bits"),
+                F.round(F.avg("bits_std"), 4).alias("mean_std"),
+                F.round(F.max("bits_max"), 4).alias("max_bits"),
+                F.sum("n_oov").alias("n_oov"),
             )
         ),
     }

@@ -453,6 +453,15 @@ class TestProfileCorpusJob:
         # JS drift present with the baseline's own zero
         js = {r["group"]: r for r in card["drift"]["js"]}
         assert js[card["baseline_source"]]["js"] == 0.0
+        # surprisal lens: every source scored, self-model => zero OOV,
+        # positive mean bits, max >= mean
+        sur = {r["source"]: r for r in card["surprisal"]}
+        assert set(sur) == {r["group"] for r in card["shares"]}
+        assert sum(r["n_docs"] for r in sur.values()) == 300
+        for r in sur.values():
+            assert r["n_oov"] == 0
+            assert r["mean_bits"] > 0.0
+            assert r["max_bits"] >= r["mean_bits"]
 
     def test_data_card_versioning_lenses(self, spark, tmp_path):
         """--compare adds schema_drift + band_migration against a prior
