@@ -2689,6 +2689,103 @@ def q_split_leakage(spark, sf_dir):
     )
 
 
+def q_k_anonymity(spark, sf_dir):
+    """Privacy scorecard (operators/privacy.k_anonymity_profile): the
+    dataset's achieved k-anonymity and l-diversity over the
+    (nation, market-segment) quasi-identifier pair with an
+    account-balance band as the sensitive attribute — one
+    map-side-combinable groupBy plus a scalar pass over |classes|
+    rows, the audit a user-data ingest runs before the corpus ships."""
+    from datatest_spark.operators import privacy
+
+    c = _t(spark, sf_dir, "customer").withColumn(
+        "bal_band",
+        F.when(F.col("c_acctbal") < 0, "neg")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .otherwise("high"),
+    )
+    return privacy.k_anonymity_profile(
+        c, ["c_nationkey", "c_mktsegment"], k=12,
+        sensitive_col="bal_band", l=3,
+    )
+
+
+def q_k_anonymity_classes(spark, sf_dir):
+    """Violating equivalence classes (operators/privacy.
+    k_anonymity_violations): the difference-row surface of the privacy
+    audit — every (nation, segment) class smaller than k or with fewer
+    than l distinct balance bands, the rows a validation suite asserts
+    empty or wraps in accepted.count tolerances."""
+    from datatest_spark.operators import privacy
+
+    c = _t(spark, sf_dir, "customer").withColumn(
+        "bal_band",
+        F.when(F.col("c_acctbal") < 0, "neg")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .otherwise("high"),
+    )
+    return privacy.k_anonymity_violations(
+        c, ["c_nationkey", "c_mktsegment"], k=12,
+        sensitive_col="bal_band", l=3,
+    )
+
+
+def q_kmv_error(spark, sf_dir):
+    """KMV sketch-vs-truth audit (operators/sketch.kmv_error_audit):
+    per-event-type distinct-user estimates from the md5 bottom-64
+    sketch next to the exact countDistinct, with signed relative error
+    — the certification run for the k you deploy at 10^12 scale, where
+    only the sketch is affordable. The 60-bit hash domain makes the
+    whole sketch (not just the estimate) DuckDB-reproducible."""
+    from datatest_spark.operators import sketch
+
+    e = _t(spark, sf_dir, "events")
+    return sketch.kmv_error_audit(e, "user_id", "event_type", k=64)
+
+
+def q_kmv_overlap(spark, sf_dir):
+    """Cross-source vocabulary overlap from merged KMV signatures
+    (operators/sketch.kmv_overlap_matrix): bottom-128 coordinated
+    sample of each source's distinct words, pairwise Jaccard from the
+    bottom-k of each union — the mirrors-and-scrapes lens with ZERO
+    corpus-side pair join (the pair stage is |sources|² rows of
+    128-long arrays)."""
+    from datatest_spark.operators import sketch
+
+    d = _t(spark, sf_dir, "documents")
+    w = d.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("word")
+    )
+    return sketch.kmv_overlap_matrix(w, "word", "source", k=128)
+
+
+def q_token_burstiness(spark, sf_dir):
+    """Church–Gale burstiness top-50 (operators/text.token_burstiness):
+    tokens whose occurrences concentrate in few docs far beyond
+    Poisson (vmr >> 1) — topicality/boilerplate forensics over two
+    combine-friendly exchanges and a TakeOrderedAndProject top-n."""
+    from datatest_spark.operators import text as t
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+    return t.token_burstiness(toks, "toks", "doc_id", min_df=20, top_n=50)
+
+
+def q_lexical_types(spark, sf_dir):
+    """Schema-inference audit (operators/stats.lexical_type_profile):
+    per-column lexical type counts + the inferred type over the events
+    table's string forms — the landing-zone gate that fails loudly when
+    an ingest's numeric/date/json column stops parsing. MAP-ONLY regex
+    counters in one scalar agg; anchored RE2∩Java patterns classify
+    identically cross-engine."""
+    from datatest_spark.operators.stats import lexical_type_profile
+
+    e = _t(spark, sf_dir, "events")
+    return lexical_type_profile(
+        e, ["user_id", "value", "ts", "event_type", "props"]
+    )
+
+
 # ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2737,6 +2834,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #                          pinned by dedicated pytest tests; the window
 #                          was already full of never-driver-checked
 #                          round-5 ops when they landed
+#   k_anonymity / k_anonymity_classes / kmv_error / kmv_overlap /
+#   token_burstiness / lexical_types
+#                        — session-10 operators, same contract
+#                          (mirror-sweep value oracle + pytest pins in
+#                          test_pipeline.py::TestSession10Ops, plan pins
+#                          in test_plans.py::TestSession10Plans)
 _DRIVER_WINDOW = (
     "token_run_quality", "vocab_topk", "ks_drift", "chi2_drift",
     "token_entropy", "source_shares", "pii_scan", "pii_scrub",
@@ -2956,6 +3059,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "ivf_ann_topk": q_ivf_ann_topk,
         "multimodal_features": q_multimodal_features,
+        "k_anonymity": q_k_anonymity,
+        "k_anonymity_classes": q_k_anonymity_classes,
+        "kmv_error": q_kmv_error,
+        "kmv_overlap": q_kmv_overlap,
+        "token_burstiness": q_token_burstiness,
+        "lexical_types": q_lexical_types,
     }
     # apply the window ordering: _DRIVER_WINDOW first (declared order),
     # then everything else in registration order
@@ -3185,6 +3294,47 @@ def _lang_mix_oracle_sql():
         LEFT JOIN (SELECT * FROM MAJ WHERE rk = 1) m
           ON s.doc_id = m.doc_id
     """.format(scores=",\n            ".join(scores), whens=whens)
+
+
+def _lexical_types_oracle_sql(table="events", cols=None):
+    """Mirror of stats.lexical_type_profile, GENERATED from the SAME
+    LEXICAL_CLASSES table the engine uses (the lang_mix discipline:
+    shared source of truth, so the two can never drift). Anchored
+    RE2∩Java patterns classify identically under DuckDB's
+    regexp_matches and Spark's rlike."""
+    from datatest_spark.operators.stats import LEXICAL_CLASSES
+
+    cols = cols or ["user_id", "value", "ts", "event_type", "props"]
+    blocks = []
+    for c in cols:
+        s = "CAST({0} AS VARCHAR)".format(c)
+        lines = [
+            "SELECT '{0}' AS \"column\"".format(c),
+            "CAST(COUNT(*) AS BIGINT) AS n",
+            "CAST(SUM(CASE WHEN {0} IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+            " AS n_null".format(s),
+            "CAST(SUM(CASE WHEN {0} IS NOT NULL AND regexp_matches({0},"
+            " '^\\s*$') THEN 1 ELSE 0 END) AS BIGINT) AS n_empty".format(s),
+        ]
+        for name, pat in LEXICAL_CLASSES:
+            lines.append(
+                "CAST(SUM(CASE WHEN {0} IS NOT NULL AND regexp_matches("
+                "{0}, '{1}') THEN 1 ELSE 0 END) AS BIGINT) AS n_{2}".format(
+                    s, pat, name
+                )
+            )
+        blocks.append(",\n       ".join(lines) + "\nFROM {0}".format(table))
+    union = "\nUNION ALL\n".join(blocks)
+    infer = "CASE WHEN n - n_null - n_empty = 0 THEN 'empty'\n"
+    for name, _ in LEXICAL_CLASSES:
+        infer += (
+            "     WHEN n_{0} = n - n_null - n_empty THEN '{0}'\n".format(name)
+        )
+    infer += "     ELSE 'string' END AS inferred_type"
+    class_cols = ", ".join("n_" + name for name, _ in LEXICAL_CLASSES)
+    return (
+        'SELECT "column", n, n_null, n_empty, {0},\n{1}\nFROM (\n{2}\n)'
+    ).format(class_cols, infer, union)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -7854,6 +8004,182 @@ def oracle_sql() -> dict[str, str]:
                 AND NOT isnan(dev) AND dev BETWEEN -500.0 AND 0.0,
                 FALSE)
         """,
+        "k_anonymity": """
+            WITH C AS (
+                SELECT concat_ws(chr(31),
+                           COALESCE(CAST(c_nationkey AS VARCHAR),
+                                    chr(0) || 'null' || chr(0)),
+                           COALESCE(c_mktsegment,
+                                    chr(0) || 'null' || chr(0))) AS qi_key,
+                       CASE WHEN c_acctbal < 0 THEN 'neg'
+                            WHEN c_acctbal < 5000 THEN 'low'
+                            ELSE 'high' END AS bal_band
+                FROM customer
+            ),
+            G AS (
+                SELECT qi_key, CAST(COUNT(*) AS BIGINT) AS class_size,
+                       CAST(COUNT(DISTINCT COALESCE(bal_band,
+                           chr(0) || 'null' || chr(0))) AS BIGINT)
+                           AS distinct_sensitive
+                FROM C GROUP BY 1
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+                   CAST(SUM(class_size) AS BIGINT) AS n_rows,
+                   MIN(class_size) AS k_anonymity,
+                   CAST(SUM(CASE WHEN class_size < 12 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS k_violating_classes,
+                   CAST(SUM(CASE WHEN class_size < 12 THEN class_size
+                            ELSE 0 END) AS BIGINT) AS rows_at_risk,
+                   ROUND(CAST(SUM(CASE WHEN class_size < 12 THEN class_size
+                                  ELSE 0 END) AS DOUBLE)
+                         / CAST(SUM(class_size) AS DOUBLE), 6)
+                       AS at_risk_share,
+                   MIN(distinct_sensitive) AS l_diversity,
+                   CAST(SUM(CASE WHEN distinct_sensitive < 3 THEN 1
+                            ELSE 0 END) AS BIGINT) AS l_violating_classes
+            FROM G
+        """,
+        "k_anonymity_classes": """
+            WITH C AS (
+                SELECT concat_ws(chr(31),
+                           COALESCE(CAST(c_nationkey AS VARCHAR),
+                                    chr(0) || 'null' || chr(0)),
+                           COALESCE(c_mktsegment,
+                                    chr(0) || 'null' || chr(0))) AS qi_key,
+                       CASE WHEN c_acctbal < 0 THEN 'neg'
+                            WHEN c_acctbal < 5000 THEN 'low'
+                            ELSE 'high' END AS bal_band
+                FROM customer
+            ),
+            G AS (
+                SELECT qi_key, CAST(COUNT(*) AS BIGINT) AS class_size,
+                       CAST(COUNT(DISTINCT COALESCE(bal_band,
+                           chr(0) || 'null' || chr(0))) AS BIGINT)
+                           AS distinct_sensitive
+                FROM C GROUP BY 1
+            )
+            SELECT qi_key, class_size, distinct_sensitive,
+                   class_size < 12 AS k_violation,
+                   distinct_sensitive < 3 AS l_violation
+            FROM G
+            WHERE class_size < 12 OR distinct_sensitive < 3
+        """,
+        "kmv_error": """
+            -- KMV bottom-64: u_k exact BIGINT; 63*2^60 is an exact
+            -- power-of-two-scaled double, so the estimate is ONE
+            -- correctly-rounded division on both engines
+            WITH H AS (
+                SELECT DISTINCT COALESCE(event_type, '__null__') AS grp,
+                       CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                           1, 15) AS BIGINT) AS u
+                FROM events WHERE user_id IS NOT NULL
+            ),
+            R AS (
+                SELECT grp, u,
+                       ROW_NUMBER() OVER (PARTITION BY grp
+                                          ORDER BY u ASC) AS rk
+                FROM H
+            ),
+            B AS (
+                SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_kept,
+                       MAX(u) AS uk
+                FROM R WHERE rk <= 64 GROUP BY grp
+            ),
+            E AS (
+                SELECT COALESCE(event_type, '__null__') AS grp,
+                       CAST(COUNT(DISTINCT user_id) AS BIGINT)
+                           AS exact_distinct
+                FROM events WHERE user_id IS NOT NULL GROUP BY 1
+            ),
+            J AS (
+                SELECT E.grp, exact_distinct, n_kept,
+                       n_kept < 64 AS is_exact,
+                       CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE)
+                            ELSE ROUND(63.0 * 1152921504606846976.0
+                                       / CAST(uk AS DOUBLE), 4)
+                       END AS est_distinct
+                FROM E JOIN B ON E.grp = B.grp
+            )
+            SELECT grp AS "group", exact_distinct, n_kept, is_exact,
+                   est_distinct,
+                   ROUND((est_distinct - CAST(exact_distinct AS DOUBLE))
+                         / CAST(exact_distinct AS DOUBLE), 6) AS rel_error
+            FROM J
+        """,
+        "kmv_overlap": """
+            WITH W AS (
+                SELECT COALESCE(source, '__null__') AS grp,
+                       UNNEST(string_split(text, ' ')) AS word
+                FROM documents
+            ),
+            H AS (
+                SELECT DISTINCT grp,
+                       CAST('0x' || substr(md5(word), 1, 15) AS BIGINT) AS u
+                FROM W WHERE word IS NOT NULL
+            ),
+            R AS (
+                SELECT grp, u,
+                       ROW_NUMBER() OVER (PARTITION BY grp
+                                          ORDER BY u ASC) AS rk
+                FROM H
+            ),
+            S AS (
+                SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_kept,
+                       list(u ORDER BY u ASC) AS sig
+                FROM R WHERE rk <= 128 GROUP BY grp
+            ),
+            P AS (
+                SELECT a.grp AS group_a, b.grp AS group_b,
+                       a.n_kept AS n_a, b.n_kept AS n_b,
+                       (list_sort(list_distinct(
+                           list_concat(a.sig, b.sig))))[1:128] AS m,
+                       a.sig AS sa, b.sig AS sb
+                FROM S a JOIN S b ON a.grp < b.grp
+            )
+            SELECT group_a, group_b, n_a, n_b,
+                   CAST(len(list_intersect(list_intersect(m, sa), sb))
+                        AS BIGINT) AS inter,
+                   CAST(len(m) AS BIGINT) AS depth,
+                   CASE WHEN len(m) > 0 THEN
+                       ROUND(CAST(len(list_intersect(
+                                 list_intersect(m, sa), sb)) AS DOUBLE)
+                             / CAST(len(m) AS DOUBLE), 6)
+                   END AS jaccard_est
+            FROM P
+        """,
+        "token_burstiness": """
+            -- df/cf/sumsq exact BIGINTs; the ratios are a fixed IEEE op
+            -- sequence; LIMIT selection is deterministic (rounded
+            -- burstiness DESC, token ASC — token unique per row)
+            WITH PD AS (
+                SELECT word AS token, doc, CAST(COUNT(*) AS BIGINT) AS c
+                FROM (
+                    SELECT doc_id AS doc,
+                           UNNEST(string_split(text, ' ')) AS word
+                    FROM documents
+                )
+                WHERE word IS NOT NULL
+                GROUP BY 1, 2
+            ),
+            PT AS (
+                SELECT token, CAST(COUNT(*) AS BIGINT) AS "df",
+                       CAST(SUM(c) AS BIGINT) AS cf,
+                       CAST(SUM(c * c) AS BIGINT) AS sumsq
+                FROM PD GROUP BY 1
+            )
+            SELECT token, "df", cf, sumsq,
+                   ROUND(CAST(cf AS DOUBLE) / CAST("df" AS DOUBLE), 6)
+                       AS burstiness,
+                   ROUND((CAST(sumsq AS DOUBLE) / CAST("df" AS DOUBLE)
+                          - (CAST(cf AS DOUBLE) / CAST("df" AS DOUBLE))
+                            * (CAST(cf AS DOUBLE) / CAST("df" AS DOUBLE)))
+                         / (CAST(cf AS DOUBLE) / CAST("df" AS DOUBLE)), 6)
+                       AS vmr
+            FROM PT WHERE "df" >= 20
+            ORDER BY burstiness DESC, token ASC
+            LIMIT 50
+        """,
+        "lexical_types": _lexical_types_oracle_sql(),
         # simhash_pairs / ivf_ann_topk / multimodal_features: xxhash64- or
         # numpy-derived (not expressible in DuckDB) — rows-only checks.
     }

@@ -1,0 +1,230 @@
+"""KMV (k-minimum-values) bottom-k distinct sketches.
+
+``approx_count_distinct`` (HyperLogLog) answers "how many distinct" but
+its register state is opaque: two sketches from different engines never
+compare equal, and it cannot estimate *overlap* between groups.  The KMV
+bottom-k sketch keeps the k smallest hash values of a column — a tiny,
+MERGEABLE, engine-reproducible summary that yields
+
+- a distinct-count estimate ``(k-1) / u_k`` (u_k = k-th smallest hash
+  mapped to [0,1)), exact below k distinct values;
+- a cross-group Jaccard estimate: merge two signatures, keep the
+  bottom-k of the union, count how many of those k landed in both —
+  the classic bottom-k coordinated-sample estimator.
+
+Everything is md5-based (``conv(substr(md5(x),1,15),16,10)`` — a 60-bit
+uniform draw DuckDB reproduces verbatim via ``CAST('0x'||... AS
+BIGINT)``), so the *entire sketch*, not just the estimate, is
+value-oracled cross-engine.  At 10^12 rows the signature per group is
+k longs — broadcastable state the drift/overlap monitors can persist
+per snapshot and merge across days without rescanning history.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+__all__ = [
+    "kmv_signatures",
+    "kmv_distinct",
+    "kmv_overlap_matrix",
+    "kmv_error_audit",
+]
+
+_TWO60 = float(1 << 60)
+
+
+def _grp(group_col: str) -> F.Column:
+    return F.coalesce(F.col(group_col).cast("string"), F.lit("__null__"))
+
+
+def _u(col: str) -> F.Column:
+    # 60-bit uniform hash of the value's string form; nulls are not a
+    # value (dropped by the caller before this point)
+    return F.conv(
+        F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+
+
+def _bottom_k(df: DataFrame, col: str, group_col: str, k: int) -> DataFrame:
+    """(group, u) rows: per group the k smallest distinct 60-bit hashes.
+
+    Scale shape: the distinct pass is ONE map-side-combinable
+    ``groupBy(group, u)``; the rank filter compiles to WindowGroupLimit,
+    which Spark pushes below the exchange as a partial per-task bottom-k
+    — no task ever materializes a full group's hash set, the same
+    discipline as ``vocab_topk``.
+    """
+    if k < 2:
+        raise ValueError("kmv: k must be >= 2 (the estimator uses k-1)")
+    distinct = (
+        df.where(F.col(col).isNotNull())
+        .select(_grp(group_col).alias("group"), _u(col).alias("u"))
+        .groupBy("group", "u")
+        .agg(F.lit(1))
+        .select("group", "u")
+    )
+    w = Window.partitionBy("group").orderBy(F.col("u").asc())
+    return (
+        distinct.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("group", "u")
+    )
+
+
+def kmv_signatures(
+    df: DataFrame, col: str, group_col: str = "source", k: int = 256
+) -> DataFrame:
+    """Per-group KMV signature: ``(group, n_kept, signature)`` with the
+    signature an ascending ``array<long>`` of the k smallest distinct
+    60-bit hashes (shorter when the group holds < k distinct values —
+    then the sketch IS the exact distinct set).
+
+    This is the persistable/mergeable artifact: union two signatures
+    and re-take the bottom-k to merge snapshots or partitions; feed
+    pairs to :func:`kmv_overlap_matrix` for Jaccard.  The collect_list
+    runs on <= k rows per group — bounded state, never corpus-sized.
+    """
+    return (
+        _bottom_k(df, col, group_col, k)
+        .groupBy("group")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.array_sort(F.collect_list("u")).alias("signature"),
+        )
+    )
+
+
+def kmv_distinct(
+    df: DataFrame, col: str, group_col: str = "source", k: int = 256
+) -> DataFrame:
+    """Per-group distinct-count estimate from the bottom-k sketch:
+    ``(group, n_kept, is_exact, est_distinct)``.  Below k distinct
+    values the sketch saw everything (``is_exact``, estimate == n_kept);
+    at or above, the estimator is ``(k-1) / (u_k / 2^60)``.
+
+    Cross-engine determinism: u_k is an exact BIGINT; the estimate is
+    ``(k-1)*2^60`` (a double holding an exact power-of-two multiple) in
+    ONE correctly-rounded division by ``CAST(u_k AS DOUBLE)``, mirrored
+    verbatim in the oracle SQL, then one round(…, 4).
+
+    Scale shape: :func:`_bottom_k` (map-side distinct + pushed-down
+    group limit) plus a <= k-rows-per-group aggregate.  Relative error
+    is ~1/sqrt(k-2) (~6% at k=256) — the audit for that bound on real
+    data is :func:`kmv_error_audit`.
+    """
+    return (
+        _bottom_k(df, col, group_col, k)
+        .groupBy("group")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.max("u").alias("_uk"),
+        )
+        .select(
+            "group",
+            "n_kept",
+            (F.col("n_kept") < k).alias("is_exact"),
+            F.when(
+                F.col("n_kept") < k, F.col("n_kept").cast("double")
+            )
+            .otherwise(
+                F.round(
+                    F.lit(float(k - 1) * _TWO60)
+                    / F.col("_uk").cast("double"),
+                    4,
+                )
+            )
+            .alias("est_distinct"),
+        )
+    )
+
+
+def kmv_overlap_matrix(
+    df: DataFrame, col: str, group_col: str = "source", k: int = 256
+) -> DataFrame:
+    """Estimated Jaccard overlap of distinct ``col`` values for every
+    unordered group pair: merge each pair's signatures, keep the
+    bottom-k of the union (a uniform coordinated sample of it), and
+    count members seen by BOTH sides — ``jaccard_est = inter / depth``
+    where depth = min(k, |union sample|).  The overlap lens the
+    HLL-based distinct counter cannot give: which sources feed each
+    other content (mirrors, scrapes of scrapes) *without* any
+    corpus-side pair join.
+
+    Scale shape: after the bounded sketch build, the pair stage is a
+    |groups|² cross join over rows carrying <= k-element arrays — tens
+    of groups, driver-trivial, zero corpus involvement.  All array math
+    is exact longs; ``jaccard_est`` is one rounded division.
+    """
+    sigs = kmv_signatures(df, col, group_col, k)
+    a = sigs.select(
+        F.col("group").alias("group_a"),
+        F.col("n_kept").alias("n_a"),
+        F.col("signature").alias("sig_a"),
+    )
+    b = sigs.select(
+        F.col("group").alias("group_b"),
+        F.col("n_kept").alias("n_b"),
+        F.col("signature").alias("sig_b"),
+    )
+    merged = F.slice(
+        F.array_sort(F.array_distinct(F.concat("sig_a", "sig_b"))), 1, k
+    )
+    pairs = (
+        a.crossJoin(b)
+        .where(F.col("group_a") < F.col("group_b"))
+        .withColumn("_m", merged)
+    )
+    inter = F.size(
+        F.array_intersect(F.array_intersect(F.col("_m"), "sig_a"), "sig_b")
+    ).cast("long")
+    depth = F.size("_m").cast("long")
+    return pairs.select(
+        "group_a",
+        "group_b",
+        "n_a",
+        "n_b",
+        inter.alias("inter"),
+        depth.alias("depth"),
+        F.when(
+            depth > 0,
+            F.round(inter.cast("double") / depth.cast("double"), 6),
+        ).alias("jaccard_est"),
+    )
+
+
+def kmv_error_audit(
+    df: DataFrame, col: str, group_col: str = "source", k: int = 256
+) -> DataFrame:
+    """Sketch-vs-truth scorecard: per group the exact distinct count
+    (full two-phase ``countDistinct`` — affordable at audit scale, the
+    thing you *cannot* afford routinely at 10^12) next to the KMV
+    estimate, with signed relative error.  Run at a small SF or on a
+    sample to certify the k you deploy; the documented bound is
+    ~1/sqrt(k-2) relative standard error.
+
+    Scale shape: the estimate side is the bounded sketch; the exact side
+    is one expanded groupBy — both one exchange, joined on |groups|
+    rows.  ``rel_error`` is (est - exact)/exact in doubles, one fixed op
+    sequence, null for an empty group rather than a division blow-up.
+    """
+    exact = (
+        df.where(F.col(col).isNotNull())
+        .select(_grp(group_col).alias("group"), F.col(col))
+        .groupBy("group")
+        .agg(F.countDistinct(col).cast("long").alias("exact_distinct"))
+    )
+    est = kmv_distinct(df, col, group_col, k)
+    joined = exact.join(est, "group", "inner")
+    ex = F.col("exact_distinct").cast("double")
+    return joined.select(
+        "group",
+        "exact_distinct",
+        "n_kept",
+        "is_exact",
+        "est_distinct",
+        F.when(
+            F.col("exact_distinct") > 0,
+            F.round((F.col("est_distinct") - ex) / ex, 6),
+        ).alias("rel_error"),
+    )

@@ -1652,3 +1652,94 @@ def band_migration(
         F.round(F.col("n").cast("double") / F.sum("n").over(w), 6)
         .alias("frac"),
     )
+
+
+# anchored, RE2∩Java-safe (no lookaround, no backrefs) — the pii_scan
+# discipline, so DuckDB's regexp_matches classifies identically
+LEXICAL_CLASSES = (
+    ("int", r"^[+-]?\d+$"),
+    ("num", r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$"),
+    ("bool", r"^(?i)(true|false|t|f|yes|no)$"),
+    ("date", r"^\d{4}-\d{2}-\d{2}$"),
+    ("timestamp", r"^\d{4}-\d{2}-\d{2}[ T]\d{2}:\d{2}:\d{2}(\.\d+)?$"),
+    ("uuid", "^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}"
+             "-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"),
+    ("json", r"^\s*[\[{][\s\S]*[\]}]\s*$"),
+)
+
+
+def lexical_type_profile(df: DataFrame, columns) -> DataFrame:
+    """Schema-inference audit over string-form columns: per column the
+    row count, nulls, whitespace-empties, and how many non-null values
+    *lexically* parse as each of int / num / bool / date / timestamp /
+    uuid / json, plus the inferred type — the first class (in that
+    specificity order) matching EVERY non-null non-empty value, else
+    ``string``.  This is the landing-zone gate: a CSV/JSON ingest whose
+    "numeric" column suddenly infers ``string`` (one stray value) or
+    whose id column stops being ``int`` fails loudly before a cast
+    poisons downstream nulls.
+
+    Lexical (regex) classification, not ``try_cast``, deliberately:
+    engine cast rules differ in accepted formats, while these anchored
+    RE2∩Java patterns classify identically in Spark and DuckDB — and
+    identically on each engine's own string rendering of numerics
+    (E-notation or not, both are ``num`` and neither is ``int``), so
+    the audit is value-oracled cross-engine.
+
+    Scale shape: MAP-ONLY scan — |columns|×|classes| ``rlike`` counters
+    inside whole-stage codegen feeding one global aggregate (partial
+    sums per task, a single final row); the per-column rows are then
+    unpivoted from that one row driver-side-free via explode of a
+    literal-sized array.  No shuffle beyond the scalar agg, no Python.
+    """
+    columns = list(columns)
+    if not columns:
+        raise ValueError("lexical_type_profile: columns must be non-empty")
+    aggs = []
+    for c in columns:
+        s = F.col(c).cast("string")
+        aggs.append(F.count(F.lit(1)).cast("long").alias(f"_n_{c}"))
+        aggs.append(
+            F.sum(F.when(s.isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f"_null_{c}")
+        )
+        aggs.append(
+            F.sum(
+                F.when(s.isNotNull() & s.rlike(r"^\s*$"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias(f"_empty_{c}")
+        )
+        for name, pat in LEXICAL_CLASSES:
+            aggs.append(
+                F.sum(F.when(s.isNotNull() & s.rlike(pat), 1).otherwise(0))
+                .cast("long")
+                .alias(f"_{name}_{c}")
+            )
+    one = df.agg(*aggs)
+    rows = []
+    for c in columns:
+        valid = F.col(f"_n_{c}") - F.col(f"_null_{c}") - F.col(f"_empty_{c}")
+        inferred = F.lit("string")
+        # walk specificity in reverse so the FIRST all-matching class
+        # in declaration order wins the chained when()
+        for name, _ in reversed(LEXICAL_CLASSES):
+            inferred = F.when(
+                (valid > 0) & (F.col(f"_{name}_{c}") == valid), name
+            ).otherwise(inferred)
+        inferred = F.when(valid > 0, inferred).otherwise(F.lit("empty"))
+        rows.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"_n_{c}").alias("n"),
+                F.col(f"_null_{c}").alias("n_null"),
+                F.col(f"_empty_{c}").alias("n_empty"),
+                *[
+                    F.col(f"_{name}_{c}").alias(f"n_{name}")
+                    for name, _ in LEXICAL_CLASSES
+                ],
+                inferred.alias("inferred_type"),
+            )
+        )
+    return one.select(F.explode(F.array(*rows)).alias("r")).select("r.*")

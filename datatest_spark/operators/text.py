@@ -2516,3 +2516,67 @@ def compression_profile(
             4,
         ).alias("bits_per_byte"),
     )
+
+
+def token_burstiness(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    min_df: int = 5,
+    top_n: int = 100,
+) -> DataFrame:
+    """Church–Gale burstiness audit: content-bearing tokens cluster
+    ("burst") inside the few documents that use them, while function
+    words spread evenly — so a token whose occurrences concentrate far
+    beyond Poisson is topical (or boilerplate being stamped into a
+    subset of docs), and a supposedly-rare token with flat spread is a
+    tokenizer artifact.  Per token (of at least ``min_df`` containing
+    docs): document frequency ``df``, corpus frequency ``cf``,
+    ``burstiness = cf/df`` (mean occurrences per *containing* doc — the
+    Church–Gale statistic), and the variance-to-mean ratio ``vmr``
+    across containing docs (1 ≈ Poisson, >>1 = bursty).  Returns the
+    ``top_n`` burstiest (ties broken token-ascending).
+
+    Cross-engine determinism: df/cf/Σc² are exact BIGINTs (per-doc
+    counts are bounded by doc length, squares by its square); the
+    derived ratios are a fixed sequence of IEEE ops mirrored verbatim
+    in the oracle SQL, each rounded once at the end.
+
+    Scale shape: explode fans out ~total-token rows but the
+    ``groupBy(token, doc)`` count partially aggregates map-side within
+    each doc's rows before the exchange; the per-token pass is again
+    map-side combinable sums.  The final global top-n compiles to
+    TakeOrderedAndProject (per-task bounded heap, no single-task sort
+    of the vocabulary).  A 10^12-token corpus runs two combine-friendly
+    exchanges and ships top_n rows to the driver.
+    """
+    if min_df < 1:
+        raise ValueError("token_burstiness: min_df must be >= 1")
+    per_doc = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.explode(F.col(tokens_col)).alias("token"),
+        )
+        .where(F.col("token").isNotNull())
+        .groupBy("token", "doc")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    per_tok = per_doc.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("c").cast("long").alias("cf"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sumsq"),
+    )
+    dfd = F.col("df").cast("double")
+    mean = F.col("cf").cast("double") / dfd
+    var = F.col("sumsq").cast("double") / dfd - mean * mean
+    scored = per_tok.where(F.col("df") >= min_df).select(
+        "token",
+        "df",
+        "cf",
+        "sumsq",
+        F.round(mean, 6).alias("burstiness"),
+        F.round(var / mean, 6).alias("vmr"),
+    )
+    return scored.orderBy(
+        F.col("burstiness").desc(), F.col("token").asc()
+    ).limit(top_n)

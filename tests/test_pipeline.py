@@ -6980,3 +6980,270 @@ class TestSurprisalSpans:
         ).collect()
         assert [(r["span_start"], r["span_end"], r["span_len"])
                 for r in rows] == [(0, 4, 4)]
+
+
+class TestSession10Ops:
+    """Pins for the session-10 overflow-window operators (privacy
+    k-anonymity/l-diversity, KMV bottom-k sketches, token burstiness,
+    lexical type inference): each is value-oracled in the
+    tools/check_oracles.py mirror sweep; these pins lock the semantics
+    on hand-built fixtures."""
+
+    # --- privacy -----------------------------------------------------
+
+    def _people(self, spark):
+        # classes: (US,a)x4  (US,b)x2  (UK,a)x1  (null,a)x2
+        rows = [
+            ("US", "a", "x"), ("US", "a", "x"), ("US", "a", "y"),
+            ("US", "a", "z"),
+            ("US", "b", "x"), ("US", "b", "x"),
+            ("UK", "a", "q"),
+            (None, "a", "x"), (None, "a", None),
+        ]
+        return spark.createDataFrame(
+            rows, "country string, seg string, sens string"
+        )
+
+    def test_k_anonymity_violations_classes_and_flags(self, spark):
+        from datatest_spark.operators import privacy
+
+        got = {
+            r["qi_key"]: r
+            for r in privacy.k_anonymity_violations(
+                self._people(spark), ["country", "seg"], k=3,
+                sensitive_col="sens", l=3,
+            ).collect()
+        }
+        sep, null = "\x1f", "\x00null\x00"
+        # (US,b): size 2 < 3 AND 1 distinct sens < 3 -> both flags
+        us_b = got["US" + sep + "b"]
+        assert (us_b["class_size"], us_b["distinct_sensitive"]) == (2, 1)
+        assert us_b["k_violation"] and us_b["l_violation"]
+        # (UK,a): singleton
+        uk = got["UK" + sep + "a"]
+        assert uk["class_size"] == 1 and uk["k_violation"]
+        # null country forms its OWN class (not merged with any string)
+        nl = got[null + sep + "a"]
+        assert nl["class_size"] == 2
+        # null sensitive counts as one distinct disclosure bucket
+        assert nl["distinct_sensitive"] == 2
+        # (US,a) size 4 but only 3 distinct sens -> NOT a violation at l=3
+        assert ("US" + sep + "a") not in got
+        assert set(got) == {
+            "US" + sep + "b", "UK" + sep + "a", null + sep + "a"
+        }
+
+    def test_k_anonymity_profile_scorecard(self, spark):
+        from datatest_spark.operators import privacy
+
+        row = privacy.k_anonymity_profile(
+            self._people(spark), ["country", "seg"], k=3,
+            sensitive_col="sens", l=2,
+        ).collect()[0]
+        assert row["n_classes"] == 4
+        assert row["n_rows"] == 9
+        assert row["k_anonymity"] == 1          # the UK singleton
+        assert row["k_violating_classes"] == 3  # sizes 2,1,2
+        assert row["rows_at_risk"] == 5
+        assert row["at_risk_share"] == round(5 / 9, 6)
+        assert row["l_diversity"] == 1          # (US,b) or (UK,a)
+        assert row["l_violating_classes"] == 2  # distinct_sens {1,1}
+
+    def test_k_anonymity_empty_and_guards(self, spark):
+        from datatest_spark.operators import privacy
+
+        empty = self._people(spark).where(F.lit(False))
+        row = privacy.k_anonymity_profile(empty, ["country"], k=3).collect()[0]
+        assert row["n_classes"] == 0 and row["n_rows"] == 0
+        assert row["k_anonymity"] is None and row["rows_at_risk"] == 0
+        with pytest.raises(ValueError):
+            privacy.k_anonymity_violations(empty, [], k=3)
+        with pytest.raises(ValueError):
+            privacy.k_anonymity_violations(empty, ["country"], k=0)
+        with pytest.raises(ValueError):
+            # sensitive without l (and vice versa) is a caller bug
+            privacy.k_anonymity_profile(
+                empty, ["country"], k=3, sensitive_col="sens"
+            )
+
+    # --- KMV sketches ------------------------------------------------
+
+    def test_kmv_exact_below_k(self, spark):
+        from datatest_spark.operators import sketch
+
+        df = spark.createDataFrame(
+            [("a", i % 7) for i in range(100)], "g string, v int"
+        )
+        row = sketch.kmv_distinct(df, "v", "g", k=64).collect()[0]
+        assert row["is_exact"] and row["n_kept"] == 7
+        assert row["est_distinct"] == 7.0
+
+    def test_kmv_estimate_within_bound(self, spark):
+        from datatest_spark.operators import sketch
+
+        df = spark.createDataFrame(
+            [("a", i) for i in range(1000)], "g string, v int"
+        )
+        row = sketch.kmv_error_audit(df, "v", "g", k=64).collect()[0]
+        assert row["exact_distinct"] == 1000 and not row["is_exact"]
+        # rel std error ~ 1/sqrt(k-2) ~ 12.7%; allow 4 sigma
+        assert abs(row["rel_error"]) < 0.5, row
+
+    def test_kmv_signatures_merge_like_the_sketch(self, spark):
+        """Mergeability: bottom-k of the union of two groups' signatures
+        equals the signature of the pooled data — the property that lets
+        snapshots merge without rescanning history."""
+        from datatest_spark.operators import sketch
+
+        k = 16
+        a = spark.createDataFrame(
+            [("a", i) for i in range(60)], "g string, v int"
+        )
+        b = spark.createDataFrame(
+            [("b", i) for i in range(30, 90)], "g string, v int"
+        )
+        sig = {
+            r["group"]: r["signature"]
+            for r in sketch.kmv_signatures(
+                a.union(b), "v", "g", k=k
+            ).collect()
+        }
+        pooled = sketch.kmv_signatures(
+            a.union(b).withColumn("g", F.lit("all")), "v", "g", k=k
+        ).collect()[0]["signature"]
+        merged = sorted(set(sig["a"]) | set(sig["b"]))[:k]
+        assert merged == pooled
+
+    def test_kmv_overlap_identical_and_disjoint(self, spark):
+        from datatest_spark.operators import sketch
+
+        rows = [("a", i) for i in range(50)] + [("b", i) for i in range(50)]
+        same = sketch.kmv_overlap_matrix(
+            spark.createDataFrame(rows, "g string, v int"), "v", "g", k=32
+        ).collect()[0]
+        assert same["jaccard_est"] == 1.0 and same["inter"] == same["depth"]
+        rows = [("a", i) for i in range(50)] + [
+            ("b", i) for i in range(100, 150)
+        ]
+        disj = sketch.kmv_overlap_matrix(
+            spark.createDataFrame(rows, "g string, v int"), "v", "g", k=32
+        ).collect()[0]
+        assert disj["jaccard_est"] == 0.0 and disj["inter"] == 0
+        assert disj["depth"] == 32
+
+    def test_kmv_guards(self, spark):
+        from datatest_spark.operators import sketch
+
+        df = spark.createDataFrame([("a", 1)], "g string, v int")
+        with pytest.raises(ValueError):
+            sketch.kmv_distinct(df, "v", "g", k=1)
+
+    # --- burstiness --------------------------------------------------
+
+    def test_burstiness_hand_values(self, spark):
+        from datatest_spark.operators import text as t
+
+        docs = [
+            (1, ["x"] * 4 + ["y"] + ["z"]),
+            (2, ["x"] * 4 + ["y"] + ["z"] * 7),
+            (3, ["y"]),
+            (4, ["y"]),
+            (5, ["y"]),
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, toks array<string>")
+        got = {
+            r["token"]: r
+            for r in t.token_burstiness(
+                df, "toks", "doc_id", min_df=2, top_n=10
+            ).collect()
+        }
+        # x: counts [4,4] -> mean 4, vmr 0
+        assert (got["x"]["df"], got["x"]["cf"]) == (2, 8)
+        assert got["x"]["burstiness"] == 4.0 and got["x"]["vmr"] == 0.0
+        # y: once in 5 docs -> flat
+        assert got["y"]["burstiness"] == 1.0 and got["y"]["vmr"] == 0.0
+        # z: counts [1,7] -> mean 4, var ((1+49)/2 - 16) = 9, vmr 2.25
+        assert (got["z"]["df"], got["z"]["cf"], got["z"]["sumsq"]) == (
+            2, 8, 50,
+        )
+        assert got["z"]["burstiness"] == 4.0 and got["z"]["vmr"] == 2.25
+        # ordering: x and z tie at 4.0 -> token asc breaks the tie
+        ordered = t.token_burstiness(
+            df, "toks", "doc_id", min_df=2, top_n=2
+        ).collect()
+        assert [r["token"] for r in ordered] == ["x", "z"]
+
+    def test_burstiness_min_df_and_guard(self, spark):
+        from datatest_spark.operators import text as t
+
+        df = spark.createDataFrame(
+            [(1, ["a", "b"]), (2, ["a"])], "doc_id long, toks array<string>"
+        )
+        toks = {
+            r["token"]
+            for r in t.token_burstiness(df, "toks", "doc_id", min_df=2).collect()
+        }
+        assert toks == {"a"}
+        with pytest.raises(ValueError):
+            t.token_burstiness(df, "toks", "doc_id", min_df=0)
+
+    # --- lexical type inference --------------------------------------
+
+    def test_lexical_types_inference(self, spark):
+        from datatest_spark.operators.stats import lexical_type_profile
+
+        rows = [
+            ("1", "1.5", "2024-01-02", '{"a": 1}', "true", None),
+            ("-42", "2", "2024-12-31", "[1, 2]", "NO", "  "),
+            ("007", "-.5", "1999-06-07", '{"b": []}', "f", None),
+            (None, "1e-3", "2024-01-02", "{}", "False", ""),
+        ]
+        df = spark.createDataFrame(
+            rows, "a string, b string, c string, d string, e string, f string"
+        )
+        got = {
+            r["column"]: r
+            for r in lexical_type_profile(
+                df, ["a", "b", "c", "d", "e", "f"]
+            ).collect()
+        }
+        assert got["a"]["inferred_type"] == "int"
+        assert (got["a"]["n"], got["a"]["n_null"], got["a"]["n_int"]) == (
+            4, 1, 3,
+        )
+        assert got["b"]["inferred_type"] == "num"
+        assert got["b"]["n_int"] == 1      # "2" is int-like too
+        assert got["c"]["inferred_type"] == "date"
+        assert got["d"]["inferred_type"] == "json"
+        assert got["e"]["inferred_type"] == "bool"
+        # f: only nulls and whitespace -> 'empty'
+        assert got["f"]["inferred_type"] == "empty"
+        assert (got["f"]["n_null"], got["f"]["n_empty"]) == (2, 2)
+
+    def test_lexical_types_mixed_falls_back_to_string(self, spark):
+        from datatest_spark.operators.stats import lexical_type_profile
+
+        df = spark.createDataFrame(
+            [("1",), ("x",)], "a string"
+        )
+        row = lexical_type_profile(df, ["a"]).collect()[0]
+        assert row["inferred_type"] == "string"
+        with pytest.raises(ValueError):
+            lexical_type_profile(df, [])
+
+    def test_lexical_types_casts_native_types(self, spark):
+        """Non-string columns classify via their engine string form —
+        ints are int-like, doubles num-like (never int-like), timestamps
+        timestamp-like — the property that makes the audit robust to
+        E-notation differences between engines."""
+        from datatest_spark.operators.stats import lexical_type_profile
+
+        df = spark.createDataFrame(
+            [(1, 2.5, "2024-01-02 03:04:05")],
+            "i long, d double, s string",
+        ).withColumn("ts", F.col("s").cast("timestamp"))
+        got = {
+            r["column"]: r["inferred_type"]
+            for r in lexical_type_profile(df, ["i", "d", "ts"]).collect()
+        }
+        assert got == {"i": "int", "d": "num", "ts": "timestamp"}

@@ -901,3 +901,54 @@ class TestSurprisalSpansPlan:
         assert "Join" not in plan, plan
         assert "Window" not in plan, plan
         assert "Generate" in plan, plan
+
+
+class TestSession10Plans:
+    def test_lexical_profile_is_one_scalar_agg(self, spark, docs):
+        """MAP-ONLY regex counters feeding one global aggregate: exactly
+        ONE Exchange (the SinglePartition final agg), no Join, no
+        Window; the per-column unpivot explodes a literal array."""
+        from datatest_spark.operators.stats import lexical_type_profile
+
+        plan = _plan(lexical_type_profile(docs, ["doc_id", "lang", "text"]))
+        assert _exchanges(plan) == 1, plan
+        assert "Join" not in plan, plan
+        assert "Window" not in plan, plan
+
+    def test_kmv_bottom_k_uses_window_group_limit(self, spark, docs):
+        """The per-group rank filter must compile to WindowGroupLimit so
+        each task forwards only its local bottom-k — no task ever sorts
+        a full group's distinct-hash set."""
+        from datatest_spark.operators import sketch
+
+        plan = _plan(sketch.kmv_distinct(docs, "doc_id", "source", k=64))
+        assert "WindowGroupLimit" in plan, plan
+
+    def test_burstiness_top_n_is_take_ordered(self, spark, docs):
+        """Global top-n compiles to TakeOrderedAndProject (bounded
+        per-task heaps), never a single-partition global sort; both
+        groupBys keep partial_ aggregation (map-side combine)."""
+        from datatest_spark.operators import text as t
+
+        toks = docs.select(
+            "doc_id", F.split(F.col("text"), " ").alias("toks")
+        )
+        plan = _plan(
+            t.token_burstiness(toks, "toks", "doc_id", min_df=5, top_n=10)
+        )
+        assert "TakeOrderedAndProject" in plan, plan
+        assert "partial_count" in plan, plan
+
+    def test_k_anonymity_profile_two_aggs_no_window(self, spark, docs):
+        """Class agg (one keyed Exchange + the distinct expansion) plus
+        a scalar pass: no Window, no Join anywhere in the plan."""
+        from datatest_spark.operators import privacy
+
+        plan = _plan(
+            privacy.k_anonymity_profile(
+                docs, ["source", "lang"], k=5,
+                sensitive_col="doc_id", l=2,
+            )
+        )
+        assert "Join" not in plan, plan
+        assert "Window" not in plan, plan
