@@ -2786,6 +2786,76 @@ def q_lexical_types(spark, sf_dir):
     )
 
 
+def q_split_balance(spark, sf_dir):
+    """Split-balance audit (operators/packing.split_balance_audit, md5
+    mode): per (split, source) observed vs expected share with the
+    exact binomial z — the did-the-split-actually-balance check on top
+    of q:hash_split's pure assignment. Map-only split + one combinable
+    groupBy; z is a fixed IEEE sequence on exact counts."""
+    from datatest_spark.operators import packing
+
+    d = _t(spark, sf_dir, "documents")
+    # dyadic weights: cumulative bounds and shares stay EXACT doubles,
+    # so the oracle can write 0.75/0.875 literally (hash_split oracle
+    # discipline)
+    return packing.split_balance_audit(
+        d, {"train": 0.75, "val": 0.125, "test": 0.125},
+        hash_fn="md5", group_col="source",
+    )
+
+
+def q_epoch_mixture(spark, sf_dir):
+    """Data-constrained mixture plan (operators/packing.
+    epoch_mixture_plan): mixture_plan rates decomposed into full
+    epochs + fraction under a 3-epoch repeat ceiling, with
+    unique/repeated token accounting and the shortfall a capped source
+    cannot deliver. src0's target forces the cap; src3 shows target 0;
+    untargeted sources rate 0."""
+    from datatest_spark.operators import packing
+
+    d = _t(spark, sf_dir, "documents")
+    return packing.epoch_mixture_plan(
+        d,
+        {"src0": 40000, "src1": 10000, "src2": 3000, "src3": 0},
+        max_epochs=3.0,
+        length_col="n_chars",
+    )
+
+
+def q_dup_label_conflict(spark, sf_dir):
+    """Duplicate label-conflict audit (operators/dedup.
+    dup_label_conflict): every 25th doc is overwritten with one shared
+    boilerplate block (deterministic seeding, the pii_scan pattern), so
+    content-identical members carry different embedding labels — the
+    annotation-noise signal. One id join + one combinable groupBy with
+    bounded per-group state (no member lists)."""
+    from datatest_spark.operators import dedup
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 25 == 0, F.lit("DUPLICATE BOILERPLATE BLOCK")
+        ).otherwise(F.col("text")),
+    )
+    e = _t(spark, sf_dir, "embeddings")
+    return dedup.dup_label_conflict(
+        d, e, label_id_col="vec_id", label_col="label"
+    )
+
+
+def q_log2_quantiles(spark, sf_dir):
+    """Mergeable quantile bounds (operators/sketch.log2_quantiles):
+    per-source p50/p90/p99 upper bounds from the power-of-two
+    histogram sketch — ≤64 exact counters per group, bin = base-2
+    digit count (exact integer arithmetic, no log-ulp hazard), a
+    certified ≤2× envelope the context-length monitor reads at 10^12
+    scale where only mergeable state is affordable."""
+    from datatest_spark.operators import sketch
+
+    d = _t(spark, sf_dir, "documents")
+    return sketch.log2_quantiles(d, "n_chars", "source", qs=(0.5, 0.9, 0.99))
+
+
 # ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -3065,6 +3135,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_overlap": q_kmv_overlap,
         "token_burstiness": q_token_burstiness,
         "lexical_types": q_lexical_types,
+        "split_balance": q_split_balance,
+        "epoch_mixture": q_epoch_mixture,
+        "dup_label_conflict": q_dup_label_conflict,
+        "log2_quantiles": q_log2_quantiles,
     }
     # apply the window ordering: _DRIVER_WINDOW first (declared order),
     # then everything else in registration order
@@ -8180,6 +8254,157 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 50
         """,
         "lexical_types": _lexical_types_oracle_sql(),
+        "split_balance": """
+            WITH U AS (
+                SELECT COALESCE(source, '__null__') AS grp,
+                       CAST(CONCAT('0x',
+                           substr(md5(doc_id || '#split#0'), 1, 4))
+                           AS INT) / 65536.0 AS u
+                FROM documents
+            ),
+            A AS (
+                SELECT grp,
+                       CASE WHEN u < 0.75 THEN 'train'
+                            WHEN u < 0.875 THEN 'val'
+                            ELSE 'test' END AS split
+                FROM U
+            ),
+            P AS (
+                SELECT split, grp, CAST(COUNT(*) AS BIGINT) AS n_split
+                FROM A GROUP BY 1, 2
+            ),
+            T AS (
+                SELECT grp, CAST(SUM(n_split) AS BIGINT) AS n_total
+                FROM P GROUP BY 1
+            ),
+            E AS (
+                SELECT P.split, P.grp, n_split, n_total,
+                       CASE WHEN P.split = 'train' THEN 0.75
+                            WHEN P.split = 'val' THEN 0.125
+                            ELSE 0.125 END AS p
+                FROM P JOIN T ON P.grp = T.grp
+            )
+            SELECT split, grp AS "group", n_split, n_total,
+                   ROUND(p, 6) AS expected_share,
+                   ROUND(CAST(n_split AS DOUBLE)
+                         / CAST(n_total AS DOUBLE), 6) AS observed_share,
+                   ROUND((CAST(n_split AS DOUBLE)
+                          - CAST(n_total AS DOUBLE) * p)
+                         / SQRT(CAST(n_total AS DOUBLE) * p * (1.0 - p)),
+                         4) AS z
+            FROM E
+        """,
+        "epoch_mixture": """
+            -- mirrors mixture_plan (rate rounded 6 BEFORE the epoch
+            -- arithmetic) then the epoch decomposition on the rounded
+            -- rate — identical op order to the operator
+            WITH A AS (
+                SELECT COALESCE(source, '__null__') AS source,
+                       CAST(COUNT(*) AS BIGINT) AS n_docs,
+                       CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT)
+                           AS available_tokens
+                FROM documents
+                WHERE n_chars IS NOT NULL AND n_chars >= 0
+                GROUP BY 1
+            ),
+            T(source, target_tokens) AS (
+                VALUES ('src0', 40000), ('src1', 10000),
+                       ('src2', 3000), ('src3', 0)
+            ),
+            J AS (
+                SELECT A.source, n_docs, available_tokens,
+                       CAST(COALESCE(T.target_tokens, 0) AS BIGINT)
+                           AS target_tokens,
+                       CASE WHEN available_tokens > 0 THEN
+                           ROUND(COALESCE(
+                               CAST(T.target_tokens AS DOUBLE)
+                               / CAST(available_tokens AS DOUBLE),
+                               0.0), 6)
+                       ELSE 0.0 END AS rate
+                FROM A LEFT JOIN T ON A.source = T.source
+            )
+            SELECT source, n_docs, available_tokens, target_tokens, rate,
+                   rate > 3.0 AS capped,
+                   ROUND(LEAST(rate, 3.0), 6) AS planned_rate,
+                   CAST(FLOOR(LEAST(rate, 3.0)) AS BIGINT) AS epochs_full,
+                   ROUND(LEAST(rate, 3.0) - FLOOR(LEAST(rate, 3.0)), 6)
+                       AS frac_rate,
+                   ROUND(LEAST(rate, 3.0)
+                         * CAST(available_tokens AS DOUBLE), 2)
+                       AS planned_tokens,
+                   ROUND(LEAST(LEAST(rate, 3.0), 1.0)
+                         * CAST(available_tokens AS DOUBLE), 2)
+                       AS unique_tokens,
+                   ROUND(LEAST(rate, 3.0)
+                         * CAST(available_tokens AS DOUBLE)
+                         - LEAST(LEAST(rate, 3.0), 1.0)
+                           * CAST(available_tokens AS DOUBLE), 2)
+                       AS repeated_tokens,
+                   ROUND(GREATEST(
+                       CAST(target_tokens AS DOUBLE)
+                       - LEAST(rate, 3.0)
+                         * CAST(available_tokens AS DOUBLE),
+                       0.0), 2) AS shortfall_tokens
+            FROM J
+        """,
+        "dup_label_conflict": """
+            WITH D AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 25 = 0
+                            THEN 'DUPLICATE BOILERPLATE BLOCK'
+                            ELSE text END AS text
+                FROM documents
+            ),
+            J AS (
+                SELECT md5(D.text) AS content_hash, e.label AS lab
+                FROM D LEFT JOIN embeddings e ON D.doc_id = e.vec_id
+            ),
+            G AS (
+                SELECT content_hash,
+                       CAST(COUNT(*) AS BIGINT) AS n_members,
+                       CAST(COUNT(lab) AS BIGINT) AS n_labeled,
+                       CAST(COUNT(DISTINCT lab) AS BIGINT) AS n_labels,
+                       MIN(lab) AS label_min,
+                       MAX(lab) AS label_max
+                FROM J GROUP BY 1
+            )
+            SELECT * FROM G WHERE n_members > 1 AND n_labels > 1
+        """,
+        "log2_quantiles": """
+            -- bin = base-2 digit count − 1: exact integer floor(log2),
+            -- no floating log on either engine
+            WITH H AS (
+                SELECT COALESCE(source, '__null__') AS grp,
+                       CASE WHEN CAST(n_chars AS BIGINT) = 0 THEN -1
+                            ELSE CAST(length(bin(CAST(n_chars AS BIGINT)))
+                                      - 1 AS INT) END AS bin,
+                       CAST(COUNT(*) AS BIGINT) AS n
+                FROM documents
+                WHERE n_chars IS NOT NULL AND n_chars >= 0
+                GROUP BY 1, 2
+            ),
+            C AS (
+                SELECT grp, bin,
+                       CAST(SUM(n) OVER (PARTITION BY grp ORDER BY bin ASC
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+                       CAST(SUM(n) OVER (PARTITION BY grp) AS BIGINT)
+                           AS n_g
+                FROM H
+            ),
+            Q(q) AS (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.9 AS DOUBLE)),
+                            (CAST(0.99 AS DOUBLE))),
+            X AS (
+                SELECT grp, q, MAX(n_g) AS n, MIN(bin) AS bin
+                FROM C CROSS JOIN Q
+                WHERE CAST(cum AS DOUBLE) >= q * CAST(n_g AS DOUBLE)
+                GROUP BY 1, 2
+            )
+            SELECT grp AS "group", q, n, bin,
+                   CASE WHEN bin < 0 THEN CAST(0 AS BIGINT)
+                        ELSE CAST((CAST(1 AS BIGINT) << (bin + 1)) - 1
+                                  AS BIGINT) END AS est_hi
+            FROM X
+        """,
         # simhash_pairs / ivf_ann_topk / multimodal_features: xxhash64- or
         # numpy-derived (not expressible in DuckDB) — rows-only checks.
     }

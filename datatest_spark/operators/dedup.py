@@ -2269,3 +2269,52 @@ def chain_collapse_audit(
             ).alias("transitivity"),
         )
     )
+
+
+def dup_label_conflict(
+    df: DataFrame,
+    labels: DataFrame,
+    text_col="text",
+    id_col: str = "doc_id",
+    label_id_col: str | None = None,
+    label_col: str = "label",
+) -> DataFrame:
+    """Label-noise audit over duplicate groups: content-identical
+    documents carrying DIFFERENT labels — for a classifier corpus that
+    is annotation noise (the same input cannot have two ground truths),
+    and for a dedup pipeline it means the surviving representative's
+    label silently overrules its dropped twins'.  Returns one row per
+    conflicted content group: ``(content_hash, n_members, n_labeled,
+    n_labels, label_min, label_max)`` — empty when every dup group is
+    label-consistent, the shape a suite asserts on.
+
+    ``text_col`` may be a Column expression (pass
+    ``text.normalize_text()`` for normalization-tolerant grouping, the
+    :func:`exact_duplicates` convention).  Rows with no label row (or a
+    null label) count in ``n_members`` but not in the conflict test —
+    missing truth is a coverage gap, not a contradiction.
+
+    Scale shape: one equi-join docs↔labels on id (both sides shuffle on
+    the id key once; labels frames are usually the smaller side and
+    AQE/broadcast handles them), then ONE map-side-combinable
+    ``groupBy(content_hash)`` carrying bounded per-group state
+    (count/distinct-count/min/max — never a member list), filtered to
+    conflicts, which are by construction the rare tail.
+    """
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    lid = label_id_col or id_col
+    docs = df.select(
+        F.col(id_col).alias("_id"), F.md5(t).alias("content_hash")
+    )
+    lab = labels.select(
+        F.col(lid).alias("_id"), F.col(label_col).alias("_label")
+    )
+    joined = docs.join(lab, "_id", "left")
+    per = joined.groupBy("content_hash").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.count("_label").cast("long").alias("n_labeled"),
+        F.countDistinct("_label").cast("long").alias("n_labels"),
+        F.min("_label").alias("label_min"),
+        F.max("_label").alias("label_max"),
+    )
+    return per.where((F.col("n_members") > 1) & (F.col("n_labels") > 1))

@@ -1130,3 +1130,133 @@ def inspection_sample(
         df.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def split_balance_audit(
+    df: DataFrame,
+    weights: dict,
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
+    seed: int = 0,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Did the deterministic split actually land the advertised
+    proportions — overall and inside every group?  :func:`hash_split`
+    guarantees per-row stability, not per-stratum balance: a correlated
+    id space (ids clustered by source, re-used prefixes) can starve one
+    source's validation slice while the GLOBAL ratio still looks right.
+    Per (split[, group]): row count, expected share (normalized
+    weights), observed share, and the exact binomial z-score
+    ``(n_split − n·p) / sqrt(n·p·(1−p))`` — |z| > ~4 on a large group
+    is a hash-correlation or weight bug, not luck.
+
+    Cross-engine determinism: counts are exact BIGINTs; p is the
+    driver-computed normalized weight embedded as a literal; the share
+    and z are fixed IEEE op sequences mirrored in the oracle SQL
+    (md5 ``hash_fn`` for the DuckDB twin, exactly like hash_split).
+
+    Scale shape: the split assignment stays MAP-ONLY (hash_split's
+    when-chain); the audit is ONE map-side-combinable
+    ``groupBy(split[, group])`` plus per-group totals via a second
+    aggregate on the already-tiny |splits|×|groups| frame — no window
+    over data rows, no Python.
+    """
+    split = hash_split(df, weights, id_col, hash_fn, seed)
+    tot = sum(float(v) for v in weights.values())
+    p_map = {n: float(v) / tot for n, v in weights.items()}
+    keys = ["split"] + (["group"] if group_col else [])
+    if group_col:
+        split = split.withColumn(
+            "group",
+            F.coalesce(F.col(group_col).cast("string"), F.lit("__null__")),
+        )
+    per = split.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n_split")
+    )
+    gtot = per.groupBy(*(keys[1:] or [F.lit(1).alias("_one")])).agg(
+        F.sum("n_split").cast("long").alias("n_total")
+    )
+    joined = (
+        per.join(F.broadcast(gtot), keys[1:], "inner")
+        if group_col
+        else per.crossJoin(F.broadcast(gtot.drop("_one")))
+    )
+    p = F.lit(0.0)
+    for name, prob in p_map.items():
+        p = F.when(F.col("split") == name, F.lit(prob)).otherwise(p)
+    nd = F.col("n_total").cast("double")
+    mean = nd * p
+    sd = F.sqrt(mean * (F.lit(1.0) - p))
+    return joined.select(
+        *keys,
+        "n_split",
+        "n_total",
+        F.round(p, 6).alias("expected_share"),
+        F.round(F.col("n_split").cast("double") / nd, 6).alias(
+            "observed_share"
+        ),
+        F.round(
+            F.when(sd > 0, (F.col("n_split").cast("double") - mean) / sd),
+            4,
+        ).alias("z"),
+    )
+
+
+def epoch_mixture_plan(
+    df: DataFrame,
+    targets: dict,
+    max_epochs: float = 4.0,
+    length_col: str = "n_tok",
+    source_col: str = "source",
+) -> DataFrame:
+    """Data-constrained mixture planning: :func:`mixture_plan` rates
+    decomposed into training EPOCHS with a repeat ceiling — the
+    data-constrained-scaling discipline (repeating a source beyond a
+    few epochs stops buying loss, so cap it and surface the shortfall
+    instead of silently over-repeating).  Per source present in the
+    corpus: the uncapped rate, the planned rate min(rate, max_epochs),
+    its decomposition into ``epochs_full`` + ``frac_rate``, the planned
+    token count, unique vs repeated token split, and the
+    ``shortfall_tokens`` a capped source cannot deliver — the number to
+    renegotiate across the rest of the mixture.
+
+    Cross-engine determinism: available/target tokens are exact
+    BIGINTs; every derived column is a fixed sequence of IEEE ops on
+    them (one division for the rate, floor for epochs) mirrored
+    verbatim in the oracle SQL, rounded once.
+
+    Scale shape: identical to mixture_plan — ONE map-side-combinable
+    groupBy over the scan plus a |sources|-row broadcast join; the
+    epoch arithmetic runs on the |sources|-row result.
+    """
+    if max_epochs <= 0:
+        raise ValueError(
+            "epoch_mixture_plan: max_epochs must be > 0, got %r"
+            % (max_epochs,)
+        )
+    base = mixture_plan(df, targets, length_col, source_col)
+    rate = F.col("rate")
+    planned_rate = F.least(rate, F.lit(float(max_epochs)))
+    avail_d = F.col("available_tokens").cast("double")
+    planned = planned_rate * avail_d
+    unique = F.least(planned_rate, F.lit(1.0)) * avail_d
+    return base.select(
+        "source",
+        "n_docs",
+        "available_tokens",
+        "target_tokens",
+        "rate",
+        (rate > F.lit(float(max_epochs))).alias("capped"),
+        F.round(planned_rate, 6).alias("planned_rate"),
+        F.floor(planned_rate).cast("long").alias("epochs_full"),
+        F.round(planned_rate - F.floor(planned_rate), 6).alias("frac_rate"),
+        F.round(planned, 2).alias("planned_tokens"),
+        F.round(unique, 2).alias("unique_tokens"),
+        F.round(planned - unique, 2).alias("repeated_tokens"),
+        F.round(
+            F.greatest(
+                F.col("target_tokens").cast("double") - planned, F.lit(0.0)
+            ),
+            2,
+        ).alias("shortfall_tokens"),
+    )

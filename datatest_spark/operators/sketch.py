@@ -228,3 +228,105 @@ def kmv_error_audit(
             F.round((F.col("est_distinct") - ex) / ex, 6),
         ).alias("rel_error"),
     )
+
+
+def _log2_bin(col: str) -> F.Column:
+    # exact integer floor(log2): digits of the base-2 string form minus
+    # one — no floating log anywhere, so no cross-engine ulp hazard at
+    # the power-of-two boundaries; 0 gets its own bin -1
+    v = F.col(col).cast("long")
+    return F.when(v == 0, F.lit(-1)).otherwise(
+        (F.length(F.conv(v, 10, 2)) - 1).cast("int")
+    )
+
+
+def log2_histogram(df: DataFrame, col: str, group_col: str = "source"):
+    """Mergeable power-of-two histogram of a non-negative integer
+    column: per (group, bin) row counts with ``bin = floor(log2(v))``
+    (computed as base-2 digit count — EXACT integer arithmetic, immune
+    to the log-ulp boundary hazard a floating log2 carries on values
+    adjacent to 2^k) and ``bin = -1`` for zeros.  Negative and null
+    values are dropped (a length cannot be negative; audit them with
+    the validation layer, not the sketch).
+
+    This is the quantile counterpart of the KMV sketch: ≤ 64 exact
+    BIGINT counters per group that merge across partitions, snapshots
+    and days by plain addition — unlike ``approx_percentile``'s opaque
+    state, every counter is engine-reproducible and value-oracled.
+    One map-side-combinable ``groupBy(group, bin)`` over the scan.
+    """
+    v = F.col(col).cast("long")
+    return (
+        df.where(v.isNotNull() & (v >= 0))
+        .select(
+            F.coalesce(F.col(group_col).cast("string"), F.lit("__null__"))
+            .alias("group"),
+            _log2_bin(col).alias("bin"),
+        )
+        .groupBy("group", "bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def log2_quantiles(
+    df: DataFrame, col: str, group_col: str = "source", qs=(0.5, 0.9, 0.99)
+) -> DataFrame:
+    """Per-group quantile BOUNDS from the :func:`log2_histogram`
+    sketch: for each requested q, the smallest bin whose cumulative
+    count reaches ``q·n`` and its inclusive upper bound ``2^(bin+1)−1``
+    — a certified ≤2× overestimate of the true quantile (the bound a
+    context-length or skew monitor needs; when the factor-of-two
+    envelope is too loose the caller escalates to the exact pass at
+    audit scale).  Returns (group, q, n, bin, est_hi).
+
+    Cross-engine determinism: bins and cumulative counts are exact
+    integers; the only float op is the ``cum >= q·n`` comparison with a
+    literal q — one correctly-rounded multiply on both engines.
+
+    Scale shape: the corpus-side work is the histogram's single
+    combine-friendly exchange; the cumulative window, the q expansion
+    and the argmin all run on the |groups|×64-row sketch.  Domain:
+    values < 2^62 (the digit count is exact for any positive BIGINT;
+    est_hi for bin 62 would overflow — lengths and token counts live
+    far below).
+    """
+    qs = list(qs)
+    if not qs or any(not (0.0 < q <= 1.0) for q in qs):
+        raise ValueError("log2_quantiles: each q must be in (0, 1]")
+    hist = log2_histogram(df, col, group_col)
+    w = (
+        Window.partitionBy("group")
+        .orderBy(F.col("bin").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("group")
+    cum = hist.select(
+        "group",
+        "bin",
+        F.sum("n").over(w).cast("long").alias("cum"),
+        F.sum("n").over(wt).cast("long").alias("n"),
+    )
+    qdf = cum.crossJoin(
+        F.broadcast(
+            df.sparkSession.createDataFrame(
+                [(float(q),) for q in sorted(qs)], "q double"
+            )
+        )
+    )
+    hit = qdf.where(
+        F.col("cum").cast("double") >= F.col("q") * F.col("n").cast("double")
+    )
+    best = hit.groupBy("group", "q").agg(
+        F.max("n").alias("n"), F.min("bin").alias("bin")
+    )
+    return best.select(
+        "group",
+        "q",
+        "n",
+        "bin",
+        # python shiftleft() only takes a literal shift; the SQL form
+        # accepts an expression (exact integer 2^(bin+1) − 1)
+        F.when(F.col("bin") < 0, F.lit(0).cast("long"))
+        .otherwise(F.expr("shiftleft(CAST(1 AS BIGINT), bin + 1) - 1"))
+        .alias("est_hi"),
+    )

@@ -163,9 +163,10 @@ def test_driver_window_holds_every_value_oracled_query_once():
         "semantic_contamination", "trigram_logloss", "surprisal_profile",
         "surprisal_spans",
         # session-10 operators: same contract (mirror-sweep value oracle
-        # + pytest pins in test_pipeline.py::TestSession10Ops)
+        # + pytest pins in test_pipeline.py::TestSession10Ops/B)
         "k_anonymity", "k_anonymity_classes", "kmv_error", "kmv_overlap",
-        "token_burstiness", "lexical_types",
+        "token_burstiness", "lexical_types", "split_balance",
+        "epoch_mixture", "dup_label_conflict", "log2_quantiles",
     }
     import glob
 

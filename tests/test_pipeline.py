@@ -7247,3 +7247,159 @@ class TestSession10Ops:
             for r in lexical_type_profile(df, ["i", "d", "ts"]).collect()
         }
         assert got == {"i": "int", "d": "num", "ts": "timestamp"}
+
+
+class TestSession10OpsB:
+    """Pins for the second session-10 batch: split-balance audit,
+    data-constrained epoch mixture plan, duplicate label-conflict
+    audit, and the log2 histogram quantile sketch."""
+
+    def test_split_balance_shares_and_z(self, spark):
+        from datatest_spark.operators import packing
+
+        df = spark.createDataFrame(
+            [(i,) for i in range(2000)], "doc_id long"
+        )
+        rows = packing.split_balance_audit(
+            df, {"train": 0.75, "val": 0.125, "test": 0.125}, hash_fn="md5"
+        ).collect()
+        got = {r["split"]: r for r in rows}
+        assert set(got) == {"train", "val", "test"}
+        assert sum(r["n_split"] for r in rows) == 2000
+        assert all(r["n_total"] == 2000 for r in rows)
+        assert got["train"]["expected_share"] == 0.75
+        # z matches the manual binomial formula
+        import math
+
+        for name, p in [("train", 0.75), ("val", 0.125), ("test", 0.125)]:
+            n = got[name]["n_split"]
+            want = (n - 2000 * p) / math.sqrt(2000 * p * (1 - p))
+            assert abs(got[name]["z"] - round(want, 4)) < 1e-9
+            # a uniform hash keeps |z| small on 2000 rows
+            assert abs(got[name]["z"]) < 4.0, (name, got[name]["z"])
+
+    def test_split_balance_grouped(self, spark):
+        from datatest_spark.operators import packing
+
+        df = spark.createDataFrame(
+            [(i, "s%d" % (i % 2)) for i in range(400)],
+            "doc_id long, src string",
+        )
+        rows = packing.split_balance_audit(
+            df, {"a": 0.5, "b": 0.5}, hash_fn="md5", group_col="src"
+        ).collect()
+        per_group = {}
+        for r in rows:
+            per_group.setdefault(r["group"], 0)
+            per_group[r["group"]] += r["n_split"]
+            assert r["n_total"] == 200
+        assert per_group == {"s0": 200, "s1": 200}
+
+    def test_epoch_mixture_hand_values(self, spark):
+        from datatest_spark.operators import packing
+
+        rows = [("A", 10)] * 10 + [("B", 10)] * 10 + [("C", 10)] * 10
+        df = spark.createDataFrame(rows, "source string, n_tok int")
+        got = {
+            r["source"]: r
+            for r in packing.epoch_mixture_plan(
+                df, {"A": 450, "B": 150}, max_epochs=3.0
+            ).collect()
+        }
+        a = got["A"]  # avail 100, target 450 -> rate 4.5, capped at 3
+        assert a["rate"] == 4.5 and a["capped"]
+        assert (a["epochs_full"], a["frac_rate"]) == (3, 0.0)
+        assert (a["planned_tokens"], a["unique_tokens"]) == (300.0, 100.0)
+        assert (a["repeated_tokens"], a["shortfall_tokens"]) == (200.0, 150.0)
+        b = got["B"]  # rate 1.5 -> 1 epoch + 0.5
+        assert not b["capped"]
+        assert (b["epochs_full"], b["frac_rate"]) == (1, 0.5)
+        assert (b["planned_tokens"], b["repeated_tokens"]) == (150.0, 50.0)
+        assert b["shortfall_tokens"] == 0.0
+        c = got["C"]  # no target -> rate 0, nothing planned
+        assert c["rate"] == 0.0 and c["planned_tokens"] == 0.0
+        with pytest.raises(ValueError):
+            packing.epoch_mixture_plan(df, {"A": 1}, max_epochs=0)
+
+    def test_dup_label_conflict_semantics(self, spark):
+        from datatest_spark.operators import dedup
+
+        docs = spark.createDataFrame(
+            [
+                (1, "same"), (2, "same"), (3, "same"),      # conflict
+                (4, "agree"), (5, "agree"),                  # consistent
+                (6, "solo"),                                 # singleton
+                (7, "partial"), (8, "partial"),              # one unlabeled
+            ],
+            "doc_id long, text string",
+        )
+        labels = spark.createDataFrame(
+            [(1, "x"), (2, "y"), (3, "x"), (4, "z"), (5, "z"),
+             (6, "q"), (7, "x")],
+            "doc_id long, label string",
+        )
+        rows = dedup.dup_label_conflict(docs, labels).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert (r["n_members"], r["n_labeled"], r["n_labels"]) == (3, 3, 2)
+        assert (r["label_min"], r["label_max"]) == ("x", "y")
+
+    def test_log2_histogram_bins_exact(self, spark):
+        from datatest_spark.operators import sketch
+
+        df = spark.createDataFrame(
+            [("a", v) for v in [0, 1, 2, 3, 4, 7, 8, 1023, 1024, -5, None]],
+            "g string, v int",
+        )
+        got = {
+            r["bin"]: r["n"]
+            for r in sketch.log2_histogram(df, "v", "g").collect()
+        }
+        # -5 and null dropped; boundaries land exactly
+        assert got == {-1: 1, 0: 1, 1: 2, 2: 2, 3: 1, 9: 1, 10: 1}
+
+    def test_log2_quantiles_selection_and_bound(self, spark):
+        from datatest_spark.operators import sketch
+
+        vals = [1] * 50 + [10] * 40 + [1000] * 10   # bins 0, 3, 9
+        df = spark.createDataFrame([("a", v) for v in vals], "g string, v int")
+        got = {
+            r["q"]: r
+            for r in sketch.log2_quantiles(
+                df, "v", "g", qs=(0.5, 0.9, 0.99)
+            ).collect()
+        }
+        assert (got[0.5]["bin"], got[0.5]["est_hi"]) == (0, 1)
+        assert (got[0.9]["bin"], got[0.9]["est_hi"]) == (3, 15)
+        assert (got[0.99]["bin"], got[0.99]["est_hi"]) == (9, 1023)
+        # certified envelope under the sketch's quantile definition
+        # (smallest value whose cumulative count reaches q*n): the true
+        # empirical quantile never exceeds the bin's upper bound
+        import math
+
+        s = sorted(vals)
+        for q in (0.5, 0.9, 0.99):
+            true_q = s[math.ceil(q * len(s)) - 1]
+            assert true_q <= got[q]["est_hi"] < 2 * max(true_q, 1)
+        with pytest.raises(ValueError):
+            sketch.log2_quantiles(df, "v", "g", qs=(0.0,))
+
+    def test_log2_histogram_merges_by_addition(self, spark):
+        from datatest_spark.operators import sketch
+
+        a = spark.createDataFrame(
+            [("g", v) for v in [1, 2, 3]], "g string, v int"
+        )
+        b = spark.createDataFrame(
+            [("g", v) for v in [3, 8]], "g string, v int"
+        )
+        def hist(df):
+            return {
+                r["bin"]: r["n"]
+                for r in sketch.log2_histogram(df, "v", "g").collect()
+            }
+        ha, hb, hu = hist(a), hist(b), hist(a.union(b))
+        merged = {
+            k: ha.get(k, 0) + hb.get(k, 0) for k in set(ha) | set(hb)
+        }
+        assert merged == hu

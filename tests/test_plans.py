@@ -952,3 +952,30 @@ class TestSession10Plans:
         )
         assert "Join" not in plan, plan
         assert "Window" not in plan, plan
+
+
+class TestSession10PlansB:
+    def test_log2_histogram_one_exchange_no_window(self, spark, docs):
+        """The corpus-side sketch build is one map-side-combinable
+        groupBy: exactly ONE Exchange, no Window, no Join."""
+        from datatest_spark.operators import sketch
+
+        plan = _plan(sketch.log2_histogram(docs, "n_chars", "source"))
+        assert _exchanges(plan) == 1, plan
+        assert "Window" not in plan, plan
+        assert "Join" not in plan, plan
+        assert "partial_count" in plan, plan
+
+    def test_split_balance_no_window_no_data_side_join(self, spark, docs):
+        """Split assignment stays map-only; the audit aggregates then
+        joins only the tiny |splits|x|groups| frames (broadcast)."""
+        from datatest_spark.operators import packing
+
+        plan = _plan(
+            packing.split_balance_audit(
+                docs, {"a": 0.5, "b": 0.5}, hash_fn="md5",
+                group_col="source",
+            )
+        )
+        assert "Window" not in plan, plan
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
