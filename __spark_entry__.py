@@ -2856,6 +2856,58 @@ def q_log2_quantiles(spark, sf_dir):
     return sketch.log2_quantiles(d, "n_chars", "source", qs=(0.5, 0.9, 0.99))
 
 
+def q_lang_agreement(spark, sf_dir):
+    """Chance-corrected annotation agreement (operators/stats.
+    cohen_kappa): Cohen's κ between the declared lang column and the
+    lang_id heuristic — the scalar that tells you whether the labeler
+    beats luck (the confusion matrix q:langid_confusion is the
+    breakdown). Three combinable aggregates joined on |langs| rows;
+    the marginal product sum is DECIMAL(38,0)-exact."""
+    from datatest_spark.operators.stats import cohen_kappa
+
+    d = _t(spark, sf_dir, "documents")
+    pred = d.select("lang", text.lang_id().alias("predicted"))
+    return cohen_kappa(pred, "lang", "predicted")
+
+
+def q_chao1_richness(spark, sf_dir):
+    """Chao1 vocabulary-richness asymptote + Good–Turing coverage per
+    source (operators/text.chao1_richness): does another crawl of this
+    source buy new vocabulary or repeats — the point-estimate
+    companion to q:heaps_fit's growth curve. vocab_topk's exchange
+    plus a |vocab|-row spectrum collapse."""
+    from datatest_spark.operators.text import chao1_richness
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("source", F.split(F.col("text"), " ").alias("toks"))
+    return chao1_richness(toks, "toks", "source")
+
+
+def q_ess_audit(spark, sf_dir):
+    """Effective-sample-size audit (operators/packing.ess_audit) of
+    byte-weighted sampling per source: ESS = (Σw)²/Σw² with w =
+    n_chars — the weight-collapse gate an importance-weighted mixture
+    needs before burning a training run. Fixed-point DECIMAL sums,
+    one combinable groupBy."""
+    from datatest_spark.operators.packing import ess_audit
+
+    d = _t(spark, sf_dir, "documents")
+    return ess_audit(d, "n_chars", "source")
+
+
+def q_km_survival(spark, sf_dir):
+    """Kaplan–Meier user-lifetime curve with right-censoring
+    (operators/temporal.km_survival) over events: survival Π(1 − d/n)
+    at each observed lifetime, censoring still-active users instead of
+    counting them churned. One groupBy(user) exchange; the curve and
+    its left-fold product run on |lifetimes| rows (recursive-CTE
+    running product in the oracle)."""
+    from datatest_spark.operators.temporal import km_survival
+
+    e = _t(spark, sf_dir, "events")
+    return km_survival(e, "user_id", "ts", censor_days=7)
+
+
 # ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -3139,6 +3191,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_mixture": q_epoch_mixture,
         "dup_label_conflict": q_dup_label_conflict,
         "log2_quantiles": q_log2_quantiles,
+        "lang_agreement": q_lang_agreement,
+        "chao1_richness": q_chao1_richness,
+        "ess_audit": q_ess_audit,
+        "km_survival": q_km_survival,
     }
     # apply the window ordering: _DRIVER_WINDOW first (declared order),
     # then everything else in registration order
@@ -8404,6 +8460,145 @@ def oracle_sql() -> dict[str, str]:
                         ELSE CAST((CAST(1 AS BIGINT) << (bin + 1)) - 1
                                   AS BIGINT) END AS est_hi
             FROM X
+        """,
+        "lang_agreement": """
+            WITH {cte},
+            B AS (
+                SELECT COALESCE(lang, chr(0) || 'null' || chr(0)) AS a,
+                       COALESCE(predicted, chr(0) || 'null' || chr(0)) AS b
+                FROM PRED
+            ),
+            T AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(CASE WHEN a = b THEN 1 ELSE 0 END)
+                            AS BIGINT) AS agree
+                FROM B
+            ),
+            NA AS (SELECT a AS cat, CAST(COUNT(*) AS BIGINT) AS na
+                   FROM B GROUP BY 1),
+            NB AS (SELECT b AS cat, CAST(COUNT(*) AS BIGINT) AS nb
+                   FROM B GROUP BY 1),
+            M AS (
+                SELECT CAST(SUM(COALESCE(na, 0) * COALESCE(nb, 0))
+                            AS DOUBLE) AS s
+                FROM NA FULL OUTER JOIN NB ON NA.cat = NB.cat
+            )
+            SELECT n,
+                   ROUND(CAST(agree AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                       AS po,
+                   ROUND(s / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6)
+                       AS pe,
+                   ROUND(CASE WHEN s / (CAST(n AS DOUBLE)
+                                        * CAST(n AS DOUBLE)) < 1.0
+                         THEN (CAST(agree AS DOUBLE) / CAST(n AS DOUBLE)
+                               - s / (CAST(n AS DOUBLE)
+                                      * CAST(n AS DOUBLE)))
+                              / (1.0 - s / (CAST(n AS DOUBLE)
+                                            * CAST(n AS DOUBLE)))
+                         END, 6) AS kappa
+            FROM T, M
+        """.format(cte=_LANGID_SQL),
+        "chao1_richness": """
+            WITH W AS (
+                SELECT COALESCE(source, '__null__') AS grp,
+                       UNNEST(string_split(text, ' ')) AS token
+                FROM documents
+            ),
+            FR AS (
+                SELECT grp, token, CAST(COUNT(*) AS BIGINT) AS f
+                FROM W WHERE token IS NOT NULL GROUP BY 1, 2
+            ),
+            A AS (
+                SELECT grp, CAST(COUNT(*) AS BIGINT) AS vocab,
+                       CAST(SUM(f) AS BIGINT) AS total_tokens,
+                       CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS f1,
+                       CAST(SUM(CASE WHEN f = 2 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS f2
+                FROM FR GROUP BY 1
+            )
+            SELECT grp AS "group", vocab, total_tokens, f1, f2,
+                   ROUND(CAST(vocab AS DOUBLE)
+                         + CAST(f1 * (f1 - 1) AS DOUBLE)
+                           / (2.0 * CAST(f2 + 1 AS DOUBLE)), 2) AS chao1,
+                   ROUND(CASE WHEN total_tokens > 0 THEN
+                             1.0 - CAST(f1 AS DOUBLE)
+                                   / CAST(total_tokens AS DOUBLE)
+                         END, 6) AS coverage
+            FROM A
+        """,
+        "ess_audit": """
+            -- fixed-point floor(w * 2^20): exact HUGEINT sums mirror
+            -- Spark's DECIMAL(38,0); ESS is one double op sequence
+            WITH B AS (
+                SELECT COALESCE(source, '__null__') AS grp,
+                       CASE WHEN n_chars >= 0 THEN
+                           CAST(FLOOR(CAST(n_chars AS DOUBLE)
+                                      * 1048576.0) AS HUGEINT)
+                       END AS wi,
+                       CASE WHEN n_chars < 0 THEN 1 ELSE 0 END AS neg
+                FROM documents WHERE n_chars IS NOT NULL
+            ),
+            G AS (
+                SELECT grp, CAST(COUNT(wi) AS BIGINT) AS n,
+                       CAST(SUM(neg) AS BIGINT) AS n_negative,
+                       CAST(SUM(wi) AS DOUBLE) AS sw,
+                       CAST(SUM(wi * wi) AS DOUBLE) AS sw2
+                FROM B GROUP BY 1
+            )
+            SELECT grp AS "group", n, n_negative,
+                   ROUND(CASE WHEN sw2 > 0 THEN sw * sw / sw2 END, 2)
+                       AS ess,
+                   ROUND(CASE WHEN sw2 > 0 AND n > 0 THEN
+                             (sw * sw / sw2) / CAST(n AS DOUBLE)
+                         END, 6) AS ess_ratio
+            FROM G
+        """,
+        "km_survival": """
+            -- survival is a LEFT FOLD in ascending-t order: the
+            -- recursive CTE multiplies factors one at a time, exactly
+            -- like the engine's F.aggregate over the sorted array
+            WITH RECURSIVE U AS (
+                SELECT COALESCE(CAST(user_id AS VARCHAR), '__null__') AS u,
+                       MIN(CAST(ts AS DATE)) AS first_d,
+                       MAX(CAST(ts AS DATE)) AS last_d
+                FROM events WHERE ts IS NOT NULL GROUP BY 1
+            ),
+            H AS (SELECT MAX(last_d) AS h FROM U),
+            P AS (
+                SELECT date_diff('day', first_d, last_d) AS t,
+                       date_diff('day', last_d, h) < 7 AS cens
+                FROM U, H
+            ),
+            C AS (
+                SELECT t,
+                       CAST(SUM(CASE WHEN NOT cens THEN 1 ELSE 0 END)
+                            AS BIGINT) AS d,
+                       CAST(SUM(CASE WHEN cens THEN 1 ELSE 0 END)
+                            AS BIGINT) AS c
+                FROM P GROUP BY 1
+            ),
+            R AS (
+                SELECT t, d, c,
+                       CAST(SUM(d + c) OVER ()
+                            - SUM(d + c) OVER (ORDER BY t ASC
+                                ROWS UNBOUNDED PRECEDING)
+                            + (d + c) AS BIGINT) AS n_at_risk,
+                       ROW_NUMBER() OVER (ORDER BY t ASC) AS i
+                FROM C
+            ),
+            S(i, surv) AS (
+                SELECT i, 1.0 * (1.0 - CAST(d AS DOUBLE)
+                                 / CAST(n_at_risk AS DOUBLE))
+                FROM R WHERE i = 1
+                UNION ALL
+                SELECT R.i, S.surv * (1.0 - CAST(R.d AS DOUBLE)
+                                      / CAST(R.n_at_risk AS DOUBLE))
+                FROM S JOIN R ON R.i = S.i + 1
+            )
+            SELECT R.t, R.n_at_risk, R.d, R.c,
+                   ROUND(S.surv, 6) AS survival
+            FROM R JOIN S ON R.i = S.i
         """,
         # simhash_pairs / ivf_ann_topk / multimodal_features: xxhash64- or
         # numpy-derived (not expressible in DuckDB) — rows-only checks.

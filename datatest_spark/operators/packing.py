@@ -1260,3 +1260,67 @@ def epoch_mixture_plan(
             2,
         ).alias("shortfall_tokens"),
     )
+
+
+def ess_audit(
+    df: DataFrame,
+    weight_col: str,
+    group_col: str = "source",
+    scale_bits: int = 20,
+) -> DataFrame:
+    """Effective-sample-size audit of an importance-weighted corpus:
+    ESS = (Σw)²/Σw² per group — the number of EQUAL-weight rows the
+    weighted set is actually worth.  A DSIR or mixture re-weighting
+    that looks like 10^9 documents but has ESS/n = 0.01 is training on
+    ~10^7 effective docs wearing a billion-row cost; this is the gate
+    that catches weight collapse before a run is launched.
+
+    Weights enter as fixed-point integers ``floor(w·2^scale_bits)``
+    (ESS is scale-invariant, so the scaling cancels exactly): both sums
+    are EXACT — Σw in DECIMAL(38,0) (10^12 rows × large weights passes
+    2^63), Σw² likewise — and the one double division sequence at the
+    end is mirrored verbatim in the oracle SQL.  Sub-2^-scale_bits
+    weight resolution is quantized away on both engines identically.
+    Null weights are dropped; negative weights are counted out loud
+    (``n_negative``) and excluded — a negative importance weight is a
+    pipeline bug, not a sample.
+
+    Scale shape: ONE map-side-combinable ``groupBy(group)`` over the
+    scan.  No window, no Python, |groups| output rows.
+    """
+    if scale_bits < 1 or scale_bits > 30:
+        raise ValueError("ess_audit: scale_bits must be in [1, 30]")
+    w = F.col(weight_col).cast("double")
+    wi = F.floor(w * F.lit(float(1 << scale_bits))).cast("decimal(38,0)")
+    g = F.coalesce(F.col(group_col).cast("string"), F.lit("__null__"))
+    per = (
+        df.where(w.isNotNull())
+        .select(
+            g.alias("group"),
+            F.when(w >= 0, wi).alias("_wi"),
+            F.when(w < 0, 1).otherwise(0).alias("_neg"),
+        )
+        .groupBy("group")
+        .agg(
+            F.count("_wi").cast("long").alias("n"),
+            F.sum("_neg").cast("long").alias("n_negative"),
+            F.sum("_wi").alias("_sw"),
+            F.sum(F.col("_wi") * F.col("_wi")).alias("_sw2"),
+        )
+    )
+    swd = F.col("_sw").cast("double")
+    sw2d = F.col("_sw2").cast("double")
+    ess = swd * swd / sw2d
+    return per.select(
+        "group",
+        "n",
+        "n_negative",
+        F.round(F.when(sw2d > 0, ess), 2).alias("ess"),
+        F.round(
+            F.when(
+                (sw2d > 0) & (F.col("n") > 0),
+                ess / F.col("n").cast("double"),
+            ),
+            6,
+        ).alias("ess_ratio"),
+    )

@@ -1743,3 +1743,93 @@ def lexical_type_profile(df: DataFrame, columns) -> DataFrame:
             )
         )
     return one.select(F.explode(F.array(*rows)).alias("r")).select("r.*")
+
+
+def cohen_kappa(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Chance-corrected agreement (Cohen's κ) between two categorical
+    columns — the annotation-quality yardstick raw accuracy fakes: two
+    raters stamping the majority class agree often by luck alone;
+    κ = (p_o − p_e)/(1 − p_e) subtracts that luck (1 = perfect,
+    0 = chance, <0 = systematic disagreement).  Use it to score a
+    heuristic labeler against declared metadata (lang-id vs the lang
+    column), two model versions against each other, or duplicated
+    annotation batches.  Nulls are a category of their own (a rater
+    abstaining IS a signal), spelled distinctly from any real value.
+
+    Returns one row (per group): n, observed agreement ``po``, chance
+    agreement ``pe``, ``kappa`` — null when a rater is constant AND
+    agreement is total (pe = 1 leaves κ undefined).
+
+    Cross-engine determinism: n / agree / the marginal product sum are
+    exact integers (the product sum in DECIMAL(38,0) — Σ n_a·n_b can
+    reach n² = 10^24 at corpus scale); po, pe, κ are a fixed IEEE op
+    sequence on them, each rounded once.
+
+    Scale shape: three map-side-combinable aggregates over one scan
+    lineage (the pair counts, and one marginal per rater) joined on
+    |categories| rows — no window, no Python, no member lists.
+    """
+    keys = ["group"] if group_col else []
+
+    def _g(frame):
+        if group_col:
+            return frame.withColumn(
+                "group",
+                F.coalesce(
+                    F.col(group_col).cast("string"), F.lit("__null__")
+                ),
+            )
+        return frame
+
+    nul = "\x00null\x00"
+    base = _g(df).select(
+        *keys,
+        F.coalesce(F.col(col_a).cast("string"), F.lit(nul)).alias("_a"),
+        F.coalesce(F.col(col_b).cast("string"), F.lit(nul)).alias("_b"),
+    )
+    tot = base.groupBy(*keys or [F.lit(1).alias("_one")]).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("_a") == F.col("_b"), 1).otherwise(0))
+        .cast("long")
+        .alias("agree"),
+    )
+    na = base.groupBy(*keys, "_a").agg(
+        F.count(F.lit(1)).cast("long").alias("na")
+    ).withColumnRenamed("_a", "_cat")
+    nb = base.groupBy(*keys, "_b").agg(
+        F.count(F.lit(1)).cast("long").alias("nb")
+    ).withColumnRenamed("_b", "_cat")
+    marg = (
+        na.join(nb, keys + ["_cat"], "full_outer")
+        .groupBy(*keys or [F.lit(1).alias("_one")])
+        .agg(
+            F.sum(
+                F.coalesce(F.col("na"), F.lit(0)).cast("decimal(38,0)")
+                * F.coalesce(F.col("nb"), F.lit(0)).cast("decimal(38,0)")
+            ).alias("_s")
+        )
+    )
+    joined = (
+        tot.join(marg, keys, "inner")
+        if keys
+        else tot.crossJoin(marg.drop("_one"))
+    )
+    if not keys:
+        joined = joined.drop("_one")
+    nd = F.col("n").cast("double")
+    po = F.col("agree").cast("double") / nd
+    pe = F.col("_s").cast("double") / (nd * nd)
+    return joined.select(
+        *keys,
+        "n",
+        F.round(po, 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        F.round(
+            F.when(pe < 1.0, (po - pe) / (F.lit(1.0) - pe)), 6
+        ).alias("kappa"),
+    )

@@ -666,3 +666,109 @@ def path_trigrams(
             .alias("lift"),
         )
     )
+
+
+def km_survival(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    censor_days: int = 7,
+) -> DataFrame:
+    """Kaplan–Meier user-lifetime curve with right-censoring — the
+    retention statistic :func:`retention-cohort` triangles cannot give
+    honestly: a user whose last event is near the end of the
+    observation window has not *churned*, they are CENSORED, and
+    counting them as dead biases every naive retention ratio down.
+    Lifetime = days between a user's first and last event; a user
+    still active within ``censor_days`` of the global horizon (the max
+    event date) is censored at their observed lifetime.  Per observed
+    lifetime t: users at risk, deaths d (churned at t), censored c,
+    and the K-M survival estimate Π_{t'≤t} (1 − d/n) — the probability
+    a user survives past t days.
+
+    Cross-engine determinism: lifetimes are exact calendar-day diffs on
+    DATE values (timezone-free for NTZ timestamps); n/d/c are exact
+    BIGINTs; each factor is one IEEE division and the survival product
+    is a LEFT FOLD in ascending-t order (F.aggregate over the sorted
+    factor array here, a recursive-CTE running product in the oracle —
+    identical operation sequence), rounded once at the end.
+
+    Scale shape: ONE ``groupBy(user)`` exchange builds the per-user
+    (first, last) frame; everything after runs on |distinct lifetimes|
+    rows (≤ observation-window days — hundreds, not 10^12): a tiny
+    aggregate, one broadcast horizon row, and a single-row sorted
+    factor array cross-joined back.  No corpus-side window, no Python.
+    """
+    if censor_days < 0:
+        raise ValueError("km_survival: censor_days must be >= 0")
+    users = (
+        df.where(F.col(ts_col).isNotNull())
+        .select(
+            F.coalesce(F.col(user_col).cast("string"), F.lit("__null__"))
+            .alias("_u"),
+            F.to_date(F.col(ts_col)).alias("_d"),
+        )
+        .groupBy("_u")
+        .agg(F.min("_d").alias("first_d"), F.max("_d").alias("last_d"))
+    )
+    horizon = users.agg(F.max("last_d").alias("_h"))
+    per_user = users.crossJoin(F.broadcast(horizon)).select(
+        F.datediff(F.col("last_d"), F.col("first_d")).alias("t"),
+        (
+            F.datediff(F.col("_h"), F.col("last_d")) < F.lit(censor_days)
+        ).alias("_cens"),
+    )
+    curve = per_user.groupBy("t").agg(
+        F.sum(F.when(~F.col("_cens"), 1).otherwise(0))
+        .cast("long")
+        .alias("d"),
+        F.sum(F.when(F.col("_cens"), 1).otherwise(0))
+        .cast("long")
+        .alias("c"),
+    )
+    w = Window.orderBy(F.col("t").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.partitionBy()
+    ranked = curve.select(
+        "t",
+        "d",
+        "c",
+        (
+            F.sum(F.col("d") + F.col("c")).over(wt)
+            - F.sum(F.col("d") + F.col("c")).over(w)
+            + (F.col("d") + F.col("c"))
+        )
+        .cast("long")
+        .alias("n_at_risk"),
+    )
+    factor = F.lit(1.0) - F.col("d").cast("double") / F.col(
+        "n_at_risk"
+    ).cast("double")
+    facts = ranked.select(
+        "t", "d", "c", "n_at_risk", factor.alias("_f")
+    )
+    arr = facts.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("t"), F.col("_f")))
+        ).alias("_arr")
+    )
+    return (
+        facts.crossJoin(F.broadcast(arr))
+        .select(
+            "t",
+            "n_at_risk",
+            "d",
+            "c",
+            F.round(
+                F.aggregate(
+                    F.filter(
+                        F.col("_arr"), lambda x: x["t"] <= F.col("t")
+                    ),
+                    F.lit(1.0),
+                    lambda a, x: a * x["_f"],
+                ),
+                6,
+            ).alias("survival"),
+        )
+    )

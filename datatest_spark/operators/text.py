@@ -2580,3 +2580,71 @@ def token_burstiness(
     return scored.orderBy(
         F.col("burstiness").desc(), F.col("token").asc()
     ).limit(top_n)
+
+
+def chao1_richness(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    group_col: str = "source",
+) -> DataFrame:
+    """Chao1 vocabulary-richness estimate per group: how many distinct
+    tokens the source's *population* holds, extrapolated from the
+    singleton/doubleton counts of the sample — the "how much vocabulary
+    have we NOT seen yet" monitor that says whether another crawl of
+    the same source buys new types or just repeats.  Bias-corrected
+    Chao1 = V + f1·(f1−1)/(2·(f2+1)); Good–Turing sample coverage
+    C = 1 − f1/N is the companion "probability the next token is a
+    known type".  Complements :func:`heaps_fit` (growth CURVE) with a
+    point estimate of the asymptote.
+
+    Cross-engine determinism: V/N/f1/f2 and the numerator f1·(f1−1)
+    are exact BIGINTs; the two ratios are single IEEE divisions
+    mirrored in the oracle SQL, rounded once.
+
+    Scale shape: the token-frequency pass is the vocab_topk exchange
+    (explode + map-side-combinable groupBy(group, token)); the spectrum
+    collapse is a second combinable aggregate over |vocab| rows.  No
+    window, no Python.
+    """
+    freq = (
+        df.select(
+            F.coalesce(F.col(group_col).cast("string"), F.lit("__null__"))
+            .alias("group"),
+            F.explode(F.col(tokens_col)).alias("token"),
+        )
+        .where(F.col("token").isNotNull())
+        .groupBy("group", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+    )
+    agg = freq.groupBy("group").agg(
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum("f").cast("long").alias("total_tokens"),
+        F.sum(F.when(F.col("f") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("f1"),
+        F.sum(F.when(F.col("f") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("f2"),
+    )
+    chao = (
+        F.col("vocab").cast("double")
+        + (F.col("f1") * (F.col("f1") - 1)).cast("double")
+        / (F.lit(2.0) * (F.col("f2") + 1).cast("double"))
+    )
+    return agg.select(
+        "group",
+        "vocab",
+        "total_tokens",
+        "f1",
+        "f2",
+        F.round(chao, 2).alias("chao1"),
+        F.round(
+            F.when(
+                F.col("total_tokens") > 0,
+                F.lit(1.0)
+                - F.col("f1").cast("double")
+                / F.col("total_tokens").cast("double"),
+            ),
+            6,
+        ).alias("coverage"),
+    )

@@ -218,6 +218,15 @@ class ValidationSuite(object):
                   violations_sink, input_snapshot_id=None) -> SuiteResult:
         spark = df.sparkSession
         t0 = time.time()
+        # opt-in phase log (DATATEST_SUITE_PHASE_LOG=1): wall seconds
+        # per suite phase to stderr — the first tool to reach for when
+        # a cluster run's scaling looks worse than its data volume
+        # explains (is the time in the scans, or in driver-side gaps?)
+        _phases = []
+
+        def _mark(name):
+            if os.environ.get("DATATEST_SUITE_PHASE_LOG"):
+                _phases.append((name, time.time()))
 
         keyed = df.withColumn(
             "partition_key", partition_key_col(self.partition_cols)
@@ -287,6 +296,7 @@ class ValidationSuite(object):
                 keyed = keyed.filter(
                     ~F.col("partition_key").isin(list(skipped_metrics))
                 )
+        _mark("setup")
         skipped = set(skipped_metrics)
         resumed_rows = sum(
             int(m.get("n_rows") or 0) for m in skipped_metrics.values()
@@ -314,6 +324,7 @@ class ValidationSuite(object):
                 .agg(*_stat_exprs(df, stats_cols, self.quantiles))
                 .collect()
             ]
+        _mark("stats_pass")
         # resumed partitions count toward the total: a monitor comparing
         # n_rows against the expected table size must not false-alarm on
         # every resumed run
@@ -358,6 +369,8 @@ class ValidationSuite(object):
             if fused is not None:
                 plans.append(fused)
 
+        _mark("plan_build")
+
         def _with_run_id(p):
             return p.select(
                 F.lit(run_id).alias("run_id"), *[c for c in VIOLATION_SCHEMA.names if c != "run_id"]
@@ -396,6 +409,7 @@ class ValidationSuite(object):
             .collect()
         }
 
+        _mark("violations_eval")
         accepted_df = violations
         for acc in self.acceptances:
             accepted_df = acc.apply(accepted_df)
@@ -412,6 +426,7 @@ class ValidationSuite(object):
             else dict(pre_counts)
         )
 
+        _mark("acceptances")
         if violations_sink:
             out = os.path.join(violations_sink, "run_id={0}".format(run_id))
             if not skipped:
@@ -445,6 +460,7 @@ class ValidationSuite(object):
             # full-skip retry (skipped everything, validated nothing):
             # no write at all — the original run's evidence stands
 
+        _mark("sink_write")
         # per-partition verdicts (C4)
         wall_ms = int((time.time() - t0) * 1000)
         n_rows_by_pk = {r["partition_key"]: r["n_rows"] for r in stats_rows}
@@ -556,6 +572,21 @@ class ValidationSuite(object):
                 input_files_hash, input_snapshot_id,
             )
 
+        if os.environ.get("DATATEST_SUITE_PHASE_LOG"):
+            import sys as _sys
+
+            _mark("verdicts_manifest")
+            prev = t0
+            parts = []
+            for name, ts in _phases:
+                parts.append("{0}={1:.2f}s".format(name, ts - prev))
+                prev = ts
+            print(
+                "[suite-phases run_id={0}] {1}".format(
+                    run_id, " ".join(parts)
+                ),
+                file=_sys.stderr,
+            )
         persisted = [violations]
         if self.acceptances:
             persisted.append(accepted_df)

@@ -167,6 +167,7 @@ def test_driver_window_holds_every_value_oracled_query_once():
         "k_anonymity", "k_anonymity_classes", "kmv_error", "kmv_overlap",
         "token_burstiness", "lexical_types", "split_balance",
         "epoch_mixture", "dup_label_conflict", "log2_quantiles",
+        "lang_agreement", "chao1_richness", "ess_audit", "km_survival",
     }
     import glob
 

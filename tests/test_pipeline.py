@@ -7403,3 +7403,122 @@ class TestSession10OpsB:
             k: ha.get(k, 0) + hb.get(k, 0) for k in set(ha) | set(hb)
         }
         assert merged == hu
+
+
+class TestSession10OpsC:
+    """Pins for the third session-10 batch: Cohen's kappa, Chao1
+    richness, effective-sample-size audit, Kaplan-Meier survival."""
+
+    def test_kappa_perfect_and_chance(self, spark):
+        from datatest_spark.operators.stats import cohen_kappa
+
+        perfect = spark.createDataFrame(
+            [("x", "x"), ("y", "y"), ("x", "x"), ("z", "z")],
+            "a string, b string",
+        )
+        r = cohen_kappa(perfect, "a", "b").collect()[0]
+        assert r["po"] == 1.0 and r["kappa"] == 1.0
+        # independent marginals at 50/50: po == pe == 0.5 -> kappa 0
+        chance = spark.createDataFrame(
+            [("x", "x"), ("x", "y"), ("y", "x"), ("y", "y")],
+            "a string, b string",
+        )
+        r = cohen_kappa(chance, "a", "b").collect()[0]
+        assert (r["po"], r["pe"], r["kappa"]) == (0.5, 0.5, 0.0)
+
+    def test_kappa_constant_rater_null_and_nulls_are_categories(self, spark):
+        from datatest_spark.operators.stats import cohen_kappa
+
+        const = spark.createDataFrame(
+            [("x", "x"), ("x", "x")], "a string, b string"
+        )
+        assert cohen_kappa(const, "a", "b").collect()[0]["kappa"] is None
+        withnull = spark.createDataFrame(
+            [("x", None), (None, None), ("x", "x")], "a string, b string"
+        )
+        r = cohen_kappa(withnull, "a", "b").collect()[0]
+        # agreement rows: (null,null) and (x,x) -> po = 2/3
+        assert r["n"] == 3 and r["po"] == round(2 / 3, 6)
+
+    def test_kappa_grouped(self, spark):
+        from datatest_spark.operators.stats import cohen_kappa
+
+        df = spark.createDataFrame(
+            [("g1", "x", "x"), ("g1", "y", "y"), ("g2", "x", "y"),
+             ("g2", "y", "x")],
+            "g string, a string, b string",
+        )
+        got = {
+            r["group"]: r["po"]
+            for r in cohen_kappa(df, "a", "b", group_col="g").collect()
+        }
+        assert got == {"g1": 1.0, "g2": 0.0}
+
+    def test_chao1_hand_spectrum(self, spark):
+        from datatest_spark.operators.text import chao1_richness
+
+        # tokens: a x3, b x2, c x1, d x1 -> V=4 N=7 f1=2 f2=1
+        df = spark.createDataFrame(
+            [("s", ["a", "a", "b", "c"]), ("s", ["a", "b", "d"])],
+            "source string, toks array<string>",
+        )
+        r = chao1_richness(df, "toks", "source").collect()[0]
+        assert (r["vocab"], r["total_tokens"], r["f1"], r["f2"]) == (
+            4, 7, 2, 1,
+        )
+        # chao1 = 4 + 2*1/(2*2) = 4.5; coverage = 1 - 2/7
+        assert r["chao1"] == 4.5
+        assert r["coverage"] == round(1 - 2 / 7, 6)
+
+    def test_ess_equal_vs_collapsed(self, spark):
+        from datatest_spark.operators.packing import ess_audit
+
+        equal = spark.createDataFrame(
+            [("s", 5.0)] * 8, "source string, w double"
+        )
+        r = ess_audit(equal, "w", "source").collect()[0]
+        assert (r["n"], r["ess"], r["ess_ratio"]) == (8, 8.0, 1.0)
+        skew = spark.createDataFrame(
+            [("s", 1000.0)] + [("s", 0.001)] * 99,
+            "source string, w double",
+        )
+        r = ess_audit(skew, "w", "source").collect()[0]
+        assert r["n"] == 100 and r["ess"] < 1.5  # weight collapse visible
+        neg = spark.createDataFrame(
+            [("s", 2.0), ("s", -1.0)], "source string, w double"
+        )
+        r = ess_audit(neg, "w", "source").collect()[0]
+        assert (r["n"], r["n_negative"]) == (1, 1)
+        with pytest.raises(ValueError):
+            ess_audit(neg, "w", "source", scale_bits=0)
+
+    def test_km_survival_hand_curve(self, spark):
+        from datatest_spark.operators.temporal import km_survival
+
+        rows = [
+            # u1: lifetime 2, horizon gap 8 -> event
+            (1, "2024-01-01 08:00:00"), (1, "2024-01-03 09:00:00"),
+            # u2: lifetime 0, gap 10 -> event
+            (2, "2024-01-01 12:00:00"),
+            # u3: lifetime 4, last at day5, gap 6 < 7 -> censored
+            (3, "2024-01-02 01:00:00"), (3, "2024-01-06 23:00:00"),
+            # u4: lifetime 10, last at horizon -> censored
+            (4, "2024-01-01 00:30:00"), (4, "2024-01-11 10:00:00"),
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id long, s string"
+        ).withColumn("ts", F.col("s").cast("timestamp"))
+        got = {
+            r["t"]: r
+            for r in km_survival(df, "user_id", "ts", censor_days=7).collect()
+        }
+        assert (got[0]["n_at_risk"], got[0]["d"], got[0]["c"]) == (4, 1, 0)
+        assert got[0]["survival"] == 0.75
+        assert (got[2]["n_at_risk"], got[2]["d"]) == (3, 1)
+        assert got[2]["survival"] == 0.5
+        assert (got[4]["n_at_risk"], got[4]["c"], got[4]["d"]) == (2, 1, 0)
+        assert got[4]["survival"] == 0.5          # censoring multiplies 1
+        assert (got[10]["n_at_risk"], got[10]["c"]) == (1, 1)
+        assert got[10]["survival"] == 0.5
+        with pytest.raises(ValueError):
+            km_survival(df, "user_id", "ts", censor_days=-1)
