@@ -2908,6 +2908,82 @@ def q_km_survival(spark, sf_dir):
     return km_survival(e, "user_id", "ts", censor_days=7)
 
 
+_FD_COLUMNS = ("o_custkey", "o_orderstatus", "o_orderpriority")
+_FD_MIN_SUPPORT = 0.95
+
+
+def q_fd_discovery(spark, sf_dir):
+    """FD mining (operators/stats.fd_discovery): corpus-level g3 error
+    for every ordered column pair of the orders profile set — the
+    discovery pass whose surviving FDs feed fd_audit/FD checks. One
+    exploded scan, map-side-combined to |pairs|×|value pairs| rows."""
+    from datatest_spark.operators.stats import fd_discovery
+
+    o = _t(spark, sf_dir, "orders")
+    return fd_discovery(o, list(_FD_COLUMNS), min_support=_FD_MIN_SUPPORT)
+
+
+def q_consolidate_rare(spark, sf_dir):
+    """Long-tail consolidation (operators/stats.consolidate_rare):
+    words under 100 occurrences collapse to __other__, returning the
+    consolidated distribution — the contingency-table / vocab-pruning
+    prep. Broadcast keep-set join; the corpus side never shuffles."""
+    from datatest_spark.operators.stats import consolidate_rare
+
+    d = _t(spark, sf_dir, "documents")
+    w = d.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+    return (
+        consolidate_rare(w, "word", 100)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def _fd_discovery_oracle_sql():
+    """Mirror of q:fd_discovery GENERATED from the same _FD_COLUMNS /
+    _FD_MIN_SUPPORT constants (shared source of truth) — including the
+    exact float literal of 1 − min_support, so the `holds` boundary
+    compares the identical double on both engines."""
+    nul = "chr(0) || 'null' || chr(0)"
+    blocks = []
+    for a in _FD_COLUMNS:
+        for b in _FD_COLUMNS:
+            if a == b:
+                continue
+            blocks.append(
+                "SELECT '{a}->{b}' AS fd,\n"
+                "       COALESCE(CAST({a} AS VARCHAR), {n}) AS det,\n"
+                "       COALESCE(CAST({b} AS VARCHAR), {n}) AS dep\n"
+                "FROM orders".format(a=a, b=b, n=nul)
+            )
+        thr = repr(1.0 - _FD_MIN_SUPPORT)
+    return """
+        WITH E AS (
+            {union}
+        ),
+        PC AS (
+            SELECT fd, det, dep, CAST(COUNT(*) AS BIGINT) AS n
+            FROM E GROUP BY 1, 2, 3
+        ),
+        PD AS (
+            SELECT fd, det, MAX(n) AS keep, SUM(n) AS tot
+            FROM PC GROUP BY 1, 2
+        ),
+        PF AS (
+            SELECT fd, CAST(SUM(tot) AS BIGINT) AS n_rows,
+                   CAST(COUNT(*) AS BIGINT) AS n_det,
+                   CAST(SUM(keep) AS BIGINT) AS n_kept
+            FROM PD GROUP BY 1
+        )
+        SELECT fd, n_rows, n_det, n_kept,
+               ROUND(1.0 - CAST(n_kept AS DOUBLE)
+                     / CAST(n_rows AS DOUBLE), 6) AS g3,
+               (1.0 - CAST(n_kept AS DOUBLE)
+                / CAST(n_rows AS DOUBLE)) <= {thr} AS holds
+        FROM PF
+    """.format(union="\nUNION ALL\n".join(blocks), thr=thr)
+
+
 # ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -3195,6 +3271,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chao1_richness": q_chao1_richness,
         "ess_audit": q_ess_audit,
         "km_survival": q_km_survival,
+        "fd_discovery": q_fd_discovery,
+        "consolidate_rare": q_consolidate_rare,
     }
     # apply the window ordering: _DRIVER_WINDOW first (declared order),
     # then everything else in registration order
@@ -8599,6 +8677,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT R.t, R.n_at_risk, R.d, R.c,
                    ROUND(S.surv, 6) AS survival
             FROM R JOIN S ON R.i = S.i
+        """,
+        "fd_discovery": _fd_discovery_oracle_sql(),
+        "consolidate_rare": """
+            WITH W AS (
+                SELECT UNNEST(string_split(text, ' ')) AS word
+                FROM documents
+            ),
+            K AS (
+                SELECT word FROM W WHERE word IS NOT NULL
+                GROUP BY 1 HAVING COUNT(*) >= 100
+            )
+            SELECT CASE WHEN W.word IS NULL THEN NULL
+                        WHEN K.word IS NOT NULL THEN W.word
+                        ELSE '__other__' END AS word,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM W LEFT JOIN K ON W.word = K.word
+            GROUP BY 1
         """,
         # simhash_pairs / ivf_ann_topk / multimodal_features: xxhash64- or
         # numpy-derived (not expressible in DuckDB) — rows-only checks.

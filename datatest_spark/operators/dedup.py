@@ -2292,7 +2292,11 @@ def dup_label_conflict(
     ``text.normalize_text()`` for normalization-tolerant grouping, the
     :func:`exact_duplicates` convention).  Rows with no label row (or a
     null label) count in ``n_members`` but not in the conflict test —
-    missing truth is a coverage gap, not a contradiction.
+    missing truth is a coverage gap, not a contradiction.  CONTRACT:
+    ``labels`` must be id-unique — a duplicate label row fans its doc
+    out through the join and inflates ``n_members`` (pre-aggregate a
+    multi-annotator frame before calling; which label to keep is a
+    policy decision this audit refuses to make silently).
 
     Scale shape: one equi-join docs↔labels on id (both sides shuffle on
     the id key once; labels frames are usually the smaller side and

@@ -1283,7 +1283,10 @@ def ess_audit(
     weight resolution is quantized away on both engines identically.
     Null weights are dropped; negative weights are counted out loud
     (``n_negative``) and excluded — a negative importance weight is a
-    pipeline bug, not a sample.
+    pipeline bug, not a sample.  Domain: w < ~2^(63−scale_bits) (~10^12
+    at the default) — beyond that ``floor`` overflows the engine's
+    bigint and the row nulls out; importance weights that large mean
+    the mixture solver upstream already failed.
 
     Scale shape: ONE map-side-combinable ``groupBy(group)`` over the
     scan.  No window, no Python, |groups| output rows.

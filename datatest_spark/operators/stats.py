@@ -1695,6 +1695,12 @@ def lexical_type_profile(df: DataFrame, columns) -> DataFrame:
     columns = list(columns)
     if not columns:
         raise ValueError("lexical_type_profile: columns must be non-empty")
+    if len(set(columns)) != len(columns):
+        # duplicate names would collide in the per-column aggregate
+        # aliases and mis-resolve silently — fail loudly instead
+        raise ValueError(
+            "lexical_type_profile: duplicate column names: %r" % (columns,)
+        )
     aggs = []
     for c in columns:
         s = F.col(c).cast("string")
@@ -1833,3 +1839,125 @@ def cohen_kappa(
             F.when(pe < 1.0, (po - pe) / (F.lit(1.0) - pe)), 6
         ).alias("kappa"),
     )
+
+
+def fd_discovery(
+    df: DataFrame,
+    columns,
+    min_support: float = 0.99,
+) -> DataFrame:
+    """Approximate functional-dependency MINING over a column set: for
+    every ordered pair a→b, the corpus-level Kivinen–Mannila g3 error
+    (fraction of rows to delete for the FD to hold exactly) and whether
+    it holds at ``min_support`` — the profiling pass that DISCOVERS the
+    dependency structure :func:`fd_audit` then enforces per key.  An FD
+    that held yesterday and slips today (g3 creeping above 1−support)
+    is a join-key or ingest bug announcing itself.
+
+    Nulls are values on both sides (fd_audit's rule: a row that lost
+    its dependent violates the FD), spelled distinctly from any string.
+
+    Returns (fd, n_rows, n_det, n_kept, g3, holds) per ordered pair —
+    ``n_kept`` is Σ per-determinant majority counts, g3 = 1 − kept/n.
+
+    Scale shape: ONE scan exploding each row into |pairs| tagged
+    (pair, det, dep) rows — the groupBy(pair, det, dep) count combines
+    map-side, so the wire carries |pairs|·|distinct value pairs|, not
+    n·|pairs|; the majority-take and the per-pair rollup run on the
+    aggregated frame (two more combinable groupBys, no window over
+    data rows, no join).  Keep the column list to profiling width
+    (≤ ~8 columns = 56 pairs), not every column of a wide table.
+    """
+    columns = list(columns)
+    if len(columns) < 2:
+        raise ValueError("fd_discovery: need at least two columns")
+    if len(set(columns)) != len(columns):
+        raise ValueError(
+            "fd_discovery: duplicate column names: %r" % (columns,)
+        )
+    if not (0.0 < min_support <= 1.0):
+        raise ValueError("fd_discovery: min_support must be in (0, 1]")
+    nul = "\x00null\x00"
+
+    def _s(c):
+        return F.coalesce(F.col(c).cast("string"), F.lit(nul))
+
+    structs = [
+        F.struct(
+            F.lit("{0}->{1}".format(a, b)).alias("fd"),
+            _s(a).alias("det"),
+            _s(b).alias("dep"),
+        )
+        for a in columns
+        for b in columns
+        if a != b
+    ]
+    pair_counts = (
+        df.select(F.explode(F.array(*structs)).alias("p"))
+        .select("p.*")
+        .groupBy("fd", "det", "dep")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    per_det = pair_counts.groupBy("fd", "det").agg(
+        F.max("n").alias("keep"), F.sum("n").alias("tot")
+    )
+    per_fd = per_det.groupBy("fd").agg(
+        F.sum("tot").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_det"),
+        F.sum("keep").cast("long").alias("n_kept"),
+    )
+    g3 = (
+        F.lit(1.0)
+        - F.col("n_kept").cast("double") / F.col("n_rows").cast("double")
+    )
+    return per_fd.select(
+        "fd",
+        "n_rows",
+        "n_det",
+        "n_kept",
+        F.round(g3, 6).alias("g3"),
+        (g3 <= F.lit(1.0 - min_support)).alias("holds"),
+    )
+
+
+def consolidate_rare(
+    df: DataFrame,
+    col: str,
+    min_count: int,
+    other: str = "__other__",
+) -> DataFrame:
+    """Long-tail category consolidation: values of ``col`` seen fewer
+    than ``min_count`` times collapse to ``other`` — the prep step the
+    categorical statistics need (a chi²/association contingency over a
+    million singleton categories is noise; expected counts < 5 void the
+    test) and the vocabulary-pruning move for one-hot/embedding feeds.
+    Returns ``df`` with the column REPLACED (same name, string type);
+    nulls stay null — they are already one consolidated bucket, and
+    silently merging them into ``other`` would hide missingness from
+    the null-rate checks downstream.
+
+    Scale shape: one map-side-combinable frequency aggregate builds the
+    keep-set (≤ n/min_count values by construction — broadcastable for
+    any sane threshold), then ONE broadcast left join + when-chain maps
+    the corpus; the big side never shuffles.  Deterministic: membership
+    is exact counting, no sampling.
+    """
+    if min_count < 1:
+        raise ValueError("consolidate_rare: min_count must be >= 1")
+    v = F.col(col).cast("string")
+    keep = (
+        df.where(v.isNotNull())
+        .groupBy(v.alias("_val"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") >= min_count)
+        .select("_val", F.lit(True).alias("_keep"))
+    )
+    joined = df.withColumn("_val", v).join(
+        F.broadcast(keep), "_val", "left"
+    )
+    replaced = (
+        F.when(F.col("_val").isNull(), F.lit(None).cast("string"))
+        .when(F.col("_keep"), F.col("_val"))
+        .otherwise(F.lit(other))
+    )
+    return joined.withColumn(col, replaced).drop("_val", "_keep")

@@ -7522,3 +7522,113 @@ class TestSession10OpsC:
         assert got[10]["survival"] == 0.5
         with pytest.raises(ValueError):
             km_survival(df, "user_id", "ts", censor_days=-1)
+
+
+class TestSession10ReviewFixes:
+    """Pins for the session-10 self-review hardening items."""
+
+    def test_lexical_profile_rejects_duplicate_columns(self, spark):
+        from datatest_spark.operators.stats import lexical_type_profile
+
+        df = spark.createDataFrame([("1",)], "a string")
+        with pytest.raises(ValueError, match="duplicate"):
+            lexical_type_profile(df, ["a", "a"])
+
+    def test_k_anonymity_rejects_l_below_one(self, spark):
+        from datatest_spark.operators import privacy
+
+        df = spark.createDataFrame([("US", "x")], "c string, s string")
+        with pytest.raises(ValueError, match="l must be"):
+            privacy.k_anonymity_violations(
+                df, ["c"], k=2, sensitive_col="s", l=0
+            )
+        with pytest.raises(ValueError, match="l must be"):
+            privacy.k_anonymity_profile(
+                df, ["c"], k=2, sensitive_col="s", l=0
+            )
+
+
+class TestSession10OpsD:
+    """Pins for the fourth session-10 batch: FD discovery and rare-
+    category consolidation."""
+
+    def test_fd_discovery_hand_values(self, spark):
+        from datatest_spark.operators.stats import fd_discovery
+
+        df = spark.createDataFrame(
+            [
+                ("k1", "x"), ("k1", "x"), ("k1", "y"),
+                ("k2", "z"), ("k2", "z"),
+                ("k3", None),
+            ],
+            "a string, b string",
+        )
+        got = {r["fd"]: r for r in fd_discovery(df, ["a", "b"]).collect()}
+        ab = got["a->b"]
+        # majority per det: k1 keeps 2 of 3, k2 keeps 2, k3 keeps 1
+        assert (ab["n_rows"], ab["n_det"], ab["n_kept"]) == (6, 3, 5)
+        assert ab["g3"] == round(1 - 5 / 6, 6) and not ab["holds"]
+        ba = got["b->a"]
+        # b values x,y,z,null each map to ONE a -> the FD holds exactly
+        assert (ba["n_kept"], ba["g3"], ba["holds"]) == (6, 0.0, True)
+        with pytest.raises(ValueError):
+            fd_discovery(df, ["a"])
+        with pytest.raises(ValueError):
+            fd_discovery(df, ["a", "a"])
+        with pytest.raises(ValueError):
+            fd_discovery(df, ["a", "b"], min_support=0)
+
+    def test_fd_discovery_null_dep_violates(self, spark):
+        from datatest_spark.operators.stats import fd_discovery
+
+        df = spark.createDataFrame(
+            [("k", "x"), ("k", None)], "a string, b string"
+        )
+        ab = {r["fd"]: r for r in fd_discovery(df, ["a", "b"]).collect()}[
+            "a->b"
+        ]
+        # null is a dependent VALUE: k maps to {x, null} -> 1 violation
+        assert ab["n_kept"] == 1 and ab["g3"] == 0.5
+
+    def test_consolidate_rare_semantics(self, spark):
+        from datatest_spark.operators.stats import consolidate_rare
+
+        rows = [("a",)] * 5 + [("b",)] * 2 + [("c",)] * 1 + [(None,)] * 3
+        df = spark.createDataFrame(rows, "v string")
+        got = {
+            r["v"]: r["n"]
+            for r in consolidate_rare(df, "v", 3)
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .collect()
+        }
+        # a kept, b+c -> __other__, nulls stay null
+        assert got == {"a": 5, "__other__": 3, None: 3}
+        with pytest.raises(ValueError):
+            consolidate_rare(df, "v", 0)
+
+    def test_consolidate_rare_keeps_other_columns(self, spark):
+        from datatest_spark.operators.stats import consolidate_rare
+
+        df = spark.createDataFrame(
+            [(1, "x"), (2, "x"), (3, "y")], "id long, v string"
+        )
+        out = consolidate_rare(df, "v", 2)
+        assert set(out.columns) == {"id", "v"}
+        got = {r["id"]: r["v"] for r in out.collect()}
+        assert got == {1: "x", 2: "x", 3: "__other__"}
+
+    def test_consolidate_rare_no_corpus_shuffle(self, spark, docs):
+        from datatest_spark.operators.stats import consolidate_rare
+
+        import io, contextlib, re
+
+        w = docs.select(
+            F.explode(F.split(F.col("text"), " ")).alias("word")
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            consolidate_rare(w, "word", 100).explain(mode="formatted")
+        plan = buf.getvalue()
+        assert "BroadcastHashJoin" in plan, plan
+        assert "SortMergeJoin" not in plan, plan
