@@ -2908,6 +2908,27 @@ def q_km_survival(spark, sf_dir):
     return km_survival(e, "user_id", "ts", censor_days=7)
 
 
+def q_kmv_snapshot_delta(spark, sf_dir):
+    """Cross-snapshot content growth from persisted KMV signatures
+    (operators/sketch.kmv_snapshot_delta): the old snapshot (docs with
+    doc_id % 3 != 0) vs the full current corpus, per-source estimated
+    added distinct words — zero corpus rescan, pure signature math;
+    the oracle rebuilds BOTH sketches and gets bit-identical
+    estimates (the whole-state-reproducible payoff)."""
+    from datatest_spark.operators import sketch
+
+    d = _t(spark, sf_dir, "documents")
+    w = d.select(
+        "doc_id", "source",
+        F.explode(F.split(F.col("text"), " ")).alias("word"),
+    )
+    old = sketch.kmv_signatures(
+        w.where(F.col("doc_id") % 3 != 0), "word", "source", k=64
+    )
+    new = sketch.kmv_signatures(w, "word", "source", k=64)
+    return sketch.kmv_snapshot_delta(old, new, k=64)
+
+
 _FD_COLUMNS = ("o_custkey", "o_orderstatus", "o_orderpriority")
 _FD_MIN_SUPPORT = 0.95
 
@@ -3273,6 +3294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "km_survival": q_km_survival,
         "fd_discovery": q_fd_discovery,
         "consolidate_rare": q_consolidate_rare,
+        "kmv_snapshot_delta": q_kmv_snapshot_delta,
     }
     # apply the window ordering: _DRIVER_WINDOW first (declared order),
     # then everything else in registration order
@@ -8677,6 +8699,93 @@ def oracle_sql() -> dict[str, str]:
             SELECT R.t, R.n_at_risk, R.d, R.c,
                    ROUND(S.surv, 6) AS survival
             FROM R JOIN S ON R.i = S.i
+        """,
+        "kmv_snapshot_delta": """
+            -- both sketches rebuilt from scratch; every estimate is the
+            -- kmv_distinct arithmetic (inner ROUND(...,4) on the
+            -- estimator branch), repeated verbatim where the engine
+            -- reuses the unrounded-case expression
+            WITH W AS (
+                SELECT doc_id, COALESCE(source, '__null__') AS grp,
+                       UNNEST(string_split(text, ' ')) AS word
+                FROM documents
+            ),
+            HO AS (
+                SELECT DISTINCT grp,
+                       CAST('0x' || substr(md5(word), 1, 15) AS BIGINT) AS u
+                FROM W WHERE word IS NOT NULL AND doc_id % 3 <> 0
+            ),
+            RO AS (
+                SELECT grp, u, ROW_NUMBER() OVER (PARTITION BY grp
+                                                  ORDER BY u ASC) AS rk
+                FROM HO
+            ),
+            SO AS (
+                SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_old,
+                       list(u ORDER BY u ASC) AS so
+                FROM RO WHERE rk <= 64 GROUP BY grp
+            ),
+            HN AS (
+                SELECT DISTINCT grp,
+                       CAST('0x' || substr(md5(word), 1, 15) AS BIGINT) AS u
+                FROM W WHERE word IS NOT NULL
+            ),
+            RN AS (
+                SELECT grp, u, ROW_NUMBER() OVER (PARTITION BY grp
+                                                  ORDER BY u ASC) AS rk
+                FROM HN
+            ),
+            SN AS (
+                SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_new,
+                       list(u ORDER BY u ASC) AS sn
+                FROM RN WHERE rk <= 64 GROUP BY grp
+            ),
+            J AS (
+                SELECT COALESCE(SO.grp, SN.grp) AS grp,
+                       COALESCE(n_old, 0) AS n_old,
+                       COALESCE(so, CAST([] AS BIGINT[])) AS so,
+                       COALESCE(n_new, 0) AS n_new,
+                       COALESCE(sn, CAST([] AS BIGINT[])) AS sn
+                FROM SO FULL OUTER JOIN SN ON SO.grp = SN.grp
+            ),
+            M AS (
+                SELECT grp, n_old, so, n_new, sn,
+                       (list_sort(list_distinct(
+                           list_concat(so, sn))))[1:64] AS m
+                FROM J
+            ),
+            E AS (
+                SELECT grp, n_old, n_new, m, so, sn,
+                       CAST(len(m) AS BIGINT) AS n_m,
+                       CASE WHEN n_old < 64 THEN CAST(n_old AS DOUBLE)
+                            ELSE ROUND(63.0 * 1152921504606846976.0
+                                       / CAST(so[64] AS DOUBLE), 4)
+                       END AS eo,
+                       CASE WHEN n_new < 64 THEN CAST(n_new AS DOUBLE)
+                            ELSE ROUND(63.0 * 1152921504606846976.0
+                                       / CAST(sn[64] AS DOUBLE), 4)
+                       END AS en
+                FROM M
+            ),
+            E2 AS (
+                SELECT grp, n_old, n_new, eo, en, n_m, m, so, sn,
+                       CASE WHEN n_m < 64 THEN CAST(n_m AS DOUBLE)
+                            ELSE ROUND(63.0 * 1152921504606846976.0
+                                       / CAST(m[64] AS DOUBLE), 4)
+                       END AS eu
+                FROM E
+            )
+            SELECT grp AS "group", n_old, n_new,
+                   ROUND(eo, 4) AS est_old,
+                   ROUND(en, 4) AS est_new,
+                   ROUND(eu, 4) AS est_union,
+                   ROUND(GREATEST(eu - eo, 0.0), 4) AS est_added,
+                   CASE WHEN n_m > 0 THEN
+                       ROUND(CAST(len(list_intersect(
+                                 list_intersect(m, so), sn)) AS DOUBLE)
+                             / CAST(n_m AS DOUBLE), 6)
+                   END AS jaccard_est
+            FROM E2
         """,
         "fd_discovery": _fd_discovery_oracle_sql(),
         "consolidate_rare": """

@@ -29,6 +29,9 @@ __all__ = [
     "kmv_distinct",
     "kmv_overlap_matrix",
     "kmv_error_audit",
+    "kmv_snapshot_delta",
+    "log2_histogram",
+    "log2_quantiles",
 ]
 
 _TWO60 = float(1 << 60)
@@ -329,4 +332,96 @@ def log2_quantiles(
         F.when(F.col("bin") < 0, F.lit(0).cast("long"))
         .otherwise(F.expr("shiftleft(CAST(1 AS BIGINT), bin + 1) - 1"))
         .alias("est_hi"),
+    )
+
+
+def _est_from(sig, n, k: int) -> F.Column:
+    """Distinct estimate from a sorted bottom-k signature column:
+    exact n below k, else (k−1)·2^60 / u_k (kmv_distinct's arithmetic,
+    one power-of-two-exact double division)."""
+    return F.when(n < k, n.cast("double")).otherwise(
+        F.round(
+            F.lit(float(k - 1) * _TWO60)
+            / F.element_at(sig, k).cast("double"),
+            4,
+        )
+    )
+
+
+def kmv_snapshot_delta(
+    old_sigs: DataFrame, new_sigs: DataFrame, k: int = 256
+) -> DataFrame:
+    """Cross-snapshot content-growth estimate from two PERSISTED KMV
+    signature frames (:func:`kmv_signatures` outputs) — how much
+    genuinely new distinct content each group gained between corpus
+    versions, WITHOUT rescanning the old snapshot: merge the two
+    bottom-k signatures, estimate |old|, |new|, |old ∪ new|, and report
+    ``est_added = max(est_union − est_old, 0)`` plus the coordinated-
+    sample Jaccard.  An ingest that claims a fresh crawl but shows
+    est_added ≈ 0 re-delivered yesterday's content; a source whose
+    union explodes past est_old + est_new−overlap expectations has a
+    hash/extraction change masquerading as new data.
+
+    Groups absent from one side enter as empty signatures (est 0) —
+    a brand-new source is 100% added, a vanished one 0.
+
+    Cross-engine determinism: signatures are exact BIGINT arrays; every
+    estimate is kmv_distinct's single-division arithmetic; the merge is
+    exact array math.  This is the payoff of a sketch whose WHOLE STATE
+    is engine-reproducible: the oracle rebuilds both snapshots' sketches
+    and gets bit-identical estimates.
+
+    Scale shape: zero corpus involvement — the inputs are |groups|-row
+    signature frames; one outer join + array ops on ≤k-long arrays.
+    """
+    if k < 2:
+        raise ValueError("kmv: k must be >= 2 (the estimator uses k-1)")
+    o = old_sigs.select(
+        "group",
+        F.col("n_kept").alias("_no"),
+        F.col("signature").alias("_so"),
+    )
+    n = new_sigs.select(
+        "group",
+        F.col("n_kept").alias("_nn"),
+        F.col("signature").alias("_sn"),
+    )
+    empty = F.array().cast("array<long>")
+    j = (
+        o.join(n, "group", "full_outer")
+        .select(
+            "group",
+            F.coalesce(F.col("_no"), F.lit(0)).cast("long").alias("n_old"),
+            F.coalesce(F.col("_so"), empty).alias("so"),
+            F.coalesce(F.col("_nn"), F.lit(0)).cast("long").alias("n_new"),
+            F.coalesce(F.col("_sn"), empty).alias("sn"),
+        )
+        .withColumn(
+            "_m",
+            F.slice(
+                F.array_sort(F.array_distinct(F.concat("so", "sn"))), 1, k
+            ),
+        )
+    )
+    n_m = F.size("_m").cast("long")
+    est_old = _est_from(F.col("so"), F.col("n_old"), k)
+    est_new = _est_from(F.col("sn"), F.col("n_new"), k)
+    est_union = _est_from(F.col("_m"), n_m, k)
+    inter = F.size(
+        F.array_intersect(F.array_intersect(F.col("_m"), "so"), "sn")
+    ).cast("long")
+    return j.select(
+        "group",
+        "n_old",
+        "n_new",
+        F.round(est_old, 4).alias("est_old"),
+        F.round(est_new, 4).alias("est_new"),
+        F.round(est_union, 4).alias("est_union"),
+        F.round(F.greatest(est_union - est_old, F.lit(0.0)), 4).alias(
+            "est_added"
+        ),
+        F.when(
+            n_m > 0,
+            F.round(inter.cast("double") / n_m.cast("double"), 6),
+        ).alias("jaccard_est"),
     )

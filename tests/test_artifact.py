@@ -168,7 +168,7 @@ def test_driver_window_holds_every_value_oracled_query_once():
         "token_burstiness", "lexical_types", "split_balance",
         "epoch_mixture", "dup_label_conflict", "log2_quantiles",
         "lang_agreement", "chao1_richness", "ess_audit", "km_survival",
-        "fd_discovery", "consolidate_rare",
+        "fd_discovery", "consolidate_rare", "kmv_snapshot_delta",
     }
     import glob
 

@@ -7632,3 +7632,63 @@ class TestSession10OpsD:
         plan = buf.getvalue()
         assert "BroadcastHashJoin" in plan, plan
         assert "SortMergeJoin" not in plan, plan
+
+
+class TestKmvSnapshotDelta:
+    """Pins for sketch.kmv_snapshot_delta (signature-frame algebra)."""
+
+    def _sigs(self, spark, rows):
+        from datatest_spark.operators import sketch
+
+        df = spark.createDataFrame(rows, "g string, v int")
+        return sketch.kmv_signatures(df, "v", "g", k=16)
+
+    def test_identical_snapshots_add_nothing(self, spark):
+        from datatest_spark.operators import sketch
+
+        s = self._sigs(spark, [("a", i) for i in range(40)])
+        r = sketch.kmv_snapshot_delta(s, s, k=16).collect()[0]
+        assert r["est_added"] == 0.0 and r["jaccard_est"] == 1.0
+        assert r["est_old"] == r["est_new"] == r["est_union"]
+
+    def test_subset_growth_detected_exactly_below_k(self, spark):
+        from datatest_spark.operators import sketch
+
+        old = self._sigs(spark, [("a", i) for i in range(10)])
+        new = self._sigs(spark, [("a", i) for i in range(14)])
+        r = sketch.kmv_snapshot_delta(old, new, k=16).collect()[0]
+        # below k everything is exact: 10 -> 14 distinct, +4
+        assert (r["est_old"], r["est_new"], r["est_union"]) == (
+            10.0, 14.0, 14.0,
+        )
+        assert r["est_added"] == 4.0
+
+    def test_new_and_vanished_groups(self, spark):
+        from datatest_spark.operators import sketch
+
+        old = self._sigs(spark, [("gone", i) for i in range(5)])
+        new = self._sigs(spark, [("fresh", i) for i in range(7)])
+        got = {
+            r["group"]: r
+            for r in sketch.kmv_snapshot_delta(old, new, k=16).collect()
+        }
+        assert got["fresh"]["est_old"] == 0.0
+        assert got["fresh"]["est_added"] == 7.0
+        assert got["gone"]["est_new"] == 0.0 and got["gone"]["est_added"] == 0.0
+
+    def test_matches_direct_union_sketch(self, spark):
+        """Merging signatures must estimate the union exactly as a
+        sketch built over the pooled data would — the mergeability
+        contract that makes persisted snapshots composable."""
+        from datatest_spark.operators import sketch
+
+        rows_a = [("a", i) for i in range(100)]
+        rows_b = [("a", i) for i in range(50, 180)]
+        old = self._sigs(spark, rows_a)
+        new = self._sigs(spark, rows_b)
+        delta = sketch.kmv_snapshot_delta(old, new, k=16).collect()[0]
+        pooled = spark.createDataFrame(
+            rows_a + rows_b, "g string, v int"
+        )
+        direct = sketch.kmv_distinct(pooled, "v", "g", k=16).collect()[0]
+        assert delta["est_union"] == direct["est_distinct"]
