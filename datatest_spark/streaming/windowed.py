@@ -687,3 +687,85 @@ def streaming_transition_gate(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_KMV_STATE_SCHEMA = "sig array<long>, n_ingested long"
+_KMV_OUT_SCHEMA = (
+    "group string, n_ingested long, n_kept long, is_exact boolean, "
+    "est_distinct double"
+)
+
+
+def streaming_kmv_distinct(
+    stream: DataFrame,
+    col: str,
+    group_col: str = "source",
+    k: int = 64,
+) -> DataFrame:
+    """Continuous distinct-cardinality gate: the bottom-k KMV sketch
+    maintained as streaming state — per group exactly k longs FOREVER,
+    regardless of how many distinct values flow past (the property that
+    makes it the only honest way to watch "distinct doc_ids so far" on
+    an unbounded ingest; a windowed count-distinct forgets, an exact
+    running set grows without bound).  Emits the running
+    ``(group, n_kept, is_exact, est_distinct)`` estimate per trigger,
+    with :func:`operators.sketch.kmv_distinct`'s exact arithmetic — the
+    final state equals the batch sketch over everything ingested
+    (stream ≡ batch, pinned), and the persisted signature merges with
+    any batch snapshot via ``kmv_snapshot_delta``.
+
+    The 60-bit hash is computed JVM-side (map-only codegen) BEFORE the
+    stateful operator; Python only merges two sorted long lists per
+    trigger.  Null values are not values (dropped up front).
+    """
+    if k < 2:
+        raise ValueError("kmv: k must be >= 2 (the estimator uses k-1)")
+    prepared = stream.where(F.col(col).isNotNull()).select(
+        F.coalesce(F.col(group_col).cast("string"), F.lit("__null__"))
+        .alias("group"),
+        F.conv(
+            F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10
+        )
+        .cast("long")
+        .alias("_u"),
+    )
+    two60 = float(1 << 60)
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        g = key[0]
+        # GroupState.get is a PROPERTY in PySpark 4 (the CUSUM pin)
+        sig, n_ing = (
+            tuple(state.get) if state.exists else ([], 0)
+        )
+        seen = set(int(u) for u in (sig or []))
+        n_ing = int(n_ing or 0)
+        for pdf in pdfs:
+            us = pdf["_u"].dropna()
+            n_ing += int(len(us))
+            seen.update(int(u) for u in us)
+        merged = sorted(seen)[:k]
+        state.update((merged, n_ing))
+        n_kept = len(merged)
+        if n_kept < k:
+            est = float(n_kept)
+        else:
+            est = round(float(k - 1) * two60 / float(merged[-1]), 4)
+        yield pd.DataFrame(
+            {
+                "group": [g],
+                "n_ingested": [n_ing],
+                "n_kept": [n_kept],
+                "is_exact": [n_kept < k],
+                "est_distinct": [est],
+            }
+        )
+
+    return prepared.groupBy("group").applyInPandasWithState(
+        update,
+        outputStructType=_KMV_OUT_SCHEMA,
+        stateStructType=_KMV_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

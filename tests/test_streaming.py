@@ -815,3 +815,56 @@ def test_surprisal_ops_stream_equals_batch(spark, tmp_path):
         got = sorted(map(tuple, spark.read.parquet(path).collect()))
         want = sorted(map(tuple, op(df, model=model, **kw).collect()))
         assert got == want and len(got) > 0, op.__name__
+
+
+@pytest.mark.spark
+def test_streaming_kmv_matches_batch_sketch(spark, tmp_path):
+    """Final streaming KMV state == the batch sketch over everything
+    ingested (two genuine micro-batches), including the estimator path
+    past k — the mergeable-state contract that lets the persisted
+    signature compose with batch snapshots."""
+    from datatest_spark.operators import sketch
+    from datatest_spark.streaming import windowed
+
+    k = 16
+    head = [("g", i) for i in range(40)] + [("tiny", 1), ("tiny", 2)]
+    tail = [("g", i) for i in range(30, 70)] + [("tiny", 2)]
+
+    src = str(tmp_path / "kmvsrc")
+    spark.createDataFrame(head, "source string, v int").coalesce(
+        1
+    ).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema("source string, v int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    spark.createDataFrame(tail, "source string, v int").coalesce(
+        1
+    ).write.mode("append").parquet(src)
+
+    out = windowed.run_available_now(
+        windowed.streaming_kmv_distinct(stream, "v", "source", k=k),
+        "kmv_stream", str(tmp_path / "kmvck"),
+    )
+    batch = {
+        r["group"]: r
+        for r in sketch.kmv_distinct(
+            spark.createDataFrame(head + tail, "source string, v int"),
+            "v", "source", k=k,
+        ).collect()
+    }
+    for grp in ("g", "tiny"):
+        final = max(
+            (r for r in out if r["group"] == grp),
+            key=lambda r: r["n_ingested"],
+        )
+        want = batch[grp]
+        assert final["n_kept"] == want["n_kept"], grp
+        assert final["is_exact"] == want["is_exact"], grp
+        assert abs(final["est_distinct"] - want["est_distinct"]) < 1e-6, grp
+    # the big group crossed k: estimator path, not exact
+    assert not batch["g"]["is_exact"]
+    assert batch["tiny"]["is_exact"]
+    with pytest.raises(ValueError):
+        windowed.streaming_kmv_distinct(stream, "v", "source", k=1)
