@@ -153,7 +153,12 @@ def main():
 
     eff = (levels[hi]["rows_per_sec"] / levels[lo]["rows_per_sec"]) / 4.0
     result = {
-        "workload": "full north-star constraint suite "
+        # v2: slim stats pass (fat array column decoded ONCE, in the
+        # row-check scan — north_star_suite's decode-once discipline).
+        # The workload string is the pool key (see pooled_summary's
+        # contract): bumping it starts a fresh pool, because the
+        # benchmarked code path changed materially.
+        "workload": "full north-star constraint suite v2 — slim stats "
                     "(schema+stats+uniqueness+referential+consistency+token_range)",
         "input_rows": levels[hi]["n_rows"],
         "input_path": data,

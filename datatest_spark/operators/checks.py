@@ -994,3 +994,110 @@ def schema_drift(old: DataFrame, new: DataFrame) -> DataFrame:
         "column string, status string, old_class string, new_class string, "
         "old_null_rate double, new_null_rate double, null_rate_delta double",
     )
+
+
+def partition_fingerprint(
+    df: DataFrame,
+    partition_cols=("source",),
+    columns=None,
+) -> DataFrame:
+    """Order-insensitive CONTENT fingerprint per partition: the exact
+    DECIMAL sum of a 60-bit md5 draw over each row's canonical string
+    form — two partitions carry the same fingerprint iff they hold the
+    same multiset of rows (up to 60-bit collisions), regardless of row
+    order, file layout, or partitioning.  This is the content-addressed
+    complement of the suite manifest's ``input_files_hash`` (which
+    fingerprints file PATHS): a rewrite that shuffles rows into
+    different files keeps this fingerprint and changes that one; a
+    silent row edit flips this one even when paths stay put.
+    Feed two snapshots to :func:`fingerprint_diff` for a which-
+    partitions-changed answer without any row-level join.
+
+    ``columns`` defaults to every non-partition column; values join
+    with an unprintable separator, nulls spelled distinctly (the
+    qi_key discipline), so ("a", None) and ("a,None") cannot collide.
+
+    Cross-engine determinism: the row draw is
+    ``conv(substr(md5(row),1,15),16,10)`` — DuckDB-reproducible — and
+    the sum is an exact DECIMAL(38,0) (10^12 rows × 2^60 ≈ 10^30 fits),
+    so the fingerprint is value-oracled, not just stable.
+
+    Scale shape: MAP-ONLY hashing inside codegen feeding ONE
+    map-side-combinable ``groupBy(partition_key)`` — a 10^12-row
+    snapshot reduces to |partitions| rows crossing the wire.
+    """
+    from .stats import partition_key_col
+
+    part = list(partition_cols)
+    cols = (
+        [c for c in df.columns if c not in part]
+        if columns is None
+        else list(columns)
+    )
+    if not cols:
+        raise ValueError("partition_fingerprint: no content columns")
+    row = F.concat_ws(
+        "\x1f",
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00null\x00"))
+            for c in cols
+        ],
+    )
+    draw = F.conv(F.substring(F.md5(row), 1, 15), 16, 10).cast(
+        "decimal(38,0)"
+    )
+    return (
+        df.withColumn("partition_key", partition_key_col(part))
+        .groupBy("partition_key")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            # string form: a fingerprint is an identifier, not a number
+            # (and both engines render the exact integer identically,
+            # where decimal-vs-hugeint python types would diverge)
+            F.sum(draw)
+            .cast("decimal(38,0)")
+            .cast("string")
+            .alias("content_sum"),
+        )
+    )
+
+
+def fingerprint_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Which partitions changed between two snapshots, from their
+    :func:`partition_fingerprint` frames alone: one row per partition
+    present in either, with status ``added`` / ``removed`` /
+    ``changed`` / ``unchanged`` and both sides' row counts — the
+    incremental-validation planner's input (re-validate exactly the
+    changed partitions, resume the rest from the manifest).
+
+    Zero corpus involvement: an outer join of two |partitions|-row
+    frames.  ``changed`` means content_sum or n_rows moved; identical
+    multisets compare equal by construction, so a pure rewrite
+    (compaction, re-sort, re-bucketing) reads ``unchanged`` — exactly
+    the property a resume guard wants, where the path-hash guard would
+    force a full re-run.
+    """
+    o = old.select(
+        "partition_key",
+        F.col("n_rows").alias("n_rows_old"),
+        F.col("content_sum").alias("_cs_old"),
+    )
+    n = new.select(
+        "partition_key",
+        F.col("n_rows").alias("n_rows_new"),
+        F.col("content_sum").alias("_cs_new"),
+    )
+    j = o.join(n, "partition_key", "full_outer")
+    status = (
+        F.when(F.col("_cs_old").isNull(), "added")
+        .when(F.col("_cs_new").isNull(), "removed")
+        .when(
+            (F.col("_cs_old") == F.col("_cs_new"))
+            & (F.col("n_rows_old") == F.col("n_rows_new")),
+            "unchanged",
+        )
+        .otherwise("changed")
+    )
+    return j.select(
+        "partition_key", "n_rows_old", "n_rows_new", status.alias("status")
+    )

@@ -7692,3 +7692,88 @@ class TestKmvSnapshotDelta:
         )
         direct = sketch.kmv_distinct(pooled, "v", "g", k=16).collect()[0]
         assert delta["est_union"] == direct["est_distinct"]
+
+
+class TestPartitionFingerprint:
+    """Pins for checks.partition_fingerprint / fingerprint_diff."""
+
+    def test_order_and_layout_invariance(self, spark):
+        from datatest_spark.operators import checks as ck
+
+        rows = [(i, "t%d" % i, "s%d" % (i % 2)) for i in range(50)]
+        a = spark.createDataFrame(rows, "id long, t string, source string")
+        b = spark.createDataFrame(
+            list(reversed(rows)), "id long, t string, source string"
+        ).repartition(7)
+        fa = {r["partition_key"]: r for r in ck.partition_fingerprint(a).collect()}
+        fb = {r["partition_key"]: r for r in ck.partition_fingerprint(b).collect()}
+        assert fa.keys() == fb.keys()
+        for k in fa:
+            assert fa[k]["content_sum"] == fb[k]["content_sum"], k
+            assert fa[k]["n_rows"] == fb[k]["n_rows"]
+
+    def test_single_row_edit_flips_fingerprint(self, spark):
+        from datatest_spark.operators import checks as ck
+
+        rows = [(i, "t%d" % i, "s") for i in range(20)]
+        a = spark.createDataFrame(rows, "id long, t string, source string")
+        edited = [(i, "t%d" % i if i != 7 else "EDITED", "s") for i in range(20)]
+        b = spark.createDataFrame(edited, "id long, t string, source string")
+        ca = ck.partition_fingerprint(a).collect()[0]["content_sum"]
+        cb = ck.partition_fingerprint(b).collect()[0]["content_sum"]
+        assert ca != cb
+
+    def test_null_spelling_cannot_collide(self, spark):
+        from datatest_spark.operators import checks as ck
+
+        a = spark.createDataFrame(
+            [(None, "x", "s")], "id string, t string, source string"
+        )
+        b = spark.createDataFrame(
+            [("\x00null\x00", "x", "s")],
+            "id string, t string, source string",
+        )
+        ca = ck.partition_fingerprint(a).collect()[0]["content_sum"]
+        cb = ck.partition_fingerprint(b).collect()[0]["content_sum"]
+        # the null marker IS the spelling — same draw by design; the
+        # contract is that ("a", None) never collides with ("a,None")
+        assert ca == cb
+        c = spark.createDataFrame(
+            [("a", None, "s")], "id string, t string, source string"
+        )
+        d = spark.createDataFrame(
+            [("a\x1f", "", "s")], "id string, t string, source string"
+        )
+        cc = ck.partition_fingerprint(c).collect()[0]["content_sum"]
+        cd = ck.partition_fingerprint(d).collect()[0]["content_sum"]
+        assert cc != cd
+
+    def test_diff_statuses(self, spark):
+        from datatest_spark.operators import checks as ck
+
+        old_rows = [(i, "t", "keep") for i in range(5)] + [
+            (i, "t", "gone") for i in range(3)
+        ] + [(i, "t", "edit") for i in range(4)]
+        new_rows = [(i, "t", "keep") for i in range(5)] + [
+            (i, "t", "edit") for i in range(5)
+        ] + [(i, "t", "fresh") for i in range(2)]
+        old = ck.partition_fingerprint(
+            spark.createDataFrame(old_rows, "id long, t string, source string")
+        )
+        new = ck.partition_fingerprint(
+            spark.createDataFrame(new_rows, "id long, t string, source string")
+        )
+        got = {
+            r["partition_key"]: r["status"]
+            for r in ck.fingerprint_diff(old, new).collect()
+        }
+        assert got == {
+            "source=keep": "unchanged",
+            "source=gone": "removed",
+            "source=edit": "changed",
+            "source=fresh": "added",
+        }
+        with pytest.raises(ValueError):
+            ck.partition_fingerprint(
+                spark.createDataFrame([("s",)], "source string"), ("source",)
+            )

@@ -22,7 +22,9 @@ N = 2000
 # the north-star suite, as data (mirrors north_star_suite's defaults)
 NORTH_SPEC = {
     "partition_cols": ["source"],
-    "stats_columns": ["doc_id", "tokens", "n_tok", "source"],
+    # decode-once discipline: the fat array column stays out of the
+    # stats pass (north_star_suite's default; see its docstring)
+    "stats_columns": ["doc_id", "n_tok", "source"],
     "checks": [
         {"type": "schema_conformance", "fields": [
             {"name": "doc_id", "type": "string"},
@@ -31,7 +33,7 @@ NORTH_SPEC = {
             {"name": "source", "type": "string"},
         ]},
         {"type": "null_rate", "max_null_rate": {
-            "doc_id": 0.01, "tokens": 0.01, "n_tok": 0.01, "source": 0.01}},
+            "doc_id": 0.01, "n_tok": 0.01, "source": 0.01}},
         {"type": "stat_interval", "bounds": {
             "n_tok__min": [1.0, None], "n_tok__max": [None, 4096.0]}},
         {"type": "uniqueness", "column": "doc_id"},
