@@ -2929,6 +2929,35 @@ def q_kmv_snapshot_delta(spark, sf_dir):
     return sketch.kmv_snapshot_delta(old, new, k=64)
 
 
+def q_partition_fingerprints(spark, sf_dir):
+    """Content-addressed partition fingerprints (operators/checks.
+    partition_fingerprint): order-insensitive exact DECIMAL sum of a
+    60-bit md5 row draw per source partition — same multiset of rows,
+    same fingerprint, regardless of file layout. MAP-ONLY hashing into
+    one combinable groupBy."""
+    from datatest_spark.operators import checks as ck
+
+    d = _t(spark, sf_dir, "documents")
+    return ck.partition_fingerprint(d, ("source",))
+
+
+def q_fingerprint_diff(spark, sf_dir):
+    """Which partitions changed between snapshots (operators/checks.
+    fingerprint_diff): the doc_id % 3 != 0 subset vs the full corpus —
+    every source reads `changed` (each lost ~1/3 of its rows), and the
+    diff itself is an outer join of two |partitions|-row frames with
+    zero corpus involvement; the incremental-validation planner's
+    input."""
+    from datatest_spark.operators import checks as ck
+
+    d = _t(spark, sf_dir, "documents")
+    old = ck.partition_fingerprint(
+        d.where(F.col("doc_id") % 3 != 0), ("source",)
+    )
+    new = ck.partition_fingerprint(d, ("source",))
+    return ck.fingerprint_diff(old, new)
+
+
 _FD_COLUMNS = ("o_custkey", "o_orderstatus", "o_orderpriority")
 _FD_MIN_SUPPORT = 0.95
 
@@ -3295,6 +3324,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fd_discovery": q_fd_discovery,
         "consolidate_rare": q_consolidate_rare,
         "kmv_snapshot_delta": q_kmv_snapshot_delta,
+        "partition_fingerprints": q_partition_fingerprints,
+        "fingerprint_diff": q_fingerprint_diff,
     }
     # apply the window ordering: _DRIVER_WINDOW first (declared order),
     # then everything else in registration order
@@ -8786,6 +8817,70 @@ def oracle_sql() -> dict[str, str]:
                              / CAST(n_m AS DOUBLE), 6)
                    END AS jaccard_est
             FROM E2
+        """,
+        "partition_fingerprints": """
+            SELECT 'source=' || COALESCE(source, '__null__')
+                       AS partition_key,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(CAST(SUM(CAST(CONCAT('0x', substr(md5(
+                       COALESCE(CAST(doc_id AS VARCHAR),
+                                chr(0) || 'null' || chr(0))
+                       || chr(31) ||
+                       COALESCE(text, chr(0) || 'null' || chr(0))
+                       || chr(31) ||
+                       COALESCE(lang, chr(0) || 'null' || chr(0))
+                       || chr(31) ||
+                       COALESCE(CAST(n_chars AS VARCHAR),
+                                chr(0) || 'null' || chr(0))
+                   ), 1, 15)) AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR)
+                       AS content_sum
+            FROM documents
+            GROUP BY 1
+        """,
+        "fingerprint_diff": """
+            WITH F0 AS (
+                SELECT 'source=' || COALESCE(source, '__null__') AS pk,
+                       CAST(COUNT(*) AS BIGINT) AS n_rows,
+                       CAST(SUM(CAST(CONCAT('0x', substr(md5(
+                           COALESCE(CAST(doc_id AS VARCHAR),
+                                    chr(0) || 'null' || chr(0))
+                           || chr(31) ||
+                           COALESCE(text, chr(0) || 'null' || chr(0))
+                           || chr(31) ||
+                           COALESCE(lang, chr(0) || 'null' || chr(0))
+                           || chr(31) ||
+                           COALESCE(CAST(n_chars AS VARCHAR),
+                                    chr(0) || 'null' || chr(0))
+                       ), 1, 15)) AS BIGINT)) AS DECIMAL(38,0)) AS cs
+                FROM documents WHERE doc_id % 3 <> 0
+                GROUP BY 1
+            ),
+            F1 AS (
+                SELECT 'source=' || COALESCE(source, '__null__') AS pk,
+                       CAST(COUNT(*) AS BIGINT) AS n_rows,
+                       CAST(SUM(CAST(CONCAT('0x', substr(md5(
+                           COALESCE(CAST(doc_id AS VARCHAR),
+                                    chr(0) || 'null' || chr(0))
+                           || chr(31) ||
+                           COALESCE(text, chr(0) || 'null' || chr(0))
+                           || chr(31) ||
+                           COALESCE(lang, chr(0) || 'null' || chr(0))
+                           || chr(31) ||
+                           COALESCE(CAST(n_chars AS VARCHAR),
+                                    chr(0) || 'null' || chr(0))
+                       ), 1, 15)) AS BIGINT)) AS DECIMAL(38,0)) AS cs
+                FROM documents
+                GROUP BY 1
+            )
+            SELECT COALESCE(F0.pk, F1.pk) AS partition_key,
+                   F0.n_rows AS n_rows_old,
+                   F1.n_rows AS n_rows_new,
+                   CASE WHEN F0.cs IS NULL THEN 'added'
+                        WHEN F1.cs IS NULL THEN 'removed'
+                        WHEN F0.cs = F1.cs
+                             AND F0.n_rows = F1.n_rows THEN 'unchanged'
+                        ELSE 'changed' END AS status
+            FROM F0 FULL OUTER JOIN F1 ON F0.pk = F1.pk
         """,
         "fd_discovery": _fd_discovery_oracle_sql(),
         "consolidate_rare": """
