@@ -2908,6 +2908,20 @@ def q_km_survival(spark, sf_dir):
     return km_survival(e, "user_id", "ts", censor_days=7)
 
 
+def q_candidate_keys(spark, sf_dir):
+    """Candidate-key mining (operators/stats.candidate_keys): per
+    column set of the events profile list (singletons + pairs),
+    distinct-combination counts and uniqueness ratio — which set IS
+    the key (event_id), which de-facto key is drifting. One exploded
+    scan map-side-combined to |sets|x|distinct tuples| rows."""
+    from datatest_spark.operators.stats import candidate_keys
+
+    e = _t(spark, sf_dir, "events")
+    return candidate_keys(
+        e, ["event_id", "user_id", "event_type"], max_arity=2
+    )
+
+
 def q_kmv_snapshot_delta(spark, sf_dir):
     """Cross-snapshot content growth from persisted KMV signatures
     (operators/sketch.kmv_snapshot_delta): the old snapshot (docs with
@@ -3326,6 +3340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_snapshot_delta": q_kmv_snapshot_delta,
         "partition_fingerprints": q_partition_fingerprints,
         "fingerprint_diff": q_fingerprint_diff,
+        "candidate_keys": q_candidate_keys,
     }
     # apply the window ordering: _DRIVER_WINDOW first (declared order),
     # then everything else in registration order
@@ -8881,6 +8896,61 @@ def oracle_sql() -> dict[str, str]:
                              AND F0.n_rows = F1.n_rows THEN 'unchanged'
                         ELSE 'changed' END AS status
             FROM F0 FULL OUTER JOIN F1 ON F0.pk = F1.pk
+        """,
+        "candidate_keys": """
+            WITH E AS (
+                SELECT 'event_id' AS key_set, 1 AS arity,
+                       COALESCE(CAST(event_id AS VARCHAR),
+                                chr(0) || 'null' || chr(0)) AS val
+                FROM events
+                UNION ALL
+                SELECT 'user_id', 1,
+                       COALESCE(CAST(user_id AS VARCHAR),
+                                chr(0) || 'null' || chr(0))
+                FROM events
+                UNION ALL
+                SELECT 'event_type', 1,
+                       COALESCE(event_type, chr(0) || 'null' || chr(0))
+                FROM events
+                UNION ALL
+                SELECT 'event_id+user_id', 2,
+                       COALESCE(CAST(event_id AS VARCHAR),
+                                chr(0) || 'null' || chr(0))
+                       || chr(31) ||
+                       COALESCE(CAST(user_id AS VARCHAR),
+                                chr(0) || 'null' || chr(0))
+                FROM events
+                UNION ALL
+                SELECT 'event_id+event_type', 2,
+                       COALESCE(CAST(event_id AS VARCHAR),
+                                chr(0) || 'null' || chr(0))
+                       || chr(31) ||
+                       COALESCE(event_type, chr(0) || 'null' || chr(0))
+                FROM events
+                UNION ALL
+                SELECT 'user_id+event_type', 2,
+                       COALESCE(CAST(user_id AS VARCHAR),
+                                chr(0) || 'null' || chr(0))
+                       || chr(31) ||
+                       COALESCE(event_type, chr(0) || 'null' || chr(0))
+                FROM events
+            ),
+            V AS (
+                SELECT key_set, arity, val, CAST(COUNT(*) AS BIGINT) AS n
+                FROM E GROUP BY 1, 2, 3
+            ),
+            S AS (
+                SELECT key_set, CAST(arity AS INT) AS arity,
+                       CAST(SUM(n) AS BIGINT) AS n_rows,
+                       CAST(COUNT(*) AS BIGINT) AS n_distinct
+                FROM V GROUP BY 1, 2
+            )
+            SELECT key_set, arity, n_rows, n_distinct,
+                   ROUND(CAST(n_distinct AS DOUBLE)
+                         / CAST(n_rows AS DOUBLE), 6) AS uniqueness_ratio,
+                   (CAST(n_distinct AS DOUBLE)
+                    / CAST(n_rows AS DOUBLE)) >= 1.0 AS is_key
+            FROM S
         """,
         "fd_discovery": _fd_discovery_oracle_sql(),
         "consolidate_rare": """

@@ -1961,3 +1961,84 @@ def consolidate_rare(
         .otherwise(F.lit(other))
     )
     return joined.withColumn(col, replaced).drop("_val", "_keep")
+
+
+def candidate_keys(
+    df: DataFrame,
+    columns,
+    max_arity: int = 2,
+    min_ratio: float = 1.0,
+) -> DataFrame:
+    """Candidate-key mining: for every column set up to ``max_arity``
+    (singletons and pairs), the distinct-combination count and
+    ``uniqueness_ratio = n_distinct / n_rows`` — the discovery pass
+    behind ``UniquenessCheck`` (which column set IS the key?) and the
+    de-facto-key drift alarm (a ratio that slips below 1.0 on a column
+    everyone joins on is an incident, found here before the join
+    explodes).  ``is_key`` marks sets at or above ``min_ratio``
+    (1.0 = exact key; 0.999… tolerates a known dup tail).
+
+    Nulls are values (two null-keyed rows are duplicates of each
+    other — exactly how a join would treat them after a coalesce),
+    spelled distinctly from any string.
+
+    Returns (key_set, arity, n_rows, n_distinct, uniqueness_ratio,
+    is_key) per set, ratio rounded once.
+
+    Scale shape: ONE scan explodes each row into |sets| tagged value
+    tuples; the groupBy(set, value) count combines map-side (the wire
+    carries |sets|·|distinct tuples|), and the per-set rollup is a
+    second combinable aggregate.  Arity is capped at 2 by design —
+    |sets| grows quadratically and 10^12-row profiling wants the
+    pairwise sweep, not the powerset.
+    """
+    columns = list(columns)
+    if not columns:
+        raise ValueError("candidate_keys: columns must be non-empty")
+    if len(set(columns)) != len(columns):
+        raise ValueError(
+            "candidate_keys: duplicate column names: %r" % (columns,)
+        )
+    if max_arity not in (1, 2):
+        raise ValueError("candidate_keys: max_arity must be 1 or 2")
+    if not (0.0 < min_ratio <= 1.0):
+        raise ValueError("candidate_keys: min_ratio must be in (0, 1]")
+    nul = "\x00null\x00"
+
+    def _s(c):
+        return F.coalesce(F.col(c).cast("string"), F.lit(nul))
+
+    sets = [((c,), c) for c in columns]
+    if max_arity == 2:
+        for i, a in enumerate(columns):
+            for b in columns[i + 1:]:
+                sets.append(((a, b), a + "+" + b))
+    structs = [
+        F.struct(
+            F.lit(name).alias("key_set"),
+            F.lit(len(cols)).alias("arity"),
+            F.concat_ws("\x1f", *[_s(c) for c in cols]).alias("val"),
+        )
+        for cols, name in sets
+    ]
+    per_val = (
+        df.select(F.explode(F.array(*structs)).alias("p"))
+        .select("p.*")
+        .groupBy("key_set", "arity", "val")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    per_set = per_val.groupBy("key_set", "arity").agg(
+        F.sum("n").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+    )
+    ratio = (
+        F.col("n_distinct").cast("double") / F.col("n_rows").cast("double")
+    )
+    return per_set.select(
+        "key_set",
+        "arity",
+        "n_rows",
+        "n_distinct",
+        F.round(ratio, 6).alias("uniqueness_ratio"),
+        (ratio >= F.lit(float(min_ratio))).alias("is_key"),
+    )

@@ -169,7 +169,7 @@ def test_driver_window_holds_every_value_oracled_query_once():
         "epoch_mixture", "dup_label_conflict", "log2_quantiles",
         "lang_agreement", "chao1_richness", "ess_audit", "km_survival",
         "fd_discovery", "consolidate_rare", "kmv_snapshot_delta",
-        "partition_fingerprints", "fingerprint_diff",
+        "partition_fingerprints", "fingerprint_diff", "candidate_keys",
     }
     import glob
 

@@ -7777,3 +7777,58 @@ class TestPartitionFingerprint:
             ck.partition_fingerprint(
                 spark.createDataFrame([("s",)], "source string"), ("source",)
             )
+
+
+class TestCandidateKeys:
+    """Pins for stats.candidate_keys."""
+
+    def test_hand_ratios_and_key_flags(self, spark):
+        from datatest_spark.operators.stats import candidate_keys
+
+        df = spark.createDataFrame(
+            [(1, "a"), (2, "a"), (3, "b"), (3, "b")],
+            "id long, grp string",
+        )
+        got = {
+            r["key_set"]: r
+            for r in candidate_keys(df, ["id", "grp"]).collect()
+        }
+        assert set(got) == {"id", "grp", "id+grp"}
+        assert (got["id"]["n_distinct"], got["id"]["is_key"]) == (3, False)
+        assert got["id"]["uniqueness_ratio"] == 0.75
+        assert got["grp"]["n_distinct"] == 2
+        assert got["id+grp"]["n_distinct"] == 3 and not got["id+grp"]["is_key"]
+        # every set sees all rows
+        assert all(r["n_rows"] == 4 for r in got.values())
+        uniq = spark.createDataFrame([(1,), (2,)], "id long")
+        r = candidate_keys(uniq, ["id"]).collect()[0]
+        assert r["is_key"] and r["uniqueness_ratio"] == 1.0
+
+    def test_nulls_are_values_and_separator_safe(self, spark):
+        from datatest_spark.operators.stats import candidate_keys
+
+        df = spark.createDataFrame(
+            [(None, "x"), (None, "x")], "a string, b string"
+        )
+        got = {
+            r["key_set"]: r for r in candidate_keys(df, ["a", "b"]).collect()
+        }
+        # two null-keyed rows are DUPLICATES, not distinct unknowns
+        assert got["a"]["n_distinct"] == 1 and not got["a"]["is_key"]
+        assert got["a+b"]["n_distinct"] == 1
+        with pytest.raises(ValueError):
+            candidate_keys(df, [])
+        with pytest.raises(ValueError):
+            candidate_keys(df, ["a", "a"])
+        with pytest.raises(ValueError):
+            candidate_keys(df, ["a"], max_arity=3)
+
+    def test_min_ratio_tolerance(self, spark):
+        from datatest_spark.operators.stats import candidate_keys
+
+        rows = [(i,) for i in range(999)] + [(0,)]
+        df = spark.createDataFrame(rows, "id long")
+        strict = candidate_keys(df, ["id"]).collect()[0]
+        assert not strict["is_key"]
+        loose = candidate_keys(df, ["id"], min_ratio=0.99).collect()[0]
+        assert loose["is_key"]
